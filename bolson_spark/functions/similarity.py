@@ -1,0 +1,127 @@
+"""Similarity search over the `embeddings` table (array<float> vectors).
+
+Scale design:
+
+- **knn_bruteforce** — exact cosine top-k against one query vector. The
+  query vector is a broadcast literal; scoring is a narrow map with
+  ``zip_with`` + ``aggregate`` (JVM-side, codegen); top-k is
+  ``orderBy(...).limit(k)`` which Spark executes as per-partition
+  TakeOrdered (no global sort shuffle of the full table).
+- **ivf_assign / ivf_knn** — the scale path (IVF-flat): assign every
+  vector to its nearest centroid (broadcast centroid list, narrow map);
+  probe only the query's cluster at search time. At 100 TB the assign
+  step is one pass, and a probe touches 1/C of the data; cluster id is
+  also the natural partitioning/bucketing key for the index table.
+
+Floating point & oracle parity: dot products accumulate in float64 in
+strict index order (``aggregate`` over ``zip_with``); final scores are
+rounded to 6 decimals on both engines before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order float64 dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _query_vector_lit(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def knn_bruteforce(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine to `query_vec`; deterministic tiebreak on id."""
+    q = _query_vector_lit(query_vec)
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_similarity_col(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cent_id: str = "centroid_id",
+    cent_vec: str = "centroid",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine).
+
+    Implemented as broadcast-join + argmax via ``max_by`` grouped on the
+    vector id — the centroid table is tiny by construction, so the join
+    is a BroadcastNestedLoop over C rows per vector, then a map-side
+    combinable argmax. Deterministic tiebreak: higher cosine, then lower
+    centroid id (max_by on a (cosine, -cid) struct).
+    """
+    j = df.crossJoin(F.broadcast(centroids))
+    sim = F.round(
+        cosine_similarity_col(F.col(vec_col), F.col(cent_vec)), 6
+    ).alias("sim")
+    scored = j.select(F.col(id_col), F.col(cent_id), sim)
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col(cent_id), F.struct(F.col("sim"), (-F.col(cent_id)).alias("neg"))
+        ).alias("cluster"),
+        F.max("sim").alias("cluster_sim"),
+    )
+
+
+def ivf_knn(
+    df: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's nearest cluster."""
+    q = _query_vector_lit(query_vec)
+    # nearest centroid of the query (tiny — driver-side reduce is fine,
+    # but stays declarative so it also composes in a plan)
+    best = (
+        centroids.select(
+            "centroid_id",
+            F.round(cosine_similarity_col(F.col("centroid"), q), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("centroid_id"))
+        .limit(1)
+    )
+    assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col, id_col)
+    probe = df.join(assigned, id_col).join(
+        F.broadcast(best.select(F.col("centroid_id").alias("cluster"))), "cluster"
+    )
+    scored = probe.select(
+        F.col(id_col),
+        F.round(cosine_similarity_col(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

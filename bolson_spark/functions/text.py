@@ -1,0 +1,81 @@
+"""Text analysis over the `documents` table — language ID, quality
+scoring, token counting, fingerprinting.
+
+Everything here compiles to built-in Spark SQL expressions (split,
+lambda higher-order functions, md5, regexp) — no Python UDFs — so the
+operators scale linearly with executors and stay inside whole-stage
+codegen. Each has an exact ANSI-SQL oracle (queries.py) because the
+implementations avoid engine-specific hash functions: fingerprints use
+md5 (identical across Spark/DuckDB), not murmur.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small deterministic stopword list (quality scoring + lang heuristic).
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (literal single-space split: the corpus is
+    single-space separated; a regex split would also work but ' ' keeps
+    the oracle trivially identical)."""
+    return F.split(col, " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_count(col: Column) -> Column:
+    return F.size(F.filter(tokens(col), lambda w: w.isin(*STOPWORDS_EN)))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality score in [0,1]: blends length saturation and
+    stopword ratio (a proxy for natural-language-ness). Deterministic,
+    SQL-expressible."""
+    n_tok = token_count(col).cast("double")
+    sw_ratio = stopword_count(col).cast("double") / n_tok
+    len_sat = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    return F.round((len_sat + sw_ratio) / F.lit(2.0), 6)
+
+
+def language_id(col: Column) -> Column:
+    """N-gram-free language heuristic: share of English stopwords among
+    tokens; >= 5% -> 'en' else 'other'. (The corpus carries a ground
+    truth `lang` column; this is the operator a pipeline would run when
+    it doesn't.)"""
+    n_tok = token_count(col).cast("double")
+    ratio = stopword_count(col).cast("double") / n_tok
+    return F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other"))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (lower, trimmed,
+    whitespace-collapsed). md5 is identical in Spark and DuckDB, so the
+    oracle can reproduce it bit-for-bit — unlike murmur `hash()`."""
+    normalized = F.lower(F.trim(F.regexp_replace(col, "\\s+", " ")))
+    return F.md5(normalized)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: chars, tokens, avg token length, stopword
+    ratio, quality score, fingerprint."""
+    c = F.col(text_col)
+    n_tok = token_count(c)
+    return df.select(
+        "doc_id",
+        F.length(c).alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        F.round(
+            (F.length(c) - n_tok + 1).cast("double") / n_tok.cast("double"), 6
+        ).alias("avg_token_len"),
+        F.round(stopword_count(c).cast("double") / n_tok.cast("double"), 6).alias(
+            "stopword_ratio"
+        ),
+        quality_score(c).alias("quality"),
+        doc_fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,994 @@
+"""The query registry — the engine's public query surface.
+
+Each entry couples a Spark callable ``(spark, sf_dir) -> DataFrame``
+with an equivalent ANSI-SQL oracle string that DuckDB runs over the same
+parquet tables (driver contract in ``__spark_entry__.py``). Entries with
+``oracle=None`` are non-SQL-expressible (binary IPC payloads) and get
+the driver's weaker rows-only check.
+
+Cross-engine determinism rules used throughout (so value hashes match):
+
+- Monetary/double aggregations are computed in DECIMAL (exact, order-
+  independent) and cast to DOUBLE at the end; means are
+  ``CAST(decimal_sum AS DOUBLE) / count``. Raw double columns passed
+  through untouched are bit-identical by definition.
+- Engine-specific hash functions (murmur ``hash()``) are never used in
+  results; content digests are md5/sha256 (identical everywhere).
+- Timestamps in results are formatted to strings.
+- Floating-point similarity scores are rounded to 6 decimals on both
+  engines.
+- Every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bolson_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from bolson_spark.functions.multimodal import attach_media_metadata, extract_features
+from bolson_spark.functions.similarity import (
+    cosine_similarity_col,
+    ivf_assign,
+    ivf_knn,
+    knn_bruteforce,
+)
+from bolson_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    stopword_count,
+    text_stats,
+    token_count,
+)
+from bolson_spark.operators.parse import parse_json, validate_no_unexpected_fields
+from bolson_spark.operators.rebatch import add_batch_id, batch_stats
+from bolson_spark.operators.seq import add_seq
+from bolson_spark.operators.serialize import deserialize_ipc, serialize_ipc
+from bolson_spark.schemas import EVENT_PROPS_SPARK
+from bolson_spark.session import load_table
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Core conversion operators (reference parity: SURVEY.md §2.1)
+# ---------------------------------------------------------------------------
+
+
+def q_convert_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: schema-driven strict JSON parse of events.props."""
+    ev = _t(spark, sf_dir, "events")
+    return parse_json(ev, EVENT_PROPS_SPARK, "props", strict=True, keep=["event_id"])
+
+
+O_CONVERT_PARSE = """
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+"""
+
+
+def q_convert_strict_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 strictness: rows with out-of-schema JSON keys (must be empty)."""
+    ev = _t(spark, sf_dir, "events")
+    return validate_no_unexpected_fields(ev, "props", EVENT_PROPS_SPARK).select(
+        "event_id"
+    )
+
+
+O_CONVERT_STRICT = """
+SELECT event_id FROM events
+WHERE len(list_filter(json_keys(props), k -> k NOT IN ('k'))) > 0
+"""
+
+
+def q_convert_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: contiguous 0-based sequence numbers in arrival order."""
+    ev = _t(spark, sf_dir, "events")
+    return add_seq(ev, "event_id").select("event_id", "bolson_seq")
+
+
+O_CONVERT_SEQ = """
+SELECT event_id,
+       CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS bolson_seq
+FROM events
+"""
+
+
+def q_convert_rebatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: resize envelope — per-batch seq ranges at max_rows=1024."""
+    ev = _t(spark, sf_dir, "events")
+    return batch_stats(add_seq(ev, "event_id"))
+
+
+O_CONVERT_REBATCH = """
+WITH seq AS (
+  SELECT CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS bolson_seq
+  FROM events
+)
+SELECT CAST(floor(bolson_seq / 1024) AS BIGINT) AS batch_id,
+       COUNT(*) AS rows,
+       MIN(bolson_seq) AS seq_first,
+       MAX(bolson_seq) AS seq_last
+FROM seq GROUP BY 1
+"""
+
+
+def q_convert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: parse -> seq -> rebatch -> per-batch aggregates
+    (converter thread loop, convert/converter.cpp:96-171)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = parse_json(
+        ev, EVENT_PROPS_SPARK, "props", strict=True, keep=["event_id", "props"]
+    )
+    seqd = add_seq(parsed, "event_id")
+    return (
+        add_batch_id(seqd)
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("bolson_seq").alias("seq_first"),
+            F.max("bolson_seq").alias("seq_last"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.octet_length("props").cast("bigint")).alias("json_bytes"),
+        )
+    )
+
+
+O_CONVERT_PIPELINE = """
+WITH parsed AS (
+  SELECT event_id,
+         CAST(props->>'$.k' AS BIGINT) AS k,
+         CAST(octet_length(encode(props)) AS BIGINT) AS nbytes,
+         CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS bolson_seq
+  FROM events
+)
+SELECT CAST(floor(bolson_seq / 1024) AS BIGINT) AS batch_id,
+       COUNT(*) AS rows,
+       MIN(bolson_seq) AS seq_first,
+       MAX(bolson_seq) AS seq_last,
+       SUM(k) AS sum_k,
+       SUM(nbytes) AS json_bytes
+FROM parsed GROUP BY 1
+"""
+
+
+def q_convert_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z1 + FNC03: serialize to Arrow IPC messages (<= 1024 rows, <= max
+    size) and deserialize back — information equality with the input."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = parse_json(ev, EVENT_PROPS_SPARK, "props", strict=False, keep=["event_id"])
+    seqd = (
+        add_seq(parsed, "event_id")
+        .repartitionByRange(8, F.col("bolson_seq"))
+        .sortWithinPartitions("bolson_seq")
+    )
+    ser = serialize_ipc(seqd)
+    return deserialize_ipc(ser, "event_id bigint, k bigint, bolson_seq bigint")
+
+
+O_CONVERT_IPC_ROUNDTRIP = """
+SELECT event_id,
+       CAST(props->>'$.k' AS BIGINT) AS k,
+       CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS bolson_seq
+FROM events
+"""
+
+
+def q_convert_serialize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z1 deterministic stats: one IPC message per 1024-row batch via
+    groupBy(batch_id).applyInPandas — real pyarrow serialization with
+    the FNC10 size guard, emitting per-message row counts/seq ranges."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from bolson_spark import MAX_IPC_SIZE
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = parse_json(ev, EVENT_PROPS_SPARK, "props", strict=False, keep=["event_id"])
+    batched = add_batch_id(add_seq(parsed, "event_id"))
+
+    def ser(pdf: pd.DataFrame) -> pd.DataFrame:
+        batch = pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, batch.schema) as w:
+            w.write_batch(batch)
+        size = sink.getvalue().size
+        if size > MAX_IPC_SIZE:
+            raise ValueError(f"IPC message {size} exceeds {MAX_IPC_SIZE}")
+        return pd.DataFrame(
+            {
+                "batch_id": [int(pdf["batch_id"].iloc[0])],
+                "num_rows": [len(pdf)],
+                "seq_first": [int(pdf["bolson_seq"].min())],
+                "seq_last": [int(pdf["bolson_seq"].max())],
+            }
+        )
+
+    return batched.groupBy("batch_id").applyInPandas(
+        ser, "batch_id bigint, num_rows bigint, seq_first bigint, seq_last bigint"
+    )
+
+
+O_CONVERT_SERIALIZE_STATS = """
+WITH seq AS (
+  SELECT CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS bolson_seq
+  FROM events
+)
+SELECT CAST(floor(bolson_seq / 1024) AS BIGINT) AS batch_id,
+       COUNT(*) AS num_rows,
+       MIN(bolson_seq) AS seq_first,
+       MAX(bolson_seq) AS seq_last
+FROM seq GROUP BY 1
+"""
+
+
+def q_convert_ipc_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z1 payloads (rows-only check: binary not SQL-expressible)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = parse_json(ev, EVENT_PROPS_SPARK, "props", strict=False, keep=["event_id"])
+    seqd = (
+        add_seq(parsed, "event_id")
+        .repartitionByRange(8, F.col("bolson_seq"))
+        .sortWithinPartitions("bolson_seq")
+    )
+    return serialize_ipc(seqd)
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY.md §2.3 — Catalyst built-ins)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation: decimal-exact sums, pushed-down
+    shipdate filter, map-side partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "2000-12-01")
+    qty, price = _dec("l_quantity"), _dec("l_extendedprice")
+    disc, tax = _dec("l_discount", 4), _dec("l_tax", 4)
+    one = F.lit(1).cast("decimal(3,2)")
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(price).cast("double") / cnt).alias("avg_price"),
+        (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+O_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+       AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
+       AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join + top-k: filters pushed to all three scans;
+    revenue in exact decimal; deterministic tiebreak on orderkey."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+O_SHIPPING_PRIORITY = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < '1998-01-01'
+  AND l_shipdate > '1998-01-01'
+GROUP BY o_orderkey, orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join: region/nation broadcast; customer and
+    supplier co-located on nationkey."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+O_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-3 orders per customer by totalprice
+    (pass-through doubles: bit-identical, no rounding needed)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+O_WINDOW_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over the region->nation hierarchy."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "sum_acctbal",
+        )
+    )
+
+
+O_ROLLUP_REGION_NATION = """
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+O_DISTINCT_USERS = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — executes as TakeOrdered (no full sort shuffle)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+O_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+O_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_suppliers_in_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join through broadcast dims."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    return sup.join(
+        F.broadcast(asia_nations),
+        sup.s_nationkey == asia_nations.n_nationkey,
+        "left_semi",
+    ).select("s_suppkey", "s_name", "s_nationkey")
+
+
+O_SUPPLIERS_IN_ASIA = """
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+WHERE s_nationkey IN (
+  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA')
+"""
+
+
+def q_users_purchase_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: INTERSECT of two filtered projections."""
+    ev = _t(spark, sf_dir, "events")
+    purchase = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    error = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    return purchase.intersect(error)
+
+
+O_USERS_PURCHASE_AND_ERROR = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def q_part_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function projection (scan-only; column pruning)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.when(F.col("p_size") >= 25, "LARGE").otherwise("SMALL").alias("size_class"),
+    )
+
+
+O_PART_CATALOG = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       CAST(length(p_name) AS INT) AS name_len,
+       substring(p_name, 1, 8) AS name_prefix,
+       CASE WHEN p_size >= 25 THEN 'LARGE' ELSE 'SMALL' END AS size_class
+FROM part
+"""
+
+
+def q_events_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date bucketing + conditional aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("n_large"),
+    )
+
+
+O_EVENTS_MONTHLY = """
+SELECT strftime(ts, '%Y-%m') AS month, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_large
+FROM events GROUP BY month, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents)
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+_SW = "'the','a','of','and','to','in','is','it','that','for'"
+O_TEXT_STATS = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars_calc,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> w IN ({_SW}))) AS INT) AS n_stop,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, n_chars_calc, n_tokens,
+       ROUND(CAST(n_chars_calc - n_tokens + 1 AS DOUBLE) / n_tokens, 6)
+         AS avg_token_len,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       ROUND((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+              + CAST(n_stop AS DOUBLE) / n_tokens) / 2.0, 6) AS quality,
+       fingerprint
+FROM t
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", language_id(F.col("text")).alias("lang_pred")
+    )
+
+
+O_LANGUAGE_ID = f"""
+SELECT doc_id, lang,
+       CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w IN ({_SW}))) AS DOUBLE)
+                 / len(string_split(text, ' ')) >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM documents
+"""
+
+
+def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text")).cast("decimal(12,6)")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(q).cast("double") / F.count(F.lit(1))).alias("avg_quality"),
+        F.sum(token_count(F.col("text")).cast("bigint")).alias("total_tokens"),
+    )
+
+
+O_QUALITY_BY_SOURCE = f"""
+WITH t AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> w IN ({_SW}))) AS INT) AS n_stop
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(ROUND((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                            + CAST(n_stop AS DOUBLE) / n_tokens) / 2.0, 6)
+                     AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*) AS avg_quality,
+       SUM(CAST(n_tokens AS BIGINT)) AS total_tokens
+FROM t GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (documents)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+O_DEDUP_EXACT = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS representative
+FROM documents GROUP BY 1
+"""
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    """DuckDB oracle mirroring minhash_lsh_pairs (same md5 family)."""
+    rows = num_hashes // bands
+    mh = ",\n         ".join(
+        "list_min(list_transform(toks, w -> md5('s%d:' || w))) AS mh%d" % (i, i)
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, %d AS band, md5(%s) AS band_key FROM sigs"
+        % (b, " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)))
+        for b in range(bands)
+    )
+    return f"""
+WITH toksets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+),
+sigs AS (
+  SELECT doc_id,
+         {mh}
+  FROM toksets
+),
+bands AS (
+{band_rows}
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM cands
+JOIN toksets a ON doc_a = a.doc_id
+JOIN toksets b ON doc_b = b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+O_DEDUP_MINHASH = _minhash_sql()
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, jaccard_threshold=0.05
+    )
+
+
+O_DEDUP_NGRAM = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 1),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+         )) AS grams
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams)
+                - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams)) > 0
+  AND ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams)
+               - len(list_intersect(a.grams, b.grams))), 6) >= 0.05
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return list(row[0])
+
+
+EMB_DIM = 64
+
+
+def _dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Explicit left-to-right double-precision dot product — the exact
+    accumulation order of the Spark-side ``aggregate`` fold, so rounded
+    cosines are bit-identical (DuckDB's list_dot_product may use a
+    different summation order)."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE)*CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+
+
+def _cosine_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"(({_dot_sql(a, b, dim)}) / (sqrt({_dot_sql(a, a, dim)})"
+        f" * sqrt({_dot_sql(b, b, dim)})))"
+    )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb, _query_vec(spark, sf_dir), k=10)
+
+
+O_KNN_BRUTEFORCE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND({_cosine_sql("e.embedding", "q.qv")}, 6) AS cosine
+FROM embeddings e, q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    return ivf_assign(emb, centroids)
+
+
+O_IVF_ASSIGN = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         ROUND({_cosine_sql("e.embedding", "c.centroid")}, 6) AS sim
+  FROM embeddings e CROSS JOIN c
+)
+SELECT vec_id, centroid_id AS cluster, sim AS cluster_sim
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1
+"""
+
+
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    return ivf_knn(emb, centroids, _query_vec(spark, sf_dir), k=10)
+
+
+O_IVF_KNN = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid
+  FROM embeddings WHERE vec_id < 8
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+best AS (
+  SELECT centroid_id FROM c, q
+  ORDER BY ROUND({_cosine_sql("centroid", "qv")}, 6) DESC, centroid_id ASC
+  LIMIT 1
+),
+assigned AS (
+  SELECT vec_id, centroid_id AS cluster
+  FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROUND({_cosine_sql("e.embedding", "c.centroid")}, 6) AS sim
+    FROM embeddings e CROSS JOIN c
+  )
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1
+)
+SELECT e.vec_id,
+       ROUND({_cosine_sql("e.embedding", "q.qv")}, 6) AS cosine
+FROM embeddings e
+JOIN assigned ON e.vec_id = assigned.vec_id
+JOIN best ON assigned.cluster = best.centroid_id, q
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats with decimal-exact dim-0 mean."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d0 = F.element_at("embedding", 1).cast("double").cast("decimal(18,9)")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min(F.size("embedding")).alias("min_dim"),
+        F.max(F.size("embedding")).alias("max_dim"),
+        (F.sum(d0).cast("double") / F.count(F.lit(1))).alias("avg_dim0"),
+    )
+
+
+O_EMBEDDING_STATS = """
+SELECT label, COUNT(*) AS n_vectors,
+       MIN(CAST(len(embedding) AS INT)) AS min_dim,
+       MAX(CAST(len(embedding) AS INT)) AS max_dim,
+       CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+         / COUNT(*) AS avg_dim0
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary columns; decode stubbed, plumbing real)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+    )
+    return attach_media_metadata(media).select(
+        "media_id", "media_type", "byte_len", "sha256"
+    )
+
+
+O_MULTIMODAL_METADATA = """
+SELECT doc_id AS media_id,
+       'text/plain' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction with the deterministic fake codec
+    (real codecs unavailable in-container; plumbing is production-shaped).
+    Rows-only check: the oracle cannot reproduce sha-derived doubles
+    cheaply, and the point is the Arrow batch plumbing."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    return extract_features(media, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QuerySpec] = {
+    # core conversion (reference parity)
+    "convert_parse": QuerySpec(q_convert_parse, O_CONVERT_PARSE, ("core",)),
+    "convert_strict_validation": QuerySpec(
+        q_convert_strict_validation, O_CONVERT_STRICT, ("core",)
+    ),
+    "convert_seq": QuerySpec(q_convert_seq, O_CONVERT_SEQ, ("core",)),
+    "convert_rebatch": QuerySpec(q_convert_rebatch, O_CONVERT_REBATCH, ("core",)),
+    "convert_pipeline": QuerySpec(q_convert_pipeline, O_CONVERT_PIPELINE, ("core",)),
+    "convert_ipc_roundtrip": QuerySpec(
+        q_convert_ipc_roundtrip, O_CONVERT_IPC_ROUNDTRIP, ("core",)
+    ),
+    "convert_serialize_stats": QuerySpec(
+        q_convert_serialize_stats, O_CONVERT_SERIALIZE_STATS, ("core",)
+    ),
+    "convert_ipc_messages": QuerySpec(q_convert_ipc_messages, None, ("core",)),
+    # relational
+    "pricing_summary": QuerySpec(q_pricing_summary, O_PRICING_SUMMARY, ("relational",)),
+    "shipping_priority": QuerySpec(
+        q_shipping_priority, O_SHIPPING_PRIORITY, ("relational",)
+    ),
+    "local_supplier_volume": QuerySpec(
+        q_local_supplier_volume, O_LOCAL_SUPPLIER_VOLUME, ("relational",)
+    ),
+    "window_top_orders": QuerySpec(
+        q_window_top_orders, O_WINDOW_TOP_ORDERS, ("relational",)
+    ),
+    "rollup_region_nation": QuerySpec(
+        q_rollup_region_nation, O_ROLLUP_REGION_NATION, ("relational",)
+    ),
+    "distinct_users": QuerySpec(q_distinct_users, O_DISTINCT_USERS, ("relational",)),
+    "topk_orders": QuerySpec(q_topk_orders, O_TOPK_ORDERS, ("relational",)),
+    "customers_without_orders": QuerySpec(
+        q_customers_without_orders, O_CUSTOMERS_WITHOUT_ORDERS, ("relational",)
+    ),
+    "suppliers_in_asia": QuerySpec(
+        q_suppliers_in_asia, O_SUPPLIERS_IN_ASIA, ("relational",)
+    ),
+    "users_purchase_and_error": QuerySpec(
+        q_users_purchase_and_error, O_USERS_PURCHASE_AND_ERROR, ("relational",)
+    ),
+    "part_catalog": QuerySpec(q_part_catalog, O_PART_CATALOG, ("relational",)),
+    "events_monthly": QuerySpec(q_events_monthly, O_EVENTS_MONTHLY, ("relational",)),
+    # text analysis
+    "text_stats": QuerySpec(q_text_stats, O_TEXT_STATS, ("text",)),
+    "language_id": QuerySpec(q_language_id, O_LANGUAGE_ID, ("text",)),
+    "quality_by_source": QuerySpec(q_quality_by_source, O_QUALITY_BY_SOURCE, ("text",)),
+    # dedup
+    "dedup_exact": QuerySpec(q_dedup_exact, O_DEDUP_EXACT, ("dedup",)),
+    "dedup_minhash": QuerySpec(q_dedup_minhash, O_DEDUP_MINHASH, ("dedup",)),
+    "dedup_ngram": QuerySpec(q_dedup_ngram, O_DEDUP_NGRAM, ("dedup",)),
+    # similarity
+    "knn_bruteforce": QuerySpec(q_knn_bruteforce, O_KNN_BRUTEFORCE, ("similarity",)),
+    "ivf_assign": QuerySpec(q_ivf_assign, O_IVF_ASSIGN, ("similarity",)),
+    "ivf_knn": QuerySpec(q_ivf_knn, O_IVF_KNN, ("similarity",)),
+    "embedding_stats": QuerySpec(q_embedding_stats, O_EMBEDDING_STATS, ("similarity",)),
+    # multimodal
+    "multimodal_metadata": QuerySpec(
+        q_multimodal_metadata, O_MULTIMODAL_METADATA, ("multimodal",)
+    ),
+    "multimodal_features": QuerySpec(q_multimodal_features, None, ("multimodal",)),
+}
