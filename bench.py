@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness (B2 analog — bench.cpp:83-227 reports MB/s & MJ/s;
+here: per-query wall seconds over the registry + convert throughput).
+
+Runs every registry query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes with a `noop` sink write: full computation happens
+(scan -> all operators -> output rows materialized) without driver-side
+collect skew.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from bolson_spark.queries import QUERIES
+from bolson_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = get_spark("bolson-spark-bench")
+    # JVM/codegen warm-up on a trivial action so query 1 isn't taxed
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    n_jsons = 0
+    for name, spec in QUERIES.items():
+        t0 = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    # convert throughput (MJ/s, metrics.cpp:39-92 analog): rows of the
+    # events table pushed through the full convert pipeline
+    n_jsons = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    convert_sec = timings.get("convert_pipeline", float("nan"))
+
+    total = round(sum(timings.values()), 4)
+    out = {
+        "metric": "registry wall-clock (noop sink) per query",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(SF_DIR),
+        "convert_mjs": round(n_jsons / convert_sec / 1e6, 6)
+        if convert_sec
+        else None,
+        "num_queries": len(timings),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -30,8 +30,13 @@ from pyspark.sql import functions as F
 
 from bolson_spark.functions.text import doc_fingerprint, tokens
 
-DEFAULT_NUM_HASHES = 8
-DEFAULT_BANDS = 4  # rows-per-band = num_hashes / bands
+# LSH parameters: b bands of r rows; candidate probability at Jaccard J
+# is 1-(1-J^r)^b with threshold ~ (1/b)^(1/r). r=4, b=4 puts the knee at
+# ~0.71 — right for near-dup detection at J>=0.8 while suppressing the
+# candidate blowup a low-r configuration suffers on low-entropy corpora
+# (a tiny vocabulary makes 2-row bands collide for thousands of docs).
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4  # rows-per-band = num_hashes / bands = 4
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -74,7 +79,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
-    jaccard_threshold: float = 0.5,
+    jaccard_threshold: float = 0.8,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, then
     verified with exact token-set Jaccard; returns (doc_a, doc_b,
@@ -85,14 +90,33 @@ def minhash_lsh_pairs(
     uniform keys; no cross join anywhere.
     """
     rows_per_band = num_hashes // bands
+    # Compute each signature ONCE; emit (band, band_key) rows by
+    # exploding an array of structs (a unionAll of per-band projections
+    # would re-evaluate the minhash subtree once per band, and the
+    # self-join would double that again).
     sigs = minhash_signature(df, text_col, num_hashes)
-    band_rows = None
-    for b in range(bands):
-        key = F.md5(
-            F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
-        )
-        part = sigs.select("doc_id", F.lit(b).alias("band"), key.alias("band_key"))
-        band_rows = part if band_rows is None else band_rows.unionAll(part)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    band_rows = (
+        sigs.select("doc_id", F.explode(band_structs).alias("bk"))
+        .select("doc_id", "bk.band", "bk.band_key")
+        .cache()
+    )
 
     cands = (
         band_rows.alias("l")
@@ -106,7 +130,7 @@ def minhash_lsh_pairs(
 
     toksets = df.select(
         "doc_id", F.array_distinct(tokens(F.col(text_col))).alias("toks")
-    )
+    ).cache()
     a = toksets.alias("a")
     b = toksets.alias("b")
     verified = (
@@ -151,9 +175,9 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
         )
     )
-    sh = df.select("doc_id", shingles.alias("sh")).where(F.size("sh") > 0)
+    sh = df.select("doc_id", shingles.alias("sh")).where(F.size("sh") > 0).cache()
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle")).cache()
     rare = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count")).where(
         F.col("df_count") <= max_df
     )

@@ -676,7 +676,9 @@ FROM documents GROUP BY 1
 """
 
 
-def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
+def _minhash_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.8
+) -> str:
     """DuckDB oracle mirroring minhash_lsh_pairs (same md5 family)."""
     rows = num_hashes // bands
     mh = ",\n         ".join(
@@ -712,7 +714,7 @@ FROM cands
 JOIN toksets a ON doc_a = a.doc_id
 JOIN toksets b ON doc_b = b.doc_id
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= {threshold}
 """
 
 

@@ -1,0 +1,142 @@
+"""The `bolson stream` analog — Structured Streaming end to end.
+
+Reference trace (stream.cpp:121-188): TCP line-framed JSON source ->
+parse -> seq -> resize -> serialize -> publish; runs until the source
+ends; main thread drains until received == published.
+
+Spark mapping:
+- source: any line-framed streaming DataFrame with a single string
+  column (``readStream.format("socket")`` for the TCP analog,
+  ``format("text")`` for replayable tests, Kafka in production);
+- convert: the same batch operators applied inside ``foreachBatch`` —
+  per micro-batch parse (strict), arrival-order seq with a
+  driver-maintained base offset (restart-safe because it is derived
+  from counts committed per epoch), rebatch, IPC-serialize;
+- sink: IpcFileSink (schema handshake on start, append per batch);
+- drain: ``trigger(availableNow=True)`` + ``awaitTermination`` ==
+  "process everything the source has, then stop" — the
+  ``jsons_received == publish_count`` spin-loop without the spin.
+
+Ordering at scale: a single socket gives a total arrival order (the
+reference's world, stream.cpp:70 "TCP clients: 1"). With a partitioned
+source (Kafka), seq is per-partition contiguous + a batch base — the
+documented semantics of §1.4 (consumers re-sort by seq).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bolson_spark import MAX_IPC_SIZE, MAX_ROWS_DEFAULT
+from bolson_spark.operators.parse import parse_json
+from bolson_spark.operators.seq import add_seq
+from bolson_spark.operators.serialize import serialize_ipc
+from bolson_spark.schemas import spark_to_arrow_schema
+from bolson_spark.streaming.sink import IpcFileSink
+
+
+@dataclass
+class StreamMetrics:
+    """M1 analog (convert/metrics.h:26-56): counts reduced across
+    micro-batches on the driver."""
+
+    num_jsons: int = 0
+    json_bytes: int = 0
+    num_ipc: int = 0
+    ipc_bytes: int = 0
+    batches: list[int] = field(default_factory=list)
+
+
+def run_stream_convert(
+    raw: DataFrame,
+    schema: T.StructType,
+    sink: IpcFileSink,
+    json_col: str = "value",
+    *,
+    max_rows: int = MAX_ROWS_DEFAULT,
+    max_ipc_size: int = MAX_IPC_SIZE,
+    strict: bool = True,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Start the convert stream; returns (query, metrics).
+
+    The sequence base is maintained per epoch: batch N's seqs start at
+    the total row count of batches < N. With availableNow + checkpoint
+    this is exactly-once; the handshake runs once at start (K2).
+    """
+    out_fields = [f.name for f in schema.fields] + ["bolson_seq"]
+    arrow_schema = spark_to_arrow_schema(
+        T.StructType(
+            schema.fields + [T.StructField("bolson_seq", T.LongType(), False)]
+        )
+    )
+    sink.handshake(arrow_schema)
+    metrics = StreamMetrics()
+    # Sequence base: the reference's seq counter is process-lifetime
+    # (restarts from 0 with the process). For an exactly-once sink we do
+    # better: persist the base next to the checkpoint so a restarted
+    # query continues the global sequence instead of overlapping it.
+    # foreachBatch bodies run serially on the driver, so plain file I/O
+    # is race-free.
+    import os
+
+    base_file = (
+        os.path.join(checkpoint_dir, "bolson_seq_base") if checkpoint_dir else None
+    )
+    start_base = 0
+    if base_file and os.path.exists(base_file):
+        with open(base_file) as f:
+            start_base = int(f.read().strip() or 0)
+    state = {"base": start_base}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            n = batch_df.count()
+            if n == 0:
+                return
+            jb = batch_df.select(
+                F.sum(F.octet_length(json_col)).alias("b")
+            ).first()["b"]
+            # arrival order inside the micro-batch: the source's own
+            # row order per partition; a single-partition source (socket)
+            # gives the reference's total order. We materialize it with a
+            # monotonic local id, then number globally from the base.
+            parsed = parse_json(batch_df, schema, json_col, strict=strict)
+            with_order = parsed.withColumn("_arrival", F.monotonically_increasing_id())
+            seqd = add_seq(with_order, "_arrival", start=state["base"]).drop("_arrival")
+            ordered = seqd.select(*out_fields).repartitionByRange(
+                max(1, n // (max_rows * 4) or 1), F.col("bolson_seq")
+            ).sortWithinPartitions("bolson_seq")
+            ser = serialize_ipc(
+                ordered, max_rows=max_rows, max_ipc_size=max_ipc_size
+            ).cache()
+            agg = ser.select(
+                F.count(F.lit(1)).alias("m"), F.sum("ipc_bytes").alias("ib")
+            ).first()
+            sink.write(ser)
+            ser.unpersist()
+            state["base"] += n
+            if base_file:
+                with open(base_file, "w") as f:
+                    f.write(str(state["base"]))
+            metrics.num_jsons += n
+            metrics.json_bytes += jb or 0
+            metrics.num_ipc += agg["m"]
+            metrics.ipc_bytes += agg["ib"] or 0
+            metrics.batches.append(n)
+        finally:
+            batch_df.unpersist()
+
+    writer = raw.writeStream.foreachBatch(process)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    return query, metrics

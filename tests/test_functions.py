@@ -1,0 +1,125 @@
+"""Tests for the analytics function library (dedup, similarity, text,
+multimodal) on small synthetic inputs with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bolson_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from bolson_spark.functions.multimodal import attach_media_metadata, extract_features
+from bolson_spark.functions.similarity import knn_bruteforce, ivf_assign
+from bolson_spark.functions.text import text_stats
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy cat"),  # near dup of 0
+        (3, "completely different content about spark engines here"),
+        (4, "THE  QUICK  brown fox jumps over the lazy dog"),  # normalized dup
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    groups = {r.representative: r.n_copies for r in out}
+    # doc 0, 1, 4 collapse (case/whitespace-normalized md5)
+    assert groups[0] == 3
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_minhash_identical_docs_pair(spark):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_pairs(_docs(spark)).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical token sets always share all bands
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_detects_near_dup(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), jaccard_threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs  # near-dup shares most 3-grams
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_dup_close(spark):
+    out = dict(
+        _docs(spark).select("doc_id", simhash64(F.col("text")).alias("sh")).collect()
+    )
+    assert len(out[0]) == 16
+    assert out[0] == out[1]  # identical text -> identical simhash
+    # near-dup differs in few bits; different doc differs in many
+    def hamming(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    assert hamming(out[0], out[2]) < hamming(out[0], out[3])
+
+
+def test_knn_self_is_top1(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    q = [float(x) for x in rows[5][1]]
+    top = knn_bruteforce(df, q, k=3).collect()
+    assert top[0].vec_id == 5 and top[0].cosine == 1.0
+
+
+def test_ivf_assign_centroid_self(spark):
+    import random
+
+    rng = random.Random(8)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    cents = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    out = {r.vec_id: (r.cluster, r.cluster_sim) for r in ivf_assign(df, cents).collect()}
+    for c in range(4):
+        assert out[c] == (c, 1.0)  # a centroid's nearest centroid is itself
+
+
+def test_text_stats_shape(spark):
+    out = text_stats(_docs(spark)).collect()
+    row = {r.doc_id: r for r in out}[0]
+    assert row.n_tokens == 9
+    assert 0 < row.stopword_ratio < 1
+    assert len(row.fingerprint) == 32
+
+
+def test_multimodal_metadata_and_fake_features(spark):
+    media = _docs(spark).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    meta = attach_media_metadata(media).collect()
+    assert all(len(r.sha256) == 64 and r.byte_len > 0 for r in meta)
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == 5
+    assert all(len(r.feature) == 8 for r in feats)
+    assert all(16 <= r.width < 80 and 16 <= r.height < 80 for r in feats)
+    # deterministic: identical payloads -> identical features
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[0].feature == by_id[1].feature
+
+
+def test_real_decoder_raises(spark):
+    media = _docs(spark).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    with pytest.raises(Exception, match="(NotImplementedError|not installed)"):
+        extract_features(media, fake=False).collect()

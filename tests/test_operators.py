@@ -1,0 +1,167 @@
+"""Core conversion operator tests, mirroring the reference's FNC
+requirements (test/bolson/convert/test_convert.h tags cited inline)."""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bolson_spark import MAX_ROWS_DEFAULT
+from bolson_spark.operators import (
+    add_seq,
+    add_seq_scalable,
+    batch_stats,
+    deserialize_ipc,
+    parse_json,
+    serialize_ipc,
+    validate_no_unexpected_fields,
+)
+from bolson_spark.schemas import (
+    BATTERY_SPARK,
+    EVENT_PROPS_SPARK,
+    TRIP_FIXED_LIST_SIZES,
+    TRIP_SPARK,
+)
+
+
+# --- P1 parse -------------------------------------------------------------
+
+
+def test_parse_battery_schema(spark):
+    """FNC02: one row per JSON; battery list field parsed losslessly."""
+    rng = random.Random(0)
+    docs = [
+        {"voltage": [rng.randint(0, 2047) for _ in range(rng.randint(1, 16))]}
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame([(json.dumps(d),) for d in docs], ["value"])
+    out = parse_json(df, BATTERY_SPARK, "value").collect()
+    assert len(out) == len(docs)  # FNC02
+    got = sorted(tuple(r.voltage) for r in out)
+    want = sorted(tuple(d["voltage"]) for d in docs)
+    assert got == want  # FNC03 information equality
+
+
+def test_parse_trip_schema_and_fixed_list_sizes(spark):
+    """FNC04/05/07: trip types; fixed_size_list lengths enforced in test."""
+    rng = random.Random(1)
+
+    def trip():
+        d = {}
+        for f in TRIP_SPARK.fields:
+            n = TRIP_FIXED_LIST_SIZES.get(f.name)
+            if n is not None:
+                d[f.name] = [rng.randint(1, 99) for _ in range(n)]
+            elif f.dataType.typeName() == "boolean":
+                d[f.name] = rng.random() < 0.5
+            elif f.name == "timestamp":
+                d[f.name] = "2005-09-09 11:59:06"
+            else:
+                d[f.name] = rng.randint(1, 99)
+        return d
+
+    docs = [trip() for _ in range(20)]
+    df = spark.createDataFrame([(json.dumps(d),) for d in docs], ["value"])
+    out = parse_json(df, TRIP_SPARK, "value")
+    # timestamp stays a string (FNC05)
+    assert dict(out.dtypes)["timestamp"] == "string"
+    rows = out.collect()
+    assert len(rows) == 20
+    for name, size in TRIP_FIXED_LIST_SIZES.items():
+        lens = out.select(F.size(name).alias("n")).distinct().collect()
+        assert [r.n for r in lens] == [size], name
+
+
+def test_parse_strict_rejects_unexpected_field(spark):
+    """parse/arrow.cpp:87-88 — out-of-schema key is a hard error."""
+    df = spark.createDataFrame([('{"k": 1}',), ('{"k": 2, "zz": 3}',)], ["value"])
+    with pytest.raises(Exception, match="unexpected JSON field"):
+        parse_json(df, EVENT_PROPS_SPARK, "value", strict=True).collect()
+    # lenient mode ignores it
+    assert sorted(
+        r.k for r in parse_json(df, EVENT_PROPS_SPARK, "value", strict=False).collect()
+    ) == [1, 2]
+    # and the audit query pinpoints the offender
+    bad = validate_no_unexpected_fields(df, "value", EVENT_PROPS_SPARK).collect()
+    assert len(bad) == 1
+
+
+def test_parse_failfast_on_malformed(spark):
+    df = spark.createDataFrame([('{"k": 1}',), ("{broken",)], ["value"])
+    with pytest.raises(Exception):
+        parse_json(df, EVENT_PROPS_SPARK, "value", strict=False).collect()
+
+
+# --- P4 seq ---------------------------------------------------------------
+
+
+def test_add_seq_contiguous(spark):
+    df = spark.range(0, 5000).select((F.col("id") * 7 % 4999).alias("key"))
+    out = add_seq(df, "key").select("bolson_seq").collect()
+    seqs = sorted(r.bolson_seq for r in out)
+    assert seqs == list(range(len(seqs)))
+
+
+def test_add_seq_scalable_matches_global(spark):
+    df = spark.range(0, 20000).select(F.col("id").alias("key")).repartition(16)
+    a = add_seq(df, "key").select("key", "bolson_seq").collect()
+    b = add_seq_scalable(df, "key").select("key", "bolson_seq").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --- R1 rebatch -----------------------------------------------------------
+
+
+def test_rebatch_invariants(spark):
+    """resizer.cpp:21-50: slices <= max_rows, contiguous, partition the
+    input seq range."""
+    n = 10_000
+    df = add_seq(spark.range(n).select(F.col("id").alias("key")), "key")
+    stats = batch_stats(df, max_rows=MAX_ROWS_DEFAULT).collect()
+    assert all(r.rows <= MAX_ROWS_DEFAULT for r in stats)
+    assert all(r.seq_last - r.seq_first + 1 == r.rows for r in stats)
+    ordered = sorted(stats, key=lambda r: r.seq_first)
+    assert ordered[0].seq_first == 0
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert cur.seq_first == prev.seq_last + 1
+    assert sum(r.rows for r in stats) == n
+
+
+# --- Z1 serialize ---------------------------------------------------------
+
+
+def test_ipc_roundtrip_and_size_cap(spark):
+    n = 5000
+    df = (
+        add_seq(spark.range(n).select(F.col("id").alias("key")), "key")
+        .repartitionByRange(4, "bolson_seq")
+        .sortWithinPartitions("bolson_seq")
+    )
+    ser = serialize_ipc(df).cache()
+    msgs = ser.collect()
+    # FNC02/slicing: every message <= max_rows; rows conserved
+    assert all(m.num_rows <= MAX_ROWS_DEFAULT for m in msgs)
+    assert sum(m.num_rows for m in msgs) == n
+    # seq ranges contiguous within a message and non-overlapping overall
+    assert all(m.seq_last - m.seq_first + 1 == m.num_rows for m in msgs)
+    spans = sorted((m.seq_first, m.seq_last) for m in msgs)
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert b0 == a1 + 1
+    # FNC03: deserialize restores the exact rows
+    back = deserialize_ipc(ser, "key bigint, bolson_seq bigint").collect()
+    assert sorted((r.key, r.bolson_seq) for r in back) == [(i, i) for i in range(n)]
+    ser.unpersist()
+
+
+def test_ipc_size_cap_errors_not_splits(spark):
+    """serializer.cpp:33-37 — FNC10: exceeding max_ipc is an error."""
+    df = (
+        add_seq(
+            spark.range(2000).selectExpr("id", "repeat('x', 4000) AS pad"), "id"
+        )
+    )
+    with pytest.raises(Exception, match="IPC message size"):
+        serialize_ipc(df, max_rows=2000, max_ipc_size=1000).collect()
