@@ -1,0 +1,203 @@
+"""C1 — CLI driver (main.cpp:20-50, cli.cpp:83-135 analog).
+
+Subcommands mirror the reference:
+
+- ``stream``          the product: line-framed JSON source -> convert ->
+                      IPC sink (socket host:port or a directory of files)
+- ``bench convert``   B2: generate N random JSONs for a schema, run the
+                      batch convert pipeline, report MB/s and MJ/s
+- ``bench queries``   the registry benchmark (same output as bench.py)
+
+Usage examples::
+
+    python -m bolson_spark.cli stream --in-dir /data/jsonl \
+        --schema battery --sink /tmp/topic --max-rows 1024
+    python -m bolson_spark.cli bench convert --num-jsons 100000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import sys
+import time
+
+from bolson_spark import MAX_IPC_SIZE, MAX_ROWS_DEFAULT
+
+SCHEMAS = {"battery": "BATTERY_SPARK", "trip": "TRIP_SPARK", "events": "EVENT_PROPS_SPARK"}
+
+
+def _schema(name: str):
+    import bolson_spark.schemas as S
+
+    return getattr(S, SCHEMAS[name])
+
+
+def _gen_jsons(schema_name: str, n: int, seed: int) -> list[str]:
+    """B1 analog (bench.cpp:35-53): schema-driven seeded random JSONs
+    honoring the reference's value/length bounds (FIXTURES.md)."""
+    rng = random.Random(seed)
+    out = []
+    if schema_name == "battery":
+        for _ in range(n):
+            out.append(
+                json.dumps(
+                    {"voltage": [rng.randint(0, 2047) for _ in range(rng.randint(1, 16))]}
+                )
+            )
+    elif schema_name == "trip":
+        from bolson_spark.schemas import TRIP_FIXED_LIST_SIZES, TRIP_SPARK
+
+        for _ in range(n):
+            d = {}
+            for f in TRIP_SPARK.fields:
+                size = TRIP_FIXED_LIST_SIZES.get(f.name)
+                if size is not None:
+                    d[f.name] = [rng.randint(1, 99) for _ in range(size)]
+                elif f.dataType.typeName() == "boolean":
+                    d[f.name] = rng.random() < 0.5
+                elif f.name == "timestamp":
+                    d[f.name] = "2005-09-09 11:59:06"
+                else:
+                    d[f.name] = rng.randint(1, 99)
+            out.append(json.dumps(d))
+    else:
+        for i in range(n):
+            out.append(json.dumps({"k": rng.randint(0, 99)}))
+    return out
+
+
+def cmd_stream(args) -> int:
+    from bolson_spark.metrics import LatencyTracker, save_metrics_csv
+    from bolson_spark.session import get_spark
+    from bolson_spark.sources import read_json_lines_stream, read_socket_stream
+    from bolson_spark.streaming import IpcFileSink, run_stream_convert
+
+    spark = get_spark("bolson-stream")
+    if args.in_dir:
+        raw = read_json_lines_stream(
+            spark, args.in_dir, max_files_per_trigger=args.max_files_per_trigger
+        )
+        available_now = True
+    else:
+        raw = read_socket_stream(spark, args.host, args.port)
+        available_now = False
+    sink = IpcFileSink(args.sink)
+    tracker = LatencyTracker()
+    t0 = time.time()
+    query, metrics = run_stream_convert(
+        raw,
+        _schema(args.schema),
+        sink,
+        max_rows=args.max_rows,
+        max_ipc_size=args.max_ipc,
+        checkpoint_dir=args.checkpoint,
+        available_now=available_now,
+        latency=tracker,
+    )
+    query.awaitTermination()
+    elapsed = time.time() - t0
+    if args.latency:
+        tracker.save_latency_csv(args.latency)
+    if args.metrics:
+        save_metrics_csv(args.metrics, metrics, elapsed)
+    print(
+        json.dumps(
+            {
+                "num_jsons": metrics.num_jsons,
+                "json_bytes": metrics.json_bytes,
+                "num_ipc": metrics.num_ipc,
+                "ipc_bytes": metrics.ipc_bytes,
+                "elapsed_sec": round(elapsed, 3),
+                "mjs": round(metrics.num_jsons / 1e6 / elapsed, 6) if elapsed else None,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_bench_convert(args) -> int:
+    """B2 (bench.cpp:83-227): pre-generate -> timed convert -> rates."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.operators import add_seq, parse_json, serialize_ipc
+    from bolson_spark.session import get_spark
+
+    spark = get_spark("bolson-bench-convert")
+    docs = _gen_jsons(args.schema, args.num_jsons, args.seed)
+    json_bytes = sum(len(d) + 1 for d in docs)
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], ["arrival", "value"]
+    ).repartition(args.partitions).cache()
+    df.count()  # materialize input outside the timed region (FillBuffers)
+    best = None
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        parsed = parse_json(df, _schema(args.schema), "value", keep=["arrival"])
+        seqd = add_seq(parsed, "arrival").drop("arrival")
+        ser = serialize_ipc(
+            seqd.repartitionByRange(args.partitions, F.col("bolson_seq"))
+            .sortWithinPartitions("bolson_seq"),
+            max_rows=args.max_rows,
+            max_ipc_size=args.max_ipc,
+        )
+        stats = ser.select(
+            F.count(F.lit(1)).alias("n"), F.sum("ipc_bytes").alias("b")
+        ).first()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(
+        json.dumps(
+            {
+                "num_jsons": args.num_jsons,
+                "json_mb": round(json_bytes / 1e6, 3),
+                "num_ipc": stats["n"],
+                "ipc_mb": round((stats["b"] or 0) / 1e6, 3),
+                "sec": round(best, 4),
+                "json_mbs": round(json_bytes / 1e6 / best, 3),
+                "mjs": round(args.num_jsons / 1e6 / best, 6),
+            }
+        )
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="bolson-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("stream", help="convert a JSON stream to IPC messages")
+    s.add_argument("--in-dir", help="directory of jsonl files (replayable source)")
+    s.add_argument("--host", default="localhost")
+    s.add_argument("--port", type=int, default=10197)  # cli.cpp:29-34 default
+    s.add_argument("--schema", choices=SCHEMAS, default="battery")
+    s.add_argument("--sink", required=True)
+    s.add_argument("--max-rows", type=int, default=MAX_ROWS_DEFAULT)
+    s.add_argument("--max-ipc", type=int, default=MAX_IPC_SIZE)
+    s.add_argument("--checkpoint")
+    s.add_argument("--max-files-per-trigger", type=int)
+    s.add_argument("--latency", help="latency CSV path (M2)")
+    s.add_argument("--metrics", help="metrics CSV path (M1)")
+    s.set_defaults(fn=cmd_stream)
+
+    b = sub.add_parser("bench", help="micro-benchmarks")
+    bsub = b.add_subparsers(dest="bench_cmd", required=True)
+    bc = bsub.add_parser("convert", help="B2: parse+seq+rebatch+serialize rate")
+    bc.add_argument("--schema", choices=SCHEMAS, default="battery")
+    bc.add_argument("--num-jsons", type=int, default=1024)  # cli.cpp:59-71 default
+    bc.add_argument("--seed", type=int, default=0)
+    bc.add_argument("--repeats", type=int, default=1)
+    bc.add_argument("--partitions", type=int, default=8)
+    bc.add_argument("--max-rows", type=int, default=MAX_ROWS_DEFAULT)
+    bc.add_argument("--max-ipc", type=int, default=MAX_IPC_SIZE)
+    bc.set_defaults(fn=cmd_bench_convert)
+    bq = bsub.add_parser("queries", help="registry benchmark (bench.py)")
+    bq.set_defaults(fn=lambda a: __import__("bench").main() or 0)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -67,6 +67,49 @@ def knn_bruteforce(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def blocked_nearest_neighbor(
+    df: DataFrame,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-1 neighbor per vector within its block (label/cluster).
+
+    The blocked self-equi-join is the scale pattern for pairwise vector
+    ops: candidate pairs are limited to same-block, the join is hash-
+    partitioned on the block key (no cross join), and the per-vector
+    argmax is a window over block-local rows. With IVF cluster ids as
+    the block key this is exactly the probe step of a distributed ANN
+    index."""
+    from pyspark.sql import Window
+
+    a = df.select(
+        F.col(id_col).alias("vec_id_a"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = df.select(
+        F.col(id_col).alias("vec_id_b"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    pairs = a.join(b, "block").where(F.col("vec_id_a") != F.col("vec_id_b"))
+    scored = pairs.select(
+        F.col("vec_id_a").alias("vec_id"),
+        "block",
+        F.col("vec_id_b").alias("nn_id"),
+        F.round(cosine_similarity_col(F.col("vec_a"), F.col("vec_b")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "block", "nn_id", "cosine")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

@@ -53,6 +53,34 @@ def language_id(col: Column) -> Column:
     return F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other"))
 
 
+# BPE-ish tokenizer regex: letter runs, digit runs, single punctuation.
+BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def regex_token_count(col: Column) -> Column:
+    """Token count under a BPE-style regex tokenization (letters /
+    digits / punctuation as separate tokens) — the pre-tokenizer shape
+    real BPE vocabularies use."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(BPE_REGEX), F.lit(0)))
+
+
+def rolling_fingerprint(col: Column, n: int = 4) -> Column:
+    """Winnowing-style document fingerprint: minimum hash over the
+    document's n-word rolling shingles (md5 for cross-engine parity —
+    the min over a rolling window of shingle hashes is the standard
+    fingerprint selection rule; full winnowing keeps one min per
+    window, this keeps the global min as a single-column digest).
+    Documents shorter than n words fall back to whole-text md5."""
+    tok = F.split(col, " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - n),
+        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
+    )
+    return F.when(
+        F.size(tok) >= n, F.array_min(F.transform(shingles, F.md5))
+    ).otherwise(F.md5(col))
+
+
 def doc_fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (lower, trimmed,
     whitespace-collapsed). md5 is identical in Spark and DuckDB, so the

@@ -929,6 +929,293 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Additional relational patterns
+# ---------------------------------------------------------------------------
+
+
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-max pattern (TPC-H Q2 shape): per-group argmax via a
+    window, dimension resolved through a broadcast join."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    top = cust.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return top.join(F.broadcast(nation), top.c_nationkey == nation.n_nationkey).select(
+        "n_name", "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+O_TOP_CUSTOMER_PER_NATION = """
+SELECT n_name, c_custkey, c_name, c_acctbal
+FROM (
+  SELECT c_nationkey, c_custkey, c_name, c_acctbal
+  FROM customer
+  QUALIFY row_number() OVER (
+    PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) = 1
+) t JOIN nation ON t.c_nationkey = n_nationkey
+"""
+
+
+def q_late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join (TPC-H Q4 shape): orders having at least one
+    lineitem shipped more than 60 days after the order date."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_late"))
+
+
+O_LATE_ORDERS_BY_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS n_late
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimension join (TPC-H Q7 shape): revenue between
+    supplier-nation and customer-nation pairs per year."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+O_NATION_TRADE_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY supp_nation, cust_nation, order_year
+"""
+
+
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, month)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.cube(F.col("event_type"), F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("month", F.lit("ALL")).alias("month"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+O_CUBE_EVENTS = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(strftime(ts, '%Y-%m'), 'ALL') AS month,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%Y-%m'))
+"""
+
+
+def q_viewers_not_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: users who viewed but never purchased."""
+    ev = _t(spark, sf_dir, "events")
+    viewers = ev.where(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return viewers.exceptAll(buyers)
+
+
+O_VIEWERS_NOT_BUYERS = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_all_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of heterogenous projections with a discriminator."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind")
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("kind")
+    )
+    return cust.unionAll(sup)
+
+
+O_ALL_PARTIES = """
+SELECT c_name AS name, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_name AS name, 'supplier' AS kind FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Additional text / dedup / similarity operators
+# ---------------------------------------------------------------------------
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram, top 20 (explode -> count -> top-k)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("word"))
+        .limit(20)
+    )
+
+
+O_TOKEN_HISTOGRAM = """
+SELECT word, COUNT(*) AS n_occurrences
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word ORDER BY n_occurrences DESC, word ASC LIMIT 20
+"""
+
+
+def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style regex token counting per document."""
+    from bolson_spark.functions.text import regex_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", regex_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+O_REGEX_TOKENS = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+            AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min-shingle-hash fingerprint per document."""
+    from bolson_spark.functions.text import rolling_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text"), 4).alias("rolling_fp")
+    )
+
+
+O_ROLLING_FINGERPRINT = """
+SELECT doc_id,
+       CASE WHEN len(string_split(text, ' ')) >= 4
+            THEN list_min(list_transform(
+                   range(1, len(string_split(text, ' ')) - 2),
+                   i -> md5(array_to_string(string_split(text, ' ')[i:i+3], ' '))))
+            ELSE md5(text) END AS rolling_fp
+FROM documents
+"""
+
+
+def _simhash_sql() -> str:
+    """DuckDB oracle for the 64-bit SimHash — same md5-derived bits as
+    functions.dedup.simhash64, generated nibble by nibble."""
+
+    def bit_sum(nibble: int, bit: int) -> str:
+        return (
+            "list_sum(list_transform(t, w -> "
+            f"((((position(substr(md5(w), {nibble + 1}, 1) IN '0123456789abcdef') - 1)"
+            f" >> {3 - bit}) & 1) * 2 - 1)))"
+        )
+
+    digits = []
+    for nib in range(16):
+        val = " + ".join(
+            f"(CASE WHEN {bit_sum(nib, b)} > 0 THEN {1 << (3 - b)} ELSE 0 END)"
+            for b in range(4)
+        )
+        digits.append(f"substr('0123456789abcdef', ({val}) + 1, 1)")
+    concat = " || ".join(digits)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+)
+SELECT doc_id, {concat} AS simhash FROM toks
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bolson_spark.functions.dedup import simhash64
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+O_SIMHASH = _simhash_sql()
+
+
+def q_embedding_blocked_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 neighbor per vector within its label block — the blocked
+    pairwise pattern that replaces a cross join at scale."""
+    from bolson_spark.functions.similarity import blocked_nearest_neighbor
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return blocked_nearest_neighbor(emb)
+
+
+O_EMBEDDING_BLOCKED_NN = f"""
+SELECT vec_id, block, nn_id, cosine FROM (
+  SELECT a.vec_id AS vec_id, a.label AS block, b.vec_id AS nn_id,
+         ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id != b.vec_id
+)
+QUALIFY row_number() OVER (
+  PARTITION BY vec_id ORDER BY cosine DESC, nn_id ASC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -975,19 +1262,42 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "part_catalog": QuerySpec(q_part_catalog, O_PART_CATALOG, ("relational",)),
     "events_monthly": QuerySpec(q_events_monthly, O_EVENTS_MONTHLY, ("relational",)),
+    "top_customer_per_nation": QuerySpec(
+        q_top_customer_per_nation, O_TOP_CUSTOMER_PER_NATION, ("relational",)
+    ),
+    "late_orders_by_priority": QuerySpec(
+        q_late_orders_by_priority, O_LATE_ORDERS_BY_PRIORITY, ("relational",)
+    ),
+    "nation_trade_volume": QuerySpec(
+        q_nation_trade_volume, O_NATION_TRADE_VOLUME, ("relational",)
+    ),
+    "cube_events": QuerySpec(q_cube_events, O_CUBE_EVENTS, ("relational",)),
+    "viewers_not_buyers": QuerySpec(
+        q_viewers_not_buyers, O_VIEWERS_NOT_BUYERS, ("relational",)
+    ),
+    "all_parties": QuerySpec(q_all_parties, O_ALL_PARTIES, ("relational",)),
     # text analysis
     "text_stats": QuerySpec(q_text_stats, O_TEXT_STATS, ("text",)),
     "language_id": QuerySpec(q_language_id, O_LANGUAGE_ID, ("text",)),
     "quality_by_source": QuerySpec(q_quality_by_source, O_QUALITY_BY_SOURCE, ("text",)),
+    "token_histogram": QuerySpec(q_token_histogram, O_TOKEN_HISTOGRAM, ("text",)),
+    "regex_tokens": QuerySpec(q_regex_tokens, O_REGEX_TOKENS, ("text",)),
+    "rolling_fingerprint": QuerySpec(
+        q_rolling_fingerprint, O_ROLLING_FINGERPRINT, ("text",)
+    ),
     # dedup
     "dedup_exact": QuerySpec(q_dedup_exact, O_DEDUP_EXACT, ("dedup",)),
     "dedup_minhash": QuerySpec(q_dedup_minhash, O_DEDUP_MINHASH, ("dedup",)),
     "dedup_ngram": QuerySpec(q_dedup_ngram, O_DEDUP_NGRAM, ("dedup",)),
+    "simhash": QuerySpec(q_simhash, O_SIMHASH, ("dedup",)),
     # similarity
     "knn_bruteforce": QuerySpec(q_knn_bruteforce, O_KNN_BRUTEFORCE, ("similarity",)),
     "ivf_assign": QuerySpec(q_ivf_assign, O_IVF_ASSIGN, ("similarity",)),
     "ivf_knn": QuerySpec(q_ivf_knn, O_IVF_KNN, ("similarity",)),
     "embedding_stats": QuerySpec(q_embedding_stats, O_EMBEDDING_STATS, ("similarity",)),
+    "embedding_blocked_nn": QuerySpec(
+        q_embedding_blocked_nn, O_EMBEDDING_BLOCKED_NN, ("similarity",)
+    ),
     # multimodal
     "multimodal_metadata": QuerySpec(
         q_multimodal_metadata, O_MULTIMODAL_METADATA, ("multimodal",)

@@ -62,6 +62,7 @@ def run_stream_convert(
     strict: bool = True,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    latency=None,
 ):
     """Start the convert stream; returns (query, metrics).
 
@@ -95,6 +96,9 @@ def run_stream_convert(
     state = {"base": start_base}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        received_ts = _time.time()
         batch_df = batch_df.cache()
         try:
             n = batch_df.count()
@@ -119,8 +123,13 @@ def run_stream_convert(
             agg = ser.select(
                 F.count(F.lit(1)).alias("m"), F.sum("ipc_bytes").alias("ib")
             ).first()
+            converted_ts = _time.time()
             sink.write(ser)
             ser.unpersist()
+            if latency is not None:
+                latency.stamp(
+                    state["base"], state["base"] + n - 1, received_ts, converted_ts
+                )
             state["base"] += n
             if base_file:
                 with open(base_file, "w") as f:
