@@ -1,0 +1,61 @@
+"""Physical-plan regression tests — the plans we verified once must stay
+the plans we ship: pushdown reaching scans, broadcasts on dims, top-k as
+TakeOrdered (not a global sort), shuffle-free rebatch arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bolson_spark.operators.rebatch import add_batch_id
+from bolson_spark.plans import assert_pushdown, formatted_plan, plan_has
+from bolson_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = QUERIES["pricing_summary"].fn(spark, SF)
+    assert_pushdown(df, "l_shipdate")
+    plan = formatted_plan(df)
+    # column pruning: the scan must not read l_orderkey (unused)
+    scan = next(s for s in plan.split("\n\n") if "Scan parquet" in s)
+    assert "l_orderkey" not in scan
+    # partial + final aggregation (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_joins_broadcast_dims_and_pushdown(spark):
+    df = QUERIES["local_supplier_volume"].fn(spark, SF)
+    has = plan_has(df, "BroadcastHashJoin", "SortMergeJoin")
+    assert has["BroadcastHashJoin"]
+    assert_pushdown(df, "r_name")
+    assert_pushdown(df, "o_orderdate")
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    for name in ("topk_orders", "knn_bruteforce"):
+        plan = formatted_plan(QUERIES[name].fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Exchange" not in plan, name  # single pass, no shuffle
+
+
+def test_rebatch_is_shuffle_free(spark):
+    df = add_batch_id(spark.range(10_000).withColumnRenamed("id", "bolson_seq"))
+    assert "Exchange" not in formatted_plan(df)
+
+
+def test_semi_anti_joins_compile_to_joins(spark):
+    plan = formatted_plan(QUERIES["customers_without_orders"].fn(spark, SF))
+    assert "LeftAnti" in plan
+    plan = formatted_plan(QUERIES["suppliers_in_asia"].fn(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_parse_is_jvm_side(spark):
+    """The strict parse must compile to JVM expressions (a Project over
+    from_json/raise_error — from_json itself is not codegen-supported,
+    but it is evaluated on the JVM), never a Python UDF stage."""
+    df = QUERIES["convert_parse"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "from_json" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
