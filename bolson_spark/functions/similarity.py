@@ -78,35 +78,43 @@ def blocked_nearest_neighbor(
     The blocked self-equi-join is the scale pattern for pairwise vector
     ops: candidate pairs are limited to same-block, the join is hash-
     partitioned on the block key (no cross join), and the per-vector
-    argmax is a window over block-local rows. With IVF cluster ids as
-    the block key this is exactly the probe step of a distributed ANN
-    index."""
-    from pyspark.sql import Window
-
+    argmax is a partial-aggregatable ``max_by`` (map-side combine; no
+    per-group sort, unlike a row_number window). Per-vector norms are
+    computed ONCE in the narrow pre-join projection — computing them
+    per pair would redo O(dim) work |block| times per vector. With IVF
+    cluster ids as the block key this is exactly the probe step of a
+    distributed ANN index."""
     a = df.select(
         F.col(id_col).alias("vec_id_a"),
         F.col(block_col).alias("block"),
         F.col(vec_col).alias("vec_a"),
+        norm(F.col(vec_col)).alias("norm_a"),
     )
     b = df.select(
         F.col(id_col).alias("vec_id_b"),
         F.col(block_col).alias("block"),
         F.col(vec_col).alias("vec_b"),
+        norm(F.col(vec_col)).alias("norm_b"),
     )
     pairs = a.join(b, "block").where(F.col("vec_id_a") != F.col("vec_id_b"))
     scored = pairs.select(
         F.col("vec_id_a").alias("vec_id"),
         "block",
         F.col("vec_id_b").alias("nn_id"),
-        F.round(cosine_similarity_col(F.col("vec_a"), F.col("vec_b")), 6).alias(
-            "cosine"
-        ),
+        F.round(
+            dot(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+            6,
+        ).alias("cosine"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    best = F.max_by(
+        F.struct(F.col("nn_id"), F.col("cosine")),
+        F.struct(F.col("cosine"), (-F.col("nn_id")).alias("neg_id")),
+    ).alias("nn")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "block", "nn_id", "cosine")
+        scored.groupBy("vec_id", "block")
+        .agg(best)
+        .select("vec_id", "block", F.col("nn.nn_id").alias("nn_id"), F.col("nn.cosine").alias("cosine"))
     )
 
 
@@ -126,9 +134,21 @@ def ivf_assign(
     combinable argmax. Deterministic tiebreak: higher cosine, then lower
     centroid id (max_by on a (cosine, -cid) struct).
     """
-    j = df.crossJoin(F.broadcast(centroids))
+    # Vector norm computed once per row (narrow map), not once per
+    # (row × centroid) pair.
+    with_norm = df.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vnorm")
+    )
+    cents = centroids.select(
+        F.col(cent_id),
+        F.col(cent_vec),
+        norm(F.col(cent_vec)).alias("_cnorm"),
+    )
+    j = with_norm.crossJoin(F.broadcast(cents))
     sim = F.round(
-        cosine_similarity_col(F.col(vec_col), F.col(cent_vec)), 6
+        dot(F.col(vec_col), F.col(cent_vec))
+        / (F.col("_vnorm") * F.col("_cnorm")),
+        6,
     ).alias("sim")
     scored = j.select(F.col(id_col), F.col(cent_id), sim)
     return scored.groupBy(id_col).agg(

@@ -677,7 +677,7 @@ FROM documents GROUP BY 1
 
 
 def _minhash_sql(
-    num_hashes: int = 16, bands: int = 4, threshold: float = 0.8
+    num_hashes: int = 16, bands: int = 2, threshold: float = 0.9
 ) -> str:
     """DuckDB oracle mirroring minhash_lsh_pairs (same md5 family)."""
     rows = num_hashes // bands
