@@ -25,6 +25,7 @@ a valid universal-hash family for Jaccard estimation and portable SQL.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -301,3 +302,40 @@ def simhash64(col: Column) -> Column:
     # fold) is evaluated exactly once, then referenced 64× as a cheap
     # lambda variable while assembling the hex digits.
     return F.element_at(F.transform(F.array(counts), hex_from_counts), 1)
+
+
+def simhash64_vectorized(col: Column) -> Column:
+    """Arrow-batched pandas_udf computing the SAME 64-bit SimHash as
+    :func:`simhash64` (identical md5 bit derivation, tested equal).
+
+    Rationale: the md5-per-token fold is inherently per-element work
+    that Spark's higher-order functions execute interpreted; hashlib's
+    C md5 + numpy unpackbits/popcount run the same computation
+    vectorized per Arrow batch. Still a narrow map — scales linearly
+    with executors, no shuffle.
+    """
+    import hashlib
+
+    import numpy as np
+
+    @F.pandas_udf("string")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            # Matches F.split(col, " ") (Java limit=-1: empties kept)
+            # + array_distinct; summation order is immaterial.
+            toks = list(dict.fromkeys(text.split(" ")))
+            digs = np.frombuffer(
+                b"".join(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks
+                ),
+                dtype=np.uint8,
+            ).reshape(-1, 8)
+            bits = np.unpackbits(digs, axis=1)  # (ntok, 64), msb-first
+            counts = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
+            out.append(
+                np.packbits((counts > 0).astype(np.uint8)).tobytes().hex()
+            )
+        return pd.Series(out)
+
+    return _simhash(col)

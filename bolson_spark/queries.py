@@ -1185,10 +1185,15 @@ SELECT doc_id, {concat} AS simhash FROM toks
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bolson_spark.functions.dedup import simhash64
+    """Registry uses the Arrow-batched vectorized execution; the
+    pure-SQL-expression simhash64 is the equivalent declarative
+    formulation, tested equal (tests/test_functions.py)."""
+    from bolson_spark.functions.dedup import simhash64_vectorized
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    return docs.select(
+        "doc_id", simhash64_vectorized(F.col("text")).alias("simhash")
+    )
 
 
 O_SIMHASH = _simhash_sql()
@@ -1196,11 +1201,14 @@ O_SIMHASH = _simhash_sql()
 
 def q_embedding_blocked_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-1 neighbor per vector within its label block — the blocked
-    pairwise pattern that replaces a cross join at scale."""
-    from bolson_spark.functions.similarity import blocked_nearest_neighbor
+    pairwise pattern that replaces a cross join at scale. Registry uses
+    the per-block GEMM execution (one BLAS matmul per block via
+    applyInPandas); functions.similarity.blocked_nearest_neighbor is
+    the equivalent pure-DataFrame formulation, tested equal."""
+    from bolson_spark.functions.similarity import blocked_nearest_neighbor_gemm
 
     emb = _t(spark, sf_dir, "embeddings")
-    return blocked_nearest_neighbor(emb)
+    return blocked_nearest_neighbor_gemm(emb)
 
 
 O_EMBEDDING_BLOCKED_NN = f"""

@@ -123,3 +123,38 @@ def test_real_decoder_raises(spark):
     )
     with pytest.raises(Exception, match="(NotImplementedError|not installed)"):
         extract_features(media, fake=False).collect()
+
+
+def test_simhash_vectorized_equals_declarative(spark):
+    """The pandas_udf execution and the pure-expression execution of
+    SimHash are the same operator — bit-identical output."""
+    from bolson_spark.functions.dedup import simhash64_vectorized
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        (r.doc_id, r.sh)
+        for r in docs.select(
+            "doc_id", simhash64(F.col("text")).alias("sh")
+        ).collect()
+    }
+    b = {
+        (r.doc_id, r.sh)
+        for r in docs.select(
+            "doc_id", simhash64_vectorized(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert a == b
+
+
+def test_blocked_nn_gemm_equals_declarative(spark):
+    """Per-block GEMM (applyInPandas) and the join+max_by formulation
+    compute the same top-1 neighbors."""
+    from bolson_spark.functions.similarity import (
+        blocked_nearest_neighbor,
+        blocked_nearest_neighbor_gemm,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {tuple(r) for r in blocked_nearest_neighbor(emb).collect()}
+    b = {tuple(r) for r in blocked_nearest_neighbor_gemm(emb).collect()}
+    assert a == b
