@@ -181,6 +181,57 @@ def blocked_nearest_neighbor_gemm(
     return df.groupBy(block_col).applyInPandas(per_block, out_schema)
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks: all
+    (vec_a < vec_b) with cosine >= threshold, computed as one GEMM per
+    block (upper-triangle emit).
+
+    This is the embedding-space analog of MinHash near-dup detection:
+    blocking (label / IVF cluster id) bounds the candidate set so the
+    pairwise stage is per-block O(|block|²) instead of corpus-global
+    O(n²) — the only formulation that survives 100 TB. The groupBy
+    ships one block per task; block size is the memory envelope, the
+    same constraint an IVF index already enforces.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    block_t = df.schema[block_col].dataType.simpleString()
+    out_schema = (
+        f"vec_a {id_t}, vec_b {id_t}, block {block_t}, cosine double"
+    )
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(columns=["vec_a", "vec_b", "block", "cosine"])
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        sims = np.round((m @ m.T) / np.outer(norms, norms), 6)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = sims[iu, ju] >= threshold
+        iu, ju = iu[keep], ju[keep]
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu],
+                "vec_b": ids[ju],
+                "block": pdf[block_col].to_numpy()[iu],
+                "cosine": sims[iu, ju],
+            }
+        )
+
+    return df.groupBy(block_col).applyInPandas(per_block, out_schema)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

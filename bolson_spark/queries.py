@@ -1223,6 +1223,27 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (per-block
+    GEMM). Threshold 0.3 is calibrated to the synthetic corpus (random
+    near-orthogonal vectors, max within-block cosine ~0.51) so the
+    operator's emit path is actually exercised; production near-dup
+    thresholds are ~0.95 (the API default)."""
+    from bolson_spark.functions.similarity import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=0.3)
+
+
+O_DEDUP_EMBEDDING = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS block,
+       ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) >= 0.3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1305,6 +1326,9 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_stats": QuerySpec(q_embedding_stats, O_EMBEDDING_STATS, ("similarity",)),
     "embedding_blocked_nn": QuerySpec(
         q_embedding_blocked_nn, O_EMBEDDING_BLOCKED_NN, ("similarity",)
+    ),
+    "dedup_embedding": QuerySpec(
+        q_dedup_embedding, O_DEDUP_EMBEDDING, ("dedup", "similarity")
     ),
     # multimodal
     "multimodal_metadata": QuerySpec(

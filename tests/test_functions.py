@@ -158,3 +158,22 @@ def test_blocked_nn_gemm_equals_declarative(spark):
     a = {tuple(r) for r in blocked_nearest_neighbor(emb).collect()}
     b = {tuple(r) for r in blocked_nearest_neighbor_gemm(emb).collect()}
     assert a == b
+
+
+def test_embedding_cosine_pairs_blocked(spark):
+    """Identical vectors in the same block pair at cosine 1.0; pairs
+    never cross blocks; output respects vec_a < vec_b."""
+    from bolson_spark.functions.similarity import embedding_cosine_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0], 0),   # identical to 0, same block
+        (2, [0.0, 1.0, 0.0], 0),   # orthogonal
+        (3, [1.0, 0.0, 0.0], 1),   # identical to 0 but other block
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "label"
+    )
+    out = {(r.vec_a, r.vec_b): (r.block, r.cosine) for r in
+           embedding_cosine_pairs(df, threshold=0.9).collect()}
+    assert out == {(0, 1): (0, 1.0)}
