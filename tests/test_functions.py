@@ -177,3 +177,25 @@ def test_embedding_cosine_pairs_blocked(spark):
     out = {(r.vec_a, r.vec_b): (r.block, r.cosine) for r in
            embedding_cosine_pairs(df, threshold=0.9).collect()}
     assert out == {(0, 1): (0, 1.0)}
+
+
+def test_band_keys_vectorized_equals_declarative(spark):
+    """Vectorized band keys == md5-of-joined declarative signature."""
+    from bolson_spark.functions.dedup import band_keys_vectorized, minhash_signature
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vec = {
+        (r.doc_id, b, k)
+        for r in docs.select(
+            "doc_id", band_keys_vectorized(F.col("text")).alias("keys")
+        ).collect()
+        for b, k in enumerate(r.keys)
+    }
+    sigs = minhash_signature(docs)
+    decl = set()
+    for r in sigs.collect():
+        mh = [r[f"mh{i}"] for i in range(16)]
+        import hashlib
+        for b in range(2):
+            decl.add((r.doc_id, b, hashlib.md5("|".join(mh[b*8:(b+1)*8]).encode()).hexdigest()))
+    assert vec == decl
