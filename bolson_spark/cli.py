@@ -163,6 +163,42 @@ def cmd_bench_convert(args) -> int:
     return 0
 
 
+def cmd_bench_sink(args) -> int:
+    """B4 (publish/bench.cpp:23-92): sink-only micro-bench — write n
+    fixed-size junk messages through the IPC sink path and report
+    goodput MB/s + avg per-message latency ms."""
+    import pyarrow as pa
+
+    from bolson_spark.session import get_spark
+    from bolson_spark.streaming.sink import IpcFileSink
+
+    spark = get_spark("bolson-bench-sink")
+    payload = bytes(args.message_size)
+    sink = IpcFileSink(args.sink)
+    sink.handshake(pa.schema([("junk", pa.binary())]))
+    rows = [(i, i, payload, len(payload)) for i in range(args.num_messages)]
+    df = spark.createDataFrame(
+        rows, ["seq_first", "seq_last", "ipc", "ipc_bytes"]
+    ).repartition(args.partitions)
+    df.cache().count()  # materialize outside the timed region
+    t0 = time.perf_counter()
+    sink.write(df)
+    dt = time.perf_counter() - t0
+    total_mb = args.num_messages * args.message_size / 1e6
+    print(
+        json.dumps(
+            {
+                "num_messages": args.num_messages,
+                "message_size": args.message_size,
+                "sec": round(dt, 4),
+                "goodput_mbs": round(total_mb / dt, 3),
+                "avg_latency_ms": round(dt / args.num_messages * 1e3, 4),
+            }
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="bolson-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -194,6 +230,12 @@ def main(argv=None) -> int:
     bc.set_defaults(fn=cmd_bench_convert)
     bq = bsub.add_parser("queries", help="registry benchmark (bench.py)")
     bq.set_defaults(fn=lambda a: __import__("bench").main() or 0)
+    bs = bsub.add_parser("sink", help="B4: sink-only goodput/latency")
+    bs.add_argument("--sink", required=True)
+    bs.add_argument("--num-messages", type=int, default=1024)
+    bs.add_argument("--message-size", type=int, default=65536)
+    bs.add_argument("--partitions", type=int, default=8)
+    bs.set_defaults(fn=cmd_bench_sink)
 
     args = p.parse_args(argv)
     return args.fn(args)
