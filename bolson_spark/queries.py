@@ -584,6 +584,91 @@ FROM events GROUP BY month, event_type
 """
 
 
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (``F.window``) — the
+    batch form of the Structured Streaming windowed agg; in streaming
+    mode the identical expression composes with ``withWatermark``.
+    Epoch-aligned 1h windows == date_trunc('hour') in the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+O_EVENTS_TUMBLING = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per event_type via
+    ``F.session_window`` — the stateful streaming sessionization
+    operator in its batch form. Oracle reproduces the exact semantics
+    with gaps-and-islands SQL (new session when the gap >= 30 min;
+    session end = last event + gap)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+O_EVENTS_SESSIONS = """
+WITH d AS (
+  SELECT event_type, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+), i AS (
+  SELECT *, SUM(new_sess) OVER (
+    PARTITION BY event_type ORDER BY ts ROWS UNBOUNDED PRECEDING
+  ) AS sess_id
+  FROM d
+)
+SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM i GROUP BY event_type, sess_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -1291,6 +1376,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "part_catalog": QuerySpec(q_part_catalog, O_PART_CATALOG, ("relational",)),
     "events_monthly": QuerySpec(q_events_monthly, O_EVENTS_MONTHLY, ("relational",)),
+    "events_tumbling": QuerySpec(
+        q_events_tumbling, O_EVENTS_TUMBLING, ("relational", "streaming")
+    ),
+    "events_sessions": QuerySpec(
+        q_events_sessions, O_EVENTS_SESSIONS, ("relational", "streaming")
+    ),
     "top_customer_per_nation": QuerySpec(
         q_top_customer_per_nation, O_TOP_CUSTOMER_PER_NATION, ("relational",)
     ),
