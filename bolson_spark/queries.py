@@ -584,6 +584,66 @@ FROM events GROUP BY month, event_type
 """
 
 
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue on returned items.
+    Plan: the selective l_returnflag filter is pushed to the lineitem
+    scan; nation broadcasts; top-k executes as TakeOrdered (no global
+    sort). Deterministic tiebreak on c_custkey."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+O_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of event value per
+    event_type — the ordered-aggregate family. Spark `percentile` and
+    DuckDB `quantile_cont` share the (p·(n-1)) interpolation rule;
+    results rounded to 6 decimals for cross-engine fp parity."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+O_VALUE_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregation (``F.window``) — the
     batch form of the Structured Streaming windowed agg; in streaming
@@ -1376,6 +1436,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "part_catalog": QuerySpec(q_part_catalog, O_PART_CATALOG, ("relational",)),
     "events_monthly": QuerySpec(q_events_monthly, O_EVENTS_MONTHLY, ("relational",)),
+    "returned_items": QuerySpec(q_returned_items, O_RETURNED_ITEMS, ("relational",)),
+    "value_percentiles": QuerySpec(
+        q_value_percentiles, O_VALUE_PERCENTILES, ("relational",)
+    ),
     "events_tumbling": QuerySpec(
         q_events_tumbling, O_EVENTS_TUMBLING, ("relational", "streaming")
     ),

@@ -59,3 +59,21 @@ def test_parse_is_jvm_side(spark):
     plan = formatted_plan(df)
     assert "from_json" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_returned_items_plan(spark):
+    """Q10 shape: returnflag filter pushed to the lineitem scan, nation
+    broadcast, top-20 as TakeOrdered (no global sort)."""
+    df = QUERIES["returned_items"].fn(spark, SF)
+    assert_pushdown(df, "l_returnflag")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_session_window_is_native(spark):
+    """session_window compiles to the native session-window aggregate
+    (no Python stage, no cross join)."""
+    plan = formatted_plan(QUERIES["events_sessions"].fn(spark, SF))
+    assert "session_window" in plan.lower()
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan

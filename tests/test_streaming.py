@@ -98,3 +98,55 @@ def test_stream_strict_parse_fails_stream(spark, tmp_path):
     with pytest.raises(Exception, match="unexpected JSON field|StreamingQuery"):
         query.awaitTermination(120)
         raise RuntimeError("StreamingQuery did not fail")
+
+
+def test_stateful_running_stats(spark, tmp_path):
+    """applyInPandasWithState: per-key state folds across micro-batches;
+    the LAST update per key equals the batch-mode groupBy totals."""
+    import pandas as pd  # noqa: F401
+
+    from bolson_spark.streaming import running_stats
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rng = random.Random(11)
+    rows = []
+    for i in range(3):
+        batch = [
+            {"event_type": rng.choice(["click", "view"]), "value": round(rng.uniform(0, 50), 2)}
+            for _ in range(200)
+        ]
+        (src / f"b{i}.jsonl").write_text("\n".join(json.dumps(r) for r in batch) + "\n")
+        rows.extend(batch)
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out_dir = tmp_path / "out"
+
+    def sink_batch(bdf, _bid):
+        # update-mode stateful output -> append each batch's update
+        # rows; the final state per key is the row with max n_events
+        bdf.write.mode("append").parquet(str(out_dir))
+
+    q = (
+        running_stats(stream)
+        .writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(str(out_dir)).toPandas()
+    final = got.sort_values("n_events").groupby("key").last()
+    for key in ("click", "view"):
+        vals = [r["value"] for r in rows if r["event_type"] == key]
+        assert int(final.loc[key, "n_events"]) == len(vals)
+        assert abs(final.loc[key, "sum_value"] - sum(vals)) < 1e-6
+        assert final.loc[key, "min_value"] == min(vals)
+        assert final.loc[key, "max_value"] == max(vals)
