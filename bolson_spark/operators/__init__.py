@@ -7,6 +7,7 @@ from bolson_spark.operators.rebatch import add_batch_id, batch_stats, rebatch
 from bolson_spark.operators.seq import add_seq, add_seq_scalable
 from bolson_spark.operators.serialize import deserialize_ipc, serialize_ipc
 from bolson_spark.operators.pipeline import convert
+from bolson_spark.operators.skew import salted_agg, salted_join
 
 __all__ = [
     "parse_json",
@@ -19,4 +20,6 @@ __all__ = [
     "serialize_ipc",
     "deserialize_ipc",
     "convert",
+    "salted_join",
+    "salted_agg",
 ]

@@ -165,3 +165,62 @@ def test_ipc_size_cap_errors_not_splits(spark):
     )
     with pytest.raises(Exception, match="IPC message size"):
         serialize_ipc(df, max_rows=2000, max_ipc_size=1000).collect()
+
+
+# --- skew utilities -------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting changes only the shuffle key distribution, never the
+    result — verified on a pathologically skewed fact table."""
+    from bolson_spark.operators import salted_join
+
+    rng = random.Random(5)
+    # 90% of fact rows share one hot key
+    fact = spark.createDataFrame(
+        [(0 if rng.random() < 0.9 else rng.randint(1, 50), i) for i in range(20_000)],
+        ["k", "v"],
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(40)], ["k", "name"])
+    for how in ("inner", "left"):
+        plain = {tuple(r) for r in fact.join(dim, "k", how).collect()}
+        salted = {tuple(r) for r in salted_join(fact, dim, "k", how, salt=8).collect()}
+        assert salted == plain, how
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    from bolson_spark.operators import salted_agg
+    from pyspark.sql import functions as F
+
+    rng = random.Random(6)
+    df = spark.createDataFrame(
+        [(0 if rng.random() < 0.8 else rng.randint(1, 5), rng.randint(0, 1000))
+         for _ in range(20_000)],
+        ["k", "v"],
+    )
+    plain = {
+        (r.k, r.s, r.n, r.mn, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    out = salted_agg(df, ["k"], {"v": "sum"}, salt=8)
+    # count via a second call (distinct agg fns per column in one call)
+    cnt = salted_agg(df.withColumn("one", F.lit(1)), ["k"], {"one": "count"}, salt=8)
+    mnx = salted_agg(df, ["k"], {"v": "min"}, salt=4).join(
+        salted_agg(df, ["k"], {"v": "max"}, salt=4), "k"
+    )
+    merged = {
+        (r.k, r.sum_v, c.count_one, m.min_v, m.max_v)
+        for r in out.collect()
+        for c in cnt.collect()
+        if c.k == r.k
+        for m in mnx.collect()
+        if m.k == r.k
+    }
+    assert merged == plain
