@@ -56,6 +56,91 @@ def decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     )
 
 
+RESIZED_SCHEMA = "media_id bigint, width int, height int, payload binary"
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame binary"
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize entry point — unavailable in this container."""
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; "
+        "use resize_images(df, ..., fake=True) for the deterministic stub"
+    )
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: 'resized' pixels are the sha256 stream
+    of the payload, truncated to width*height bytes (1 fake byte/px)."""
+    out = b""
+    h = hashlib.sha256(payload).digest()
+    while len(out) < width * height:
+        out += h
+        h = hashlib.sha256(h).digest()
+    return out[: width * height]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    payload_col: str = "payload",
+    *,
+    fake: bool = False,
+) -> DataFrame:
+    """binary payload -> fixed-size resized payload via mapInPandas.
+    Narrow map, Arrow-batched; output size is width*height bytes per
+    row, so sink partition sizing is exact at any scale."""
+    resizer = _fake_resize if fake else resize_image
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": [
+                        resizer(p, width, height) for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 4,
+    frame_bytes: int = 256,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video frame sampling: one input row -> one output row per
+    sampled frame (1→N expansion inside mapInPandas, the shape a real
+    demuxer has). The container has no video codecs, so a 'frame' is
+    deterministically modeled as a fixed-size chunk of the payload and
+    sampling takes every `every_n`-th chunk — the Spark-side contract
+    (schema, batching, row expansion, memory bounded per Arrow batch)
+    is production-real.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                n_frames = max(len(payload) // frame_bytes, 1)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(
+                        bytes(payload[fi * frame_bytes : (fi + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.mapInPandas(fn, FRAME_SCHEMA)
+
+
 def extract_features(
     df: DataFrame, payload_col: str = "payload", *, fake: bool = False
 ) -> DataFrame:

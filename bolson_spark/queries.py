@@ -1061,6 +1061,35 @@ FROM documents
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1→N row expansion in mapInPandas): every 4th
+    256-byte 'frame' of the payload. The frame chunks are pure byte
+    slices, so DuckDB reproduces them exactly — the expansion shape
+    itself is oracle-checked. Frames hex-encoded for hashing."""
+    from bolson_spark.functions.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return sample_frames(media).select(
+        "media_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )
+
+
+# NOTE: DuckDB substring() has no BLOB overload; the corpus is pure
+# ASCII (asserted: octet_length(encode(text)) == length(text) for every
+# row), so character slicing is byte-exact here.
+O_MULTIMODAL_FRAMES = """
+SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+       upper(hex(encode(substring(text, CAST(fi * 256 + 1 AS BIGINT), 256))))
+         AS frame_hex
+FROM documents,
+     LATERAL unnest(range(0, greatest(length(text) // 256, 1), 4)) AS t(fi)
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction with the deterministic fake codec
     (real codecs unavailable in-container; plumbing is production-shaped).
@@ -1490,4 +1519,7 @@ QUERIES: dict[str, QuerySpec] = {
         q_multimodal_metadata, O_MULTIMODAL_METADATA, ("multimodal",)
     ),
     "multimodal_features": QuerySpec(q_multimodal_features, None, ("multimodal",)),
+    "multimodal_frames": QuerySpec(
+        q_multimodal_frames, O_MULTIMODAL_FRAMES, ("multimodal",)
+    ),
 }

@@ -199,3 +199,26 @@ def test_band_keys_vectorized_equals_declarative(spark):
         for b in range(2):
             decl.add((r.doc_id, b, hashlib.md5("|".join(mh[b*8:(b+1)*8]).encode()).hexdigest()))
     assert vec == decl
+
+
+def test_resize_and_frames_plumbing(spark):
+    from bolson_spark.functions.multimodal import resize_images, sample_frames
+
+    media = _docs(spark).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    rs = resize_images(media, width=8, height=4, fake=True).collect()
+    assert all(len(r.payload) == 32 and r.width == 8 and r.height == 4 for r in rs)
+    by_id = {r.media_id: bytes(r.payload) for r in rs}
+    assert by_id[0] == by_id[1]  # deterministic: same payload -> same bytes
+
+    fr = sample_frames(media, every_n=2, frame_bytes=8).collect()
+    assert len(fr) > len(by_id)  # 1 -> N expansion
+    assert all(r.frame_idx % 2 == 0 for r in fr)
+    text0 = [r for r in fr if r.media_id == 0 and r.frame_idx == 0][0]
+    assert bytes(text0.frame) == "the quic".encode()
+
+    # real codec paths must raise, not silently fake
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        resize_images(media, fake=False).collect()
