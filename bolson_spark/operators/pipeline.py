@@ -14,7 +14,7 @@ from pyspark.sql import types as T
 from bolson_spark import MAX_IPC_SIZE, MAX_ROWS_DEFAULT
 from bolson_spark.operators.parse import parse_json
 from bolson_spark.operators.rebatch import rebatch
-from bolson_spark.operators.seq import add_seq
+from bolson_spark.operators.seq import add_seq, add_seq_scalable
 from bolson_spark.operators.serialize import serialize_ipc
 
 
@@ -28,10 +28,20 @@ def convert(
     max_ipc_size: int = MAX_IPC_SIZE,
     strict: bool = True,
     serialize: bool = False,
+    seq_mode: str = "exact",
 ) -> DataFrame:
-    """Raw JSON rows -> parsed + sequenced + rebatched [+ serialized]."""
+    """Raw JSON rows -> parsed + sequenced + rebatched [+ serialized].
+
+    seq_mode: "exact" (single global window — parity with the
+    reference's one-TCP-stream total order) or "scalable" (range
+    partition + partition-local numbering + driver offset map; same
+    result, tested equal, no single-reducer sort — the 100 TB path).
+    """
+    if seq_mode not in ("exact", "scalable"):
+        raise ValueError(f"unknown seq_mode {seq_mode!r}")
+    seq_fn = add_seq if seq_mode == "exact" else add_seq_scalable
     parsed = parse_json(df, schema, json_col, strict=strict, keep=[order_by])
-    seqd = add_seq(parsed, order_by)
+    seqd = seq_fn(parsed, order_by)
     batched = rebatch(seqd, max_rows=max_rows)
     if serialize:
         return serialize_ipc(batched, max_rows=max_rows, max_ipc_size=max_ipc_size)
