@@ -33,8 +33,23 @@ def sf_from_dir(path: str) -> float:
 
 def main() -> None:
     spark = get_spark("bolson-spark-bench")
-    # JVM/codegen warm-up on a trivial action so query 1 isn't taxed
+    # Warm the paths the queries use (JVM codegen, parquet reader,
+    # from_json, Python worker pool + Arrow transfer) on sf0.001 so the
+    # recorded numbers reflect steady state, not first-query JIT.
     spark.range(1000).count()
+    from pyspark.sql import functions as F
+
+    warm = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    warm.select(
+        F.from_json(F.to_json(F.struct("doc_id")), "doc_id bigint")
+    ).write.mode("overwrite").format("noop").save()
+
+    # warm the Python-worker/Arrow path with a real vectorized op
+    from bolson_spark.functions.dedup import simhash64_vectorized
+
+    warm.select(simhash64_vectorized(F.col("text"))).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     timings: dict[str, float] = {}
     n_jsons = 0

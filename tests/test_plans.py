@@ -77,3 +77,48 @@ def test_session_window_is_native(spark):
     plan = formatted_plan(QUERIES["events_sessions"].fn(spark, SF))
     assert "session_window" in plan.lower()
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Co-located joins via bucketing: two tables bucketed by the join
+    key join WITHOUT an Exchange on either side — the pre-partitioning
+    strategy for repeated large-large joins at scale."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name, df, key in (
+        ("b_orders", orders, "o_custkey"),
+        ("b_customer", cust, "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # an orphaned location from a previous session blocks CREATE
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(name)
+    # the merge hint forces SMJ (the tables fit the broadcast threshold
+    # at this SF; at scale both sides would be too large to broadcast)
+    j = spark.table("b_orders").hint("merge").join(
+        spark.table("b_customer").hint("merge"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    plan = formatted_plan(j)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Exchange" not in plan  # bucketing pre-partitioned both sides
+    for name in ("b_orders", "b_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_approx_aggregates_within_tolerance(spark):
+    """approx_count_distinct (HLL++) and approx_percentile land within
+    their documented error bounds of the exact answers — the sketches
+    that replace exact distinct/percentile at 100 TB."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    row = ev.select(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_u"),
+        F.countDistinct("user_id").alias("exact_u"),
+        F.approx_percentile("value", 0.5, 10_000).alias("approx_p50"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+    ).first()
+    assert abs(row.approx_u - row.exact_u) <= max(0.05 * row.exact_u, 2)
+    assert abs(row.approx_p50 - row.exact_p50) <= 0.5
