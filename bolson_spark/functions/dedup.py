@@ -270,6 +270,84 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Collapse near-duplicate PAIRS into duplicate GROUPS: for every
+    node appearing in a pair, its component representative = the
+    minimum id reachable through the pair graph. Returns (node,
+    representative).
+
+    This is the dedup-to-representatives step SCALING.md prescribes
+    instead of materializing quadratic pair lists at 100 TB. Executed
+    as distributed min-label propagation: each iteration is one
+    equi-join (edges ⋈ labels) + a map-side-combinable min-aggregate;
+    near-dup components are dense, so the label frontier converges in
+    a handful of iterations (bounded by graph diameter, checked via a
+    driver-side changed-count). localCheckpoint truncates the plan
+    lineage per iteration — without it the plan doubles each round.
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        updated = labels.join(
+            nbr_min, labels.node == nbr_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_min", F.col("label"))
+            ).alias("label"),
+            (F.coalesce("nbr_min", F.col("label")) < F.col("label")).alias(
+                "_changed"
+            ),
+        )
+        # Pointer jumping (path compression): label <- label's label.
+        # Each round then doubles the propagation distance, so chains
+        # converge in O(log diameter) rounds instead of O(diameter).
+        parent = updated.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        compressed = (
+            updated.join(parent, updated.label == parent.pnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("plabel", F.col("label"))
+                ).alias("label"),
+                "_changed",
+            )
+            .localCheckpoint()
+        )
+        n_changed = compressed.where(F.col("_changed")).count()
+        labels = compressed.drop("_changed")
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node"), F.col("label").alias("representative")
+    )
+
+
 def simhash64(col: Column) -> Column:
     """64-bit SimHash of the token set, as a 16-hex-char string.
 

@@ -1418,6 +1418,42 @@ WHERE ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) >= 0.3
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-to-representatives: collapse embedding near-dup pairs into
+    duplicate groups via distributed min-label propagation (iterative
+    joins with driver-side convergence check) — the output shape a
+    100 TB dedup job materializes instead of O(n²) pair lists."""
+    from bolson_spark.functions.dedup import connected_components
+    from bolson_spark.functions.similarity import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(emb, threshold=0.3)
+    return connected_components(pairs, "vec_a", "vec_b").select(
+        F.col("node").alias("vec_id"), "representative"
+    )
+
+
+O_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) >= 0.3
+),
+edges AS (
+  SELECT vec_a AS s, vec_b AS d FROM pairs
+  UNION
+  SELECT vec_b AS s, vec_a AS d FROM pairs
+),
+reach(node, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+)
+SELECT node AS vec_id, MIN(r) AS representative FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1513,6 +1549,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_embedding": QuerySpec(
         q_dedup_embedding, O_DEDUP_EMBEDDING, ("dedup", "similarity")
+    ),
+    "dedup_components": QuerySpec(
+        q_dedup_components, O_DEDUP_COMPONENTS, ("dedup",)
     ),
     # multimodal
     "multimodal_metadata": QuerySpec(

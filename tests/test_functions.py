@@ -222,3 +222,14 @@ def test_resize_and_frames_plumbing(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         resize_images(media, fake=False).collect()
+
+
+def test_connected_components_small_graph(spark):
+    from bolson_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        ["doc_a", "doc_b"],
+    )
+    out = {r.node: r.representative for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
