@@ -181,6 +181,62 @@ def blocked_nearest_neighbor_gemm(
     return df.groupBy(block_col).applyInPandas(per_block, out_schema)
 
 
+def lsh_hyperplanes(
+    num_planes: int = 8, dim: int = 64, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH (cosine family),
+    rounded to 6 decimals so the identical literals embed in both the
+    Spark plan and the SQL oracle."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return [
+        [round(float(x), 6) for x in row]
+        for row in rs.standard_normal((num_planes, dim))
+    ]
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = (vec · plane_i >= 0). Narrow map —
+    the bucket is the partition/bucketing key of a cosine ANN index;
+    two vectors share a bucket iff no hyperplane separates them."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(vec, p) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return bucket
+
+
+def ann_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by cosine, probing only the query's sign-LSH
+    bucket — the LSH-bucketed alternative to IVF: no training step,
+    bucket id is pure arithmetic, at scale the index table is written
+    bucketed/partitioned by bucket id so a probe is one partition
+    read. Recall is tuned by `num_planes` (fewer planes = bigger
+    buckets = higher recall & cost) or multi-probe (flip lowest-margin
+    bits) — single-probe here."""
+    planes = lsh_hyperplanes(num_planes, len(query_vec), seed)
+    q = _query_vector_lit(query_vec)
+    probe = df.where(
+        lsh_bucket_col(F.col(vec_col), planes) == lsh_bucket_col(q, planes)
+    )
+    scored = probe.select(
+        F.col(id_col),
+        F.round(cosine_similarity_col(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -1418,6 +1418,49 @@ WHERE ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) >= 0.3
 """
 
 
+def _dot_lit_sql(a: str, vals: list[float]) -> str:
+    """Left-to-right dot of an array column with literal values —
+    same accumulation order as the Spark-side fold."""
+    return " + ".join(
+        f"CAST({a}[{i + 1}] AS DOUBLE)*({v!r})" for i, v in enumerate(vals)
+    )
+
+
+def _lsh_bucket_sql(col: str, planes: list[list[float]]) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_dot_lit_sql(col, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN probe (the training-free alternative to
+    IVF): filter to the query's bucket, exact top-k inside it."""
+    from bolson_spark.functions.similarity import ann_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_lsh(emb, _query_vec(spark, sf_dir), k=10, num_planes=6)
+
+
+def _ann_lsh_sql() -> str:
+    from bolson_spark.functions.similarity import lsh_hyperplanes
+
+    planes = lsh_hyperplanes(num_planes=6)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND({_cosine_sql("e.embedding", "q.qv")}, 6) AS cosine
+FROM embeddings e, q
+WHERE {_lsh_bucket_sql("e.embedding", planes)}
+      = {_lsh_bucket_sql("q.qv", planes)}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+O_ANN_LSH = _ann_lsh_sql()
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-to-representatives: collapse embedding near-dup pairs into
     duplicate groups via distributed min-label propagation (iterative
@@ -1553,6 +1596,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_components": QuerySpec(
         q_dedup_components, O_DEDUP_COMPONENTS, ("dedup",)
     ),
+    "ann_lsh": QuerySpec(q_ann_lsh, O_ANN_LSH, ("similarity",)),
     # multimodal
     "multimodal_metadata": QuerySpec(
         q_multimodal_metadata, O_MULTIMODAL_METADATA, ("multimodal",)

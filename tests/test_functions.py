@@ -233,3 +233,20 @@ def test_connected_components_small_graph(spark):
     )
     out = {r.node: r.representative for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_ann_lsh_self_retrieval(spark):
+    """The query vector's own row is always in the probed bucket
+    (bucket(q)==bucket(q)) and ranks first at cosine 1.0."""
+    import random
+
+    from bolson_spark.functions.similarity import ann_lsh
+
+    rng = random.Random(9)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(100)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    q = [float(x) for x in rows[7][1]]
+    top = ann_lsh(df, q, k=5, num_planes=4).collect()
+    assert top[0].vec_id == 7 and top[0].cosine == 1.0

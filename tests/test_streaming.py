@@ -150,3 +150,47 @@ def test_stateful_running_stats(spark, tmp_path):
         assert abs(final.loc[key, "sum_value"] - sum(vals)) < 1e-6
         assert final.loc[key, "min_value"] == min(vals)
         assert final.loc[key, "max_value"] == max(vals)
+
+
+def test_latency_and_metrics_csvs(spark, tmp_path, jsonl_dir):
+    """M1/M2 parity: the stream writes the reference-layout latency CSV
+    (latency.cpp:34-40 analog) and stats CSV (metrics.cpp:26-63)."""
+    import csv
+
+    from bolson_spark.metrics import LatencyTracker, save_metrics_csv
+
+    src, all_docs = jsonl_dir
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    sink = IpcFileSink(str(tmp_path / "topic"))
+    tracker = LatencyTracker()
+    query, metrics = run_stream_convert(
+        raw,
+        BATTERY_SPARK,
+        sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_rows=256,
+        latency=tracker,
+    )
+    query.awaitTermination(120)
+
+    lat_path = tmp_path / "lat.csv"
+    tracker.save_latency_csv(str(lat_path))
+    rows = list(csv.DictReader(open(lat_path)))
+    assert len(rows) == 3  # one latency point per micro-batch
+    # seq ranges chain contiguously across batches
+    assert [int(r["seq_first"]) for r in rows] == [0, 700, 1400]
+    assert all(float(r["total_ms"]) > 0 for r in rows)
+    assert all(
+        abs(float(r["convert_ms"]) + float(r["publish_ms"]) - float(r["total_ms"])) < 0.01
+        for r in rows
+    )
+
+    met_path = tmp_path / "met.csv"
+    save_metrics_csv(str(met_path), metrics, elapsed_sec=1.0)
+    m = list(csv.DictReader(open(met_path)))[0]
+    assert int(m["num_jsons"]) == len(all_docs)
+    assert int(m["num_ipc"]) > 0 and int(m["ipc_bytes"]) > 0
