@@ -194,3 +194,60 @@ def test_latency_and_metrics_csvs(spark, tmp_path, jsonl_dir):
     m = list(csv.DictReader(open(met_path)))[0]
     assert int(m["num_jsons"]) == len(all_docs)
     assert int(m["num_ipc"]) > 0 and int(m["ipc_bytes"]) > 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Event-time tumbling agg with a 10-minute watermark: in append
+    mode a window only emits once the watermark passes it, and events
+    arriving after that are dropped (late-data semantics)."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "wm"
+    src.mkdir()
+    # batch 0: events in windows 10:00 and 10:05 + one at 11:00 that
+    # advances the watermark to 10:50 -> both early windows close
+    b0 = [
+        {"ts": "2024-01-01 10:00:30", "v": 1},
+        {"ts": "2024-01-01 10:00:45", "v": 2},
+        {"ts": "2024-01-01 10:05:10", "v": 3},
+        {"ts": "2024-01-01 11:00:00", "v": 4},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(json.dumps(r) for r in b0) + "\n")
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("ts string, v int")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .select(F.to_timestamp("ts").alias("ts"), "v")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.sum("v").alias("sum_v"), F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "sum_v", "n")
+    )
+    out = tmp_path / "wmout"
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "wmck"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 1: a LATE event for the already-closed 10:00 window — must
+    # be dropped, not re-emitted or merged
+    (src / "b1.jsonl").write_text(
+        json.dumps({"ts": "2024-01-01 10:01:00", "v": 100}) + "\n"
+    )
+    q.processAllAvailable()
+    # advance watermark past 11:00 so its window also closes
+    (src / "b2.jsonl").write_text(
+        json.dumps({"ts": "2024-01-01 12:00:00", "v": 5}) + "\n"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.ws: (r.sum_v, r.n) for r in spark.read.parquet(str(out)).collect()}
+    assert got["2024-01-01 10:00:00"] == (3, 2)  # late v=100 dropped
+    assert got["2024-01-01 10:05:00"] == (3, 1)
+    assert got["2024-01-01 11:00:00"] == (4, 1)
