@@ -329,6 +329,61 @@ def ivf_assign(
     )
 
 
+def kmeans_refine(
+    df: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means refinement of an IVF centroid set — the train
+    step between 'pick seed centroids' and 'assign the corpus'.
+
+    Each iteration: (1) assign every vector to its max-cosine centroid
+    (broadcast centroids, map-side argmax — ivf_assign); (2) new
+    centroid = per-cluster per-dimension mean via posexplode +
+    groupBy(cluster, dim) — a map-side-combinable agg whose shuffle
+    key space is clusters × dims, never rows. Dimensions are rounded
+    to 6 decimals each iteration so the result is deterministic across
+    engines (summation-order differences are ~1e-13, far below the
+    rounding grain). Deterministic iteration count (no convergence
+    collect) keeps the whole train declarative.
+
+    Returns (cluster, n_members, d, c_val): the refined centroid
+    coordinates as per-dimension rows plus the final member count.
+    """
+    cents = centroids
+    assigned = None
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, vec_col=vec_col, id_col=id_col)
+        dims = (
+            df.join(assigned, id_col)
+            .select("cluster", F.posexplode(vec_col).alias("d", "val"))
+            .groupBy("cluster", "d")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("c_val"))
+        )
+        cents = (
+            dims.groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("d", "c_val"))
+                ).alias("pm")
+            )
+            .select(
+                F.col("cluster").alias("centroid_id"),
+                F.transform("pm", lambda s: s["c_val"]).alias("centroid"),
+            )
+        )
+        last_dims = dims
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        last_dims.join(sizes, "cluster")
+        .select("cluster", "n_members", "d", "c_val")
+    )
+
+
 def ivf_knn(
     df: DataFrame,
     centroids: DataFrame,

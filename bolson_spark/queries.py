@@ -1461,6 +1461,71 @@ LIMIT 10
 O_ANN_LSH = _ann_lsh_sql()
 
 
+def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means refinement (Lloyd's, 2 deterministic
+    iterations from the first-8 seed centroids) — the IVF train step.
+    Output is per-dimension scalar rows (cluster, n_members, d, c_val)
+    so the cross-engine hash compares scalars, not array renderings."""
+    from bolson_spark.functions.similarity import kmeans_refine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return kmeans_refine(emb, seeds, iters=2)
+
+
+def _kmeans_sql(iters: int = 2, n_seeds: int = 8, dim: int = 64) -> str:
+    """Chained-CTE mirror of kmeans_refine: assign (argmax rounded
+    cosine, ties -> lowest centroid id) then per-dim rounded means,
+    repeated `iters` times."""
+    ctes = [
+        f"""c0 AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid
+  FROM embeddings WHERE vec_id < {n_seeds}
+)"""
+    ]
+    for i in range(iters):
+        cos = _cosine_sql("e.embedding", "c.centroid", dim)
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, centroid_id AS cluster FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({cos}, 6) DESC, c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN c{i} c)
+  WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+  SELECT cluster, t.d AS dd,
+         ROUND(AVG(CAST(e.embedding[t.d] AS DOUBLE)), 6) AS c_val
+  FROM a{i} JOIN embeddings e USING (vec_id)
+  CROSS JOIN range(1, {dim + 1}) t(d)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""c{i + 1} AS (
+  SELECT cluster AS centroid_id, list(c_val ORDER BY dd) AS centroid
+  FROM m{i} GROUP BY 1
+)"""
+        )
+    last = iters - 1
+    return f"""
+WITH {','.join(ctes)},
+sizes AS (SELECT cluster, COUNT(*) AS n_members FROM a{last} GROUP BY 1)
+SELECT m.cluster, s.n_members, CAST(m.dd - 1 AS INT) AS d, m.c_val
+FROM m{last} m JOIN sizes s USING (cluster)
+"""
+
+
+O_IVF_TRAIN = _kmeans_sql()
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-to-representatives: collapse embedding near-dup pairs into
     duplicate groups via distributed min-label propagation (iterative
@@ -1597,6 +1662,7 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_components, O_DEDUP_COMPONENTS, ("dedup",)
     ),
     "ann_lsh": QuerySpec(q_ann_lsh, O_ANN_LSH, ("similarity",)),
+    "ivf_train": QuerySpec(q_ivf_train, O_IVF_TRAIN, ("similarity",)),
     # multimodal
     "multimodal_metadata": QuerySpec(
         q_multimodal_metadata, O_MULTIMODAL_METADATA, ("multimodal",)

@@ -250,3 +250,26 @@ def test_ann_lsh_self_retrieval(spark):
     q = [float(x) for x in rows[7][1]]
     top = ann_lsh(df, q, k=5, num_planes=4).collect()
     assert top[0].vec_id == 7 and top[0].cosine == 1.0
+
+
+def test_kmeans_refine_separated_clusters(spark):
+    """Two well-separated direction clusters: one Lloyd's iteration
+    from in-cluster seeds lands each centroid on its cluster's mean."""
+    from bolson_spark.functions.similarity import kmeans_refine
+
+    rows = [
+        (0, [1.0, 0.0, 0.1]), (1, [1.0, 0.0, -0.1]),   # +x cluster
+        (2, [0.0, 1.0, 0.1]), (3, [0.0, 1.0, -0.1]),   # +y cluster
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    seeds = df.where(F.col("vec_id").isin(0, 2)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    out = kmeans_refine(df, seeds, iters=1).collect()
+    got = {(r.cluster, r.d): r.c_val for r in out}
+    sizes = {r.cluster: r.n_members for r in out}
+    assert sizes == {0: 2, 2: 2}
+    assert got[(0, 0)] == 1.0 and got[(0, 1)] == 0.0 and got[(0, 2)] == 0.0
+    assert got[(2, 0)] == 0.0 and got[(2, 1)] == 1.0 and got[(2, 2)] == 0.0
