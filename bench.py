@@ -58,6 +58,9 @@ def main() -> None:
         df = spec.fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # per-query cache isolation: a query's internal .cache()s must
+        # not subsidize (or crowd out) later queries' timings
+        spark.catalog.clearCache()
     # convert throughput (MJ/s, metrics.cpp:39-92 analog): rows of the
     # events table pushed through the full convert pipeline
     n_jsons = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
