@@ -644,6 +644,64 @@ FROM events GROUP BY event_type
 """
 
 
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube) with
+    grouping_id to disambiguate aggregate levels from genuine NULLs."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping__id AS INT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS total_price
+        FROM _orders_gs
+        GROUP BY o_orderpriority, o_orderstatus
+          GROUPING SETS ((o_orderpriority, o_orderstatus),
+                         (o_orderpriority), ())
+        """
+    )
+
+
+O_ORDERS_GROUPING_SETS = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT)
+         AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), ())
+"""
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (columnar re-shape): daily event counts, one column per
+    event type. Pivot values are enumerated explicitly — at scale an
+    implicit pivot triggers a distinct-values job first."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+O_EVENTS_PIVOT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+FROM events GROUP BY 1
+"""
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregation (``F.window``) — the
     batch form of the Structured Streaming windowed agg; in streaming
@@ -1610,6 +1668,10 @@ QUERIES: dict[str, QuerySpec] = {
     "part_catalog": QuerySpec(q_part_catalog, O_PART_CATALOG, ("relational",)),
     "events_monthly": QuerySpec(q_events_monthly, O_EVENTS_MONTHLY, ("relational",)),
     "returned_items": QuerySpec(q_returned_items, O_RETURNED_ITEMS, ("relational",)),
+    "orders_grouping_sets": QuerySpec(
+        q_orders_grouping_sets, O_ORDERS_GROUPING_SETS, ("relational",)
+    ),
+    "events_pivot": QuerySpec(q_events_pivot, O_EVENTS_PIVOT, ("relational",)),
     "value_percentiles": QuerySpec(
         q_value_percentiles, O_VALUE_PERCENTILES, ("relational",)
     ),
