@@ -677,6 +677,29 @@ GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
 """
 
 
+_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(o_totalprice AS DOUBLE) AS total_price
+FROM {orders} o
+WHERE o_totalprice > (
+  SELECT AVG(CAST(o2.o_totalprice AS DECIMAL(14,2)))
+  FROM {orders} o2
+  WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders priced above their own
+    customer's average. Catalyst decorrelates this into an aggregate +
+    join (no per-row subquery execution) — asserted in plan tests."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_corr")
+    return spark.sql(_ABOVE_AVG_SQL.format(orders="_orders_corr"))
+
+
+O_ORDERS_ABOVE_CUST_AVG = _ABOVE_AVG_SQL.format(orders="orders")
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (columnar re-shape): daily event counts, one column per
     event type. Pivot values are enumerated explicitly — at scale an
@@ -1672,6 +1695,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_orders_grouping_sets, O_ORDERS_GROUPING_SETS, ("relational",)
     ),
     "events_pivot": QuerySpec(q_events_pivot, O_EVENTS_PIVOT, ("relational",)),
+    "orders_above_cust_avg": QuerySpec(
+        q_orders_above_cust_avg, O_ORDERS_ABOVE_CUST_AVG, ("relational",)
+    ),
     "value_percentiles": QuerySpec(
         q_value_percentiles, O_VALUE_PERCENTILES, ("relational",)
     ),

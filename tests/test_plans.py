@@ -122,3 +122,11 @@ def test_approx_aggregates_within_tolerance(spark):
     ).first()
     assert abs(row.approx_u - row.exact_u) <= max(0.05 * row.exact_u, 2)
     assert abs(row.approx_p50 - row.exact_p50) <= 0.5
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """The correlated scalar subquery must compile to an aggregate +
+    join (decorrelation), never a per-row subquery plan."""
+    plan = formatted_plan(QUERIES["orders_above_cust_avg"].fn(spark, SF))
+    assert "HashAggregate" in plan
+    assert "Join" in plan or "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
