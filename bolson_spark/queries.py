@@ -689,6 +689,26 @@ WHERE o_totalprice > (
 """
 
 
+def q_supplier_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): supplier numeric attributes to long form —
+    the inverse reshape of pivot, a narrow 1→N map per row."""
+    sup = _t(spark, sf_dir, "supplier")
+    return sup.select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("double").alias("nationkey"),
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+    ).unpivot("s_suppkey", ["nationkey", "acctbal"], "attribute", "val")
+
+
+O_SUPPLIER_UNPIVOT = """
+SELECT s_suppkey, 'nationkey' AS attribute, CAST(s_nationkey AS DOUBLE) AS val
+FROM supplier
+UNION ALL
+SELECT s_suppkey, 'acctbal' AS attribute, CAST(s_acctbal AS DOUBLE) AS val
+FROM supplier
+"""
+
+
 def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery: orders priced above their own
     customer's average. Catalyst decorrelates this into an aggregate +
@@ -1697,6 +1717,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_pivot": QuerySpec(q_events_pivot, O_EVENTS_PIVOT, ("relational",)),
     "orders_above_cust_avg": QuerySpec(
         q_orders_above_cust_avg, O_ORDERS_ABOVE_CUST_AVG, ("relational",)
+    ),
+    "supplier_unpivot": QuerySpec(
+        q_supplier_unpivot, O_SUPPLIER_UNPIVOT, ("relational",)
     ),
     "value_percentiles": QuerySpec(
         q_value_percentiles, O_VALUE_PERCENTILES, ("relational",)
