@@ -251,3 +251,47 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert got["2024-01-01 10:00:00"] == (3, 2)  # late v=100 dropped
     assert got["2024-01-01 10:05:00"] == (3, 1)
     assert got["2024-01-01 11:00:00"] == (4, 1)
+
+
+def test_stream_restart_continues_sequence(spark, tmp_path):
+    """Restart safety: stop the query, add more input, restart with the
+    SAME checkpoint — the persisted seq base continues the global
+    sequence with no overlap and no gap (better than the reference,
+    whose counter restarts with the process)."""
+    rng = random.Random(21)
+
+    def write_batch(i, n=300):
+        docs = [
+            {"voltage": [rng.randint(0, 2047) for _ in range(rng.randint(1, 16))]}
+            for _ in range(n)
+        ]
+        (src / f"p{i}.jsonl").write_text(
+            "\n".join(json.dumps(d) for d in docs) + "\n"
+        )
+        return docs
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = IpcFileSink(str(tmp_path / "topic"))
+    ck = str(tmp_path / "ckpt")
+
+    write_batch(0)
+    write_batch(1)
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(str(src))
+    q1, m1 = run_stream_convert(raw, BATTERY_SPARK, sink, checkpoint_dir=ck, max_rows=128)
+    q1.awaitTermination(120)
+    assert m1.num_jsons == 600
+
+    # second run, same checkpoint: only the new file is processed and
+    # sequence numbers continue from 600
+    write_batch(2)
+    raw2 = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(str(src))
+    q2, m2 = run_stream_convert(raw2, BATTERY_SPARK, sink, checkpoint_dir=ck, max_rows=128)
+    q2.awaitTermination(120)
+    assert m2.num_jsons == 300  # no reprocessing
+
+    back = deserialize_ipc(
+        sink.read(spark), "voltage array<bigint>, bolson_seq bigint"
+    ).collect()
+    seqs = sorted(r.bolson_seq for r in back)
+    assert seqs == list(range(900))  # contiguous across the restart
