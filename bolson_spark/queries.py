@@ -1783,3 +1783,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_multimodal_frames, O_MULTIMODAL_FRAMES, ("multimodal",)
     ),
 }
+
+# Extension batch 2 (TPC-H Q4/Q8/Q14-Q19/Q22 shapes, as-of/range join,
+# TF-IDF). Imported at the bottom so queries_ext can reuse the helper
+# names defined above without a cycle.
+from bolson_spark.queries_ext import EXT_QUERIES  # noqa: E402
+
+QUERIES.update(EXT_QUERIES)

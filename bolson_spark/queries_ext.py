@@ -1,0 +1,546 @@
+"""Extension query batch 2 — deeper relational coverage (TPC-H Q4/Q8/
+Q14-Q19/Q22 shapes adapted to the testdata star schema), the as-of and
+range join operators, and TF-IDF term scoring over documents.
+
+Same registry contract and cross-engine determinism rules as
+``bolson_spark.queries`` (decimal-exact money, identical aliases,
+round(.,6) on derived doubles). Merged into ``QUERIES`` there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bolson_spark.operators.asof import asof_join, range_join_count
+from bolson_spark.queries import QuerySpec, _dec, _t
+
+def _rev() -> F.Column:
+    one = F.lit(1).cast("decimal(3,2)")
+    return _dec("l_extendedprice") * (one - _dec("l_discount", 4))
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped relational queries
+# ---------------------------------------------------------------------------
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of Q3'96 orders having at
+    least one line shipped >90 days after the order date (EXISTS ->
+    left-semi join; the date filter is pushed to the orders scan)."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+O_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5 suppliers' share of PROMO-part revenue
+    sold into the ASIA market, per order year. Dim side (nation,
+    region) broadcasts; both fact filters push to the scans."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .join(F.broadcast(n2), sup.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _rev().alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume"))).cast(
+                "double"
+            )
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+O_MARKET_SHARE = f"""
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume END)
+                  AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         {_REV_SQL} AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND r_name = 'ASIA'
+    AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+)
+GROUP BY o_year
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percent of Sep-1997 revenue from PROMO parts.
+    Single-row global aggregate; part broadcasts into the join."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum(_rev()).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+O_PROMO_REVENUE = f"""
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN {_REV_SQL} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with max Q1'97 revenue. The scalar
+    max comes from a broadcast single-row aggregate (no window over a
+    single unbounded partition — that would serialize at scale)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx, "left_semi")
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+O_TOP_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    over observed lineitem pairs (the schema has no partsupp), brand
+    Brand#1 excluded, eight target sizes. COUNT(DISTINCT) over a
+    shuffled pre-dedup — partial aggregation keeps the shuffle small."""
+    sizes = [1, 3, 9, 14, 19, 23, 36, 45]
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(sizes)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+O_PARTS_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly-averaged revenue from Brand#5 lineitems
+    whose quantity is below half the part's average quantity. The
+    correlated scalar subquery decorrelates to a per-part aggregate
+    joined back (one shuffle each side on l_partkey)."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#5")
+    li = _t(spark, sf_dir, "lineitem")
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+    avg_qty = brand_li.groupBy("l_partkey").agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    j = brand_li.join(avg_qty, "l_partkey").where(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
+    )
+    return j.agg(
+        F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 6).alias(
+            "avg_yearly"
+        )
+    )
+
+
+O_SMALL_QTY_REVENUE = """
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#5')
+),
+avg_q AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS avg_qty
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly
+FROM brand_li JOIN avg_q USING (l_partkey)
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: top-20 orders whose total quantity exceeds 250
+    (99th percentile of the synthetic data). HAVING on the lineitem
+    aggregate runs before the orders/customer joins, so only the ~1%
+    qualifying orderkeys flow into them (and broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .where(F.col("total_qty") > 250.0)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+O_LARGE_VOLUME_CUSTOMERS = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty > 250.0
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice, total_qty
+FROM orders
+JOIN big      ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: single-row revenue under a disjunction of
+    (brand, quantity-range, size-range) predicates. The OR-of-ANDs
+    stays inside one join's residual condition — Catalyst extracts the
+    common l_partkey equi-key; part broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return j.where(cond).agg(F.sum(_rev()).cast("double").alias("revenue"))
+
+
+O_DISCOUNTED_REVENUE = f"""
+SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#3'  AND l_quantity BETWEEN 1  AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#9'  AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
+"""
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and balance of customers with
+    above-average positive balance and no orders. Scalar subquery
+    broadcasts; NOT EXISTS is a left-anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )
+
+
+O_IDLE_CUSTOMERS = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join / range join (custom operators, SURVEY.md §2.3 "asof")
+# ---------------------------------------------------------------------------
+
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event attributed to the same user's
+    most recent at-or-before view event (union + running last() — one
+    shuffle, no quadratic candidate set; see operators/asof.py)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        right_cols=["view_id"],
+        how="left",
+        tiebreak="view_id",
+    )
+    return out.select("purchase_id", "user_id", "view_id")
+
+
+O_ASOF_ATTRIBUTION = """
+WITH u AS (
+  SELECT user_id, ts, event_id, 1 AS tag, CAST(NULL AS BIGINT) AS view_id
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 0 AS tag, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+),
+w AS (
+  SELECT user_id, event_id, tag,
+         last_value(view_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, tag ASC, view_id ASC NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id
+  FROM u
+)
+SELECT event_id AS purchase_id, user_id, view_id
+FROM w WHERE tag = 1
+"""
+
+
+def q_signup_activity_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per signup, the count of the user's events in the
+    following 7 days. Equi-key (user_id) + range residual — a normal
+    shuffled join, never a cross product."""
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", "ts"
+    )
+    activity = ev.select(
+        "user_id", F.col("ts").alias("ats"), F.col("event_id").alias("aid")
+    )
+    out = range_join_count(
+        signups,
+        activity,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ats",
+        interval=F.expr("INTERVAL 7 DAYS"),
+        count_col="aid",
+        alias="n_follow",
+    )
+    return out.select("signup_id", "user_id", "n_follow")
+
+
+O_SIGNUP_ACTIVITY_7D = """
+SELECT s.event_id AS signup_id, s.user_id,
+       COUNT(e.event_id) AS n_follow
+FROM events s
+LEFT JOIN events e
+  ON e.user_id = s.user_id
+ AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 7 DAY
+WHERE s.event_type = 'signup'
+GROUP BY s.event_id, s.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term scoring (text-analysis extension)
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tokenize (lowercased [a-z]+
+    runs), tf per (doc, term), document frequency per term, idf =
+    ln(N/df), rank by rounded score. df and N are broadcastable
+    aggregates; the only large shuffle is the (doc, term) tf groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
+O_TFIDF_TOP_TERMS = """
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term,
+         ROUND(tf * ln(n_docs / df), 6) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, score, rank FROM (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+EXT_QUERIES: dict[str, QuerySpec] = {
+    "order_priority_check": QuerySpec(
+        q_order_priority_check, O_ORDER_PRIORITY_CHECK, ("relational",)
+    ),
+    "market_share": QuerySpec(q_market_share, O_MARKET_SHARE, ("relational",)),
+    "promo_revenue": QuerySpec(q_promo_revenue, O_PROMO_REVENUE, ("relational",)),
+    "top_supplier": QuerySpec(q_top_supplier, O_TOP_SUPPLIER, ("relational",)),
+    "parts_supplier_counts": QuerySpec(
+        q_parts_supplier_counts, O_PARTS_SUPPLIER_COUNTS, ("relational",)
+    ),
+    "small_qty_revenue": QuerySpec(
+        q_small_qty_revenue, O_SMALL_QTY_REVENUE, ("relational",)
+    ),
+    "large_volume_customers": QuerySpec(
+        q_large_volume_customers, O_LARGE_VOLUME_CUSTOMERS, ("relational",)
+    ),
+    "discounted_revenue": QuerySpec(
+        q_discounted_revenue, O_DISCOUNTED_REVENUE, ("relational",)
+    ),
+    "idle_customers": QuerySpec(q_idle_customers, O_IDLE_CUSTOMERS, ("relational",)),
+    "asof_attribution": QuerySpec(
+        q_asof_attribution, O_ASOF_ATTRIBUTION, ("relational", "asof")
+    ),
+    "signup_activity_7d": QuerySpec(
+        q_signup_activity_7d, O_SIGNUP_ACTIVITY_7D, ("relational", "asof")
+    ),
+    "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, O_TFIDF_TOP_TERMS, ("text",)),
+}
