@@ -516,6 +516,168 @@ SELECT doc_id, term, score, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline compositions
+# ---------------------------------------------------------------------------
+
+_SW_SQL = "'the','a','of','and','to','in','is','it','that','for'"
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical LLM-corpus cleaning pipeline as ONE declarative
+    plan: quality scoring + token bounds + language allowlist + exact
+    dedup (keep the min-doc_id representative per fingerprint). All
+    stages fuse into a scan -> project -> one shuffle (fingerprint
+    window) -> filter; no Python in the hot path."""
+    from bolson_spark.functions.text import (
+        doc_fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        token_count(F.col("text")).cast("int").alias("n_tokens"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    return (
+        scored.withColumn("rep", F.min("doc_id").over(w))
+        .where(
+            (F.col("doc_id") == F.col("rep"))
+            & (F.col("quality") >= 0.5)
+            & (F.col("n_tokens") >= 10)
+            & F.col("lang").isin("en", "de", "fr", "es")
+        )
+        .select("doc_id", "source", "lang", "n_tokens", "quality")
+    )
+
+
+O_CLEAN_CORPUS = f"""
+WITH t AS (
+  SELECT doc_id, source, lang,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> w IN ({_SW_SQL}))) AS INT) AS n_stop,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, lang, n_tokens,
+         ROUND((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                + CAST(n_stop AS DOUBLE) / n_tokens) / 2.0, 6) AS quality,
+         MIN(doc_id) OVER (PARTITION BY fp) AS rep
+  FROM t
+)
+SELECT doc_id, source, lang, n_tokens, quality
+FROM scored
+WHERE doc_id = rep AND quality >= 0.5 AND n_tokens >= 10
+  AND lang IN ('en', 'de', 'fr', 'es')
+"""
+
+
+def _nibble(col: str, i: str | int) -> str:
+    """Spark-SQL expr: value of hex digit `i` (1-based) of `col`."""
+    return f"(locate(substr({col}, {i}, 1), '0123456789abcdef') - 1)"
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming distance <= 3 via 4x16-bit
+    band self-join. With 4 bands, any pair within hamming 3 shares at
+    least one exact band (pigeonhole), so the banded plan finds
+    EXACTLY the same pairs as the O(n^2) scan the oracle runs — but
+    its join key is the band value: candidate generation is an
+    equi-join that touches only colliding docs, the 100 TB shape."""
+    from bolson_spark.functions.dedup import simhash64_vectorized
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = docs.select(
+        "doc_id", simhash64_vectorized(F.col("text")).alias("simhash")
+    )
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+    ).withColumn("band_key", F.expr("substr(simhash, band * 4 + 1, 4)"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.expr(
+        "aggregate(sequence(1, 16), 0, (acc, i) -> acc + bit_count("
+        f"CAST({_nibble('sh_a', 'i')} AS LONG) ^ "
+        f"CAST({_nibble('sh_b', 'i')} AS LONG)))"
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    from bolson_spark.queries import _simhash_sql
+
+    nib = (
+        "CAST(position(substr({s}.simhash, CAST(i AS INT), 1) "
+        "IN '0123456789abcdef') - 1 AS BIGINT)"
+    )
+    return f"""
+WITH sigs AS ({_simhash_sql()}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         list_sum(list_transform(range(1, 17), i ->
+           bit_count(xor({nib.format(s='a')}, {nib.format(s='b')}))))
+           AS hamming
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+FROM pairs WHERE hamming <= 3
+"""
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~30% hash sample of the corpus: md5 of the doc id,
+    first 16 bits compared against the rate threshold. Reproducible
+    across runs, engines, and cluster sizes (no RNG state), and
+    composable per-source — how large-corpus pipelines downsample."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return (
+        docs.withColumn("bucket", bucket)
+        .where(F.col("bucket") <= "4ccc")  # 0x4ccc / 0xffff ~ 0.2999
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+O_HASH_SAMPLE = """
+SELECT source, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= '4ccc'
+GROUP BY source
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "order_priority_check": QuerySpec(
         q_order_priority_check, O_ORDER_PRIORITY_CHECK, ("relational",)
@@ -543,4 +705,9 @@ EXT_QUERIES: dict[str, QuerySpec] = {
         q_signup_activity_7d, O_SIGNUP_ACTIVITY_7D, ("relational", "asof")
     ),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, O_TFIDF_TOP_TERMS, ("text",)),
+    "clean_corpus": QuerySpec(
+        q_clean_corpus, O_CLEAN_CORPUS, ("text", "dedup", "pipeline")
+    ),
+    "simhash_pairs": QuerySpec(q_simhash_pairs, _simhash_pairs_sql(), ("dedup",)),
+    "hash_sample": QuerySpec(q_hash_sample, O_HASH_SAMPLE, ("text", "pipeline")),
 }
