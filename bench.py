@@ -63,7 +63,12 @@ def main() -> None:
         spark.catalog.clearCache()
     # convert throughput (MJ/s, metrics.cpp:39-92 analog): rows of the
     # events table pushed through the full convert pipeline
-    n_jsons = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    sizes = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("props")).alias("nbytes"),
+    ).collect()[0]
+    n_jsons, json_bytes = sizes["n"], sizes["nbytes"]
     convert_sec = timings.get("convert_pipeline", float("nan"))
 
     total = round(sum(timings.values()), 4)
@@ -74,6 +79,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf_from_dir(SF_DIR),
         "convert_mjs": round(n_jsons / convert_sec / 1e6, 6)
+        if convert_sec
+        else None,
+        "convert_mbs": round(json_bytes / convert_sec / 1e6, 3)
         if convert_sec
         else None,
         "num_queries": len(timings),

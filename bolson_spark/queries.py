@@ -115,6 +115,18 @@ FROM events
 """
 
 
+def q_convert_seq_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4, scale-path implementation: range-partition + partition-local
+    numbering + driver offset map (no single-reducer sort). Same oracle
+    as convert_seq — the two physical impls of one logical operator are
+    differentially tested, mirroring the reference's CPU-vs-FPGA parity
+    tests (test_opae_battery.cpp:73-88)."""
+    from bolson_spark.operators.seq import add_seq_scalable
+
+    ev = _t(spark, sf_dir, "events")
+    return add_seq_scalable(ev, "event_id").select("event_id", "bolson_seq")
+
+
 def q_convert_rebatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1: resize envelope — per-batch seq ranges at max_rows=1024."""
     ev = _t(spark, sf_dir, "events")
@@ -1674,6 +1686,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_convert_strict_validation, O_CONVERT_STRICT, ("core",)
     ),
     "convert_seq": QuerySpec(q_convert_seq, O_CONVERT_SEQ, ("core",)),
+    "convert_seq_scalable": QuerySpec(
+        q_convert_seq_scalable, O_CONVERT_SEQ, ("core",)
+    ),
     "convert_rebatch": QuerySpec(q_convert_rebatch, O_CONVERT_REBATCH, ("core",)),
     "convert_pipeline": QuerySpec(q_convert_pipeline, O_CONVERT_PIPELINE, ("core",)),
     "convert_ipc_roundtrip": QuerySpec(

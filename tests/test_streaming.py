@@ -295,3 +295,51 @@ def test_stream_restart_continues_sequence(spark, tmp_path):
     ).collect()
     seqs = sorted(r.bolson_seq for r in back)
     assert seqs == list(range(900))  # contiguous across the restart
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """Streaming dedup: duplicates arriving in LATER micro-batches are
+    suppressed by keyed state (watermark bounds the state lifetime) —
+    the streaming leg of the dedup surface; batch legs in
+    functions/dedup.py."""
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    rows = [
+        (0, list(range(0, 10))),    # batch 0: ids 0..9
+        (1, list(range(5, 15))),    # batch 1: 5..9 are dups
+        (2, list(range(0, 5))),     # batch 2: all dups
+    ]
+    for fi, ids in rows:
+        (src / f"f{fi}.jsonl").write_text(
+            "\n".join(
+                json.dumps({"id": i, "ts": f"2024-01-01T00:{fi:02d}:00"})
+                for i in ids
+            )
+            + "\n"
+        )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["id"])
+    )
+    out = tmp_path / "dout"
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    assert got.count() == 15  # each id exactly once
+    assert {r.id for r in got.select("id").collect()} == set(range(15))
