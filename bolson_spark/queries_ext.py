@@ -678,6 +678,71 @@ GROUP BY source
 """
 
 
+def q_orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window aggregation frames: per-customer running spend (ROWS
+    UNBOUNDED PRECEDING..CURRENT) and lag-1 previous price. One shuffle
+    on the partition key; both windows share a single sort."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_totalprice",
+        F.sum(_dec("o_totalprice", 14)).over(frame).cast("double").alias(
+            "running_spend"
+        ),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+O_ORDERS_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend,
+       lag(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+         AS prev_price
+FROM orders
+"""
+
+
+def q_nation_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: per-nation sorted supplier roster
+    (rendered as a joined string so the cross-engine hash compares a
+    scalar, not engine-specific array formatting)."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("sum_acctbal"),
+            F.concat_ws("|", F.sort_array(F.collect_list("s_name"))).alias(
+                "roster"
+            ),
+        )
+    )
+
+
+O_NATION_SUPPLIER_ROSTER = """
+SELECT n_name,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal,
+       array_to_string(list_sort(list(s_name)), '|') AS roster
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "order_priority_check": QuerySpec(
         q_order_priority_check, O_ORDER_PRIORITY_CHECK, ("relational",)
@@ -710,4 +775,10 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     ),
     "simhash_pairs": QuerySpec(q_simhash_pairs, _simhash_pairs_sql(), ("dedup",)),
     "hash_sample": QuerySpec(q_hash_sample, O_HASH_SAMPLE, ("text", "pipeline")),
+    "orders_running_total": QuerySpec(
+        q_orders_running_total, O_ORDERS_RUNNING_TOTAL, ("relational",)
+    ),
+    "nation_supplier_roster": QuerySpec(
+        q_nation_supplier_roster, O_NATION_SUPPLIER_ROSTER, ("relational",)
+    ),
 }
