@@ -1548,7 +1548,8 @@ def _lsh_bucket_sql(col: str, planes: list[list[float]]) -> str:
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN probe (the training-free alternative to
-    IVF): filter to the query's bucket, exact top-k inside it."""
+    IVF): filter to buckets within hamming distance 1 of the query's
+    bucket (multi-probe), exact top-k inside them."""
     from bolson_spark.functions.similarity import ann_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1564,8 +1565,9 @@ WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
        ROUND({_cosine_sql("e.embedding", "q.qv")}, 6) AS cosine
 FROM embeddings e, q
-WHERE {_lsh_bucket_sql("e.embedding", planes)}
-      = {_lsh_bucket_sql("q.qv", planes)}
+WHERE bit_count(xor(
+        CAST({_lsh_bucket_sql("e.embedding", planes)} AS BIGINT),
+        CAST({_lsh_bucket_sql("q.qv", planes)} AS BIGINT))) <= 1
 ORDER BY cosine DESC, vec_id ASC
 LIMIT 10
 """

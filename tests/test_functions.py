@@ -273,3 +273,32 @@ def test_kmeans_refine_separated_clusters(spark):
     assert sizes == {0: 2, 2: 2}
     assert got[(0, 0)] == 1.0 and got[(0, 1)] == 0.0 and got[(0, 2)] == 0.0
     assert got[(2, 0)] == 0.0 and got[(2, 1)] == 1.0 and got[(2, 2)] == 0.0
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    """Approximate-search quality gate: IVF (single-cluster probe) and
+    multi-probe sign-LSH recalls vs exact brute-force top-10, on the
+    deterministic sf0.001 corpus. The corpus is near-orthogonal random
+    vectors — the hardest case for both methods — so the floors are
+    intentionally modest; the point is a regression fence, and that
+    multi-probe beats single-probe."""
+    from bolson_spark.functions.similarity import ann_lsh
+    from bolson_spark.queries import QUERIES, _query_vec
+
+    sf = "/root/testdata/sf0.001"
+    bf = {r[0] for r in QUERIES["knn_bruteforce"].fn(spark, sf).select("vec_id").collect()}
+    ivf = {r[0] for r in QUERIES["ivf_knn"].fn(spark, sf).select("vec_id").collect()}
+    multi = {r[0] for r in QUERIES["ann_lsh"].fn(spark, sf).select("vec_id").collect()}
+    from bolson_spark.session import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    single = {
+        r[0]
+        for r in ann_lsh(
+            emb, _query_vec(spark, sf), k=10, num_planes=6, max_hamming=0
+        ).select("vec_id").collect()
+    }
+    assert len(bf) == 10
+    assert len(bf & ivf) / 10 >= 0.8
+    assert len(bf & multi) >= len(bf & single)  # multi-probe never worse
+    assert len(bf & multi) / 10 >= 0.2

@@ -74,3 +74,43 @@ def test_convert_roundtrip_property(spark, docs, max_rows):
     ser.unpersist()
     got = {r.bolson_seq: list(r.voltage) for r in back}
     assert got == {i: v for i, v in enumerate(docs)}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1, max_size=40,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 999)),
+        min_size=0, max_size=40,
+    ),
+)
+def test_asof_join_matches_naive_reference(spark, left, right):
+    """Differential property test: the one-shuffle union+window as-of
+    join must equal the obvious quadratic definition (max-ts right row
+    per left row, largest tiebreak id among ties) on arbitrary data."""
+    from bolson_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k int, lts int, lid int"
+    )
+    rdf = spark.createDataFrame(right, "k int, rts int, rid int")
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["rid"], tiebreak="rid",
+        ).collect()
+    }
+    expect = {}
+    for lid, (k, t) in enumerate(left):
+        cands = [(rt, rid) for (rk, rt, rid) in right if rk == k and rt <= t]
+        expect[lid] = max(cands)[1] if cands else None
+    assert got == expect
