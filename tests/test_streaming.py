@@ -343,3 +343,67 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     got = spark.read.parquet(str(out))
     assert got.count() == 15  # each id exactly once
     assert {r.id for r in got.select("id").collect()} == set(range(15))
+
+
+def test_stream_convert_over_tcp_socket(spark, tmp_path):
+    """The literal S1 interface: line-framed JSON over a TCP socket
+    (stream.cpp:127-161). A server thread plays the reference's JSON
+    producer; the socket-source query converts until all documents have
+    drained, then stops — received == published, seq contiguous."""
+    import socket
+    import threading
+    import time
+
+    from bolson_spark.sources import read_socket_stream
+
+    rng = random.Random(7)
+    docs = [
+        {"voltage": [rng.randint(0, 2047) for _ in range(rng.randint(1, 16))]}
+        for _ in range(1500)
+    ]
+    payload = ("\n".join(json.dumps(d) for d in docs) + "\n").encode()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop_evt = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(payload)
+        stop_evt.wait(60)  # hold the connection open until test is done
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        raw = read_socket_stream(spark, "127.0.0.1", port)
+        sink = IpcFileSink(str(tmp_path / "sock_topic"))
+        query, metrics = run_stream_convert(
+            raw,
+            BATTERY_SPARK,
+            sink,
+            checkpoint_dir=str(tmp_path / "sock_ckpt"),
+            max_rows=256,
+            available_now=False,
+        )
+        deadline = time.time() + 90
+        while metrics.num_jsons < len(docs) and time.time() < deadline:
+            time.sleep(0.5)
+        query.stop()
+        query.awaitTermination(30)
+    finally:
+        stop_evt.set()
+        srv.close()
+
+    assert metrics.num_jsons == len(docs)  # drain parity over a real socket
+    msgs = sink.read(spark)
+    back = deserialize_ipc(
+        msgs, "voltage array<bigint>, bolson_seq bigint"
+    ).collect()
+    assert sorted(r.bolson_seq for r in back) == list(range(len(docs)))
+    assert sorted(tuple(r.voltage) for r in back) == sorted(
+        tuple(d["voltage"]) for d in docs
+    )
