@@ -743,6 +743,35 @@ GROUP BY n_name
 """
 
 
+def q_segment_sales_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit salting path as a first-class registry query: the
+    orders->customer equi-join runs through salted_join (fact side
+    salted, dim side replicated 8x), then aggregates per market
+    segment. Results are identical to the unsalted join — this entry
+    differentially proves it against the plain-SQL oracle, the same
+    way the scalable seq impl is proven against the exact one."""
+    from bolson_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(orders, cust, on="c_custkey", salt=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice", 14)).cast("double").alias("sum_totalprice"),
+    )
+
+
+O_SEGMENT_SALES_SALTED = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         AS sum_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "order_priority_check": QuerySpec(
         q_order_priority_check, O_ORDER_PRIORITY_CHECK, ("relational",)
@@ -780,5 +809,8 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     ),
     "nation_supplier_roster": QuerySpec(
         q_nation_supplier_roster, O_NATION_SUPPLIER_ROSTER, ("relational",)
+    ),
+    "segment_sales_salted": QuerySpec(
+        q_segment_sales_salted, O_SEGMENT_SALES_SALTED, ("relational", "skew")
     ),
 }
