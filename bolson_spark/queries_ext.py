@@ -772,6 +772,72 @@ GROUP BY c_mktsegment
 """
 
 
+def q_user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the streaming-similarity papers'
+    shape, Spark-first): build each user's daily activity profile
+    (sum of event values per day), then cosine between user 0's
+    profile and every other user over shared days — sparse-vector
+    similarity as an equi-join on the time bucket, never a dense
+    cross product. Top-5 by rounded cosine, id tiebreak. At scale the
+    query profile broadcasts and the profiles table is partitioned by
+    bucket."""
+    ev = _t(spark, sf_dir, "events")
+    profiles = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(_dec("value", 14)).cast("double").alias("v"))
+    q = profiles.where(F.col("user_id") == 0).select(
+        F.col("day").alias("qday"), F.col("v").alias("qv")
+    )
+    norms = profiles.groupBy("user_id").agg(
+        F.sum(F.col("v") * F.col("v")).alias("norm2")
+    )
+    qnorm = norms.where(F.col("user_id") == 0).select(
+        F.col("norm2").alias("qnorm2")
+    )
+    dots = (
+        profiles.where(F.col("user_id") != 0)
+        .join(F.broadcast(q), profiles.day == F.col("qday"))
+        .groupBy("user_id")
+        .agg(F.sum(F.col("v") * F.col("qv")).alias("dot"))
+    )
+    return (
+        dots.join(norms, "user_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "user_id",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("norm2") * F.col("qnorm2")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("user_id"))
+        .limit(5)
+    )
+
+
+O_USER_PROFILE_SIMILARITY = """
+WITH profiles AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS v
+  FROM events GROUP BY user_id, day
+),
+norms AS (
+  SELECT user_id, SUM(v * v) AS norm2 FROM profiles GROUP BY user_id
+),
+dots AS (
+  SELECT p.user_id, SUM(p.v * q.v) AS dot
+  FROM profiles p JOIN profiles q ON p.day = q.day
+  WHERE q.user_id = 0 AND p.user_id != 0
+  GROUP BY p.user_id
+)
+SELECT d.user_id,
+       ROUND(d.dot / sqrt(n.norm2 *
+         (SELECT norm2 FROM norms WHERE user_id = 0)), 6) AS cosine
+FROM dots d JOIN norms n ON d.user_id = n.user_id
+ORDER BY cosine DESC, d.user_id ASC
+LIMIT 5
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "order_priority_check": QuerySpec(
         q_order_priority_check, O_ORDER_PRIORITY_CHECK, ("relational",)
@@ -812,5 +878,8 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     ),
     "segment_sales_salted": QuerySpec(
         q_segment_sales_salted, O_SEGMENT_SALES_SALTED, ("relational", "skew")
+    ),
+    "user_profile_similarity": QuerySpec(
+        q_user_profile_similarity, O_USER_PROFILE_SIMILARITY, ("similarity",)
     ),
 }
