@@ -838,6 +838,41 @@ LIMIT 5
 """
 
 
+def q_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window: global order-value quartiles with per-quartile
+    stats. The total order (price, orderkey tiebreak) makes tile
+    assignment deterministic across engines. NOTE an unpartitioned
+    ntile is a single-reducer sort (like exact seq numbering); the
+    100 TB formulation replaces it with approx-percentile cut points
+    broadcast as bucket thresholds — kept exact here because quartile
+    membership of tie values is position-based and must match the
+    oracle bit-for-bit."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    tiled = orders.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+    return tiled.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.sum(_dec("o_totalprice", 14)).cast("double").alias("sum_price"),
+    )
+
+
+O_ORDER_VALUE_QUARTILES = """
+SELECT quartile, COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+FROM (
+  SELECT o_totalprice,
+         CAST(ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+              AS INT) AS quartile
+  FROM orders
+)
+GROUP BY quartile
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "order_priority_check": QuerySpec(
         q_order_priority_check, O_ORDER_PRIORITY_CHECK, ("relational",)
@@ -881,5 +916,8 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     ),
     "user_profile_similarity": QuerySpec(
         q_user_profile_similarity, O_USER_PROFILE_SIMILARITY, ("similarity",)
+    ),
+    "order_value_quartiles": QuerySpec(
+        q_order_value_quartiles, O_ORDER_VALUE_QUARTILES, ("relational",)
     ),
 }
