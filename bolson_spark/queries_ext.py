@@ -873,6 +873,61 @@ GROUP BY quartile
 """
 
 
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: potential revenue increase — single-row
+    filter-aggregate with all three predicates pushed to the scan;
+    the canonical whole-stage-codegen scan+agg."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.02, 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount", 4))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+O_REVENUE_FORECAST = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    including zero-order customers (left join, count of non-null
+    keys), then a second aggregate over the counts — two shuffles,
+    the second over at most max(order-count) distinct keys."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+O_CUSTOMER_ORDER_HISTOGRAM = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "order_priority_check": QuerySpec(
         q_order_priority_check, O_ORDER_PRIORITY_CHECK, ("relational",)
@@ -919,5 +974,11 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     ),
     "order_value_quartiles": QuerySpec(
         q_order_value_quartiles, O_ORDER_VALUE_QUARTILES, ("relational",)
+    ),
+    "revenue_forecast": QuerySpec(
+        q_revenue_forecast, O_REVENUE_FORECAST, ("relational",)
+    ),
+    "customer_order_histogram": QuerySpec(
+        q_customer_order_histogram, O_CUSTOMER_ORDER_HISTOGRAM, ("relational",)
     ),
 }
