@@ -101,12 +101,14 @@ def run_stream_convert(
         received_ts = _time.time()
         batch_df = batch_df.cache()
         try:
-            n = batch_df.count()
+            # one job for both micro-batch stats (count + input bytes)
+            sizes = batch_df.select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.octet_length(json_col)).alias("b"),
+            ).first()
+            n, jb = sizes["n"], sizes["b"]
             if n == 0:
                 return
-            jb = batch_df.select(
-                F.sum(F.octet_length(json_col)).alias("b")
-            ).first()["b"]
             # arrival order inside the micro-batch: the source's own
             # row order per partition; a single-partition source (socket)
             # gives the reference's total order. We materialize it with a
@@ -114,9 +116,23 @@ def run_stream_convert(
             parsed = parse_json(batch_df, schema, json_col, strict=strict)
             with_order = parsed.withColumn("_arrival", F.monotonically_increasing_id())
             seqd = add_seq(with_order, "_arrival", start=state["base"]).drop("_arrival")
-            ordered = seqd.select(*out_fields).repartitionByRange(
-                max(1, n // (max_rows * 4) or 1), F.col("bolson_seq")
-            ).sortWithinPartitions("bolson_seq")
+            # Distribute contiguous seq blocks arithmetically: block =
+            # floor((seq-base)/block_rows) with block_rows a multiple of
+            # max_rows, so every serialized slice stays inside one block
+            # (contiguous seq range preserved). Unlike repartitionByRange
+            # this needs NO per-batch range-sampling job — the boundaries
+            # are known because seqs are [base, base+n).
+            block_rows = max_rows * 4
+            n_parts = max(1, n // block_rows)
+            block = F.floor(
+                (F.col("bolson_seq") - F.lit(state["base"])) / block_rows
+            )
+            ordered = (
+                seqd.select(*out_fields, block.alias("_block"))
+                .repartition(n_parts, F.col("_block"))
+                .sortWithinPartitions("bolson_seq")
+                .drop("_block")
+            )
             ser = serialize_ipc(
                 ordered, max_rows=max_rows, max_ipc_size=max_ipc_size
             ).cache()
