@@ -1807,3 +1807,9 @@ QUERIES: dict[str, QuerySpec] = {
 from bolson_spark.queries_ext import EXT_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
+
+# Extension batch 3 (remaining TPC-H shapes Q2/Q7/Q9/Q11/Q12/Q20/Q21 —
+# completes all 22 TPC-H patterns).
+from bolson_spark.queries_tpch import TPCH_QUERIES  # noqa: E402
+
+QUERIES.update(TPCH_QUERIES)
