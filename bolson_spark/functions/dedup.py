@@ -43,6 +43,18 @@ DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 2  # rows-per-band = num_hashes / bands = 8
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the cluster's parallelism ahead of a CPU-heavy
+    narrow map. File-split parallelism tracks *bytes*, but hashing
+    every token of every document costs CPU per row — a handful of
+    small input splits would serialize the whole stage. One cheap
+    round-robin exchange decouples map parallelism from file layout;
+    at scale the same rule applies whenever splits << cores.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by normalized-text digest.
 
@@ -60,22 +72,65 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _minhash_one(tok: Column, seed: int) -> Column:
-    """One MinHash 'permutation': lexicographic min over tokens of
-    md5(seed || token). Hex-string min is a total order identical in
-    every engine."""
-    return F.array_min(F.transform(tok, lambda w: F.md5(F.concat(F.lit(f"s{seed}:"), w))))
-
-
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    """doc_id + minhash signature columns mh0..mh{k-1} (narrow map)."""
+    """doc_id + minhash signature columns mh0..mh{k-1} (narrow map).
+
+    Carter-Wegman family over a single md5 per distinct token: md5's
+    first/second 4 bytes become 32-bit (hi, lo); permutation i is
+    min over tokens of (hi + i*lo) mod 2^32. ONE cryptographic hash
+    per token (not one per token per permutation — 16× less hashing),
+    the rest is integer arithmetic inside whole-stage codegen; the
+    identical formula runs in the DuckDB oracle via
+    CAST('0x'||substr(md5(w),..) AS BIGINT). No Python anywhere.
+    """
     tok = F.array_distinct(tokens(F.col(text_col)))
-    cols = [_minhash_one(tok, i).alias(f"mh{i}") for i in range(num_hashes)]
-    return df.select("doc_id", *cols)
+    md5s = F.transform(tok, lambda w: F.md5(w))
+    halves = F.transform(
+        md5s,
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("hi"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("lo"),
+        ),
+    )
+    base = df.select("doc_id", halves.alias("_halves"))
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("_halves"),
+                lambda h: (h["hi"] + F.lit(i) * h["lo"]) % F.lit(1 << 32),
+            )
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return base.select("doc_id", *cols)
+
+
+def band_keys_from_signature(
+    sig: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(doc_id, band, band_key) rows from a minhash signature frame:
+    band b's key = md5('|'.join(mh[b*r .. b*r+r-1])). Narrow map +
+    posexplode — the bucket join key for LSH candidate generation."""
+    r = num_hashes // bands
+    keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * r + k}").cast("string") for k in range(r)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.posexplode(keys).alias("band", "band_key")
+    )
 
 
 def band_keys_vectorized(
@@ -83,15 +138,11 @@ def band_keys_vectorized(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
 ) -> Column:
-    """Arrow-batched pandas_udf producing the LSH band keys directly:
-    array of `bands` strings, band b = md5('|'.join(mh[b*r : b*r+r]))
-    with mh_i = min over distinct tokens of md5('s{i}:' || token) hex.
-
-    Byte-identical to the declarative minhash_signature → band_structs
-    path (tested equal); the per-token × per-seed md5 fan-out is the
-    hot loop, and C hashlib beats interpreted higher-order expressions
-    ~5×. Still a narrow map — no shuffle, linear scale-out.
-    """
+    """Arrow-batched pandas_udf computing the SAME band keys as the
+    declarative minhash_signature → band_keys_from_signature path
+    (tested equal) — kept as the engine's second physical
+    implementation of the minhash operator, mirroring the reference's
+    CPU-vs-FPGA dual execution of one logical parse op."""
     import hashlib
 
     rows_per_band = num_hashes // bands
@@ -100,19 +151,28 @@ def band_keys_vectorized(
     def _keys(texts: pd.Series) -> pd.Series:
         out = []
         for text in texts:
-            toks = set(text.split(" "))
-            mh = [
-                min(
-                    hashlib.md5(f"s{i}:{w}".encode("utf-8")).hexdigest()
-                    for w in toks
+            toks = list(dict.fromkeys(text.split(" ")))
+            hs = [
+                (
+                    int.from_bytes(d[:4], "big"),
+                    int.from_bytes(d[4:8], "big"),
                 )
+                for d in (
+                    hashlib.md5(w.encode("utf-8")).digest() for w in toks
+                )
+            ]
+            mh = [
+                min((hi + i * lo) % (1 << 32) for hi, lo in hs)
                 for i in range(num_hashes)
             ]
             out.append(
                 [
                     hashlib.md5(
                         "|".join(
-                            mh[b * rows_per_band : (b + 1) * rows_per_band]
+                            str(v)
+                            for v in mh[
+                                b * rows_per_band : (b + 1) * rows_per_band
+                            ]
                         ).encode("utf-8")
                     ).hexdigest()
                     for b in range(bands)
@@ -141,17 +201,12 @@ def minhash_lsh_pairs(
     precomputed set sizes (half the per-pair array work of an
     explicit array_union).
     """
-    # Band keys computed ONCE per doc in a vectorized narrow map, then
+    # Band keys computed ONCE per doc in a JVM-side narrow map (one
+    # md5 per token + codegen arithmetic — see minhash_signature), then
     # posexploded to (band, band_key) rows for the bucket self-join.
-    band_rows = (
-        df.select(
-            "doc_id",
-            F.posexplode(
-                band_keys_vectorized(F.col(text_col), num_hashes, bands)
-            ).alias("band", "band_key"),
-        )
-        .cache()
-    )
+    band_rows = band_keys_from_signature(
+        minhash_signature(_spread(df), text_col, num_hashes), num_hashes, bands
+    ).cache()
 
     cands = (
         band_rows.alias("l")
@@ -168,7 +223,7 @@ def minhash_lsh_pairs(
     # several× cheaper than string-array intersects at any scale
     # (8-byte fixed-width comparisons, no UTF-8 walks). xxhash64
     # collisions are ~V²/2⁶⁵ for vocabulary V — immaterial.
-    toksets = df.select(
+    toksets = _spread(df).select(
         "doc_id",
         F.array_distinct(
             F.transform(tokens(F.col(text_col)), lambda w: F.xxhash64(w))
@@ -230,7 +285,7 @@ def ngram_jaccard_pairs(
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     sh = (
-        df.select("doc_id", tokens(F.col(text_col)).alias("_tok"))
+        _spread(df).select("doc_id", tokens(F.col(text_col)).alias("_tok"))
         .select("doc_id", shingles.alias("sh"))
         .where(F.size("sh") > 0)
         .cache()
@@ -321,23 +376,31 @@ def connected_components(
                 "_changed"
             ),
         )
-        # Pointer jumping (path compression): label <- label's label.
-        # Each round then doubles the propagation distance, so chains
-        # converge in O(log diameter) rounds instead of O(diameter).
-        parent = updated.select(
-            F.col("node").alias("pnode"), F.col("label").alias("plabel")
-        )
-        compressed = (
-            updated.join(parent, updated.label == parent.pnode, "left")
-            .select(
+        # Pointer jumping (path compression): label <- label's label,
+        # applied THREE times lazily inside this round's single plan.
+        # Each jump doubles the compression distance (8x per round),
+        # so chain-shaped components converge in ~log2(diameter)/3
+        # rounds; the extra self-joins are on the (small) label frame
+        # and cost far less than extra driver round-trips.
+        compressed = updated
+        for _ in range(3):
+            parent = compressed.select(
+                F.col("node").alias("pnode"), F.col("label").alias("plabel")
+            )
+            compressed = compressed.join(
+                parent, compressed.label == parent.pnode, "left"
+            ).select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("plabel", F.col("label"))
                 ).alias("label"),
                 "_changed",
             )
-            .localCheckpoint()
-        )
+        # Lazy checkpoint: the convergence count below is the action
+        # that materializes it, so each round runs ONE job (an eager
+        # checkpoint would run the plan once for the checkpoint and
+        # schedule a second job for the count).
+        compressed = compressed.localCheckpoint(eager=False)
         n_changed = compressed.where(F.col("_changed")).count()
         labels = compressed.drop("_changed")
         if n_changed == 0:

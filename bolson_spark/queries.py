@@ -937,25 +937,40 @@ FROM documents GROUP BY 1
 def _minhash_sql(
     num_hashes: int = 16, bands: int = 2, threshold: float = 0.9
 ) -> str:
-    """DuckDB oracle mirroring minhash_lsh_pairs (same md5 family)."""
+    """DuckDB oracle mirroring minhash_lsh_pairs (same Carter-Wegman
+    family: one md5 per token, permutation i = min (hi + i*lo) mod
+    2^32 over 32-bit halves of the digest)."""
     rows = num_hashes // bands
     mh = ",\n         ".join(
-        "list_min(list_transform(toks, w -> md5('s%d:' || w))) AS mh%d" % (i, i)
+        "list_min(list_transform(hs, h -> (h.hi + %d * h.lo) %% 4294967296))"
+        " AS mh%d" % (i, i)
         for i in range(num_hashes)
     )
     band_rows = "\n  UNION ALL\n".join(
         "  SELECT doc_id, %d AS band, md5(%s) AS band_key FROM sigs"
-        % (b, " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)))
+        % (
+            b,
+            " || '|' || ".join(
+                f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
         for b in range(bands)
     )
     return f"""
 WITH toksets AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
 ),
+halved AS (
+  SELECT doc_id, toks,
+         list_transform(toks, w -> struct_pack(
+           hi := CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT),
+           lo := CAST(('0x' || substr(md5(w), 9, 8)) AS BIGINT))) AS hs
+  FROM toksets
+),
 sigs AS (
   SELECT doc_id,
          {mh}
-  FROM toksets
+  FROM halved
 ),
 bands AS (
 {band_rows}
@@ -1427,7 +1442,9 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style min-shingle-hash fingerprint per document."""
     from bolson_spark.functions.text import rolling_fingerprint
 
-    docs = _t(spark, sf_dir, "documents")
+    from bolson_spark.functions.dedup import _spread
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", rolling_fingerprint(F.col("text"), 4).alias("rolling_fp")
     )
@@ -1475,9 +1492,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry uses the Arrow-batched vectorized execution; the
     pure-SQL-expression simhash64 is the equivalent declarative
     formulation, tested equal (tests/test_functions.py)."""
-    from bolson_spark.functions.dedup import simhash64_vectorized
+    from bolson_spark.functions.dedup import _spread, simhash64_vectorized
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", simhash64_vectorized(F.col("text")).alias("simhash")
     )

@@ -580,11 +580,6 @@ WHERE doc_id = rep AND quality >= 0.5 AND n_tokens >= 10
 """
 
 
-def _nibble(col: str, i: str | int) -> str:
-    """Spark-SQL expr: value of hex digit `i` (1-based) of `col`."""
-    return f"(locate(substr({col}, {i}, 1), '0123456789abcdef') - 1)"
-
-
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming distance <= 3 via 4x16-bit
     band self-join. With 4 bands, any pair within hamming 3 shares at
@@ -592,17 +587,28 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY the same pairs as the O(n^2) scan the oracle runs — but
     its join key is the band value: candidate generation is an
     equi-join that touches only colliding docs, the 100 TB shape."""
-    from bolson_spark.functions.dedup import simhash64_vectorized
+    from bolson_spark.functions.dedup import _spread, simhash64_vectorized
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     sigs = docs.select(
         "doc_id", simhash64_vectorized(F.col("text")).alias("simhash")
     )
-    bands = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
-    ).withColumn("band_key", F.expr("substr(simhash, band * 4 + 1, 4)"))
+    # The 64-bit hex simhash is split into two bigint halves ONCE per
+    # row before the self-join; per-pair hamming is then two xor +
+    # bit_count ops in codegen instead of an interpreted 16-nibble
+    # fold over hex chars (the per-candidate cost is what explodes on
+    # corpora with large duplicate groups).
+    bands = (
+        sigs.select(
+            "doc_id",
+            "simhash",
+            F.conv(F.substring("simhash", 1, 8), 16, 10).cast("bigint").alias("hi"),
+            F.conv(F.substring("simhash", 9, 8), 16, 10).cast("bigint").alias("lo"),
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+        )
+        .withColumn("band_key", F.expr("substr(simhash, band * 4 + 1, 4)"))
+        .drop("simhash")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -614,15 +620,16 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.hi").alias("hi_a"),
+            F.col("a.lo").alias("lo_a"),
+            F.col("b.hi").alias("hi_b"),
+            F.col("b.lo").alias("lo_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = F.expr(
-        "aggregate(sequence(1, 16), 0, (acc, i) -> acc + bit_count("
-        f"CAST({_nibble('sh_a', 'i')} AS LONG) ^ "
-        f"CAST({_nibble('sh_b', 'i')} AS LONG)))"
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
     ).cast("int")
     return (
         cand.withColumn("hamming", hamming)

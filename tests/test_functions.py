@@ -180,8 +180,13 @@ def test_embedding_cosine_pairs_blocked(spark):
 
 
 def test_band_keys_vectorized_equals_declarative(spark):
-    """Vectorized band keys == md5-of-joined declarative signature."""
-    from bolson_spark.functions.dedup import band_keys_vectorized, minhash_signature
+    """Vectorized (pandas UDF) band keys == declarative JVM path —
+    the dual physical execution of one logical minhash operator."""
+    from bolson_spark.functions.dedup import (
+        band_keys_from_signature,
+        band_keys_vectorized,
+        minhash_signature,
+    )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     vec = {
@@ -191,13 +196,10 @@ def test_band_keys_vectorized_equals_declarative(spark):
         ).collect()
         for b, k in enumerate(r.keys)
     }
-    sigs = minhash_signature(docs)
-    decl = set()
-    for r in sigs.collect():
-        mh = [r[f"mh{i}"] for i in range(16)]
-        import hashlib
-        for b in range(2):
-            decl.add((r.doc_id, b, hashlib.md5("|".join(mh[b*8:(b+1)*8]).encode()).hexdigest()))
+    decl = {
+        (r.doc_id, r.band, r.band_key)
+        for r in band_keys_from_signature(minhash_signature(docs)).collect()
+    }
     assert vec == decl
 
 
