@@ -377,25 +377,23 @@ def connected_components(
             ),
         )
         # Pointer jumping (path compression): label <- label's label,
-        # applied THREE times lazily inside this round's single plan.
-        # Each jump doubles the compression distance (8x per round),
-        # so chain-shaped components converge in ~log2(diameter)/3
-        # rounds; the extra self-joins are on the (small) label frame
-        # and cost far less than extra driver round-trips.
-        compressed = updated
-        for _ in range(3):
-            parent = compressed.select(
-                F.col("node").alias("pnode"), F.col("label").alias("plabel")
-            )
-            compressed = compressed.join(
-                parent, compressed.label == parent.pnode, "left"
-            ).select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("plabel", F.col("label"))
-                ).alias("label"),
-                "_changed",
-            )
+        # ONCE per round. Each jump is a self-join that doubles the
+        # round's uncheckpointed plan (no exchange reuse — the two
+        # sides hash on different keys), so stacking k jumps costs 2^k
+        # executions of the round's base plan; one jump still doubles
+        # the propagation distance per round → O(log diameter) rounds.
+        parent = updated.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        compressed = updated.join(
+            parent, updated.label == parent.pnode, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("plabel", F.col("label"))
+            ).alias("label"),
+            "_changed",
+        )
         # Lazy checkpoint: the convergence count below is the action
         # that materializes it, so each round runs ONE job (an eager
         # checkpoint would run the plan once for the checkpoint and
