@@ -1,8 +1,14 @@
 """Local differential harness — mirrors the driver's t2 correctness
 gate: run each registry query on Spark AND its DuckDB oracle over the
-same parquet tables, compare row count, column names, and values
-(order-insensitive). Running this locally at sf0.001/sf0.01 before
-every commit is what keeps CORRECTNESS_r{N}.json green.
+same parquet tables, compare row count, column names, dtype kinds, and
+values (order-insensitive). Both sides are fetched THROUGH PANDAS on
+purpose: the driver canonicalizes results via pandas before hashing, so
+e.g. a DuckDB ``SUM(BIGINT)`` returning HUGEINT silently becomes
+float64 there ("123.0" != "123" in the hash) even though the raw SQL
+values are identical. Fetching via ``fetchall()`` hid exactly that bug
+class in round 1 (convert_pipeline / events_monthly / quality_by_source
+hash-fails). Running this locally at sf0.001/sf0.01 before every commit
+is what keeps CORRECTNESS_r{N}.json green.
 """
 
 from __future__ import annotations
@@ -11,6 +17,8 @@ import math
 from dataclasses import dataclass
 
 import duckdb
+import numpy as np
+import pandas as pd
 from pyspark.sql import SparkSession
 
 from bolson_spark.queries import QUERIES
@@ -36,6 +44,11 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    # numpy scalar -> python scalar first, so int64/float64 normalize
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None or v is pd.NaT:
+        return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -43,14 +56,33 @@ def _norm_cell(v):
         return repr(v)
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (pd.Timestamp,)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(str(_norm_cell(x)) for x in v) + "]"
+    # pandas represents SQL NULL in object columns as float nan too
+    if v != v:  # noqa: PLR0124 — NaN check for odd types
+        return "NaN"
     return str(v)
 
 
-def _norm_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+def _dtype_kind(dt) -> str:
+    """Collapse dtypes to comparison classes: ints (i/u), floats (f),
+    datetimes (M, any unit), booleans (b), everything else object (O).
+    int64-vs-float64 is the mismatch class that breaks the driver hash."""
+    k = getattr(dt, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    return {"f": "float", "M": "datetime", "b": "bool"}.get(k, "object")
+
+
+def _norm_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_norm_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
 
 
 def compare_query(
@@ -58,36 +90,47 @@ def compare_query(
 ) -> CompareResult:
     spec = QUERIES[name]
     sdf = spec.fn(spark, sf_dir)
-    s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.collect()]
+    s_pdf = sdf.toPandas()
     if spec.oracle is None:
         return CompareResult(
-            name, True, f"rows-only ({len(s_rows)} rows)", len(s_rows), -1
+            name, True, f"rows-only ({len(s_pdf)} rows)", len(s_pdf), -1
         )
-    res = con.execute(spec.oracle)
-    o_cols = [d[0] for d in res.description]
-    o_rows = res.fetchall()
-    if sorted(s_cols) != sorted(o_cols):
+    o_pdf = con.execute(spec.oracle).df()
+    if sorted(s_pdf.columns) != sorted(o_pdf.columns):
         return CompareResult(
             name,
             False,
-            f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}",
-            len(s_rows),
-            len(o_rows),
+            "column mismatch: spark=%s oracle=%s"
+            % (sorted(s_pdf.columns), sorted(o_pdf.columns)),
+            len(s_pdf),
+            len(o_pdf),
         )
-    if len(s_rows) != len(o_rows):
+    if len(s_pdf) != len(o_pdf):
         return CompareResult(
-            name, False, "row count mismatch", len(s_rows), len(o_rows)
+            name, False, "row count mismatch", len(s_pdf), len(o_pdf)
         )
-    sn = _norm_rows(s_cols, s_rows)
-    on = _norm_rows(o_cols, o_rows)
+    kind_mism = [
+        (c, _dtype_kind(s_pdf[c].dtype), _dtype_kind(o_pdf[c].dtype))
+        for c in s_pdf.columns
+        if _dtype_kind(s_pdf[c].dtype) != _dtype_kind(o_pdf[c].dtype)
+    ]
+    if kind_mism:
+        return CompareResult(
+            name,
+            False,
+            f"dtype-kind mismatch (driver hash would differ): {kind_mism}",
+            len(s_pdf),
+            len(o_pdf),
+        )
+    sn = _norm_rows(s_pdf)
+    on = _norm_rows(o_pdf)
     if sn != on:
         diff = next(
             (i for i, (a, b) in enumerate(zip(sn, on)) if a != b), None
         )
         detail = f"value mismatch at sorted row {diff}: spark={sn[diff]} oracle={on[diff]}"
-        return CompareResult(name, False, detail, len(s_rows), len(o_rows))
-    return CompareResult(name, True, "match", len(s_rows), len(o_rows))
+        return CompareResult(name, False, detail, len(s_pdf), len(o_pdf))
+    return CompareResult(name, True, "match", len(s_pdf), len(o_pdf))
 
 
 def compare_all(

@@ -179,8 +179,8 @@ SELECT CAST(floor(bolson_seq / 1024) AS BIGINT) AS batch_id,
        COUNT(*) AS rows,
        MIN(bolson_seq) AS seq_first,
        MAX(bolson_seq) AS seq_last,
-       SUM(k) AS sum_k,
-       SUM(nbytes) AS json_bytes
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(SUM(nbytes) AS BIGINT) AS json_bytes
 FROM parsed GROUP BY 1
 """
 
@@ -591,7 +591,7 @@ O_EVENTS_MONTHLY = """
 SELECT strftime(ts, '%Y-%m') AS month, event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
-       SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_large
+       CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
 FROM events GROUP BY month, event_type
 """
 
@@ -912,7 +912,7 @@ SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(CAST(ROUND((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
                             + CAST(n_stop AS DOUBLE) / n_tokens) / 2.0, 6)
                      AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*) AS avg_quality,
-       SUM(CAST(n_tokens AS BIGINT)) AS total_tokens
+       CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
 FROM t GROUP BY source
 """
 
