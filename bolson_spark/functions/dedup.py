@@ -292,10 +292,18 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("sh").alias("shingle")).cache()
-    rare = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count")).where(
-        F.col("df_count") <= max_df
+    # Skew guard: drop shingles whose document frequency exceeds
+    # max_df. Broadcast the FREQUENT set (tiny by construction — stop
+    # phrases) and anti-join, never the kept/rare set, which is nearly
+    # the whole vocabulary and would be an unbounded broadcast at scale.
+    frequent = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .where(F.col("df_count") > max_df)
     )
-    inv = inv.join(F.broadcast(rare.select("shingle")), "shingle")
+    inv = inv.join(
+        F.broadcast(frequent.select("shingle")), "shingle", "left_anti"
+    )
     inter = (
         inv.alias("l")
         .join(inv.alias("r"), "shingle")

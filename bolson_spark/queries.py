@@ -50,7 +50,7 @@ from bolson_spark.functions.text import (
 )
 from bolson_spark.operators.parse import parse_json, validate_no_unexpected_fields
 from bolson_spark.operators.rebatch import add_batch_id, batch_stats
-from bolson_spark.operators.seq import add_seq
+from bolson_spark.operators.seq import add_seq, add_seq_scalable
 from bolson_spark.operators.serialize import deserialize_ipc, serialize_ipc
 from bolson_spark.schemas import EVENT_PROPS_SPARK
 from bolson_spark.session import load_table
@@ -148,12 +148,17 @@ FROM seq GROUP BY 1
 
 def q_convert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: parse -> seq -> rebatch -> per-batch aggregates
-    (converter thread loop, convert/converter.cpp:96-171)."""
+    (converter thread loop, convert/converter.cpp:96-171).
+
+    Uses the scalable partition-offset seq path (no global single-
+    reducer sort); ``convert_pipeline_exact`` is the exact-window
+    parity twin, mirroring the reference's CPU-vs-FPGA dual execution.
+    """
     ev = _t(spark, sf_dir, "events")
     parsed = parse_json(
         ev, EVENT_PROPS_SPARK, "props", strict=True, keep=["event_id", "props"]
     )
-    seqd = add_seq(parsed, "event_id")
+    seqd = add_seq_scalable(parsed, "event_id")
     return (
         add_batch_id(seqd)
         .groupBy("batch_id")
@@ -183,6 +188,30 @@ SELECT CAST(floor(bolson_seq / 1024) AS BIGINT) AS batch_id,
        CAST(SUM(nbytes) AS BIGINT) AS json_bytes
 FROM parsed GROUP BY 1
 """
+
+
+def q_convert_pipeline_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-window parity twin of the flagship: same pipeline through
+    ``add_seq`` (global row_number — the reference's single-TCP-stream
+    semantics, stream.cpp:70). Differential vs the scalable flagship is
+    the CPU-vs-FPGA dual-execution pattern (test_opae_battery.cpp:73-88).
+    """
+    ev = _t(spark, sf_dir, "events")
+    parsed = parse_json(
+        ev, EVENT_PROPS_SPARK, "props", strict=True, keep=["event_id", "props"]
+    )
+    seqd = add_seq(parsed, "event_id")
+    return (
+        add_batch_id(seqd)
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("bolson_seq").alias("seq_first"),
+            F.max("bolson_seq").alias("seq_last"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.octet_length("props").cast("bigint")).alias("json_bytes"),
+        )
+    )
 
 
 def q_convert_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1710,6 +1739,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "convert_rebatch": QuerySpec(q_convert_rebatch, O_CONVERT_REBATCH, ("core",)),
     "convert_pipeline": QuerySpec(q_convert_pipeline, O_CONVERT_PIPELINE, ("core",)),
+    "convert_pipeline_exact": QuerySpec(
+        q_convert_pipeline_exact, O_CONVERT_PIPELINE, ("core",)
+    ),
     "convert_ipc_roundtrip": QuerySpec(
         q_convert_ipc_roundtrip, O_CONVERT_IPC_ROUNDTRIP, ("core",)
     ),

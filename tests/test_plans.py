@@ -184,3 +184,22 @@ def test_clean_corpus_is_jvm_only(spark):
     plan = formatted_plan(QUERIES["clean_corpus"].fn(spark, SF))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_ngram_skew_guard_is_anti_join_on_frequent(spark):
+    """The shingle document-frequency guard must broadcast the tiny
+    FREQUENT set and left-anti join — broadcasting the kept (rare)
+    vocabulary would be an unbounded broadcast at 100 TB."""
+    plan = formatted_plan(QUERIES["dedup_ngram"].fn(spark, SF))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_flagship_has_no_single_partition_exchange(spark):
+    """convert_pipeline (= entry()) ships the scalable partition-offset
+    seq path: no global single-reducer sort anywhere in the plan."""
+    plan = formatted_plan(QUERIES["convert_pipeline"].fn(spark, SF))
+    assert "SinglePartition" not in plan
+    # the exact parity twin deliberately keeps the global window
+    plan_exact = formatted_plan(QUERIES["convert_pipeline_exact"].fn(spark, SF))
+    assert "SinglePartition" in plan_exact
