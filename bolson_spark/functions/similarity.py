@@ -181,6 +181,186 @@ def blocked_nearest_neighbor_gemm(
     return df.groupBy(block_col).applyInPandas(per_block, out_schema)
 
 
+def _with_tiles(
+    df: DataFrame, block_col: str, id_col: str, max_block: int
+) -> DataFrame:
+    """Replicate rows into bounded chunk-pair tiles within each block.
+
+    Rows are hash-assigned to ``ceil(|block| / max_block)`` chunks; a
+    tile is a chunk pair (ca <= cb) and every row lands in each tile it
+    participates in — as the left operand of tiles (my_chunk, cb>=my_chunk)
+    and the right operand of tiles (ca<my_chunk, my_chunk). A downstream
+    ``groupBy(block, _ca, _cb)`` then sees at most 2*max_block vectors
+    per task regardless of block size: this is the oversized-IVF-cell
+    splitting that makes per-block GEMM safe at 100 TB (an unsplit
+    groupBy(block).applyInPandas materializes the whole cell in one
+    task). Replication factor is nchunks ≈ |block|/max_block.
+    """
+    # One row per block — with IVF-cell blocking the block count is an
+    # index parameter (e.g. 2^13 cells), so the size table broadcasts.
+    sizes = df.groupBy(block_col).agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(max_block)).cast("int").alias("_nchunks")
+    )
+    ch = df.join(F.broadcast(sizes), block_col).withColumn(
+        "_chunk", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nchunks")).cast("int")
+    )
+    left = ch.select(
+        "*",
+        F.col("_chunk").alias("_ca"),
+        F.explode(
+            F.sequence(F.col("_chunk"), F.col("_nchunks") - 1)
+        ).alias("_cb"),
+        F.lit(1).alias("_side"),
+    )
+    right = ch.where(F.col("_chunk") > 0).select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.col("_chunk") - 1)).alias("_ca"),
+        F.col("_chunk").alias("_cb"),
+        F.lit(0).alias("_side"),
+    )
+    return left.unionByName(right).drop("_chunk", "_nchunks")
+
+
+def blocked_nearest_neighbor_gemm_tiled(
+    df: DataFrame,
+    max_block: int,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Memory-bounded twin of :func:`blocked_nearest_neighbor_gemm`:
+    identical output, but each task holds <= 2*max_block vectors (tiled
+    GEMM over chunk pairs + a final map-side-combinable argmax)."""
+    import numpy as np
+    import pandas as pd
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    block_t = df.schema[block_col].dataType.simpleString()
+    cand_schema = (
+        f"vec_id {id_t}, block {block_t}, nn_id {id_t}, cosine double"
+    )
+
+    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {"vec_id": [], "block": [], "nn_id": [], "cosine": []}
+        diag = pdf["_ca"].iat[0] == pdf["_cb"].iat[0]
+        lhs = pdf[pdf["_side"] == 1].sort_values(id_col).reset_index(drop=True)
+        rhs = (
+            lhs
+            if diag
+            else pdf[pdf["_side"] == 0].sort_values(id_col).reset_index(drop=True)
+        )
+        if len(lhs) == 0 or len(rhs) == 0 or (diag and len(lhs) < 2):
+            return pd.DataFrame(out)
+        ml = np.stack(lhs[vec_col].to_numpy()).astype(np.float64)
+        mr = np.stack(rhs[vec_col].to_numpy()).astype(np.float64)
+        nl = np.sqrt((ml * ml).sum(axis=1))
+        nr = np.sqrt((mr * mr).sum(axis=1))
+        sims = np.round((ml @ mr.T) / np.outer(nl, nr), 6)
+        if diag:
+            np.fill_diagonal(sims, -np.inf)
+        lid = lhs[id_col].to_numpy()
+        rid = rhs[id_col].to_numpy()
+        blocks = lhs[block_col].to_numpy()
+        # best candidate per left row (first max -> lowest id tiebreak)
+        bl = sims.argmax(axis=1)
+        out["vec_id"].extend(lid)
+        out["block"].extend(blocks)
+        out["nn_id"].extend(rid[bl])
+        out["cosine"].extend(sims[np.arange(len(lid)), bl])
+        if not diag:
+            br = sims.argmax(axis=0)
+            out["vec_id"].extend(rid)
+            out["block"].extend(rhs[block_col].to_numpy())
+            out["nn_id"].extend(lid[br])
+            out["cosine"].extend(sims[br, np.arange(len(rid))])
+        return pd.DataFrame(out)
+
+    cands = _with_tiles(df, block_col, id_col, max_block).groupBy(
+        block_col, "_ca", "_cb"
+    ).applyInPandas(per_tile, cand_schema)
+    best = F.max_by(
+        F.struct(F.col("nn_id"), F.col("cosine")),
+        F.struct(F.col("cosine"), (-F.col("nn_id")).alias("neg_id")),
+    ).alias("nn")
+    return (
+        cands.groupBy("vec_id", "block")
+        .agg(best)
+        .select(
+            "vec_id",
+            "block",
+            F.col("nn.nn_id").alias("nn_id"),
+            F.col("nn.cosine").alias("cosine"),
+        )
+    )
+
+
+def embedding_cosine_pairs_tiled(
+    df: DataFrame,
+    max_block: int,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Memory-bounded twin of :func:`embedding_cosine_pairs`: identical
+    pair set, each task bounded at 2*max_block vectors. Every unordered
+    same-block pair appears in exactly one tile (its chunk pair), so no
+    dedup pass is needed."""
+    import numpy as np
+    import pandas as pd
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    block_t = df.schema[block_col].dataType.simpleString()
+    out_schema = (
+        f"vec_a {id_t}, vec_b {id_t}, block {block_t}, cosine double"
+    )
+
+    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_a": [], "vec_b": [], "block": [], "cosine": []}
+        )
+        diag = pdf["_ca"].iat[0] == pdf["_cb"].iat[0]
+        lhs = pdf[pdf["_side"] == 1].sort_values(id_col).reset_index(drop=True)
+        rhs = (
+            lhs
+            if diag
+            else pdf[pdf["_side"] == 0].sort_values(id_col).reset_index(drop=True)
+        )
+        if len(lhs) == 0 or len(rhs) == 0 or (diag and len(lhs) < 2):
+            return empty
+        ml = np.stack(lhs[vec_col].to_numpy()).astype(np.float64)
+        mr = np.stack(rhs[vec_col].to_numpy()).astype(np.float64)
+        nl = np.sqrt((ml * ml).sum(axis=1))
+        nr = np.sqrt((mr * mr).sum(axis=1))
+        sims = np.round((ml @ mr.T) / np.outer(nl, nr), 6)
+        lid = lhs[id_col].to_numpy()
+        rid = rhs[id_col].to_numpy()
+        if diag:
+            iu, ju = np.triu_indices(len(lhs), k=1)
+        else:
+            iu, ju = np.indices(sims.shape).reshape(2, -1)
+        keep = sims[iu, ju] >= threshold
+        iu, ju = iu[keep], ju[keep]
+        if len(iu) == 0:
+            return empty
+        a, b = lid[iu], rid[ju]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {
+                "vec_a": lo,
+                "vec_b": hi,
+                "block": lhs[block_col].to_numpy()[iu],
+                "cosine": sims[iu, ju],
+            }
+        )
+
+    return (
+        _with_tiles(df, block_col, id_col, max_block)
+        .groupBy(block_col, "_ca", "_cb")
+        .applyInPandas(per_tile, out_schema)
+    )
+
+
 def lsh_hyperplanes(
     num_planes: int = 8, dim: int = 64, seed: int = 42
 ) -> list[list[float]]:

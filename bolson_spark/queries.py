@@ -1577,6 +1577,29 @@ WHERE ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) >= 0.3
 """
 
 
+def q_embedding_blocked_nn_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory-bounded twin of embedding_blocked_nn: the same per-block
+    GEMM executed over chunk-pair tiles (max 64 vectors per task side),
+    so an oversized IVF cell splits across tasks instead of OOMing one.
+    Shares the untiled oracle — the driver check IS the proof that
+    splitting preserves semantics."""
+    from bolson_spark.functions.similarity import (
+        blocked_nearest_neighbor_gemm_tiled,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return blocked_nearest_neighbor_gemm_tiled(emb, max_block=64)
+
+
+def q_dedup_embedding_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory-bounded twin of dedup_embedding (tiled GEMM, max_block=64);
+    every unordered same-block pair appears in exactly one tile."""
+    from bolson_spark.functions.similarity import embedding_cosine_pairs_tiled
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs_tiled(emb, max_block=64, threshold=0.3)
+
+
 def _dot_lit_sql(a: str, vals: list[float]) -> str:
     """Left-to-right dot of an array column with literal values —
     same accumulation order as the Spark-side fold."""
@@ -1834,6 +1857,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_embedding": QuerySpec(
         q_dedup_embedding, O_DEDUP_EMBEDDING, ("dedup", "similarity")
+    ),
+    "embedding_blocked_nn_tiled": QuerySpec(
+        q_embedding_blocked_nn_tiled, O_EMBEDDING_BLOCKED_NN, ("similarity",)
+    ),
+    "dedup_embedding_tiled": QuerySpec(
+        q_dedup_embedding_tiled, O_DEDUP_EMBEDDING, ("dedup", "similarity")
     ),
     "dedup_components": QuerySpec(
         q_dedup_components, O_DEDUP_COMPONENTS, ("dedup",)

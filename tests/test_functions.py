@@ -304,3 +304,44 @@ def test_ann_recall_vs_bruteforce(spark):
     assert len(bf & ivf) / 10 >= 0.8
     assert len(bf & multi) >= len(bf & single)  # multi-probe never worse
     assert len(bf & multi) / 10 >= 0.2
+
+
+def test_tiled_gemm_ops_equal_untiled_on_oversized_block(spark):
+    """The memory-bounded tiled GEMM twins must produce exactly the
+    untiled results when a block far exceeds max_block: here one label
+    holds all 80 vectors and max_block=8 forces a 10x10 tile grid, so
+    every pair crosses a chunk boundary somewhere."""
+    import random
+
+    from bolson_spark.functions.similarity import (
+        blocked_nearest_neighbor_gemm,
+        blocked_nearest_neighbor_gemm_tiled,
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_tiled,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 2) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        "label",
+    )
+    nn_ref = {tuple(r) for r in blocked_nearest_neighbor_gemm(df).collect()}
+    nn_tiled = {
+        tuple(r)
+        for r in blocked_nearest_neighbor_gemm_tiled(df, max_block=8).collect()
+    }
+    assert nn_ref == nn_tiled
+    pr_ref = {
+        tuple(r) for r in embedding_cosine_pairs(df, threshold=0.2).collect()
+    }
+    pr_tiled = {
+        tuple(r)
+        for r in embedding_cosine_pairs_tiled(
+            df, max_block=8, threshold=0.2
+        ).collect()
+    }
+    assert pr_ref == pr_tiled
