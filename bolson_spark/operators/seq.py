@@ -39,7 +39,9 @@ def add_seq(
     """Exact contiguous 0-based sequence numbers in `order_by` order."""
     keys = [order_by] if isinstance(order_by, str) else list(order_by)
     w = Window.orderBy(*[F.col(k) for k in keys])
-    return df.withColumn(name, F.row_number().over(w).cast("bigint") - 1 + start)
+    out = df.withColumn(name, F.row_number().over(w).cast("bigint") - 1 + start)
+    # Reference prepends bolson_seq at column index 0 (parse/arrow.cpp:155)
+    return out.select(name, *df.columns)
 
 
 def add_seq_scalable(
@@ -81,4 +83,5 @@ def add_seq_scalable(
     out = parts.withColumn(
         name, (base_expr + F.row_number().over(w) - 1).cast("bigint")
     )
-    return out.drop("_pid")
+    # Reference prepends bolson_seq at column index 0 (parse/arrow.cpp:155)
+    return out.select(name, *df.columns)

@@ -47,8 +47,18 @@ def serialize_ipc(
     max_rows: int = MAX_ROWS_DEFAULT,
     max_ipc_size: int = MAX_IPC_SIZE,
     seq_col: str = SEQ_COL,
+    seq_mode: str = "column",
 ) -> DataFrame:
-    """DataFrame -> one row per IPC message (sliced to <= max_rows)."""
+    """DataFrame -> one row per IPC message (sliced to <= max_rows).
+
+    ``seq_mode`` mirrors the reference's ``--*-seq-col`` switch:
+    ``"column"`` keeps the physical bolson_seq column in the payload;
+    ``"metadata"`` drops it and instead stamps ``bolson_seq_first`` /
+    ``bolson_seq_last`` into the payload's Arrow schema metadata
+    (parse/parser.cpp:34-47, AddSeqAsSchemaMeta).
+    """
+    if seq_mode not in ("column", "metadata"):
+        raise ValueError(f"seq_mode must be column|metadata, got {seq_mode}")
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -58,6 +68,16 @@ def serialize_ipc(
                 if off >= n:
                     break
                 sl = batch.slice(off, min(max_rows, n - off))  # zero-copy
+                seqs = sl.column(seq_idx)
+                lo = pa.compute.min(seqs).as_py()
+                hi = pa.compute.max(seqs).as_py()
+                if seq_mode == "metadata":
+                    meta = dict(sl.schema.metadata or {})
+                    meta[b"bolson_seq_first"] = str(lo).encode()
+                    meta[b"bolson_seq_last"] = str(hi).encode()
+                    sl = sl.drop_columns([seq_col]).replace_schema_metadata(
+                        meta
+                    )
                 payload = _ipc_bytes(sl)
                 if len(payload) > max_ipc_size:
                     # FNC10: error, never auto-split (serializer.cpp:33-37)
@@ -65,9 +85,6 @@ def serialize_ipc(
                         f"bolson_spark: IPC message size {len(payload)} "
                         f"exceeds maximum {max_ipc_size}"
                     )
-                seqs = sl.column(seq_idx)
-                lo = pa.compute.min(seqs).as_py()
-                hi = pa.compute.max(seqs).as_py()
                 yield pa.RecordBatch.from_pydict(
                     {
                         "payload": [payload],

@@ -225,7 +225,7 @@ def q_convert_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("bolson_seq")
     )
     ser = serialize_ipc(seqd)
-    return deserialize_ipc(ser, "event_id bigint, k bigint, bolson_seq bigint")
+    return deserialize_ipc(ser, "bolson_seq bigint, event_id bigint, k bigint")
 
 
 O_CONVERT_IPC_ROUNDTRIP = """

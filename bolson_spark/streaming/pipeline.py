@@ -70,10 +70,11 @@ def run_stream_convert(
     the total row count of batches < N. With availableNow + checkpoint
     this is exactly-once; the handshake runs once at start (K2).
     """
-    out_fields = [f.name for f in schema.fields] + ["bolson_seq"]
+    # bolson_seq is prepended at field index 0 (parse/arrow.cpp:155)
+    out_fields = ["bolson_seq"] + [f.name for f in schema.fields]
     arrow_schema = spark_to_arrow_schema(
         T.StructType(
-            schema.fields + [T.StructField("bolson_seq", T.LongType(), False)]
+            [T.StructField("bolson_seq", T.LongType(), False)] + schema.fields
         )
     )
     sink.handshake(arrow_schema)

@@ -112,6 +112,50 @@ def test_add_seq_scalable_matches_global(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_seq_column_prepended_at_index_zero(spark):
+    """parse/arrow.cpp:155 — bolson_seq is ADDED AT COLUMN INDEX 0, not
+    appended, in both physical implementations."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("key"), F.lit("x").alias("payload")
+    )
+    assert add_seq(df, "key").columns == ["bolson_seq", "key", "payload"]
+    assert add_seq_scalable(df, "key").columns == [
+        "bolson_seq",
+        "key",
+        "payload",
+    ]
+
+
+def test_seq_metadata_mode(spark):
+    """parse/parser.cpp:34-47 (AddSeqAsSchemaMeta) — with seq_column
+    off, each outgoing IPC message carries bolson_seq_first/last as
+    Arrow schema metadata instead of a physical column."""
+    import pyarrow as pa
+
+    df = (
+        add_seq(spark.range(1000).select(F.col("id").alias("key")), "key")
+        .repartitionByRange(2, "bolson_seq")
+        .sortWithinPartitions("bolson_seq")
+    )
+    msgs = serialize_ipc(df, max_rows=256, seq_mode="metadata").collect()
+    assert sum(m.num_rows for m in msgs) == 1000
+    spans = []
+    for m in msgs:
+        with pa.ipc.open_stream(m.payload) as reader:
+            batches = list(reader)
+            meta = reader.schema.metadata
+        assert reader.schema.names == ["key"]  # seq column dropped
+        lo = int(meta[b"bolson_seq_first"])
+        hi = int(meta[b"bolson_seq_last"])
+        assert (lo, hi) == (m.seq_first, m.seq_last)
+        assert sum(b.num_rows for b in batches) == hi - lo + 1
+        spans.append((lo, hi))
+    spans.sort()
+    assert spans[0][0] == 0 and spans[-1][1] == 999
+    for (_, a1), (b0, _) in zip(spans, spans[1:]):
+        assert b0 == a1 + 1
+
+
 # --- R1 rebatch -----------------------------------------------------------
 
 
@@ -151,7 +195,7 @@ def test_ipc_roundtrip_and_size_cap(spark):
     for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
         assert b0 == a1 + 1
     # FNC03: deserialize restores the exact rows
-    back = deserialize_ipc(ser, "key bigint, bolson_seq bigint").collect()
+    back = deserialize_ipc(ser, "bolson_seq bigint, key bigint").collect()
     assert sorted((r.key, r.bolson_seq) for r in back) == [(i, i) for i in range(n)]
     ser.unpersist()
 

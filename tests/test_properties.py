@@ -69,7 +69,7 @@ def test_convert_roundtrip_property(spark, docs, max_rows):
         assert b0 == a1 + 1
     # FNC03 information equality through the full roundtrip
     back = deserialize_ipc(
-        ser, "voltage array<bigint>, bolson_seq bigint"
+        ser, "bolson_seq bigint, voltage array<bigint>"
     ).collect()
     ser.unpersist()
     got = {r.bolson_seq: list(r.voltage) for r in back}

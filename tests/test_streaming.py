@@ -64,7 +64,7 @@ def test_stream_convert_end_to_end(spark, tmp_path, jsonl_dir):
     assert metrics.num_ipc == stats["n"]
     # payloads deserialize to the original docs + globally contiguous seq
     back = deserialize_ipc(
-        msgs, "voltage array<bigint>, bolson_seq bigint"
+        msgs, "bolson_seq bigint, voltage array<bigint>"
     ).collect()
     seqs = sorted(r.bolson_seq for r in back)
     assert seqs == list(range(len(all_docs)))
@@ -291,7 +291,7 @@ def test_stream_restart_continues_sequence(spark, tmp_path):
     assert m2.num_jsons == 300  # no reprocessing
 
     back = deserialize_ipc(
-        sink.read(spark), "voltage array<bigint>, bolson_seq bigint"
+        sink.read(spark), "bolson_seq bigint, voltage array<bigint>"
     ).collect()
     seqs = sorted(r.bolson_seq for r in back)
     assert seqs == list(range(900))  # contiguous across the restart
@@ -401,7 +401,7 @@ def test_stream_convert_over_tcp_socket(spark, tmp_path):
     assert metrics.num_jsons == len(docs)  # drain parity over a real socket
     msgs = sink.read(spark)
     back = deserialize_ipc(
-        msgs, "voltage array<bigint>, bolson_seq bigint"
+        msgs, "bolson_seq bigint, voltage array<bigint>"
     ).collect()
     assert sorted(r.bolson_seq for r in back) == list(range(len(docs)))
     assert sorted(tuple(r.voltage) for r in back) == sorted(
