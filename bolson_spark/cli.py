@@ -121,7 +121,12 @@ def cmd_bench_convert(args) -> int:
     """B2 (bench.cpp:83-227): pre-generate -> timed convert -> rates."""
     from pyspark.sql import functions as F
 
-    from bolson_spark.operators import add_seq, parse_json, serialize_ipc
+    from bolson_spark.operators import (
+        add_seq,
+        parse_json,
+        parse_json_arrow,
+        serialize_ipc,
+    )
     from bolson_spark.session import get_spark
 
     spark = get_spark("bolson-bench-convert")
@@ -131,10 +136,11 @@ def cmd_bench_convert(args) -> int:
         [(i, d) for i, d in enumerate(docs)], ["arrival", "value"]
     ).repartition(args.partitions).cache()
     df.count()  # materialize input outside the timed region (FillBuffers)
+    parse_fn = parse_json if args.parser == "catalyst" else parse_json_arrow
     best = None
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        parsed = parse_json(df, _schema(args.schema), "value", keep=["arrival"])
+        parsed = parse_fn(df, _schema(args.schema), "value", keep=["arrival"])
         if args.seq_mode == "scalable":
             # add_seq_scalable's offset pass is a second action over the
             # parsed input; cache so parse runs once inside the timed
@@ -238,6 +244,14 @@ def main(argv=None) -> int:
     bc.add_argument("--partitions", type=int, default=8)
     bc.add_argument("--max-rows", type=int, default=MAX_ROWS_DEFAULT)
     bc.add_argument("--max-ipc", type=int, default=MAX_IPC_SIZE)
+    bc.add_argument(
+        "--parser",
+        choices=("catalyst", "arrow"),
+        default="arrow",
+        help="strict parse impl: catalyst = JVM from_json + key-scan "
+        "guard (two passes); arrow = Arrow C++ JSON TableReader with "
+        "built-in strictness (single pass, tested equal)",
+    )
     bc.add_argument(
         "--seq-mode",
         choices=("exact", "scalable"),

@@ -41,6 +41,72 @@ def validate_no_unexpected_fields(
     return df.where(F.size(bad) > 0)
 
 
+def parse_json_arrow(
+    df: DataFrame,
+    schema: T.StructType,
+    column: str = "value",
+    *,
+    strict: bool = True,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Second physical implementation of P1: the Arrow C++ JSON
+    TableReader via ``mapInArrow`` — the very parser the reference's CPU
+    path wraps (parse/arrow.cpp:72-93: ``arrow::json::TableReader`` with
+    ``UnexpectedFieldBehavior::Error``). The reference ships two physical
+    parsers behind one logical operator (CPU Arrow vs FPGA battery/trip)
+    and differential-tests them (test/convert/test_opae_battery.cpp:73-88);
+    ``parse_json`` (Catalyst ``from_json``) vs this function is the same
+    pattern, tested equal in tests/test_operators.py.
+
+    Scale shape: narrow map, zero shuffle; Arrow batches stream through
+    the Python worker without a pandas detour. Per-batch the documents
+    are newline-joined (the source is line-framed JSON — stream.cpp) and
+    handed to the C++ reader in one call.
+    """
+    import pyarrow as pa
+    import pyarrow.json as pajson
+
+    from bolson_spark.schemas import spark_to_arrow_schema
+
+    keep = list(keep or [])
+    target = spark_to_arrow_schema(schema)
+    behavior = "error" if strict else "ignore"
+    out_schema = T.StructType(
+        [df.schema[k] for k in keep] + list(schema.fields)
+    )
+
+    def fn(batches):
+        popts = pajson.ParseOptions(
+            explicit_schema=target, unexpected_field_behavior=behavior
+        )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            docs = batch.column(column).cast(pa.string())
+            if docs.null_count:
+                raise ValueError("bolson_spark: null JSON document")
+            # newline-join the documents entirely in C (one list -> one
+            # string), then hand the raw utf-8 data buffer to the reader
+            # zero-copy; no per-document Python objects
+            joined = pa.compute.binary_join(
+                pa.ListArray.from_arrays([0, len(docs)], docs), pa.scalar("\n")
+            )
+            blob = joined.buffers()[2]
+            ropts = pajson.ReadOptions(block_size=max(len(blob) + 1, 1 << 20))
+            tbl = pajson.read_json(
+                pa.BufferReader(blob), read_options=ropts, parse_options=popts
+            )
+            cols = [batch.column(k) for k in keep]
+            cols += [
+                tbl.column(f.name).combine_chunks() for f in target
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols, names=keep + [f.name for f in target]
+            )
+
+    return df.mapInArrow(fn, out_schema)
+
+
 def parse_json(
     df: DataFrame,
     schema: T.StructType,

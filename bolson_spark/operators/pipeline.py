@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from bolson_spark import MAX_IPC_SIZE, MAX_ROWS_DEFAULT
-from bolson_spark.operators.parse import parse_json
+from bolson_spark.operators.parse import parse_json, parse_json_arrow
 from bolson_spark.operators.rebatch import rebatch
 from bolson_spark.operators.seq import add_seq, add_seq_scalable
 from bolson_spark.operators.serialize import serialize_ipc
@@ -29,6 +29,7 @@ def convert(
     strict: bool = True,
     serialize: bool = False,
     seq_mode: str = "exact",
+    parser: str = "catalyst",
 ) -> DataFrame:
     """Raw JSON rows -> parsed + sequenced + rebatched [+ serialized].
 
@@ -36,11 +37,19 @@ def convert(
     reference's one-TCP-stream total order) or "scalable" (range
     partition + partition-local numbering + driver offset map; same
     result, tested equal, no single-reducer sort — the 100 TB path).
+
+    parser: "catalyst" (JVM from_json; strict=True adds a second
+    key-scan guard pass) or "arrow" (Arrow C++ JSON TableReader via
+    mapInArrow — strict validation is built into the single parse pass,
+    ~25% faster end-to-end when strict; both impls tested equal).
     """
     if seq_mode not in ("exact", "scalable"):
         raise ValueError(f"unknown seq_mode {seq_mode!r}")
+    if parser not in ("catalyst", "arrow"):
+        raise ValueError(f"unknown parser {parser!r}")
     seq_fn = add_seq if seq_mode == "exact" else add_seq_scalable
-    parsed = parse_json(df, schema, json_col, strict=strict, keep=[order_by])
+    parse_fn = parse_json if parser == "catalyst" else parse_json_arrow
+    parsed = parse_fn(df, schema, json_col, strict=strict, keep=[order_by])
     seqd = seq_fn(parsed, order_by)
     batched = rebatch(seqd, max_rows=max_rows)
     if serialize:

@@ -88,6 +88,20 @@ SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events
 """
 
 
+def q_convert_parse_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1, second physical implementation: the Arrow C++ JSON
+    TableReader (the parser the reference's CPU path wraps,
+    parse/arrow.cpp:72-93) via mapInArrow. Shares O_CONVERT_PARSE with
+    the Catalyst from_json impl — the reference's CPU-vs-FPGA dual
+    execution pattern (test_opae_battery.cpp:73-88)."""
+    from bolson_spark.operators.parse import parse_json_arrow
+
+    ev = _t(spark, sf_dir, "events")
+    return parse_json_arrow(
+        ev, EVENT_PROPS_SPARK, "props", strict=True, keep=["event_id"]
+    )
+
+
 def q_convert_strict_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 strictness: rows with out-of-schema JSON keys (must be empty)."""
     ev = _t(spark, sf_dir, "events")
@@ -1753,6 +1767,7 @@ SELECT node AS vec_id, MIN(r) AS representative FROM reach GROUP BY node
 QUERIES: dict[str, QuerySpec] = {
     # core conversion (reference parity)
     "convert_parse": QuerySpec(q_convert_parse, O_CONVERT_PARSE, ("core",)),
+    "convert_parse_arrow": QuerySpec(q_convert_parse_arrow, O_CONVERT_PARSE, ("core",)),
     "convert_strict_validation": QuerySpec(
         q_convert_strict_validation, O_CONVERT_STRICT, ("core",)
     ),

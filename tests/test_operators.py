@@ -16,6 +16,7 @@ from bolson_spark.operators import (
     batch_stats,
     deserialize_ipc,
     parse_json,
+    parse_json_arrow,
     serialize_ipc,
     validate_no_unexpected_fields,
 )
@@ -93,6 +94,45 @@ def test_parse_failfast_on_malformed(spark):
     df = spark.createDataFrame([('{"k": 1}',), ("{broken",)], ["value"])
     with pytest.raises(Exception):
         parse_json(df, EVENT_PROPS_SPARK, "value", strict=False).collect()
+
+
+def test_parse_dual_execution_equal(spark):
+    """P1 dual execution: the Catalyst from_json impl and the Arrow C++
+    JSON TableReader impl (parse/arrow.cpp:72-93) produce identical
+    results — the reference's CPU-vs-FPGA differential pattern
+    (test/bolson/convert/test_opae_battery.cpp:73-88)."""
+    rng = random.Random(7)
+    docs = [
+        {"voltage": [rng.randint(0, 2047) for _ in range(rng.randint(1, 16))]}
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(
+        [(i, json.dumps(d)) for i, d in enumerate(docs)], ["doc_id", "value"]
+    ).repartition(4)
+    a = parse_json(df, BATTERY_SPARK, "value", strict=True, keep=["doc_id"])
+    b = parse_json_arrow(df, BATTERY_SPARK, "value", strict=True, keep=["doc_id"])
+    ra = sorted((r.doc_id, tuple(r.voltage)) for r in a.collect())
+    rb = sorted((r.doc_id, tuple(r.voltage)) for r in b.collect())
+    assert ra == rb
+
+
+def test_parse_arrow_strict_and_malformed(spark):
+    """The Arrow twin enforces the same hard-error semantics: unexpected
+    top-level field (UnexpectedFieldBehavior::Error) and malformed JSON
+    both fail the batch."""
+    bad = spark.createDataFrame([('{"k": 2, "zz": 3}',)], ["value"])
+    with pytest.raises(Exception, match="JSON parse error|unexpected"):
+        parse_json_arrow(bad, EVENT_PROPS_SPARK, "value", strict=True).collect()
+    # lenient mode ignores the extra field
+    assert [
+        r.k
+        for r in parse_json_arrow(
+            bad, EVENT_PROPS_SPARK, "value", strict=False
+        ).collect()
+    ] == [2]
+    broken = spark.createDataFrame([("{broken",)], ["value"])
+    with pytest.raises(Exception):
+        parse_json_arrow(broken, EVENT_PROPS_SPARK, "value").collect()
 
 
 # --- P4 seq ---------------------------------------------------------------
