@@ -11,10 +11,16 @@ Spark mapping:
   (numInputRows, batchDuration) via a StreamingQueryListener — the
   engine-native replacement for hand-rolled per-thread counters;
 - per-batch latency points are wall-clock stamps taken in the
-  foreachBatch body around each stage (parse/resize happen fused inside
-  one Spark job, so the observable stages here are batch-received,
-  converted (job done), published (sink write done) — the fused stages
-  are intentionally not separable: that fusion IS the optimization);
+  foreachBatch body around each stage. The reference's six points
+  (latency.h:30-47) map to: Receive = micro-batch handed to
+  foreachBatch; Parse = parse job materialized; Resize = seq + block
+  re-partition materialized; Serialize = IPC serialization
+  materialized; Pop = serialized batches handed to the publisher (the
+  reference's IPC-queue pop); Publish = sink write returned. When
+  latency tracking is OFF the pipeline runs parse/resize/serialize
+  fused in one whole-stage-codegen job — stamping them separately
+  requires per-stage materialization barriers, so (like the
+  reference's --latency flag) the staged path only runs when asked;
 - ``save_latency_csv``/``save_metrics_csv`` write the reference's
   column layout so downstream tooling can diff them.
 """
@@ -25,48 +31,77 @@ import csv
 import time
 from dataclasses import dataclass, field
 
+#: latency.h:30-47 — point names, in stamp order.
+TIME_POINTS = ("Receive", "Parse", "Resize", "Serialize", "Pop", "Publish")
+
 
 @dataclass
 class BatchLatency:
-    """Latency points for one published batch (epoch seconds)."""
+    """The reference's TimePoints for one published batch: six epoch-
+    second stamps (latency.h:30-47) plus the batch seq range."""
 
     seq_first: int
     seq_last: int
-    received: float
-    converted: float
-    published: float
+    time: tuple[float, float, float, float, float, float]
+
+    def diff_ns(self, i: int) -> int:
+        """GetDiff analog (latency.h:50-55): time[i]-time[i-1] in ns."""
+        assert 0 < i < len(self.time)
+        return round((self.time[i] - self.time[i - 1]) * 1e9)
 
 
 @dataclass
 class LatencyTracker:
     points: list[BatchLatency] = field(default_factory=list)
 
-    def stamp(self, seq_first: int, seq_last: int, received: float, converted: float) -> None:
+    def stamp(
+        self,
+        seq_first: int,
+        seq_last: int,
+        received: float,
+        parsed: float,
+        resized: float,
+        serialized: float,
+        popped: float,
+        published: float | None = None,
+    ) -> None:
         self.points.append(
-            BatchLatency(seq_first, seq_last, received, converted, time.time())
+            BatchLatency(
+                seq_first,
+                seq_last,
+                (
+                    received,
+                    parsed,
+                    resized,
+                    serialized,
+                    popped,
+                    published if published is not None else time.time(),
+                ),
+            )
         )
 
-    def save_latency_csv(self, path: str) -> None:
-        """CSV layout after latency.cpp:34-40 (subset of time points —
-        see module docstring for why parse/resize/serialize are fused)."""
+    def save_latency_csv(
+        self,
+        path: str,
+        from_point: int = 1,
+        to_point: int = 5,
+        with_seq: bool = True,
+    ) -> None:
+        """Exact CSV layout of SaveLatencyMetrics (latency.cpp:24-56):
+        optional ``First,Last`` seq columns, then one column per point
+        name in [from_point, to_point] holding the NANOSECOND diff from
+        the previous point. Defaults mirror the reference's
+        (from=parsed, to=published, with_seq=true)."""
+        assert 0 < from_point <= to_point < len(TIME_POINTS)
         with open(path, "w", newline="") as f:
             w = csv.writer(f)
-            w.writerow(
-                ["seq_first", "seq_last", "received", "converted", "published",
-                 "convert_ms", "publish_ms", "total_ms"]
-            )
+            head = ["First", "Last"] if with_seq else []
+            w.writerow(head + list(TIME_POINTS[from_point : to_point + 1]))
             for p in self.points:
+                row = [p.seq_first, p.seq_last] if with_seq else []
                 w.writerow(
-                    [
-                        p.seq_first,
-                        p.seq_last,
-                        f"{p.received:.6f}",
-                        f"{p.converted:.6f}",
-                        f"{p.published:.6f}",
-                        f"{(p.converted - p.received) * 1e3:.3f}",
-                        f"{(p.published - p.converted) * 1e3:.3f}",
-                        f"{(p.published - p.received) * 1e3:.3f}",
-                    ]
+                    row
+                    + [p.diff_ns(i) for i in range(from_point, to_point + 1)]
                 )
 
 

@@ -128,24 +128,48 @@ def run_stream_convert(
             block = F.floor(
                 (F.col("bolson_seq") - F.lit(state["base"])) / block_rows
             )
+            # When latency tracking is on, materialize each stage so the
+            # six reference time points (latency.h:30-47) are observable;
+            # otherwise keep parse/resize/serialize fused in one job
+            # (that fusion IS the optimization — see metrics.py).
+            staged = latency is not None
+            if staged:
+                parsed = parsed.cache()
+                parsed.count()
+                parsed_ts = _time.time()
             ordered = (
                 seqd.select(*out_fields, block.alias("_block"))
                 .repartition(n_parts, F.col("_block"))
                 .sortWithinPartitions("bolson_seq")
                 .drop("_block")
             )
+            if staged:
+                ordered = ordered.cache()
+                ordered.count()
+                resized_ts = _time.time()
             ser = serialize_ipc(
                 ordered, max_rows=max_rows, max_ipc_size=max_ipc_size
             ).cache()
             agg = ser.select(
                 F.count(F.lit(1)).alias("m"), F.sum("ipc_bytes").alias("ib")
             ).first()
-            converted_ts = _time.time()
+            serialized_ts = _time.time()
+            popped_ts = _time.time()  # handoff to the publisher (queue pop)
             sink.write(ser)
+            published_ts = _time.time()
             ser.unpersist()
-            if latency is not None:
+            if staged:
+                parsed.unpersist()
+                ordered.unpersist()
                 latency.stamp(
-                    state["base"], state["base"] + n - 1, received_ts, converted_ts
+                    state["base"],
+                    state["base"] + n - 1,
+                    received_ts,
+                    parsed_ts,
+                    resized_ts,
+                    serialized_ts,
+                    popped_ts,
+                    published_ts,
                 )
             state["base"] += n
             if base_file:

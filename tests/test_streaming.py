@@ -177,17 +177,28 @@ def test_latency_and_metrics_csvs(spark, tmp_path, jsonl_dir):
     )
     query.awaitTermination(120)
 
+    # all six stamps (latency.h:30-47) are present and monotone per batch
+    assert len(tracker.points) == 3  # one measurement per micro-batch
+    for p in tracker.points:
+        assert list(p.time) == sorted(p.time)  # Receive<=...<=Publish
+        assert p.time[-1] > p.time[0]
+
     lat_path = tmp_path / "lat.csv"
     tracker.save_latency_csv(str(lat_path))
     rows = list(csv.DictReader(open(lat_path)))
-    assert len(rows) == 3  # one latency point per micro-batch
+    assert len(rows) == 3
+    # exact reference layout (latency.cpp:34-40, defaults from=parsed
+    # to=published with_seq=true): First,Last then ns diffs per point
+    assert list(rows[0].keys()) == [
+        "First", "Last", "Parse", "Resize", "Serialize", "Pop", "Publish",
+    ]
     # seq ranges chain contiguously across batches
-    assert [int(r["seq_first"]) for r in rows] == [0, 700, 1400]
-    assert all(float(r["total_ms"]) > 0 for r in rows)
-    assert all(
-        abs(float(r["convert_ms"]) + float(r["publish_ms"]) - float(r["total_ms"])) < 0.01
-        for r in rows
-    )
+    assert [int(r["First"]) for r in rows] == [0, 700, 1400]
+    assert [int(r["Last"]) for r in rows] == [699, 1399, 2099]
+    for r in rows:
+        for point in ("Parse", "Resize", "Serialize", "Pop", "Publish"):
+            assert int(r[point]) >= 0  # ns diffs, monotone stamps
+        assert int(r["Parse"]) > 0 and int(r["Publish"]) > 0
 
     met_path = tmp_path / "met.csv"
     save_metrics_csv(str(met_path), metrics, elapsed_sec=1.0)
