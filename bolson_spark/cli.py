@@ -72,7 +72,7 @@ def cmd_stream(args) -> int:
     from bolson_spark.metrics import LatencyTracker, save_metrics_csv
     from bolson_spark.session import get_spark
     from bolson_spark.sources import read_json_lines_stream, read_socket_stream
-    from bolson_spark.streaming import IpcFileSink, run_stream_convert
+    from bolson_spark.streaming import BatchingOptions, make_sink, run_stream_convert
 
     spark = get_spark("bolson-stream")
     if args.in_dir:
@@ -83,7 +83,13 @@ def cmd_stream(args) -> int:
     else:
         raw = read_socket_stream(spark, args.host, args.port)
         available_now = False
-    sink = IpcFileSink(args.sink)
+    batching = BatchingOptions(
+        enable=args.batch,
+        max_messages=args.batch_max_messages,
+        max_bytes=args.batch_max_bytes,
+        max_delay_ms=args.batch_max_delay,
+    )
+    sink = make_sink(spark, args.sink, batching=batching, max_msg_size=args.max_ipc)
     tracker = LatencyTracker()
     t0 = time.time()
     query, metrics = run_stream_convert(
@@ -225,7 +231,16 @@ def main(argv=None) -> int:
     s.add_argument("--host", default="localhost")
     s.add_argument("--port", type=int, default=10197)  # cli.cpp:29-34 default
     s.add_argument("--schema", choices=SCHEMAS, default="battery")
-    s.add_argument("--sink", required=True)
+    s.add_argument(
+        "--sink",
+        required=True,
+        help="directory path (IPC file topic) or kafka://host:port/topic",
+    )
+    # producer batching (K3) — defaults from publisher.cpp:265-277
+    s.add_argument("--batch", action="store_true", help="enable producer batching")
+    s.add_argument("--batch-max-messages", type=int, default=1000)
+    s.add_argument("--batch-max-bytes", type=int, default=128 * 1024)
+    s.add_argument("--batch-max-delay", type=int, default=10, help="ms")
     s.add_argument("--max-rows", type=int, default=MAX_ROWS_DEFAULT)
     s.add_argument("--max-ipc", type=int, default=MAX_IPC_SIZE)
     s.add_argument("--checkpoint")

@@ -1,10 +1,21 @@
-from bolson_spark.streaming.sink import IpcFileSink, SchemaMismatchError
+from bolson_spark.streaming.sink import (
+    BatchingOptions,
+    IpcFileSink,
+    KafkaSink,
+    PublishSink,
+    SchemaMismatchError,
+    make_sink,
+)
 from bolson_spark.streaming.pipeline import run_stream_convert
 from bolson_spark.streaming.stateful import running_stats
 
 __all__ = [
+    "BatchingOptions",
     "IpcFileSink",
+    "KafkaSink",
+    "PublishSink",
     "SchemaMismatchError",
+    "make_sink",
     "run_stream_convert",
     "running_stats",
 ]

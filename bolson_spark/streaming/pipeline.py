@@ -36,7 +36,7 @@ from bolson_spark.operators.parse import parse_json
 from bolson_spark.operators.seq import add_seq
 from bolson_spark.operators.serialize import serialize_ipc
 from bolson_spark.schemas import spark_to_arrow_schema
-from bolson_spark.streaming.sink import IpcFileSink
+from bolson_spark.streaming.sink import PublishSink
 
 
 @dataclass
@@ -54,7 +54,7 @@ class StreamMetrics:
 def run_stream_convert(
     raw: DataFrame,
     schema: T.StructType,
-    sink: IpcFileSink,
+    sink: PublishSink,
     json_col: str = "value",
     *,
     max_rows: int = MAX_ROWS_DEFAULT,

@@ -1,25 +1,36 @@
-"""K1/K2 — publish sink with schema handshake.
+"""K1/K2/K3 — publish sinks with schema handshake and producer batching.
 
 The reference publishes serialized batches to Pulsar (publisher.cpp:
 185-250) and, on startup, performs a schema handshake with the topic:
 if the topic is empty it publishes the serialized Arrow schema as
 message #1; otherwise it reads message #1 and errors if the schema
-differs from the expected one (publisher.cpp:81-143).
+differs from the expected one (publisher.cpp:81-143). Producer batching
+is configured with max messages / max bytes / max delay
+(publisher.cpp:63-69, CLI defaults publisher.cpp:265-277).
 
-No Pulsar broker exists in this environment, so the sink abstraction
-writes IPC-message rows to a directory (parquet) — the pub/sub
-boundary is ``foreachBatch`` + this sink, exactly where a Kafka/Pulsar
-producer would sit (``df.write.format("kafka")`` / client-per-partition
-``foreachPartition``). The handshake is implemented against the file
-backend and unit-tested; swapping the backend swaps one class.
+Spark mapping: the pub/sub boundary is ``foreachBatch`` + a
+``PublishSink``. Two backends share the handshake protocol:
+
+- ``IpcFileSink`` — directory-backed topic stand-in (the only backend
+  that can run in this environment; fully end-to-end tested);
+- ``KafkaSink`` — the production path: ``df.write.format("kafka")``
+  with the batching options mapped onto the Kafka producer
+  (``kafka.batch.size`` <- max_bytes, ``kafka.linger.ms`` <-
+  max_delay_ms; Kafka has no max-messages-per-batch knob, the byte cap
+  bounds it). No broker exists in this sandbox, so the Kafka calls are
+  exercised up to the network boundary in tests (message assembly,
+  option mapping, handshake verify logic) and documented as the
+  swap-in production backend.
 """
 
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass
 
 import pyarrow as pa
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 class SchemaMismatchError(RuntimeError):
@@ -27,8 +38,46 @@ class SchemaMismatchError(RuntimeError):
     (publisher.cpp:132-140 analog)."""
 
 
-class IpcFileSink:
-    """Directory-backed stand-in for a Pulsar topic: `_schema.arrow`
+@dataclass
+class BatchingOptions:
+    """Producer batching (K3) — fields and defaults mirror the
+    reference's Pulsar batching CLI (publisher.cpp:265-277)."""
+
+    enable: bool = False
+    max_messages: int = 1000
+    max_bytes: int = 128 * 1024
+    max_delay_ms: int = 10
+
+
+class PublishSink:
+    """Shared publish-or-verify schema handshake (K2). Backends
+    implement ``_read_topic_schema`` / ``_publish_schema`` / ``write``.
+    """
+
+    def _read_topic_schema(self) -> pa.Schema | None:
+        raise NotImplementedError
+
+    def _publish_schema(self, schema: pa.Schema) -> None:
+        raise NotImplementedError
+
+    def handshake(self, expected: pa.Schema) -> None:
+        """Empty topic -> publish the serialized schema as message #1;
+        else verify message #1 equals `expected` (publisher.cpp:81-143).
+        """
+        existing = self._read_topic_schema()
+        if existing is None:
+            self._publish_schema(expected)
+        elif not existing.equals(expected):
+            raise SchemaMismatchError(
+                f"topic schema {existing} != producer schema {expected}"
+            )
+
+    def write(self, serialized: DataFrame) -> None:
+        raise NotImplementedError
+
+
+class IpcFileSink(PublishSink):
+    """Directory-backed stand-in for a pub/sub topic: `_schema.arrow`
     plays the role of message #1; message rows append as parquet."""
 
     def __init__(self, path: str):
@@ -37,18 +86,15 @@ class IpcFileSink:
         self.schema_path = os.path.join(path, "_schema.arrow")
         os.makedirs(self.path, exist_ok=True)
 
-    def handshake(self, expected: pa.Schema) -> None:
-        """Publish-or-verify the topic schema (K2)."""
+    def _read_topic_schema(self) -> pa.Schema | None:
         if not os.path.exists(self.schema_path):
-            with open(self.schema_path, "wb") as f:
-                f.write(expected.serialize())
-            return
+            return None
         with pa.memory_map(self.schema_path) as f:
-            existing = pa.ipc.read_schema(f)
-        if not existing.equals(expected):
-            raise SchemaMismatchError(
-                f"topic schema {existing} != producer schema {expected}"
-            )
+            return pa.ipc.read_schema(f)
+
+    def _publish_schema(self, schema: pa.Schema) -> None:
+        with open(self.schema_path, "wb") as f:
+            f.write(schema.serialize())
 
     def write(self, serialized: DataFrame) -> None:
         """Append one micro-batch of IPC-message rows (payload,
@@ -57,3 +103,128 @@ class IpcFileSink:
 
     def read(self, spark) -> DataFrame:
         return spark.read.parquet(self.data_path)
+
+
+class KafkaSink(PublishSink):
+    """Kafka producer backend (K1): one Kafka message per IPC message,
+    key = seq_first (orders within a partition; consumers re-sort by
+    seq — SURVEY.md §1.4), value = the Arrow IPC payload.
+
+    Requires the spark-sql-kafka connector and a reachable broker —
+    neither exists in this sandbox, so ``write``/``_read_topic_schema``
+    reach the network boundary and fail there; everything up to that
+    boundary (message assembly, producer options, handshake logic) is
+    unit-tested.
+    """
+
+    def __init__(
+        self,
+        spark,
+        bootstrap_servers: str,
+        topic: str,
+        *,
+        batching: BatchingOptions | None = None,
+        max_msg_size: int | None = None,
+    ):
+        self.spark = spark
+        self.bootstrap_servers = bootstrap_servers
+        self.topic = topic
+        self.batching = batching or BatchingOptions()
+        self.max_msg_size = max_msg_size
+
+    def producer_options(self) -> dict[str, str]:
+        """Kafka options implementing the reference's batching config
+        (publisher.cpp:63-69): max_bytes -> kafka.batch.size,
+        max_delay_ms -> kafka.linger.ms. Kafka has no per-batch message
+        cap; the byte cap bounds batch size instead."""
+        opts = {
+            "kafka.bootstrap.servers": self.bootstrap_servers,
+            "topic": self.topic,
+        }
+        if self.batching.enable:
+            opts["kafka.batch.size"] = str(self.batching.max_bytes)
+            opts["kafka.linger.ms"] = str(self.batching.max_delay_ms)
+        if self.max_msg_size is not None:
+            # producer-side cap, the broker-side analog of Pulsar's
+            # --pulsar-max-msg-size (publisher.cpp:268)
+            opts["kafka.max.request.size"] = str(self.max_msg_size)
+        return opts
+
+    @staticmethod
+    def to_messages(serialized: DataFrame) -> DataFrame:
+        """IPC-message rows -> Kafka producer records: binary `value` =
+        IPC payload, `key` = seq_first (string bytes), seq range carried
+        as message headers."""
+        return serialized.select(
+            F.col("payload").alias("value"),
+            F.col("seq_first").cast("string").cast("binary").alias("key"),
+            F.array(
+                F.struct(
+                    F.lit("seq_first").alias("key"),
+                    F.col("seq_first").cast("string").cast("binary").alias("value"),
+                ),
+                F.struct(
+                    F.lit("seq_last").alias("key"),
+                    F.col("seq_last").cast("string").cast("binary").alias("value"),
+                ),
+            ).alias("headers"),
+        )
+
+    def _read_topic_schema(self) -> pa.Schema | None:
+        """Read message #1 from the topic (batch Kafka read of offset 0
+        on partition 0) and parse it as a serialized Arrow schema."""
+        first = (
+            self.spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap_servers)
+            .option("subscribe", self.topic)
+            .option("startingOffsets", "earliest")
+            .load()
+            .where("partition = 0 and offset = 0")
+            .select("value")
+            .limit(1)
+            .collect()
+        )
+        if not first:
+            return None
+        return pa.ipc.read_schema(pa.BufferReader(first[0].value))
+
+    def _publish_schema(self, schema: pa.Schema) -> None:
+        df = self.spark.createDataFrame(
+            [(bytes(schema.serialize()),)], "value binary"
+        )
+        (
+            df.write.format("kafka")
+            .options(**self.producer_options())
+            .save()
+        )
+
+    def write(self, serialized: DataFrame) -> None:
+        (
+            self.to_messages(serialized)
+            .write.format("kafka")
+            .options(**self.producer_options())
+            .option("includeHeaders", "true")
+            .save()
+        )
+
+
+def make_sink(
+    spark,
+    url: str,
+    *,
+    batching: BatchingOptions | None = None,
+    max_msg_size: int | None = None,
+) -> PublishSink:
+    """Sink factory: ``kafka://host:port/topic`` -> KafkaSink, anything
+    else is a directory path -> IpcFileSink."""
+    if url.startswith("kafka://"):
+        rest = url[len("kafka://") :]
+        servers, _, topic = rest.partition("/")
+        if not servers or not topic:
+            raise ValueError(
+                f"kafka sink url must be kafka://host:port/topic, got {url!r}"
+            )
+        return KafkaSink(
+            spark, servers, topic, batching=batching, max_msg_size=max_msg_size
+        )
+    return IpcFileSink(url)

@@ -86,6 +86,61 @@ def test_schema_handshake_rejects_mismatch(tmp_path):
         sink.handshake(s2)
 
 
+def test_kafka_sink_shape_and_handshake(spark, tmp_path):
+    """K1/K3 Kafka backend: message assembly, producer batching option
+    mapping (publisher.cpp:63-69, 265-277), the shared handshake verify
+    logic, and the sink factory — everything up to the network boundary
+    (no broker in this environment)."""
+    from bolson_spark.streaming import BatchingOptions, KafkaSink, make_sink
+
+    sink = make_sink(
+        spark,
+        "kafka://broker1:9092/bolson",
+        batching=BatchingOptions(enable=True, max_bytes=65536, max_delay_ms=5),
+        max_msg_size=5 * 1024 * 1024,
+    )
+    assert isinstance(sink, KafkaSink)
+    opts = sink.producer_options()
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092"
+    assert opts["topic"] == "bolson"
+    assert opts["kafka.batch.size"] == "65536"
+    assert opts["kafka.linger.ms"] == "5"
+    assert opts["kafka.max.request.size"] == str(5 * 1024 * 1024)
+    # batching disabled -> no batching options reach the producer
+    plain = make_sink(spark, "kafka://b:9092/t")
+    assert "kafka.batch.size" not in plain.producer_options()
+
+    # message assembly: one Kafka record per IPC message, binary value,
+    # key + headers carry the seq range
+    ipc_rows = spark.createDataFrame(
+        [(b"\x00payload", 0, 1023, 1024, 8), (b"\x01payload", 1024, 2047, 1024, 8)],
+        "payload binary, seq_first long, seq_last long, num_rows long, ipc_bytes long",
+    )
+    msgs = KafkaSink.to_messages(ipc_rows)
+    assert set(msgs.columns) == {"key", "value", "headers"}
+    got = {bytes(r.key): r for r in msgs.collect()}
+    assert bytes(got[b"0"].value) == b"\x00payload"
+    hdrs = {h.key: bytes(h.value) for h in got[b"1024"].headers}
+    assert hdrs == {"seq_first": b"1024", "seq_last": b"2047"}
+
+    # handshake verify logic is shared with the file backend: simulate
+    # a non-empty topic whose first message is a different schema
+    class _Stub(KafkaSink):
+        def _read_topic_schema(self):
+            return pa.schema([pa.field("other", pa.int64())])
+
+    stub = _Stub(spark, "b:9092", "t")
+    with pytest.raises(SchemaMismatchError):
+        stub.handshake(spark_to_arrow_schema(BATTERY_SPARK))
+
+    # the factory rejects malformed kafka urls, falls back to files
+    with pytest.raises(ValueError):
+        make_sink(spark, "kafka://only-servers")
+    from bolson_spark.streaming import IpcFileSink as _F
+
+    assert isinstance(make_sink(spark, str(tmp_path / "dir")), _F)
+
+
 def test_stream_strict_parse_fails_stream(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
