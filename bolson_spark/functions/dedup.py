@@ -32,15 +32,40 @@ from pyspark.sql import functions as F
 from bolson_spark.functions.text import doc_fingerprint, tokens
 
 # LSH parameters: b bands of r rows; candidate probability at Jaccard J
-# is 1-(1-J^r)^b with threshold ~ (1/b)^(1/r). r=8, b=2 puts the knee at
-# ~0.92 — the high-selectivity config for near-dup dedup at J>=0.9.
-# Selectivity is the scale lever: on a low-entropy corpus (tiny
+# is 1-(1-J^r)^b with threshold ~ (1/b)^(1/r). The two competing forces:
+# RECALL wants more/shorter bands (higher hit probability at the target
+# J); SELECTIVITY wants longer bands — on a low-entropy corpus (tiny
 # vocabulary) a low-r banding makes buckets collide for thousands of
-# docs and the candidate join output goes quadratic; 8-row bands keep
-# bucket sizes (and therefore the verify stage) proportional to the
-# TRUE near-dup rate, which is what survives a 100 TB corpus.
+# docs and the candidate join output goes quadratic. choose_bands picks
+# the longest rows-per-band whose candidate recall at the caller's
+# threshold still clears MIN_RECALL — maximum selectivity subject to a
+# recall floor, which is what survives a 100 TB corpus.
 DEFAULT_NUM_HASHES = 16
-DEFAULT_BANDS = 2  # rows-per-band = num_hashes / bands = 8
+MIN_RECALL = 0.95
+
+
+def lsh_candidate_recall(j: float, num_hashes: int, bands: int) -> float:
+    """P(candidate) for a pair at Jaccard j under b bands of r rows:
+    1-(1-j^r)^b."""
+    r = num_hashes // bands
+    return 1.0 - (1.0 - j**r) ** bands
+
+
+def choose_bands(
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    threshold: float = 0.9,
+    min_recall: float = MIN_RECALL,
+) -> int:
+    """Fewest bands (longest rows-per-band = max selectivity) whose
+    candidate recall at `threshold` is >= min_recall. At the defaults
+    (16 hashes, J=0.9) this picks b=4/r=4: recall 0.986 vs b=2/r=8's
+    0.675 (the round-1 default — a production recall bug for exactly-
+    at-threshold pairs)."""
+    divisors = [b for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+    for b in divisors:  # ascending bands = descending rows-per-band
+        if lsh_candidate_recall(threshold, num_hashes, b) >= min_recall:
+            return b
+    return num_hashes  # r=1: recall is maximal, selectivity minimal
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -112,11 +137,12 @@ def minhash_signature(
 def band_keys_from_signature(
     sig: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
+    bands: int | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_key) rows from a minhash signature frame:
     band b's key = md5('|'.join(mh[b*r .. b*r+r-1])). Narrow map +
     posexplode — the bucket join key for LSH candidate generation."""
+    bands = choose_bands(num_hashes) if bands is None else bands
     r = num_hashes // bands
     keys = F.array(
         *[
@@ -136,7 +162,7 @@ def band_keys_from_signature(
 def band_keys_vectorized(
     col: Column,
     num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
+    bands: int | None = None,
 ) -> Column:
     """Arrow-batched pandas_udf computing the SAME band keys as the
     declarative minhash_signature → band_keys_from_signature path
@@ -145,6 +171,7 @@ def band_keys_vectorized(
     CPU-vs-FPGA dual execution of one logical parse op."""
     import hashlib
 
+    bands = choose_bands(num_hashes) if bands is None else bands
     rows_per_band = num_hashes // bands
 
     @F.pandas_udf("array<string>")
@@ -187,12 +214,16 @@ def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
+    bands: int | None = None,
     jaccard_threshold: float = 0.9,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, then
     verified with exact token-set Jaccard; returns (doc_a, doc_b,
     jaccard) with doc_a < doc_b and jaccard >= threshold.
+
+    bands=None auto-selects the most selective banding whose candidate
+    recall at `jaccard_threshold` clears MIN_RECALL (choose_bands);
+    pass bands explicitly to pin a different recall/selectivity point.
 
     Shuffle profile: one equi-join on (band, band_key) + one equi-join
     back to token sets for verification — both hash-partitioned on
@@ -201,6 +232,9 @@ def minhash_lsh_pairs(
     precomputed set sizes (half the per-pair array work of an
     explicit array_union).
     """
+    bands = (
+        choose_bands(num_hashes, jaccard_threshold) if bands is None else bands
+    )
     # Band keys computed ONCE per doc in a JVM-side narrow map (one
     # md5 per token + codegen arithmetic — see minhash_signature), then
     # posexploded to (band, band_key) rows for the bucket self-join.

@@ -978,11 +978,16 @@ FROM documents GROUP BY 1
 
 
 def _minhash_sql(
-    num_hashes: int = 16, bands: int = 2, threshold: float = 0.9
+    num_hashes: int = 16, bands: int | None = None, threshold: float = 0.9
 ) -> str:
     """DuckDB oracle mirroring minhash_lsh_pairs (same Carter-Wegman
     family: one md5 per token, permutation i = min (hi + i*lo) mod
-    2^32 over 32-bit halves of the digest)."""
+    2^32 over 32-bit halves of the digest). bands=None uses the SAME
+    choose_bands selection as the Spark side — generator and operator
+    stay in lock-step by construction."""
+    from bolson_spark.functions.dedup import choose_bands
+
+    bands = choose_bands(num_hashes, threshold) if bands is None else bands
     rows = num_hashes // bands
     mh = ",\n         ".join(
         "list_min(list_transform(hs, h -> (h.hi + %d * h.lo) %% 4294967296))"

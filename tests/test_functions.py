@@ -42,6 +42,40 @@ def test_minhash_identical_docs_pair(spark):
     assert all(a < b for a, b in pairs)
 
 
+def test_minhash_bands_auto_selection():
+    """choose_bands: most selective banding (longest rows-per-band)
+    whose candidate recall at the threshold clears MIN_RECALL."""
+    from bolson_spark.functions.dedup import choose_bands, lsh_candidate_recall
+
+    assert choose_bands(16, 0.9) == 4  # b=4/r=4: recall 0.986
+    assert lsh_candidate_recall(0.9, 16, 4) >= 0.95
+    # round-1's fixed b=2/r=8 fails the floor at exactly J=0.9
+    assert lsh_candidate_recall(0.9, 16, 2) < 0.7
+    # stricter threshold -> longer bands become viable
+    assert choose_bands(16, 0.99) <= choose_bands(16, 0.9)
+
+
+def test_minhash_recall_at_threshold(spark):
+    """Recall >= 0.95 at exactly J~=0.9 on a synthetic near-dup corpus:
+    120 docs = 60 (base, dup) pairs where dup replaces 2 of 40 tokens
+    (J = 38/42 ~= 0.905). Every other cross pair shares zero tokens."""
+    rows = []
+    for i in range(60):
+        base = [f"t{i}_{j}" for j in range(40)]
+        dup = [f"r{i}_0", f"r{i}_1"] + base[2:]
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(dup)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.9).collect()
+    }
+    truth = {(2 * i, 2 * i + 1) for i in range(60)}
+    assert not found - truth  # verification stage admits no false pairs
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.95, recall
+
+
 def test_ngram_jaccard_detects_near_dup(spark):
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard
