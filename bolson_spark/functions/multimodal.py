@@ -2,11 +2,15 @@
 
 Design: media are opaque BINARY columns + typed metadata, processed by
 Arrow-batched Pandas functions via ``mapInPandas`` — the Spark-side
-plumbing (schema, batching, partitioning) is real and tested; the codec
-step itself is stubbed because no image/audio libraries exist in this
-container. ``decode_image`` raises NotImplementedError unless
-``fake=True``, which substitutes a deterministic fake decoder so the
-pipeline shape (bytes -> features) is testable end-to-end.
+plumbing (schema, batching, partitioning) is real and tested.
+
+Codecs: uncompressed NetPBM images (P5 grayscale / P6 RGB) are decoded,
+feature-extracted, and resized with a real pure-numpy codec — no
+external libraries needed. Compressed formats (JPEG/PNG/video) require
+codec libraries that are not installed in this container, so those
+paths raise NotImplementedError; ``fake=True`` substitutes a
+deterministic stand-in so the pipeline shape stays testable for any
+payload.
 
 At scale: mapInPandas streams Arrow batches, so memory is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``; binary payloads never
@@ -18,6 +22,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,12 +53,74 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feature
 
 
+# --- real pure-numpy NetPBM codec (P5 = binary PGM, P6 = binary PPM) ---
+
+
+def encode_pnm(pixels: np.ndarray) -> bytes:
+    """uint8 array (h, w) or (h, w, 3) -> binary NetPBM bytes (P5/P6)."""
+    if pixels.dtype != np.uint8:
+        raise ValueError(f"pixels must be uint8, got {pixels.dtype}")
+    if pixels.ndim == 2:
+        magic = b"P5"
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        magic = b"P6"
+    else:
+        raise ValueError(f"unsupported pixel shape {pixels.shape}")
+    h, w = pixels.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def _parse_pnm(payload: bytes) -> np.ndarray:
+    """Binary NetPBM bytes -> uint8 array (h, w) for P5, (h, w, 3) for
+    P6. Raises ValueError on malformed input."""
+    magic = bytes(payload[:2])
+    channels = {b"P5": 1, b"P6": 3}.get(magic)
+    if channels is None:
+        raise ValueError(f"not a binary NetPBM payload (magic {magic!r})")
+    # header: magic, width, height, maxval — separated by whitespace,
+    # '#' comments allowed; pixel data starts after the single
+    # whitespace byte following maxval
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated NetPBM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    n = w * h * channels
+    data = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return data.reshape((h, w) if channels == 1 else (h, w, 3))
+
+
 def decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """Real decoder entry point — unavailable in this container."""
-    raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "use extract_features(df, fake=True) for the deterministic stub"
-    )
+    """Real decoder for binary NetPBM payloads (P5/P6): returns
+    (width, height, feature) where feature is the 8-bin normalized
+    luminance histogram. Compressed formats (JPEG/PNG) would need codec
+    libraries not installed in this container and raise."""
+    if bytes(payload[:2]) not in (b"P5", b"P6"):
+        raise NotImplementedError(
+            "only uncompressed NetPBM (P5/P6) payloads are decodable in "
+            "this environment (no JPEG/PNG codec libraries installed); "
+            "use extract_features(df, fake=True) for the deterministic stub"
+        )
+    px = _parse_pnm(payload)
+    lum = px if px.ndim == 2 else px.mean(axis=2)
+    hist = np.bincount((lum.astype(np.uint16) >> 5).ravel(), minlength=8)
+    feature = (hist / lum.size).astype(np.float64)
+    return px.shape[1], px.shape[0], feature.tolist()
 
 
 RESIZED_SCHEMA = "media_id bigint, width int, height int, payload binary"
@@ -61,11 +128,20 @@ FRAME_SCHEMA = "media_id bigint, frame_idx int, frame binary"
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize entry point — unavailable in this container."""
-    raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "use resize_images(df, ..., fake=True) for the deterministic stub"
-    )
+    """Real nearest-neighbor resize for binary NetPBM payloads (P5/P6);
+    returns re-encoded NetPBM bytes at the new dimensions. Compressed
+    formats raise (no codec libraries in this container)."""
+    if bytes(payload[:2]) not in (b"P5", b"P6"):
+        raise NotImplementedError(
+            "only uncompressed NetPBM (P5/P6) payloads are resizable in "
+            "this environment (no JPEG/PNG codec libraries installed); "
+            "use resize_images(df, ..., fake=True) for the deterministic stub"
+        )
+    px = _parse_pnm(payload)
+    src_h, src_w = px.shape[:2]
+    rows = (np.arange(height) * src_h) // height
+    cols = (np.arange(width) * src_w) // width
+    return encode_pnm(px[rows][:, cols])
 
 
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:

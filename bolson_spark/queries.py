@@ -1278,6 +1278,55 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, fake=True)
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round trip, fully oracle-checked: deterministic
+    grayscale gradients (pixel[r,c] = (7r+13c+doc_id) mod 256) are
+    encoded to binary PGM bytes, decoded back by the pure-numpy NetPBM
+    codec, and checksummed — the oracle recomputes dimensions and the
+    luminance sum arithmetically in SQL. Proves bytes->pixels->stats is
+    real end-to-end, not a stub."""
+    import numpy as np
+    import pandas as pd
+
+    from bolson_spark.functions.multimodal import _parse_pnm, encode_pnm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                w, h = 8 + did % 5, 6 + did % 7
+                r, c = np.arange(h)[:, None], np.arange(w)[None, :]
+                px = ((7 * r + 13 * c + did) % 256).astype(np.uint8)
+                back = _parse_pnm(encode_pnm(px))  # encode -> decode
+                out.append(
+                    (did, back.shape[1], back.shape[0], int(back.sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "lum_sum"]
+            )
+
+    return docs.mapInPandas(
+        roundtrip, "media_id bigint, width int, height int, lum_sum bigint"
+    )
+
+
+O_MULTIMODAL_DECODE = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 7 AS h
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(list_sum(flatten(list_transform(range(0, h), r ->
+              list_transform(range(0, w), c -> (7*r + 13*c + doc_id) % 256))))
+            AS BIGINT) AS lum_sum
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # Additional relational patterns
 # ---------------------------------------------------------------------------
@@ -1894,6 +1943,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_multimodal_metadata, O_MULTIMODAL_METADATA, ("multimodal",)
     ),
     "multimodal_features": QuerySpec(q_multimodal_features, None, ("multimodal",)),
+    "multimodal_decode": QuerySpec(
+        q_multimodal_decode, O_MULTIMODAL_DECODE, ("multimodal",)
+    ),
     "multimodal_frames": QuerySpec(
         q_multimodal_frames, O_MULTIMODAL_FRAMES, ("multimodal",)
     ),

@@ -237,6 +237,65 @@ def test_band_keys_vectorized_equals_declarative(spark):
     assert vec == decl
 
 
+def test_pnm_codec_roundtrip_and_features(spark):
+    """REAL codec: encode->decode roundtrip for P5/P6, header comments,
+    histogram features, and the full Spark path (extract_features /
+    resize_images with fake=False) over NetPBM payloads."""
+    import numpy as np
+
+    from bolson_spark.functions.multimodal import (
+        _parse_pnm,
+        decode_image,
+        encode_pnm,
+        extract_features,
+        resize_image,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (12, 17), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (9, 5, 3), dtype=np.uint8)
+    assert (_parse_pnm(encode_pnm(gray)) == gray).all()
+    assert (_parse_pnm(encode_pnm(rgb)) == rgb).all()
+    # header comments are skipped per the NetPBM spec
+    commented = b"P5\n# a comment\n17 12\n255\n" + gray.tobytes()
+    assert (_parse_pnm(commented) == gray).all()
+
+    w, h, feat = decode_image(encode_pnm(gray))
+    assert (w, h) == (17, 12)
+    want = np.bincount((gray.astype(np.uint16) >> 5).ravel(), minlength=8)
+    assert feat == (want / gray.size).tolist()
+    assert abs(sum(feat) - 1.0) < 1e-12
+
+    # nearest-neighbor resize: exact pixel selection, re-encoded header
+    small = _parse_pnm(resize_image(encode_pnm(gray), 4, 3))
+    assert small.shape == (3, 4)
+    rows = (np.arange(3) * 12) // 3
+    cols = (np.arange(4) * 17) // 4
+    assert (small == gray[rows][:, cols]).all()
+
+    # compressed formats still raise (no codec libs in-container)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\xff\xd8\xff\xe0jfif", 2, 2)
+
+    # distributed path with the REAL codec (fake=False)
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(encode_pnm(gray))),
+            (1, bytearray(encode_pnm(rgb))),
+        ],
+        "media_id long, payload binary",
+    )
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert (feats[0].width, feats[0].height) == (17, 12)
+    assert (feats[1].width, feats[1].height) == (5, 9)
+    resized = {r.media_id: r for r in resize_images(media, 6, 4).collect()}
+    assert _parse_pnm(bytes(resized[0].payload)).shape == (4, 6)
+    assert _parse_pnm(bytes(resized[1].payload)).shape == (4, 6, 3)
+
+
 def test_resize_and_frames_plumbing(spark):
     from bolson_spark.functions.multimodal import resize_images, sample_frames
 
