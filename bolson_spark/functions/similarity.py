@@ -223,7 +223,7 @@ def _with_tiles(
 
 def blocked_nearest_neighbor_gemm_tiled(
     df: DataFrame,
-    max_block: int,
+    max_block: int = 4096,
     block_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -296,7 +296,7 @@ def blocked_nearest_neighbor_gemm_tiled(
 
 def embedding_cosine_pairs_tiled(
     df: DataFrame,
-    max_block: int,
+    max_block: int = 4096,
     threshold: float = 0.95,
     block_col: str = "label",
     vec_col: str = "embedding",

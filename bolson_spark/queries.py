@@ -1602,10 +1602,27 @@ O_SIMHASH = _simhash_sql()
 
 def q_embedding_blocked_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-1 neighbor per vector within its label block — the blocked
-    pairwise pattern that replaces a cross join at scale. Registry uses
-    the per-block GEMM execution (one BLAS matmul per block via
-    applyInPandas); functions.similarity.blocked_nearest_neighbor is
-    the equivalent pure-DataFrame formulation, tested equal."""
+    pairwise pattern that replaces a cross join at scale. The primary
+    path is the MEMORY-BOUNDED tiled GEMM (chunk-pair tiles of <=
+    max_block=4096 vectors per side, so an oversized block splits
+    across tasks instead of OOMing one); the unsplit per-block GEMM and
+    the pure-DataFrame formulation survive as differential twins
+    (embedding_blocked_nn_gemm_unsplit / functions.similarity.
+    blocked_nearest_neighbor, tested equal)."""
+    from bolson_spark.functions.similarity import (
+        blocked_nearest_neighbor_gemm_tiled,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return blocked_nearest_neighbor_gemm_tiled(emb)
+
+
+def q_embedding_blocked_nn_gemm_unsplit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parity twin: the unsplit one-task-per-block GEMM (whole block in
+    one applyInPandas group). Correct wherever blocks fit in executor
+    memory; the tiled primary removes that precondition."""
     from bolson_spark.functions.similarity import blocked_nearest_neighbor_gemm
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1625,11 +1642,21 @@ QUALIFY row_number() OVER (
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs within label blocks (per-block
-    GEMM). Threshold 0.3 is calibrated to the synthetic corpus (random
-    near-orthogonal vectors, max within-block cosine ~0.51) so the
-    operator's emit path is actually exercised; production near-dup
-    thresholds are ~0.95 (the API default)."""
+    """Embedding-cosine near-dup pairs within label blocks. Primary
+    path is the MEMORY-BOUNDED tiled GEMM (max_block=4096; oversized
+    blocks split across tasks); dedup_embedding_unsplit keeps the
+    one-task-per-block twin. Threshold 0.3 is calibrated to the
+    synthetic corpus (random near-orthogonal vectors, max within-block
+    cosine ~0.51) so the operator's emit path is actually exercised;
+    production near-dup thresholds are ~0.95 (the API default)."""
+    from bolson_spark.functions.similarity import embedding_cosine_pairs_tiled
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs_tiled(emb, threshold=0.3)
+
+
+def q_dedup_embedding_unsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parity twin of dedup_embedding: unsplit per-block GEMM."""
     from bolson_spark.functions.similarity import embedding_cosine_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1932,6 +1959,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_embedding_tiled": QuerySpec(
         q_dedup_embedding_tiled, O_DEDUP_EMBEDDING, ("dedup", "similarity")
+    ),
+    "embedding_blocked_nn_gemm_unsplit": QuerySpec(
+        q_embedding_blocked_nn_gemm_unsplit,
+        O_EMBEDDING_BLOCKED_NN,
+        ("similarity",),
+    ),
+    "dedup_embedding_unsplit": QuerySpec(
+        q_dedup_embedding_unsplit, O_DEDUP_EMBEDDING, ("dedup", "similarity")
     ),
     "dedup_components": QuerySpec(
         q_dedup_components, O_DEDUP_COMPONENTS, ("dedup",)
