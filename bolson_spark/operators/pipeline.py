@@ -42,6 +42,13 @@ def convert(
     key-scan guard pass) or "arrow" (Arrow C++ JSON TableReader via
     mapInArrow — strict validation is built into the single parse pass,
     ~25% faster end-to-end when strict; both impls tested equal).
+
+    Composition note: mapInArrow is opaque to Catalyst, so downstream
+    passes that only need the order key (e.g. add_seq_scalable's
+    boundary/count passes) cannot column-prune an "arrow" parse and
+    re-execute it; the "catalyst" parse IS prunable and thus composes
+    better in multi-pass plans. Rule of thumb: arrow for a single
+    materialization, catalyst when the plan is consumed repeatedly.
     """
     if seq_mode not in ("exact", "scalable"):
         raise ValueError(f"unknown seq_mode {seq_mode!r}")

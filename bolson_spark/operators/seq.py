@@ -12,14 +12,23 @@ Two implementations:
   key)``. A global window is a single-reducer sort: correct and what the
   parity tests use (the reference is itself a single TCP stream,
   stream.cpp:70), but NOT the 100 TB path.
-- ``add_seq_scalable`` — the scale path: a two-pass partition-offset
-  scheme (count rows per partition, exclusive-prefix-sum the counts on
-  the driver — thousands of longs, not data — then seq = partition base
-  + intra-partition row_number). No global shuffle of the data; each
-  partition is numbered independently. Requires data already
-  range-partitioned/sorted by the arrival key so that partition order ==
-  key order (a parquet scan of a sorted table, or repartitionByRange
-  upstream, satisfies this).
+- ``add_seq_scalable`` — the scale path: explicit range buckets +
+  partition-offset numbering. Bucket boundaries are computed ONCE on
+  the driver (approx quantiles over the key column only — the upstream
+  plan is column-pruned, so e.g. a JSON parse feeding the pipeline does
+  NOT run for this pass) and frozen as literals; every subsequent pass
+  derives the bucket id from the same literal expression, so all passes
+  agree BY CONSTRUCTION. seq = exclusive-prefix-sum(bucket counts)
+  [driver-side, O(buckets)] + intra-bucket row_number. The expensive
+  full-width pass runs exactly once.
+
+  Why not ``repartitionByRange`` + ``spark_partition_id``: range
+  boundaries come from runtime reservoir sampling whose seed involves
+  the RDD id, so two ACTIONS over the same plan can partition rows
+  differently — a counts pass and a numbering pass may disagree and
+  silently mis-number. (Observable at scale; at toy scale AQE coalesces
+  the shuffle to one partition, masking it.) Literal boundaries remove
+  that failure mode and any AQE dependence.
 """
 
 from __future__ import annotations
@@ -28,6 +37,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bolson_spark import SEQ_COL
+
+from pyspark.sql import types as T
+
+_NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
 
 
 def add_seq(
@@ -49,23 +70,47 @@ def add_seq_scalable(
     order_by: str | list[str],
     name: str = SEQ_COL,
     start: int = 0,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Contiguous sequence numbers without a global sort.
 
-    Ranges-partitions by the arrival key (so partition i holds keys
-    smaller than partition i+1), then numbers rows with partition-local
-    windows plus driver-computed base offsets. The only driver-side data
-    is one (partition_id, count) pair per partition.
+    Three passes, deterministic by construction (see module docstring):
+
+    1. approx-quantile bucket boundaries over the NUMERIC key column
+       (key-only scan: Catalyst prunes every other column — an upstream
+       JSON parse does not execute here). Boundary accuracy only
+       affects balance, never correctness.
+    2. exact per-bucket counts (key-only scan) -> exclusive prefix
+       sums on the driver, O(buckets) data.
+    3. the single full-width pass: shuffle by the literal bucket id,
+       intra-bucket ``row_number`` + bucket base.
+
+    Non-numeric keys fall back to the exact global window (`add_seq`) —
+    correct, but not the scale path; pre-map such keys to a numeric
+    arrival ordinal to stay scalable.
     """
     keys = [order_by] if isinstance(order_by, str) else list(order_by)
     key_cols = [F.col(k) for k in keys]
-    parts = df.repartitionByRange(*key_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # Pass 1: per-partition counts -> exclusive prefix sums (driver-side,
-    # O(num_partitions) not O(rows)).
+    if len(keys) == 1 and isinstance(
+        df.schema[keys[0]].dataType, _NUMERIC_TYPES
+    ):
+        key = keys[0]
+    else:
+        return add_seq(df, order_by, name, start)
+    sc = df.sparkSession.sparkContext
+    n_buckets = num_buckets or sc.defaultParallelism
+    # Pass 1: frozen literal boundaries (balance only).
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(key, probs, 0.001)))
+    pid_expr = F.lit(0)
+    for b in bounds:
+        pid_expr = pid_expr + (F.col(key) > F.lit(b)).cast("int")
+    # Pass 2: exact per-bucket counts -> exclusive prefix sums.
     counts = dict(
-        parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        df.select(pid_expr.alias("_pid"))
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
     bases: dict[int, int] = {}
     running = start
@@ -74,11 +119,19 @@ def add_seq_scalable(
         running += counts[pid]
     base_expr = F.element_at(
         F.create_map(
-            *[F.lit(x) for pid in sorted(bases) for x in (pid, bases[pid])]
+            *[
+                F.lit(x)
+                for pid in sorted(bases)
+                for x in (pid, bases[pid])
+            ]
         ),
         F.col("_pid"),
+    ) if bases else F.lit(start)
+    # Pass 3: the one full-width pass — shuffle on the literal bucket
+    # id, then bucket-local numbering (identical pids in every pass).
+    parts = df.withColumn("_pid", pid_expr).repartition(
+        max(len(bounds) + 1, 1), F.col("_pid")
     )
-    # Pass 2: partition-local row_number (no cross-partition shuffle).
     w = Window.partitionBy("_pid").orderBy(*key_cols)
     out = parts.withColumn(
         name, (base_expr + F.row_number().over(w) - 1).cast("bigint")

@@ -152,6 +152,33 @@ def test_add_seq_scalable_matches_global(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_add_seq_scalable_deterministic_without_aqe(spark):
+    """Regression: the bucket ids MUST be identical across the counts
+    pass and the numbering pass. A repartitionByRange-based scheme
+    breaks here — runtime range-sampling reseeds per action, so two
+    actions can partition rows differently (masked at toy scale by AQE
+    coalescing every shuffle to one partition). Literal boundaries make
+    the passes agree by construction, so this holds with AQE off and
+    skewed, shuffled input."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.range(0, 50000).select(
+            ((F.col("id") * F.col("id")) % 999983).alias("key")
+        ).distinct().repartition(16)
+        for _ in range(2):
+            out = add_seq_scalable(df, "key").select("key", "bolson_seq")
+            rows = out.collect()
+            seqs = sorted(r.bolson_seq for r in rows)
+            assert seqs == list(range(len(rows)))  # contiguous, 0-based
+            # seq order == key order
+            by_seq = sorted(rows, key=lambda r: r.bolson_seq)
+            keys = [r.key for r in by_seq]
+            assert keys == sorted(keys)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 def test_seq_column_prepended_at_index_zero(spark):
     """parse/arrow.cpp:155 — bolson_seq is ADDED AT COLUMN INDEX 0, not
     appended, in both physical implementations."""
