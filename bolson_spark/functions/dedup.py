@@ -144,13 +144,30 @@ def band_keys_from_signature(
     posexplode — the bucket join key for LSH candidate generation."""
     bands = choose_bands(num_hashes) if bands is None else bands
     r = num_hashes // bands
+    # Band key = first 60 bits of md5 as a BIGINT, not the 32-char hex
+    # string: an 8-byte fixed-width join/shuffle key instead of a 32-byte
+    # UTF-8 one (same digest family as the oracle, which applies the
+    # identical truncation — collision odds unchanged in practice:
+    # ~n_docs*bands pairs vs 2^60 keyspace per band).
     keys = F.array(
         *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * r + k}").cast("string") for k in range(r)]
-                )
-            )
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{b * r + k}").cast("string")
+                                for k in range(r)
+                            ],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
             for b in range(bands)
         ]
     )
@@ -174,7 +191,7 @@ def band_keys_vectorized(
     bands = choose_bands(num_hashes) if bands is None else bands
     rows_per_band = num_hashes // bands
 
-    @F.pandas_udf("array<string>")
+    @F.pandas_udf("array<long>")
     def _keys(texts: pd.Series) -> pd.Series:
         out = []
         for text in texts:
@@ -194,14 +211,18 @@ def band_keys_vectorized(
             ]
             out.append(
                 [
-                    hashlib.md5(
-                        "|".join(
-                            str(v)
-                            for v in mh[
-                                b * rows_per_band : (b + 1) * rows_per_band
-                            ]
-                        ).encode("utf-8")
-                    ).hexdigest()
+                    # same 60-bit md5 truncation as the declarative path
+                    int(
+                        hashlib.md5(
+                            "|".join(
+                                str(v)
+                                for v in mh[
+                                    b * rows_per_band : (b + 1) * rows_per_band
+                                ]
+                            ).encode("utf-8")
+                        ).hexdigest()[:15],
+                        16,
+                    )
                     for b in range(bands)
                 ]
             )

@@ -995,8 +995,9 @@ def _minhash_sql(
         for i in range(num_hashes)
     )
     band_rows = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, %d AS band, md5(%s) AS band_key FROM sigs"
-        % (
+        "  SELECT doc_id, %d AS band,"
+        " CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT) AS band_key"
+        " FROM sigs" % (
             b,
             " || '|' || ".join(
                 f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
