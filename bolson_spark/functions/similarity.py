@@ -603,3 +603,67 @@ def ivf_knn(
         F.round(cosine_similarity_col(F.col(vec_col), q), 6).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def save_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize an IVF index on disk: vectors written PARTITIONED BY
+    their cluster id (`<path>/cells/cluster=<id>/`) plus the centroid
+    table (`<path>/centroids/`).
+
+    This is the layout a 100 TB ANN index needs: a probe reads ONLY the
+    probed cells via parquet partition pruning (one directory per cell,
+    verified by PartitionFilters in the probe plan) instead of scanning
+    the corpus. Assignment is ivf_assign (broadcast centroids, map-side
+    argmax); the one data shuffle is the partitioned write itself."""
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    (
+        df.join(assigned.select(id_col, "cluster"), id_col)
+        .repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/cells")
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe_saved(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k probe against a saved IVF index: rank centroids by cosine
+    to the query (tiny table, driver-side), then scan ONLY the best
+    `n_probe` cell partitions (partition-pruned) and TakeOrdered(k).
+    `n_probe` is the recall/latency knob of every IVF deployment."""
+    q = _query_vector_lit(query_vec)
+    cents = spark.read.parquet(f"{path}/centroids")
+    best = [
+        r.centroid_id
+        for r in cents.select(
+            "centroid_id",
+            F.round(cosine_similarity_col(F.col("centroid"), q), 6).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.desc("sim"), F.asc("centroid_id"))
+        .limit(n_probe)
+        .collect()
+    ]
+    cells = spark.read.parquet(f"{path}/cells").where(
+        F.col("cluster").isin(best)
+    )
+    scored = cells.select(
+        F.col(id_col),
+        F.round(cosine_similarity_col(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

@@ -36,6 +36,12 @@ class CompareResult:
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound the oracle's footprint: DuckDB defaults to 80% of host RAM
+    # and all cores, which contends with the live Spark JVM and can OOM
+    # the oracle side under peak pressure (observed transiently). The
+    # oracle workloads are sf<=0.01 — 8 GB / 8 threads is generous.
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET threads=8")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

@@ -1673,6 +1673,59 @@ WHERE ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) >= 0.3
 """
 
 
+def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN-dedup composition: IVF cluster ids as the
+    blocking key (ivf_assign: broadcast centroids + map-side argmax)
+    feeding the memory-bounded tiled GEMM — candidates are per-cell
+    O(|cell|^2) with |task| <= 2*max_block, never corpus-global. This
+    is the 'block on IVF cluster id with max-cell splitting' design
+    (SCALING.md); approximate by construction (cross-cell pairs are
+    unseen) exactly like a production IVF index probe."""
+    from bolson_spark.functions.similarity import (
+        embedding_cosine_pairs_tiled,
+        ivf_assign,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = ivf_assign(emb, centroids).select("vec_id", "cluster")
+    blocked = emb.join(assigned, "vec_id").select(
+        "vec_id", "embedding", "cluster"
+    )
+    return embedding_cosine_pairs_tiled(
+        blocked, threshold=0.3, block_col="cluster"
+    )
+
+
+O_DEDUP_EMBEDDING_IVF = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         ROUND({_cosine_sql("e.embedding", "c.centroid")}, 6) AS sim
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, centroid_id AS cluster
+  FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1
+)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cluster AS block,
+       ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) AS cosine
+FROM assigned x
+JOIN assigned y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+JOIN embeddings a ON a.vec_id = x.vec_id
+JOIN embeddings b ON b.vec_id = y.vec_id
+WHERE ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) >= 0.3
+"""
+
+
 def q_embedding_blocked_nn_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memory-bounded twin of embedding_blocked_nn: the same per-block
     GEMM executed over chunk-pair tiles (max 64 vectors per task side),
@@ -1968,6 +2021,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_embedding_unsplit": QuerySpec(
         q_dedup_embedding_unsplit, O_DEDUP_EMBEDDING, ("dedup", "similarity")
+    ),
+    "dedup_embedding_ivf": QuerySpec(
+        q_dedup_embedding_ivf, O_DEDUP_EMBEDDING_IVF, ("dedup", "similarity")
     ),
     "dedup_components": QuerySpec(
         q_dedup_components, O_DEDUP_COMPONENTS, ("dedup",)

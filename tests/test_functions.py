@@ -237,6 +237,41 @@ def test_band_keys_vectorized_equals_declarative(spark):
     assert vec == decl
 
 
+def test_ivf_index_save_probe_pruned(spark, tmp_path):
+    """On-disk IVF index: cells written partitioned by cluster id; a
+    probe scans ONLY the probed cell (PartitionFilters in the plan) and
+    returns exactly what the in-memory ivf_knn probe returns."""
+    from bolson_spark.functions.similarity import (
+        ivf_knn,
+        ivf_probe_saved,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    path = str(tmp_path / "ivf")
+    save_ivf_index(emb, centroids, path)
+
+    probe = ivf_probe_saved(spark, path, qv, k=10, n_probe=1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*cluster", plan)  # pruned
+    got = [(r.vec_id, r.cosine) for r in probe.collect()]
+    want = [
+        (r.vec_id, r.cosine)
+        for r in ivf_knn(emb, centroids, qv, k=10).collect()
+    ]
+    assert got == want
+    # multi-probe widens the candidate set but keeps exact ordering
+    wide = ivf_probe_saved(spark, path, qv, k=10, n_probe=8).collect()
+    assert len(wide) == 10 and wide[0].vec_id == 0
+
+
 def test_pnm_codec_roundtrip_and_features(spark):
     """REAL codec: encode->decode roundtrip for P5/P6, header comments,
     histogram features, and the full Spark path (extract_features /
