@@ -98,6 +98,7 @@ def cmd_stream(args) -> int:
         sink,
         max_rows=args.max_rows,
         max_ipc_size=args.max_ipc,
+        parser=args.parser,
         checkpoint_dir=args.checkpoint,
         available_now=available_now,
         latency=tracker,
@@ -231,6 +232,12 @@ def main(argv=None) -> int:
     s.add_argument("--host", default="localhost")
     s.add_argument("--port", type=int, default=10197)  # cli.cpp:29-34 default
     s.add_argument("--schema", choices=SCHEMAS, default="battery")
+    s.add_argument(
+        "--parser",
+        choices=("catalyst", "arrow"),
+        default="catalyst",
+        help="physical parse impl per micro-batch (see bench convert)",
+    )
     s.add_argument(
         "--sink",
         required=True,

@@ -107,3 +107,76 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(c).alias("quality"),
         doc_fingerprint(c).alias("fingerprint"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-bounded chunking with overlap — the standard prep step that
+    turns variable-length documents into training-window-sized pieces.
+
+    Chunk i covers tokens [i*step, i*step + chunk_tokens) with
+    step = chunk_tokens - overlap; the last chunk may be shorter; a
+    document shorter than one chunk yields itself. Declarative
+    (sequence -> posexplode -> slice -> concat_ws): a narrow 1->N row
+    expansion inside codegen, no shuffle, no Python — at 100 TB this is
+    a map stage whose output size is input*(1+overlap/step).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    tok = F.col("_tok")
+    n = F.size(tok)
+    # start offsets: 0, step, 2*step, ... while start < n (and at least
+    # one chunk); a start whose window is fully inside the previous
+    # chunk (start >= n - overlap, start > 0) adds no new tokens -> cap
+    # the range at max(n - overlap - 1, 0).
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - F.lit(overlap) - 1, F.lit(0)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(tok, s + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(n - s, F.lit(chunk_tokens)).alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+# PII patterns restricted to the regex subset Java (Spark) and RE2
+# (DuckDB) interpret identically: no backrefs, no lookaround. Order is
+# most-specific first: emails (may contain digits/dots), then IPv4,
+# then the loose phone shape — a phone pattern run earlier would
+# swallow IPs (digits + dots satisfy its character class).
+PII_PATTERNS = (
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("\\+?[0-9][0-9() .-]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Rule-based PII redaction (emails, phone-number shapes, IPv4) —
+    the scrubbing pass a training corpus gets before tokenization.
+    Chained regexp_replace, all JVM-side; specificity order per
+    PII_PATTERNS."""
+    out = col
+    for pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out

@@ -965,6 +965,60 @@ FROM t GROUP BY source
 # ---------------------------------------------------------------------------
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded chunking with overlap (32-token windows, 8-token
+    overlap) — the 1->N prep step that feeds a training tokenizer.
+    Narrow codegen expansion, no shuffle (functions/text.py)."""
+    from bolson_spark.functions.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+O_DOC_CHUNKS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+s AS (SELECT doc_id, tok, len(tok) AS n FROM t)
+SELECT doc_id,
+       CAST(start // 24 AS INT) AS chunk_idx,
+       CAST(least(n - start, 32) AS INT) AS n_chunk_tokens,
+       array_to_string(tok[CAST(start + 1 AS BIGINT):CAST(start + 32 AS BIGINT)],
+                       ' ') AS chunk_text
+FROM s, LATERAL unnest(range(0, greatest(n - 8, 1), 24)) AS u(start)
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based PII scrub (emails / phone shapes / IPv4) over the
+    corpus — chained JVM regexp_replace; patterns restricted to the
+    Java-RE2 common subset so the oracle is bit-identical."""
+    from bolson_spark.functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    red = redact_pii(F.col("text"))
+    return docs.select(
+        "doc_id",
+        red.alias("clean_text"),
+        F.octet_length(red).cast("int").alias("n_bytes"),
+    )
+
+
+def _redact_sql() -> str:
+    from bolson_spark.functions.text import PII_PATTERNS
+
+    expr = "text"
+    for pat, tag in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
+    return f"""
+SELECT doc_id, {expr} AS clean_text,
+       CAST(octet_length(encode({expr})) AS INT) AS n_bytes
+FROM documents
+"""
+
+
+O_REDACT_PII = _redact_sql()
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -1987,6 +2041,8 @@ QUERIES: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(q_text_stats, O_TEXT_STATS, ("text",)),
     "language_id": QuerySpec(q_language_id, O_LANGUAGE_ID, ("text",)),
     "quality_by_source": QuerySpec(q_quality_by_source, O_QUALITY_BY_SOURCE, ("text",)),
+    "doc_chunks": QuerySpec(q_doc_chunks, O_DOC_CHUNKS, ("text",)),
+    "redact_pii": QuerySpec(q_redact_pii, O_REDACT_PII, ("text",)),
     "token_histogram": QuerySpec(q_token_histogram, O_TOKEN_HISTOGRAM, ("text",)),
     "regex_tokens": QuerySpec(q_regex_tokens, O_REGEX_TOKENS, ("text",)),
     "rolling_fingerprint": QuerySpec(

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bolson_spark import MAX_IPC_SIZE, MAX_ROWS_DEFAULT
-from bolson_spark.operators.parse import parse_json
+from bolson_spark.operators.parse import parse_json, parse_json_arrow
 from bolson_spark.operators.seq import add_seq
 from bolson_spark.operators.serialize import serialize_ipc
 from bolson_spark.schemas import spark_to_arrow_schema
@@ -60,11 +60,16 @@ def run_stream_convert(
     max_rows: int = MAX_ROWS_DEFAULT,
     max_ipc_size: int = MAX_IPC_SIZE,
     strict: bool = True,
+    parser: str = "catalyst",
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     latency=None,
 ):
     """Start the convert stream; returns (query, metrics).
+
+    ``parser`` selects the physical parse implementation per micro-batch
+    ("catalyst" = from_json + guard, "arrow" = single-pass Arrow C++
+    TableReader — see operators.pipeline.convert for the tradeoff).
 
     The sequence base is maintained per epoch: batch N's seqs start at
     the total row count of batches < N. With availableNow + checkpoint
@@ -77,6 +82,9 @@ def run_stream_convert(
             [T.StructField("bolson_seq", T.LongType(), False)] + schema.fields
         )
     )
+    if parser not in ("catalyst", "arrow"):
+        raise ValueError(f"unknown parser {parser!r}")
+    parse_fn = parse_json if parser == "catalyst" else parse_json_arrow
     sink.handshake(arrow_schema)
     metrics = StreamMetrics()
     # Sequence base: the reference's seq counter is process-lifetime
@@ -114,7 +122,7 @@ def run_stream_convert(
             # row order per partition; a single-partition source (socket)
             # gives the reference's total order. We materialize it with a
             # monotonic local id, then number globally from the base.
-            parsed = parse_json(batch_df, schema, json_col, strict=strict)
+            parsed = parse_fn(batch_df, schema, json_col, strict=strict)
             with_order = parsed.withColumn("_arrival", F.monotonically_increasing_id())
             seqd = add_seq(with_order, "_arrival", start=state["base"]).drop("_arrival")
             # Distribute contiguous seq blocks arithmetically: block =

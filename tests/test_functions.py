@@ -237,6 +237,59 @@ def test_band_keys_vectorized_equals_declarative(spark):
     assert vec == decl
 
 
+def test_chunk_documents_windows(spark):
+    """Chunk semantics against hand-computed ground truth: overlap,
+    short-doc passthrough, last-chunk truncation, no redundant tail."""
+    from bolson_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"w{i}" for i in range(10))),  # 10 toks
+            (1, "a b"),  # shorter than one chunk
+            (2, " ".join(f"x{i}" for i in range(8))),  # exactly 2 windows
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2)
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_text)
+        for r in out.collect()
+    }
+    # doc 0: starts 0,2,4,6 (start<=n-overlap-1=7) -> 4 chunks
+    assert got[(0, 0)] == (4, "w0 w1 w2 w3")
+    assert got[(0, 1)] == (4, "w2 w3 w4 w5")
+    assert got[(0, 3)] == (4, "w6 w7 w8 w9")
+    assert (0, 4) not in got
+    # doc 1: single short chunk
+    assert got[(1, 0)] == (2, "a b")
+    # doc 2 (8 toks): starts 0,2,4 -> last chunk exactly fills
+    assert got[(2, 2)] == (4, "x4 x5 x6 x7")
+    assert (2, 3) not in got
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_redact_pii_patterns(spark):
+    from bolson_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@example.co.uk now"),
+            (1, "call +1 (555) 123-4567 today"),
+            (2, "host 192.168.0.1 up"),
+            (3, "clean text stays clean"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = dict(
+        df.select("doc_id", redact_pii(F.col("text")).alias("t")).collect()
+    )
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "call <PHONE> today"
+    assert got[2] == "host <IP> up"
+    assert got[3] == "clean text stays clean"
+
+
 def test_ivf_index_save_probe_pruned(spark, tmp_path):
     """On-disk IVF index: cells written partitioned by cluster id; a
     probe scans ONLY the probed cell (PartitionFilters in the plan) and

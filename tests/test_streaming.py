@@ -76,6 +76,35 @@ def test_stream_convert_end_to_end(spark, tmp_path, jsonl_dir):
     )
 
 
+def test_stream_convert_arrow_parser(spark, tmp_path, jsonl_dir):
+    """The arrow (single-pass strict) parser drives the same stream
+    end-to-end: drain parity, envelope, contiguous seqs."""
+    src, all_docs = jsonl_dir
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    sink = IpcFileSink(str(tmp_path / "topic"))
+    query, metrics = run_stream_convert(
+        raw,
+        BATTERY_SPARK,
+        sink,
+        parser="arrow",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_rows=256,
+    )
+    query.awaitTermination(120)
+    assert metrics.num_jsons == len(all_docs)
+    back = deserialize_ipc(
+        sink.read(spark), "bolson_seq bigint, voltage array<bigint>"
+    ).collect()
+    assert sorted(r.bolson_seq for r in back) == list(range(len(all_docs)))
+    assert sorted(tuple(r.voltage) for r in back) == sorted(
+        tuple(d["voltage"]) for d in all_docs
+    )
+
+
 def test_schema_handshake_rejects_mismatch(tmp_path):
     sink = IpcFileSink(str(tmp_path / "topic"))
     s1 = spark_to_arrow_schema(BATTERY_SPARK)
