@@ -1,0 +1,172 @@
+"""Gopher/C4-style document quality filtering over the `documents`
+table — the rule-based pre-training corpus filter family (word counts,
+word-length bounds, alphabetic-word fraction, symbol ratios, and
+repetition metrics).
+
+Design (100 TB posture): the per-document scalar metrics are one
+narrow map of built-in expressions (whole-stage codegen, no shuffle).
+The repetition metric (top-bigram fraction) needs a per-(doc, bigram)
+count, which is the standard token-pipeline shape: explode → two
+map-side-combined aggregations keyed by doc_id — scale-safe, no
+broadcast, no skew beyond document length itself. Nothing here is a
+Python UDF.
+
+Rule thresholds follow the public Gopher paper's filter family
+(Rae et al. 2021, "Scaling Language Models: ... Gopher", table A1)
+adapted to the synthetic corpus; every metric is also expressible in
+ANSI SQL so the whole filter is DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Filter thresholds (Gopher-flavored, corpus-adapted).
+MIN_WORDS = 20
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 2.0
+MAX_MEAN_WORD_LEN = 12.0
+MIN_ALPHA_WORD_FRAC = 0.8
+MAX_SYMBOL_WORD_RATIO = 0.1
+MIN_UNIQUE_WORD_FRAC = 0.2
+MAX_TOP_BIGRAM_FRAC = 0.20
+
+
+def words_col(col: Column) -> Column:
+    """Whitespace tokens with empties dropped (identical semantics to
+    DuckDB ``list_filter(string_split_regex(text, '\\s+'), ...)``)."""
+    return F.filter(F.split(col, r"\s+"), lambda w: w != F.lit(""))
+
+
+def _count_occurrences(col: Column, needle: str) -> Column:
+    """Occurrences of a literal substring, via length arithmetic —
+    identical in Spark and DuckDB (no regex dialect involved)."""
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics + keep flag.
+
+    Output: (id_col, n_words, mean_word_len, unique_word_frac,
+    alpha_word_frac, symbol_word_ratio, top_bigram_frac, keep) —
+    floats rounded to 6 so the DuckDB oracle hashes identically.
+    """
+    w = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        words_col(F.col(text_col)).alias("_words"),
+    )
+    scalar = w.select(
+        id_col,
+        "_text",
+        "_words",
+        F.size("_words").alias("n_words"),
+        F.round(
+            F.aggregate(
+                "_words", F.lit(0.0), lambda acc, x: acc + F.length(x)
+            )
+            / F.size("_words"),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.array_distinct("_words")) / F.size("_words"), 6
+        ).alias("unique_word_frac"),
+        F.round(
+            F.size(F.filter("_words", lambda x: x.rlike("[a-zA-Z]")))
+            / F.size("_words"),
+            6,
+        ).alias("alpha_word_frac"),
+        F.round(
+            (
+                _count_occurrences(F.col("_text"), "#")
+                + _count_occurrences(F.col("_text"), "...")
+            )
+            / F.size("_words"),
+            6,
+        ).alias("symbol_word_ratio"),
+    )
+
+    # Repetition: fraction of bigram slots taken by the most frequent
+    # bigram. explode → count per (doc, bigram) → max per doc: two
+    # map-side-combined shuffles on doc_id — the scale-safe shape (the
+    # all-in-one-expression alternative is O(n_words^2) per document).
+    bigrams = w.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_words) - 1),"
+                " i -> concat(_words[i-1], ' ', _words[i]))"
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_top_c"), F.sum("c").alias("_n_bigrams"))
+        .select(
+            id_col,
+            F.round(F.col("_top_c") / F.col("_n_bigrams"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+    out = scalar.drop("_text", "_words").join(top, id_col, "left").select(
+        "*"
+    )
+    keep = (
+        (F.col("n_words") >= MIN_WORDS)
+        & (F.col("n_words") <= MAX_WORDS)
+        & (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN)
+        & (F.col("alpha_word_frac") >= MIN_ALPHA_WORD_FRAC)
+        & (F.col("symbol_word_ratio") <= MAX_SYMBOL_WORD_RATIO)
+        & (F.col("unique_word_frac") >= MIN_UNIQUE_WORD_FRAC)
+        & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+           <= MAX_TOP_BIGRAM_FRAC)
+    )
+    return out.withColumn("keep", keep)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum sampling (the `sampleBy` shape, made
+    engine- and cluster-size-reproducible): keep a row iff the first 8
+    hex digits of md5(seed|id) fall below the stratum's fraction of the
+    32-bit space, compared AS LOWERCASE HEX STRINGS so Spark and the
+    DuckDB oracle agree bit-for-bit (no int conversion dialects
+    involved). One narrow map — no shuffle, no RNG state, identical
+    results on any executor count. Strata absent from `fractions` are
+    dropped (fraction 0)."""
+    bucket = F.substring(
+        F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+        1,
+        8,
+    )
+    expr = None
+    for key, f in fractions.items():
+        cond = F.col(stratum_col) == key
+        keep = (
+            F.lit(True)
+            if f >= 1.0
+            else (bucket < F.lit(fraction_hex_threshold(f)))
+        )
+        expr = F.when(cond, keep) if expr is None else expr.when(cond, keep)
+    final = expr.otherwise(F.lit(False)) if expr is not None else F.lit(False)
+    return df.where(final)
+
+
+def fraction_hex_threshold(f: float) -> str:
+    """8-hex-digit threshold such that `md5[:8] < threshold` keeps an
+    `f` fraction of uniformly hashed rows."""
+    return format(max(0, min(int(f * 2 ** 32), 2 ** 32 - 1)), "08x")

@@ -2111,3 +2111,10 @@ QUERIES.update(EXT_QUERIES)
 from bolson_spark.queries_tpch import TPCH_QUERIES  # noqa: E402
 
 QUERIES.update(TPCH_QUERIES)
+
+# Extension batch 4 (training-data pipeline widening: Gopher-style
+# quality filter, deterministic stratified sampling, int8/product
+# quantization with ADC kNN).
+from bolson_spark.queries_train import TRAIN_QUERIES  # noqa: E402
+
+QUERIES.update(TRAIN_QUERIES)

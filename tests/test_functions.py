@@ -526,3 +526,112 @@ def test_tiled_gemm_ops_equal_untiled_on_oversized_block(spark):
         ).collect()
     }
     assert pr_ref == pr_tiled
+
+
+# ---------------------------------------------------------------------------
+# Training-data widening: quality filter, stratified sample, quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quality_metrics_flags(spark):
+    from bolson_spark.functions.quality import quality_metrics
+
+    good = "spark builds columnar plans " * 10  # 40 distinct-ish words
+    short = "too short"
+    repetitive = "spam ham " * 30  # one bigram dominates
+    df = spark.createDataFrame(
+        [(0, good), (1, short), (2, repetitive)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in quality_metrics(df).collect()}
+    assert not out[1].keep  # below MIN_WORDS
+    assert not out[2].keep  # top_bigram_frac + unique_word_frac fail
+    assert out[2].top_bigram_frac > 0.4
+    assert out[0].n_words == 40
+    assert out[0].alpha_word_frac == 1.0
+
+
+def test_stratified_sample_deterministic_rates(spark):
+    from bolson_spark.functions.quality import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "zz") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out1 = stratified_sample(df, "lang", {"en": 0.3}, id_col="doc_id")
+    out2 = stratified_sample(df, "lang", {"en": 0.3}, id_col="doc_id")
+    ids1 = sorted(r.doc_id for r in out1.collect())
+    ids2 = sorted(r.doc_id for r in out2.collect())
+    assert ids1 == ids2  # deterministic
+    assert all(i % 2 == 0 for i in ids1)  # absent stratum dropped
+    assert 0.2 < len(ids1) / 1000 < 0.4  # ~30% of the en stratum
+
+
+def test_sq_encode_bounds_and_error(spark):
+    from bolson_spark.functions.similarity import sq_encode
+
+    rows = [(0, [1.0, -2.0, 0.5, 127.0]), (1, [-0.1, 0.2, -0.3, 0.4])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in sq_encode(df).collect()}
+    for vid, (_, vec) in zip([0, 1], rows):
+        r = out[vid]
+        assert all(-127 <= c <= 127 for c in r.sq_codes)
+        # dequantization error bounded by half a quantization step
+        for orig, code in zip(vec, r.sq_codes):
+            assert abs(orig - code * r.sq_scale) <= r.sq_scale / 2 + 1e-6
+
+
+def _emb(spark, sf="/root/testdata/sf0.001"):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def test_pq_train_reduces_distortion_and_is_deterministic(spark):
+    from bolson_spark.functions.similarity import pq_encode, pq_train
+
+    emb = _emb(spark)
+    # distortion = mean ADC distance of each vector to its own codes
+    def distortion(books):
+        from bolson_spark.functions.similarity import _sub_l2sq
+
+        m, d_sub = len(books), len(books[0][0])
+        enc = pq_encode(emb, books)
+        j = emb.join(enc, "vec_id")
+        err = None
+        for jj in range(m):
+            sub = F.slice(F.col("embedding"), jj * d_sub + 1, d_sub)
+            dists = F.array(*[_sub_l2sq(sub, c) for c in books[jj]])
+            e = F.element_at(
+                dists, (F.col("pq_codes")[jj] + 1).cast("int")
+            )
+            err = e if err is None else err + e
+        return j.select(F.avg(err).alias("d")).collect()[0].d
+
+    init_books = [
+        [
+            [float(v) for v in r.embedding[j * 8:(j + 1) * 8]]
+            for r in emb.orderBy("vec_id").limit(16).collect()
+        ]
+        for j in range(8)
+    ]
+    trained = pq_train(emb, m=8, k=16, iters=3)
+    trained2 = pq_train(emb, m=8, k=16, iters=3)
+    assert trained == trained2  # deterministic end to end
+    assert distortion(trained) < distortion(init_books)
+
+
+def test_pq_adc_query_vector_ranks_first(spark):
+    """ADC(q's own codes) = sum of per-subspace minima — no vector can
+    score lower, so vec_id 0 (the query) must be rank 1."""
+    from bolson_spark.functions.similarity import pq_adc_knn, pq_encode
+
+    emb = _emb(spark)
+    books = [
+        [
+            [float(v) for v in r.embedding[j * 8:(j + 1) * 8]]
+            for r in emb.orderBy("vec_id").limit(16).collect()
+        ]
+        for j in range(8)
+    ]
+    qv = [float(v) for v in emb.where(F.col("vec_id") == 0).first().embedding]
+    top = pq_adc_knn(pq_encode(emb, books), books, qv, k=5).collect()
+    assert top[0].vec_id == 0
+    assert all(
+        top[i].adc_dist <= top[i + 1].adc_dist for i in range(len(top) - 1)
+    )
