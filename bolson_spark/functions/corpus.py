@@ -1,0 +1,226 @@
+"""Corpus-level hygiene operators — cross-document n-gram machinery
+that a training-data pipeline runs between raw ingest and tokenization:
+benchmark decontamination, duplicated-n-gram measurement, sequence
+packing, and incremental (snapshot-delta) ingestion dedup.
+
+Everything compiles to built-in Spark SQL expressions (split, slice,
+higher-order transforms, md5, window aggregates) — no Python UDFs — so
+the operators stay inside whole-stage codegen and scale with executors.
+The cross-document steps are expressed as equi-joins / aggregations on
+md5 gram keys (uniform 128-bit → no key skew), never as broadcasts of
+the large side and never as cartesian products.
+
+100 TB posture per operator is documented on each function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-grams of a single-space-tokenized text column as an
+    array<string>. Guarded so short documents yield an EMPTY array —
+    Spark's ``sequence(1, 0)`` would otherwise count DOWN ([1, 0]) and
+    produce junk grams.
+    """
+    words = F.split(col, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_gram_hashes(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """(doc_id, gram_hash) pairs, DISTINCT per document, with grams
+    carried as md5 hex — the shuffle rows stay 2 narrow columns no
+    matter how long the documents are. Collision probability at 128
+    bits is negligible against any corpus size."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("gram"),
+        )
+        .select("doc_id", F.md5("gram").alias("gram_hash"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame, eval_docs: DataFrame, n: int = 8
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word n-gram with an evaluation/benchmark set (the n-gram-overlap
+    rule published with GPT-3 / PaLM / Llama data cards; n=8..13 word
+    grams are the common window).
+
+    Scale shape: the eval set is SMALL by construction (benchmarks are
+    KBs-MBs against a 100 TB corpus), so its distinct gram-hash set is
+    broadcast and the probe is a map-side hash join on the corpus gram
+    stream — zero shuffle of corpus grams for the hit test; the only
+    shuffle is the per-doc re-aggregation keyed by doc_id. Corpus-side
+    grams are per-doc DISTINCT before the probe so a pathological
+    repeated-gram document cannot amplify join output.
+
+    Returns every corpus document with its gram counts:
+    (doc_id, n_grams, n_contaminated, contaminated).
+    """
+    eval_grams = (
+        doc_gram_hashes(eval_docs, n).select("gram_hash").distinct()
+    )
+    corpus_grams = doc_gram_hashes(corpus, n)
+    hits = (
+        corpus_grams.join(F.broadcast(eval_grams), "gram_hash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    per_doc = corpus.select(
+        "doc_id",
+        F.size(F.array_distinct(word_ngrams(F.col("text"), n)))
+        .cast("bigint")
+        .alias("n_grams"),
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def dup_ngram_fraction(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Per-document duplicated-n-gram fraction (the Gopher/RefinedWeb
+    repetition signal computed CORPUS-wide, not within-doc): the share
+    of a document's distinct n-grams that also occur in at least one
+    OTHER document.
+
+    Scale shape: inverted index on md5 gram hash (uniform keyspace →
+    no skew), partial-aggregated doc counts, then one equi-join back to
+    the per-doc gram stream and a per-doc re-aggregation. Two shuffles
+    total, both on uniform keys; no broadcasts of unbounded sets. At
+    100 TB the gram-count index is the big intermediate — it is never
+    collected or broadcast, only joined shuffle-side.
+    """
+    grams = doc_gram_hashes(docs, n)
+    gram_docs = grams.groupBy("gram_hash").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_doc = (
+        grams.join(gram_docs, "gram_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                F.round(
+                    F.col("n_dup_grams").cast("double")
+                    / F.col("n_grams").cast("double"),
+                    6,
+                )
+            )
+            .alias("dup_frac"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concatenate-then-chunk sequence packing (the GPT-style training
+    layout): documents are laid end-to-end in a deterministic order and
+    cut into fixed token-budget bins; each document is assigned the bin
+    its FIRST token lands in.
+
+    Scale shape: the running offset is a window cumsum PARTITIONED BY
+    ``part_col`` — packing is independent per source shard, so the plan
+    is one shuffle on the partition key and no global sort. A single
+    global packing order would be the `add_seq` single-reducer
+    anti-pattern; per-shard packing is what a 1000-executor pipeline
+    actually runs (shard = source, date, or file-group). Hot shards:
+    sub-shard the partition key (salt) and treat (shard, salt) as the
+    packing unit.
+
+    Returns (doc_id, <part_col>, n_tokens, start_offset, bin_id).
+    """
+    from pyspark.sql.window import Window
+
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = docs.select(
+        order_col, part_col, n_tokens.alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    return with_cum.select(
+        order_col,
+        part_col,
+        "n_tokens",
+        (F.col("cum") - F.col("n_tokens")).alias("start_offset"),
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(budget))
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+
+
+def incremental_ingest(
+    incoming: DataFrame, snapshot: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Snapshot-delta ingestion dedup: from a batch of incoming
+    documents, keep one representative per content fingerprint that is
+    NOT already present in the ingested-corpus snapshot — the operation
+    every periodically-refreshed training corpus runs per crawl.
+
+    Scale shape: fingerprint = md5(text) (uniform 128-bit key). The
+    anti-join against the snapshot runs on fingerprints only — a
+    2-column shuffle regardless of document size — and is left to AQE:
+    a small snapshot becomes a broadcast hash anti-join, a 100 TB
+    snapshot a sort-merge anti-join on a uniform key (at that scale the
+    production refinement is a pre-filter against a Bloom sketch of the
+    snapshot fingerprints, then this exact anti-join on the survivors;
+    Spark 4's `bloom_filter_agg` is not exposed to the public registry,
+    so the exact join IS the implementation here). The within-batch
+    dedup is a min-aggregation per fingerprint, map-side combined.
+
+    Returns (fingerprint, doc_id) with doc_id = min over the batch.
+    """
+    fp = F.md5(F.col(text_col)).alias("fingerprint")
+    snap_fp = snapshot.select(fp).distinct()
+    return (
+        incoming.select(fp, "doc_id")
+        .join(snap_fp, "fingerprint", "left_anti")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )

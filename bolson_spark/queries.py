@@ -2118,3 +2118,10 @@ QUERIES.update(TPCH_QUERIES)
 from bolson_spark.queries_train import TRAIN_QUERIES  # noqa: E402
 
 QUERIES.update(TRAIN_QUERIES)
+
+# Extension batch 5 (corpus hygiene: benchmark decontamination,
+# corpus-wide duplicated-n-gram fraction, sequence packing, incremental
+# snapshot-delta ingestion).
+from bolson_spark.queries_corpus import CORPUS_QUERIES  # noqa: E402
+
+QUERIES.update(CORPUS_QUERIES)

@@ -1,0 +1,160 @@
+"""Corpus-hygiene registry queries (round-2 widening, batch 5):
+benchmark decontamination, corpus-wide duplicated-n-gram fraction,
+sequence packing, and incremental snapshot-delta ingestion — the
+between-crawl operations of a training-data pipeline. Merged into
+``QUERIES`` by queries.py; every entry carries an exact DuckDB oracle.
+
+Split conventions (both engines, deterministic):
+- eval/benchmark set for decontamination: ``doc_id % 17 = 0``
+- already-ingested snapshot for incremental ingest: sources src0..src4
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bolson_spark.functions.corpus import (
+    decontaminate,
+    dup_ngram_fraction,
+    incremental_ingest,
+    pack_sequences,
+)
+from bolson_spark.queries import QuerySpec, _t
+
+# DuckDB fragment: word 8-grams of a single-space-tokenized text column
+# (mirrors functions/corpus.py::word_ngrams with n=8 including the
+# short-document empty-array guard via greatest(...,0)).
+_G8 = (
+    "list_transform(range(1, greatest(len(words) - 7, 0) + 1), "
+    "i -> array_to_string(words[i:i+7], ' '))"
+)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 17 == 0)
+    return decontaminate(corpus, eval_docs, n=8)
+
+
+O_DECONTAMINATE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id, UNNEST(list_distinct({_G8})) AS gram FROM w
+),
+eg AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM g JOIN eg USING (gram)
+  WHERE doc_id % 17 <> 0
+  GROUP BY doc_id
+),
+per AS (
+  SELECT doc_id, CAST(len(list_distinct({_G8})) AS BIGINT) AS n_grams
+  FROM w WHERE doc_id % 17 <> 0
+)
+SELECT p.doc_id, p.n_grams,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+FROM per p LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_ngram_fraction(_t(spark, sf_dir, "documents"), n=8)
+
+
+O_DUP_NGRAM_FRACTION = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id, UNNEST(list_distinct({_G8})) AS gram FROM w
+),
+gc AS (
+  SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram
+),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM g JOIN gc USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN 0.0
+            ELSE ROUND(CAST(per.n_dup AS DOUBLE) / per.n_grams, 6)
+       END AS dup_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=2048)
+
+
+O_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+FROM c
+"""
+
+_SNAP_SOURCES = "('src0', 'src1', 'src2', 'src3', 'src4')"
+
+
+def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    snap_sources = ["src0", "src1", "src2", "src3", "src4"]
+    snapshot = docs.filter(F.col("source").isin(snap_sources))
+    incoming = docs.filter(~F.col("source").isin(snap_sources))
+    return incremental_ingest(incoming, snapshot)
+
+
+O_INCREMENTAL_INGEST = f"""
+WITH snap AS (
+  SELECT DISTINCT md5(text) AS fingerprint FROM documents
+  WHERE source IN {_SNAP_SOURCES}
+),
+inc AS (
+  SELECT md5(text) AS fingerprint, doc_id FROM documents
+  WHERE source NOT IN {_SNAP_SOURCES}
+)
+SELECT fingerprint, MIN(doc_id) AS doc_id
+FROM inc
+WHERE fingerprint NOT IN (SELECT fingerprint FROM snap)
+GROUP BY fingerprint
+"""
+
+
+CORPUS_QUERIES: dict[str, QuerySpec] = {
+    "decontaminate": QuerySpec(
+        q_decontaminate, O_DECONTAMINATE, ("text", "dedup", "pipeline")
+    ),
+    "dup_ngram_fraction": QuerySpec(
+        q_dup_ngram_fraction, O_DUP_NGRAM_FRACTION, ("text", "quality")
+    ),
+    "pack_sequences": QuerySpec(
+        q_pack_sequences, O_PACK_SEQUENCES, ("text", "pipeline")
+    ),
+    "incremental_ingest": QuerySpec(
+        q_incremental_ingest, O_INCREMENTAL_INGEST, ("dedup", "pipeline")
+    ),
+}

@@ -203,3 +203,36 @@ def test_flagship_has_no_single_partition_exchange(spark):
     # the exact parity twin deliberately keeps the global window
     plan_exact = formatted_plan(QUERIES["convert_pipeline_exact"].fn(spark, SF))
     assert "SinglePartition" in plan_exact
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """Decontamination probes the corpus gram stream against the SMALL
+    eval-set gram hashes: the semi join must be a broadcast (map-side,
+    zero corpus-gram shuffle), never a shuffled join of the corpus side."""
+    plan = formatted_plan(QUERIES["decontaminate"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """Sequence packing cumsum must run per source shard — a global
+    (unpartitioned) window would funnel 100 TB through one reducer."""
+    plan = formatted_plan(QUERIES["pack_sequences"].fn(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_dup_ngram_fraction_degrades_to_equi_shuffle_join(spark):
+    """The gram document-frequency index is unbounded at scale. At toy
+    SF Catalyst rightly broadcasts it (size-based); with broadcasts
+    disabled — the 100 TB stats regime — the join must degrade to an
+    equi shuffle join on gram_hash, never a nested-loop/cartesian."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(QUERIES["dup_ngram_fraction"].fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
