@@ -1,0 +1,127 @@
+"""Deterministic sketching & sampling — cardinality estimation and
+weighted selection built on md5-derived uniforms instead of engine RNG,
+so every result is bit-reproducible across engines, runs, and cluster
+sizes (the same property `hash_sample` / `stratified_sample` rely on).
+
+Why not HLL: Spark's `approx_count_distinct` (HLL++) and DuckDB's
+`approx_count_distinct` are different sketch implementations — their
+estimates can never hash-match. KMV (k-minimum-values, the classic
+distinct-value sketch from Bar-Yossef et al. 2002) computed over a
+fixed hash IS deterministic: both engines derive the identical k-th
+minimum, hence the identical estimate. The operational properties that
+matter at 100 TB are the same as HLL's: constant memory per group,
+mergeable partials, one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 60-bit hash space: 15 lowercase-hex digits fit a signed 64-bit int in
+# both engines (Spark `conv(..., 16, 10)`, DuckDB `('0x'||h)::BIGINT`),
+# and collisions among even billions of keys are ~1e-10.
+HASH_BITS = 60
+HASH_SPACE = float(1 << HASH_BITS)
+
+
+def md5_draw(col: Column, seed: str) -> Column:
+    """Deterministic 60-bit integer draw for a key: the first 15 hex
+    digits of md5(seed|key) as a bigint. Uniform on [0, 2^60)."""
+    h = F.md5(F.concat_ws("|", F.lit(seed), col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 64,
+    salt_parts: int = 16,
+) -> DataFrame:
+    """Per-group distinct-count estimate via the KMV sketch: hash every
+    distinct key to a uniform draw, find the k-th smallest draw u_(k)
+    per group, estimate (k-1) / u_(k). Groups with fewer than k
+    distinct keys are EXACT (the sketch saw everything).
+
+    Scale shape: the k-th minimum is found with a two-stage top-k — a
+    per-(group, salt) partial window keeps at most k rows per salt
+    shard, then the final window ranks only group × salt_parts × k
+    survivors. No group ever funnels its full key set through one
+    reducer; the salt is Spark-internal (any hash works — it never
+    affects the result, only the partial-stage fan-out). The exact
+    count is computed alongside for the accuracy report; a production
+    caller at 100 TB would drop it and keep only the sketch.
+
+    Output: (group_col, n_exact, kmv_estimate).
+    """
+    keys = df.select(group_col, key_col).distinct()
+    drawn = keys.select(
+        group_col,
+        F.col(key_col),
+        md5_draw(F.col(key_col), "kmv").alias("v"),
+    )
+    salt = F.pmod(F.hash(key_col), F.lit(salt_parts))
+    w1 = Window.partitionBy(group_col, salt).orderBy("v", key_col)
+    partial = drawn.withColumn("rn", F.row_number().over(w1)).where(
+        F.col("rn") <= k
+    )
+    w2 = Window.partitionBy(group_col).orderBy("v", key_col)
+    kth = (
+        partial.withColumn("rn2", F.row_number().over(w2))
+        .where(F.col("rn2") == k)
+        .select(group_col, F.col("v").alias("v_k"))
+    )
+    exact = keys.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return exact.join(kth, group_col, "left").select(
+        group_col,
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round(
+            F.coalesce(
+                F.lit(float(k - 1))
+                / (F.col("v_k").cast("double") / F.lit(HASH_SPACE)),
+                F.col("n_exact").cast("double"),
+            ),
+            6,
+        ).alias("kmv_estimate"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: str = "ws",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    2006): each row draws u uniform and competes with key u^(1/weight);
+    the top-n keys are a weighted sample. Deterministic: u comes from
+    md5, so the selected set is identical on any engine or cluster
+    size — the property that makes corpus subsampling reproducible
+    across pipeline re-runs.
+
+    Scale shape: one narrow map to compute the key, then a top-n that
+    compiles to TakeOrderedAndProject (per-partition heaps + driver
+    merge of n rows) — no global sort, no shuffle of the corpus.
+
+    Output: (id_col, weight_col, draw) where draw is the exact 60-bit
+    integer (floats stay internal to the ordering so cross-engine
+    comparison is integer-exact).
+    """
+    u = md5_draw(F.col(id_col), seed).alias("draw")
+    keyed = df.select(F.col(id_col), F.col(weight_col), u).withColumn(
+        "es_key",
+        F.pow(
+            F.col("draw").cast("double") / F.lit(HASH_SPACE),
+            F.lit(1.0) / F.col(weight_col).cast("double"),
+        ),
+    )
+    return (
+        keyed.orderBy(F.col("es_key").desc(), F.col(id_col))
+        .limit(n)
+        .select(id_col, weight_col, "draw")
+    )

@@ -144,6 +144,77 @@ GROUP BY fingerprint
 """
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the KMV sketch (k=64), exact
+    count alongside for the accuracy report."""
+    from bolson_spark.functions.sketch import kmv_distinct
+
+    return kmv_distinct(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", k=64
+    )
+
+
+# 2^60 — the KMV/weighted-sample draw space (functions/sketch.py).
+_HS = float(1 << 60)
+
+O_KMV_DISTINCT = f"""
+WITH keys AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+u AS (
+  SELECT event_type, user_id,
+         ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS v
+  FROM keys
+),
+ranked AS (
+  SELECT event_type, user_id, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v, user_id) AS rn
+  FROM u
+),
+kth AS (
+  SELECT event_type, v AS v_k FROM ranked WHERE rn = 64
+),
+exact AS (
+  SELECT event_type, COUNT(*) AS n_exact FROM keys GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(e.n_exact AS BIGINT) AS n_exact,
+       ROUND(COALESCE(63.0 / (CAST(k.v_k AS DOUBLE) / {_HS!r}),
+                      CAST(e.n_exact AS DOUBLE)), 6) AS kmv_estimate
+FROM exact e LEFT JOIN kth k USING (event_type)
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample of 50 documents, weight = n_chars
+    (longer documents proportionally likelier — the by-bytes corpus
+    subsampling shape)."""
+    from bolson_spark.functions.sketch import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"), "n_chars", 50
+    )
+
+
+O_WEIGHTED_SAMPLE = f"""
+WITH drawn AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS draw
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, n_chars, draw,
+         pow(CAST(draw AS DOUBLE) / {_HS!r},
+             1.0 / CAST(n_chars AS DOUBLE)) AS es_key
+  FROM drawn
+)
+SELECT doc_id, n_chars, draw
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT 50
+"""
+
+
 CORPUS_QUERIES: dict[str, QuerySpec] = {
     "decontaminate": QuerySpec(
         q_decontaminate, O_DECONTAMINATE, ("text", "dedup", "pipeline")
@@ -156,5 +227,11 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "incremental_ingest": QuerySpec(
         q_incremental_ingest, O_INCREMENTAL_INGEST, ("dedup", "pipeline")
+    ),
+    "kmv_distinct": QuerySpec(
+        q_kmv_distinct, O_KMV_DISTINCT, ("sketch", "aggregation")
+    ),
+    "weighted_sample": QuerySpec(
+        q_weighted_sample, O_WEIGHTED_SAMPLE, ("sketch", "pipeline")
     ),
 }

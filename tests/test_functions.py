@@ -635,3 +635,32 @@ def test_pq_adc_query_vector_ranks_first(spark):
     assert all(
         top[i].adc_dist <= top[i + 1].adc_dist for i in range(len(top) - 1)
     )
+
+
+def test_kmv_estimate_accuracy(spark):
+    """KMV with k=64 has expected relative error ~ 1/sqrt(k-2) ≈ 13%;
+    assert the sf0.001 estimates land within a generous 4-sigma band
+    (and are exact for groups with < k distinct keys)."""
+    from bolson_spark.queries import QUERIES
+
+    rows = QUERIES["kmv_distinct"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        if r.n_exact < 64:
+            assert r.kmv_estimate == float(r.n_exact)
+        else:
+            assert abs(r.kmv_estimate - r.n_exact) <= 0.52 * r.n_exact, r
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """ES sampling must skew selection toward heavy weights: the mean
+    weight of the sample should exceed the corpus mean."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.queries import QUERIES
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mean_all = docs.agg(F.avg("n_chars")).first()[0]
+    samp = QUERIES["weighted_sample"].fn(spark, "/root/testdata/sf0.001")
+    mean_samp = samp.agg(F.avg("n_chars")).first()[0]
+    assert mean_samp > mean_all

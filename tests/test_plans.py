@@ -236,3 +236,18 @@ def test_dup_ngram_fraction_degrades_to_equi_shuffle_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """ES weighted sampling must select via per-partition heaps
+    (TakeOrderedAndProject), not a global sort of the corpus."""
+    plan = formatted_plan(QUERIES["weighted_sample"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_kmv_windows_are_partitioned(spark):
+    """Both KMV top-k stages are partitioned windows — no group ever
+    funnels its full key set through a single reducer."""
+    plan = formatted_plan(QUERIES["kmv_distinct"].fn(spark, SF))
+    assert "SinglePartition" not in plan
