@@ -1098,6 +1098,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical twin of dedup_minhash with identical-token-set
+    canonicalization: collapse exact-set duplicate docs to one
+    representative before the pairwise stage, expand verified pairs
+    back with integer joins. Same output, same oracle — the path to
+    prefer on exact-duplicate-heavy corpora (real crawls)."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), canonicalize=True
+    )
+
+
 O_DEDUP_MINHASH = _minhash_sql()
 
 
@@ -1241,6 +1252,40 @@ JOIN assigned ON e.vec_id = assigned.vec_id
 JOIN best ON assigned.cluster = best.centroid_id, q
 ORDER BY cosine DESC, e.vec_id ASC
 LIMIT 10
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the IVF probe (n_probe=1)
+    against the exact brute-force top-10 — the accept/reject metric for
+    any approximate index before it replaces the exact path at scale.
+    One semi-join of two 10-row results; all the heavy lifting is the
+    two underlying kNN plans."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    exact = knn_bruteforce(emb, qv, k=10).select("vec_id")
+    approx = ivf_knn(emb, centroids, qv, k=10).select("vec_id")
+    return (
+        exact.join(approx, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(10).cast("bigint").alias("k"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(10.0), 6).alias("recall"),
+        )
+    )
+
+
+O_ANN_RECALL = f"""
+WITH exact AS (SELECT vec_id FROM ({O_KNN_BRUTEFORCE})),
+approx AS (SELECT vec_id FROM ({O_IVF_KNN}))
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       ROUND(COUNT(*) / 10.0, 6) AS recall
+FROM exact JOIN approx USING (vec_id)
 """
 
 
@@ -2051,12 +2096,16 @@ QUERIES: dict[str, QuerySpec] = {
     # dedup
     "dedup_exact": QuerySpec(q_dedup_exact, O_DEDUP_EXACT, ("dedup",)),
     "dedup_minhash": QuerySpec(q_dedup_minhash, O_DEDUP_MINHASH, ("dedup",)),
+    "dedup_minhash_canonical": QuerySpec(
+        q_dedup_minhash_canonical, O_DEDUP_MINHASH, ("dedup", "twin")
+    ),
     "dedup_ngram": QuerySpec(q_dedup_ngram, O_DEDUP_NGRAM, ("dedup",)),
     "simhash": QuerySpec(q_simhash, O_SIMHASH, ("dedup",)),
     # similarity
     "knn_bruteforce": QuerySpec(q_knn_bruteforce, O_KNN_BRUTEFORCE, ("similarity",)),
     "ivf_assign": QuerySpec(q_ivf_assign, O_IVF_ASSIGN, ("similarity",)),
     "ivf_knn": QuerySpec(q_ivf_knn, O_IVF_KNN, ("similarity",)),
+    "ann_recall": QuerySpec(q_ann_recall, O_ANN_RECALL, ("similarity", "eval")),
     "embedding_stats": QuerySpec(q_embedding_stats, O_EMBEDDING_STATS, ("similarity",)),
     "embedding_blocked_nn": QuerySpec(
         q_embedding_blocked_nn, O_EMBEDDING_BLOCKED_NN, ("similarity",)

@@ -664,3 +664,13 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     samp = QUERIES["weighted_sample"].fn(spark, "/root/testdata/sf0.001")
     mean_samp = samp.agg(F.avg("n_chars")).first()[0]
     assert mean_samp > mean_all
+
+
+def test_minhash_canonicalize_twin_equal(spark):
+    """The canonicalized (collapse-identical-sets-first) path must
+    produce exactly the pairs of the direct banded path."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = minhash_lsh_pairs(docs, canonicalize=False)
+    b = minhash_lsh_pairs(docs, canonicalize=True)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
