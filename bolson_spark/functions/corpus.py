@@ -37,17 +37,22 @@ def word_ngrams(col: Column, n: int) -> Column:
 
 def doc_gram_hashes(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     """(doc_id, gram_hash) pairs, DISTINCT per document, with grams
-    carried as md5 hex — the shuffle rows stay 2 narrow columns no
-    matter how long the documents are. Collision probability at 128
-    bits is negligible against any corpus size."""
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(word_ngrams(F.col(text_col), n))
-            ).alias("gram"),
-        )
-        .select("doc_id", F.md5("gram").alias("gram_hash"))
+    carried as xxhash64 longs — the shuffle rows stay 2 fixed-width
+    columns no matter how long the documents are, the distinct runs
+    over 8-byte integers instead of strings, and the hash itself is
+    ~an order of magnitude cheaper than a cryptographic digest. Only
+    COUNTS derived from these keys ever reach operator output, so
+    cross-engine digest parity is not needed here (unlike the content
+    fingerprints, which stay md5). Collisions at 64 bits are ~G²/2⁶⁵
+    for G distinct grams — immaterial below trillions of grams."""
+    grams = word_ngrams(F.col(text_col), n)
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(grams, lambda g: F.xxhash64(g))
+            )
+        ).alias("gram_hash"),
     )
 
 
@@ -71,25 +76,33 @@ def decontaminate(
     (doc_id, n_grams, n_contaminated, contaminated).
     """
     eval_grams = (
-        doc_gram_hashes(eval_docs, n).select("gram_hash").distinct()
+        doc_gram_hashes(eval_docs, n)
+        .select("gram_hash")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     corpus_grams = doc_gram_hashes(corpus, n)
-    hits = (
-        corpus_grams.join(F.broadcast(eval_grams), "gram_hash", "left_semi")
+    # One pass over the corpus gram stream: the broadcast left join
+    # marks eval hits AND the same aggregation counts total grams —
+    # no second gram-generation pass just for the denominators.
+    per_doc = (
+        corpus_grams.join(F.broadcast(eval_grams), "gram_hash", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    per_doc = corpus.select(
-        "doc_id",
-        F.size(F.array_distinct(word_ngrams(F.col("text"), n)))
-        .cast("bigint")
-        .alias("n_grams"),
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias(
+                "n_contaminated"
+            ),
+        )
     )
     return (
-        per_doc.join(hits, "doc_id", "left")
+        corpus.select("doc_id")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            "n_grams",
+            F.coalesce(F.col("n_grams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_grams"),
             F.coalesce(F.col("n_contaminated"), F.lit(0))
             .cast("bigint")
             .alias("n_contaminated"),

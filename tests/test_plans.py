@@ -207,11 +207,11 @@ def test_flagship_has_no_single_partition_exchange(spark):
 
 def test_decontaminate_broadcasts_eval_grams(spark):
     """Decontamination probes the corpus gram stream against the SMALL
-    eval-set gram hashes: the semi join must be a broadcast (map-side,
-    zero corpus-gram shuffle), never a shuffled join of the corpus side."""
+    eval-set gram hashes: the hit-marking join must be a broadcast
+    left-outer with the eval set as build side (map-side, zero
+    corpus-gram shuffle), never a shuffled join of the corpus side."""
     plan = formatted_plan(QUERIES["decontaminate"].fn(spark, SF))
-    assert "BroadcastHashJoin" in plan
-    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin LeftOuter BuildRight" in plan
 
 
 def test_pack_sequences_window_is_partitioned(spark):
