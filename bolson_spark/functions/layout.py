@@ -1,0 +1,102 @@
+"""Data-layout operators — multi-dimensional clustering for scan
+pruning (the lakehouse OPTIMIZE ZORDER pattern).
+
+At 100 TB the cheapest query is the one whose files are never opened:
+min/max file statistics prune scans only when each file's value ranges
+are NARROW, and a single-column sort gives narrow ranges on one column
+only. A Z-order (Morton) key interleaves the bits of two (or more)
+dimensions so that range-clustering by the key yields files narrow in
+ALL interleaved dimensions at once — multiplicative pruning for
+conjunctive predicates.
+
+Everything is integer arithmetic inside whole-stage codegen (bit
+shifts unrolled over a fixed bit width — 32 literal terms, a small
+expression tree), plus one global min/max aggregate broadcast back as
+a 1-row join for domain normalization. Deterministic and
+SQL-expressible, so the layout op is DuckDB-oracle-checked like any
+other operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ZBITS = 16  # bits per dimension -> 32-bit z-values
+
+
+def zorder_key_scaled(x: Column, y: Column, bits: int = ZBITS) -> Column:
+    """Morton interleave of two ALREADY-SCALED non-negative ints in
+    [0, 2^bits): bit i of x lands at z-bit 2i, bit i of y at 2i+1.
+    Unrolled literal shifts — codegen-friendly, no lambdas needed."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
+def scale_to_bits(x: Column, xmin: Column, xmax: Column,
+                  bits: int = ZBITS) -> Column:
+    """Min/max-normalize x into [0, 2^bits): floor((x - min) * 2^bits
+    / (max - min + 1)). The +1 keeps the top value inside the range;
+    float64 multiply-then-floor is exact for these magnitudes and
+    identical across engines."""
+    span = (xmax - xmin + 1).cast("double")
+    return F.floor(
+        (x - xmin).cast("double") * float(1 << bits) / span
+    ).cast("bigint")
+
+
+def zorder_stats(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    bucket_shift: int = 24,
+) -> DataFrame:
+    """Z-order the rows of `df` on (col_x, col_y) and emit the
+    per-bucket min/max skipping statistics a lakehouse writer would
+    attach to each file: bucket id = zval >> bucket_shift (256 buckets
+    at the defaults), with row count and both dimensions' ranges.
+
+    Scale shape: one global min/max aggregate (4 numbers) broadcast
+    back as a 1-row join, one narrow map computing the z-value, one
+    map-side-combined aggregation on the bucket id. The actual
+    clustered WRITE at scale is `repartitionByRange(zval)` +
+    `sortWithinPartitions(zval)` — range boundaries from Spark's
+    sampled range partitioner — followed by a partitioned/bucketed
+    sink; this operator materializes the statistics that make the
+    layout's pruning power measurable (see the locality test).
+    """
+    bounds = df.agg(
+        F.min(col_x).alias("_xmin"),
+        F.max(col_x).alias("_xmax"),
+        F.min(col_y).alias("_ymin"),
+        F.max(col_y).alias("_ymax"),
+    )
+    z = zorder_key_scaled(
+        scale_to_bits(F.col(col_x), F.col("_xmin"), F.col("_xmax")),
+        scale_to_bits(F.col(col_y), F.col("_ymin"), F.col("_ymax")),
+    )
+    keyed = df.crossJoin(F.broadcast(bounds)).select(
+        F.col(col_x), F.col(col_y), z.alias("zval")
+    )
+    return (
+        keyed.groupBy(
+            F.shiftright(F.col("zval"), bucket_shift).alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(col_x).alias(f"min_{col_x}"),
+            F.max(col_x).alias(f"max_{col_x}"),
+            F.min(col_y).alias(f"min_{col_y}"),
+            F.max(col_y).alias(f"max_{col_y}"),
+        )
+    )

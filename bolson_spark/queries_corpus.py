@@ -215,6 +215,53 @@ LIMIT 50
 """
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering of orders on (customer, order day)
+    with per-bucket min/max skipping statistics — the data-layout
+    operator behind multi-dimensional scan pruning at 100 TB."""
+    from bolson_spark.functions.layout import zorder_stats
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias(
+            "o_days"
+        ),
+    )
+    return zorder_stats(orders, "o_custkey", "o_days")
+
+
+O_ZORDER_LAYOUT = """
+WITH t AS (
+  SELECT o_custkey,
+         date_diff('day', DATE '1970-01-01', o_orderdate) AS o_days
+  FROM orders
+),
+b AS (
+  SELECT MIN(o_custkey) AS xmin, MAX(o_custkey) AS xmax,
+         MIN(o_days) AS ymin, MAX(o_days) AS ymax
+  FROM t
+),
+s AS (
+  SELECT o_custkey, o_days,
+         CAST(FLOOR((o_custkey - xmin) * 65536.0 / (xmax - xmin + 1)) AS BIGINT) AS xs,
+         CAST(FLOOR((o_days - ymin) * 65536.0 / (ymax - ymin + 1)) AS BIGINT) AS ys
+  FROM t, b
+),
+z AS (
+  SELECT o_custkey, o_days,
+         CAST(list_sum(list_transform(range(0, 16), i ->
+           (((xs >> i) & 1) << (2 * i)) + (((ys >> i) & 1) << (2 * i + 1))
+         )) AS BIGINT) AS zval
+  FROM s
+)
+SELECT CAST(zval >> 24 AS BIGINT) AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN(o_custkey) AS min_o_custkey, MAX(o_custkey) AS max_o_custkey,
+       MIN(o_days) AS min_o_days, MAX(o_days) AS max_o_days
+FROM z GROUP BY 1
+"""
+
+
 CORPUS_QUERIES: dict[str, QuerySpec] = {
     "decontaminate": QuerySpec(
         q_decontaminate, O_DECONTAMINATE, ("text", "dedup", "pipeline")
@@ -233,5 +280,8 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "weighted_sample": QuerySpec(
         q_weighted_sample, O_WEIGHTED_SAMPLE, ("sketch", "pipeline")
+    ),
+    "zorder_layout": QuerySpec(
+        q_zorder_layout, O_ZORDER_LAYOUT, ("layout", "pipeline")
     ),
 }

@@ -674,3 +674,36 @@ def test_minhash_canonicalize_twin_equal(spark):
     b = minhash_lsh_pairs(docs, canonicalize=True)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_zorder_improves_two_dim_locality(spark):
+    """The point of the z-order layout: per-bucket ranges must be
+    narrow in BOTH dimensions simultaneously. Compare the summed
+    min/max spans of the secondary dimension (order day) under
+    z-bucketing vs. single-column (custkey-range) bucketing with the
+    same bucket count — pruning on a date predicate only works if the
+    z-layout's day-spans are materially narrower."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    z = QUERIES["zorder_layout"].fn(spark, sf).collect()
+    z_span = sum(r.max_o_days - r.min_o_days for r in z) / len(z)
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("o_days"),
+    )
+    # single-column layout: same bucket count, ranges on custkey only
+    n_buckets = max(len(z), 1)
+    one_dim = (
+        orders.withColumn("b", F.ntile(n_buckets).over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .orderBy("o_custkey")))
+        .groupBy("b")
+        .agg(F.min("o_days").alias("mn"), F.max("o_days").alias("mx"))
+        .collect()
+    )
+    one_span = sum(r.mx - r.mn for r in one_dim) / len(one_dim)
+    assert z_span < 0.5 * one_span, (z_span, one_span)
