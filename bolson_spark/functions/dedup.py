@@ -653,18 +653,30 @@ def simhash64_vectorized(col: Column) -> Column:
 
     @F.pandas_udf("string")
     def _simhash(texts: pd.Series) -> pd.Series:
+        # Per-batch memo of token -> unpacked 64-bit row. Natural text
+        # is Zipfian: the same tokens recur across documents, so most
+        # lookups hit the cache and the md5 count collapses from
+        # sum(doc lengths) to ~|batch vocabulary|.
+        bit_cache: dict[str, np.ndarray] = {}
+
+        def tok_bits(t: str) -> np.ndarray:
+            b = bit_cache.get(t)
+            if b is None:
+                b = np.unpackbits(
+                    np.frombuffer(
+                        hashlib.md5(t.encode("utf-8")).digest()[:8],
+                        dtype=np.uint8,
+                    )
+                )
+                bit_cache[t] = b
+            return b
+
         out = []
         for text in texts:
             # Matches F.split(col, " ") (Java limit=-1: empties kept)
             # + array_distinct; summation order is immaterial.
             toks = list(dict.fromkeys(text.split(" ")))
-            digs = np.frombuffer(
-                b"".join(
-                    hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks
-                ),
-                dtype=np.uint8,
-            ).reshape(-1, 8)
-            bits = np.unpackbits(digs, axis=1)  # (ntok, 64), msb-first
+            bits = np.stack([tok_bits(t) for t in toks])  # (ntok, 64)
             counts = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
             out.append(
                 np.packbits((counts > 0).astype(np.uint8)).tobytes().hex()
