@@ -262,6 +262,182 @@ FROM z GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "join", "filter")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scoring of the corpus against a fixed term query —
+    the retrieval primitive behind search-based data curation (quality
+    mining, hard-negative sampling). Corpus stats (N, avgdl, per-term
+    document frequency) are ONE aggregate broadcast back as a 1-row
+    join; scoring is a narrow codegen map; top-20 is TakeOrdered. The
+    per-term tf counts each term's occurrences with a lambda filter —
+    no explode, so the doc stream is never multiplied."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    dl = F.size(toks).cast("double")
+    # NB: the predicate must be arity-1 — Spark passes the element
+    # INDEX as a second lambda argument if the callable accepts one,
+    # which a `lambda w, t=t:` default-arg closure accidentally does.
+    def _eq(term: str):
+        return lambda w: w == F.lit(term)
+
+    tf = {
+        t: F.size(F.filter(toks, _eq(t))).cast("double")
+        for t in BM25_TERMS
+    }
+    with_tf = docs.select(
+        "doc_id",
+        dl.alias("dl"),
+        *[tf[t].alias(f"tf_{i}") for i, t in enumerate(BM25_TERMS)],
+    )
+    stats = with_tf.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(BM25_TERMS)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        part = idf * (
+            F.col(f"tf_{i}")
+            * (BM25_K1 + 1.0)
+            / (
+                F.col(f"tf_{i}")
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = part if score is None else score + part
+    return (
+        with_tf.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _bm25_sql() -> str:
+    tf = {
+        t: f"CAST(len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS DOUBLE)"
+        for t in BM25_TERMS
+    }
+    parts = []
+    for i, t in enumerate(BM25_TERMS):
+        idf = f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        parts.append(
+            f"{idf} * (tf_{i} * {BM25_K1 + 1.0} / "
+            f"(tf_{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)))"
+        )
+    tf_cols = ",\n         ".join(
+        f"{tf[t]} AS tf_{i}" for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+         {tf_cols}
+  FROM documents
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+         {df_cols}
+  FROM t
+)
+SELECT doc_id, ROUND({' + '.join(parts)}, 6) AS bm25
+FROM t, s
+WHERE ROUND({' + '.join(parts)}, 6) > 0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+O_BM25_SEARCH = _bm25_sql()
+
+
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: how much of each source is
+    exact-duplicate mass — the triage number that decides which dedup
+    tier (exact / near / none) a source needs. One aggregation with a
+    distinct-inside (two map-side-combined shuffles)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.md5("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.round(
+                1.0 - F.col("n_unique") / F.col("n_docs").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+O_DEDUP_REPORT = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       ROUND(1.0 - COUNT(DISTINCT md5(text)) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS dup_rate
+FROM documents GROUP BY source
+"""
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts of the stopword language-ID heuristic against
+    the corpus ground-truth lang column — the evaluation table for any
+    classifier operator (same eval pattern as ann_recall)."""
+    from bolson_spark.functions.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _langid_confusion_sql() -> str:
+    from bolson_spark.queries import _SW
+
+    return f"""
+SELECT lang,
+       CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w IN ({_SW}))) AS DOUBLE)
+                 / len(string_split(text, ' ')) >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_pred,
+       COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 CORPUS_QUERIES: dict[str, QuerySpec] = {
     "decontaminate": QuerySpec(
         q_decontaminate, O_DECONTAMINATE, ("text", "dedup", "pipeline")
@@ -283,5 +459,14 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "zorder_layout": QuerySpec(
         q_zorder_layout, O_ZORDER_LAYOUT, ("layout", "pipeline")
+    ),
+    "bm25_search": QuerySpec(
+        q_bm25_search, O_BM25_SEARCH, ("text", "retrieval")
+    ),
+    "dedup_report": QuerySpec(
+        q_dedup_report, O_DEDUP_REPORT, ("dedup", "aggregation")
+    ),
+    "langid_confusion": QuerySpec(
+        q_langid_confusion, _langid_confusion_sql(), ("text", "eval")
     ),
 }

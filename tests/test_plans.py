@@ -251,3 +251,13 @@ def test_kmv_windows_are_partitioned(spark):
     funnels its full key set through a single reducer."""
     plan = formatted_plan(QUERIES["kmv_distinct"].fn(spark, SF))
     assert "SinglePartition" not in plan
+
+
+def test_bm25_stats_broadcast_and_take_ordered(spark):
+    """BM25: corpus stats join back as a broadcast (1 row), top-20 via
+    TakeOrdered, and the doc stream is never exploded (per-term tf is
+    a lambda filter, not a Generate)."""
+    plan = formatted_plan(QUERIES["bm25_search"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Generate" not in plan
