@@ -1311,6 +1311,98 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier mining (the SemDedup-style curation
+    step that prunes off-manifold points before training): per-label
+    centroid, then top-20 vectors by L2 distance to their own label's
+    centroid.
+
+    Scale shape: the centroid aggregation is ONE map-side-combined
+    groupBy over per-dim decimal-exact sums (decimal -> the sum is
+    associative-exact, so the distributed fold matches the oracle
+    bit-for-bit regardless of partitioning); centroids (one row per
+    label) broadcast back; the distance is a zip_with+aggregate fold
+    in strict index order; top-20 is TakeOrdered."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sums = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.element_at("embedding", i + 1)
+                .cast("double")
+                .cast("decimal(18,9)")
+            ).alias(f"s{i}")
+            for i in range(EMB_DIM)
+        ],
+    )
+    centroids = sums.select(
+        "label",
+        F.array(
+            *[
+                F.col(f"s{i}").cast("double") / F.col("n")
+                for i in range(EMB_DIM)
+            ]
+        ).alias("centroid"),
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("centroid"),
+                lambda x, c: (x.cast("double") - c)
+                * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        emb.join(F.broadcast(centroids), "label")
+        .select(
+            "vec_id", "label", F.round(dist, 6).alias("centroid_dist")
+        )
+        .orderBy(F.desc("centroid_dist"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+def _embedding_outliers_sql() -> str:
+    sums = ",\n         ".join(
+        f"SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(18,9))) AS s{i}"
+        for i in range(EMB_DIM)
+    )
+    cents = ",\n         ".join(
+        f"CAST(s{i} AS DOUBLE) / n AS c{i}" for i in range(EMB_DIM)
+    )
+    # explicit left-to-right chain — the accumulation order of the
+    # Spark-side aggregate fold
+    chain = " + ".join(
+        f"(CAST(e.embedding[{i + 1}] AS DOUBLE) - c.c{i})"
+        f" * (CAST(e.embedding[{i + 1}] AS DOUBLE) - c.c{i})"
+        for i in range(EMB_DIM)
+    )
+    return f"""
+WITH s AS (
+  SELECT label, COUNT(*) AS n,
+         {sums}
+  FROM embeddings GROUP BY label
+),
+c AS (
+  SELECT label, n,
+         {cents}
+  FROM s
+)
+SELECT e.vec_id, e.label,
+       ROUND(sqrt({chain}), 6) AS centroid_dist
+FROM embeddings e JOIN c USING (label)
+ORDER BY centroid_dist DESC, vec_id ASC
+LIMIT 20
+"""
+
+
+O_EMBEDDING_OUTLIERS = _embedding_outliers_sql()
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (binary columns; decode stubbed, plumbing real)
 # ---------------------------------------------------------------------------
@@ -2107,6 +2199,9 @@ QUERIES: dict[str, QuerySpec] = {
     "ivf_knn": QuerySpec(q_ivf_knn, O_IVF_KNN, ("similarity",)),
     "ann_recall": QuerySpec(q_ann_recall, O_ANN_RECALL, ("similarity", "eval")),
     "embedding_stats": QuerySpec(q_embedding_stats, O_EMBEDDING_STATS, ("similarity",)),
+    "embedding_outliers": QuerySpec(
+        q_embedding_outliers, O_EMBEDDING_OUTLIERS, ("similarity", "pipeline")
+    ),
     "embedding_blocked_nn": QuerySpec(
         q_embedding_blocked_nn, O_EMBEDDING_BLOCKED_NN, ("similarity",)
     ),
