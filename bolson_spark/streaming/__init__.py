@@ -7,7 +7,7 @@ from bolson_spark.streaming.sink import (
     make_sink,
 )
 from bolson_spark.streaming.pipeline import run_stream_convert
-from bolson_spark.streaming.stateful import running_stats
+from bolson_spark.streaming.stateful import running_stats, running_stats_tws
 
 __all__ = [
     "BatchingOptions",
@@ -18,4 +18,5 @@ __all__ = [
     "make_sink",
     "run_stream_convert",
     "running_stats",
+    "running_stats_tws",
 ]

@@ -90,3 +90,79 @@ def running_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState twin (Spark 4.x stateful API)
+# ---------------------------------------------------------------------------
+#
+# Spark 4 introduces transformWithStateInPandas — the successor API to
+# applyInPandasWithState with typed state variables, timers, and state
+# schema evolution. `running_stats_tws` is the SAME logical operator on
+# the new primitive, kept as a differential twin the way the parse/seq/
+# minhash operators carry two physical implementations. Same scale
+# posture: state-store partitioned by key, O(1) state per key.
+#
+# Env gate: the transformWithState Python state client requires the
+# google.protobuf package (it speaks protobuf to the JVM state server);
+# in containers without it the driver worker fails at import. The
+# equality test (tests/test_streaming.py::test_stateful_tws_twin_matches)
+# importorskips on that — the operator code itself has no extra deps.
+
+
+def running_stats_tws(
+    stream_df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running (count, sum, min, max) via
+    ``transformWithStateInPandas`` — identical semantics to
+    :func:`running_stats` (tested equal)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", RUNNING_STATS_STATE
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, s, mn, mx = self._state.get()
+            else:
+                n, s, mn, mx = 0, 0.0, float("inf"), float("-inf")
+            for pdf in rows:
+                v = pdf["value"]
+                n += int(v.count())
+                s += float(v.sum())
+                if len(v):
+                    mn = min(mn, float(v.min()))
+                    mx = max(mx, float(v.max()))
+            self._state.update((n, s, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "min_value": [mn],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    keyed = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return keyed.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=_RunningStats(),
+        outputStructType=RUNNING_STATS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

