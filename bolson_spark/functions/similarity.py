@@ -581,10 +581,15 @@ def ivf_knn(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's nearest cluster."""
+    """Approximate top-k: probe the query's `n_probe` nearest clusters.
+    n_probe is THE recall/cost knob of an IVF index — each extra probe
+    scans one more cell's vectors; recall approaches exact as n_probe
+    -> n_clusters (measured by the `ann_recall` / `ann_recall_probe2`
+    evaluation queries)."""
     q = _query_vector_lit(query_vec)
-    # nearest centroid of the query (tiny — driver-side reduce is fine,
+    # nearest centroids of the query (tiny — driver-side reduce is fine,
     # but stays declarative so it also composes in a plan)
     best = (
         centroids.select(
@@ -592,7 +597,7 @@ def ivf_knn(
             F.round(cosine_similarity_col(F.col("centroid"), q), 6).alias("sim"),
         )
         .orderBy(F.desc("sim"), F.asc("centroid_id"))
-        .limit(1)
+        .limit(n_probe)
     )
     assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col, id_col)
     probe = df.join(assigned, id_col).join(

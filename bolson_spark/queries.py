@@ -1255,6 +1255,21 @@ LIMIT 10
 """
 
 
+def q_ivf_knn_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_knn with n_probe=2 — the recall/cost knob: scan the two
+    nearest cells instead of one."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    return ivf_knn(emb, centroids, _query_vec(spark, sf_dir), k=10, n_probe=2)
+
+
+# identical plan to the n_probe=1 oracle except the probe-set size
+O_IVF_KNN_PROBE2 = O_IVF_KNN.replace("centroid_id ASC\n  LIMIT 1", "centroid_id ASC\n  LIMIT 2")
+assert "LIMIT 2" in O_IVF_KNN_PROBE2
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation: recall@10 of the IVF probe (n_probe=1)
     against the exact brute-force top-10 — the accept/reject metric for
@@ -1282,6 +1297,37 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_ANN_RECALL = f"""
 WITH exact AS (SELECT vec_id FROM ({O_KNN_BRUTEFORCE})),
 approx AS (SELECT vec_id FROM ({O_IVF_KNN}))
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       ROUND(COUNT(*) / 10.0, 6) AS recall
+FROM exact JOIN approx USING (vec_id)
+"""
+
+
+def q_ann_recall_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 at n_probe=2 — read together with ann_recall (n_probe
+    =1), this pair is the recall-vs-cost curve an IVF deployment tunes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    exact = knn_bruteforce(emb, qv, k=10).select("vec_id")
+    approx = ivf_knn(emb, centroids, qv, k=10, n_probe=2).select("vec_id")
+    return (
+        exact.join(approx, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(10).cast("bigint").alias("k"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(10.0), 6).alias("recall"),
+        )
+    )
+
+
+O_ANN_RECALL_PROBE2 = f"""
+WITH exact AS (SELECT vec_id FROM ({O_KNN_BRUTEFORCE})),
+approx AS (SELECT vec_id FROM ({O_IVF_KNN_PROBE2}))
 SELECT CAST(10 AS BIGINT) AS k,
        CAST(COUNT(*) AS BIGINT) AS n_hits,
        ROUND(COUNT(*) / 10.0, 6) AS recall
@@ -2198,6 +2244,10 @@ QUERIES: dict[str, QuerySpec] = {
     "ivf_assign": QuerySpec(q_ivf_assign, O_IVF_ASSIGN, ("similarity",)),
     "ivf_knn": QuerySpec(q_ivf_knn, O_IVF_KNN, ("similarity",)),
     "ann_recall": QuerySpec(q_ann_recall, O_ANN_RECALL, ("similarity", "eval")),
+    "ivf_knn_probe2": QuerySpec(q_ivf_knn_probe2, O_IVF_KNN_PROBE2, ("similarity",)),
+    "ann_recall_probe2": QuerySpec(
+        q_ann_recall_probe2, O_ANN_RECALL_PROBE2, ("similarity", "eval")
+    ),
     "embedding_stats": QuerySpec(q_embedding_stats, O_EMBEDDING_STATS, ("similarity",)),
     "embedding_outliers": QuerySpec(
         q_embedding_outliers, O_EMBEDDING_OUTLIERS, ("similarity", "pipeline")

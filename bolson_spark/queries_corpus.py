@@ -438,6 +438,115 @@ GROUP BY 1, 2
 """
 
 
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: users
+    counted at each stage only if the stage event happens strictly
+    AFTER their previous stage's first event. Three aggregate+join
+    stages, each a map-side-combined groupBy on user_id followed by a
+    broadcast-sized join — no window over the full event stream."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+        )
+    )
+
+
+O_CONVERSION_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week
+    (Monday-truncated), counted in each later week they were active.
+    Two distinct-aggregations on (user, week) + one join — the cohort
+    matrix every growth dashboard computes."""
+    ev = _t(spark, sf_dir, "events")
+    # weeks carried as ISO strings — the repo's cross-engine rule for
+    # date output columns (pandas date vs datetime64 dtype-kind skew)
+    weeks = ev.select(
+        "user_id",
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+            "week"
+        ),
+    ).distinct()
+    first = weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        weeks.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.to_date("week"), F.to_date("cohort_week")
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+O_RETENTION_COHORTS = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS week
+  FROM events
+),
+first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(week AS DATE)) / 7.0 AS BIGINT)
+         AS week_offset,
+       COUNT(*) AS n_users
+FROM weeks JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 CORPUS_QUERIES: dict[str, QuerySpec] = {
     "decontaminate": QuerySpec(
         q_decontaminate, O_DECONTAMINATE, ("text", "dedup", "pipeline")
@@ -468,5 +577,11 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "langid_confusion": QuerySpec(
         q_langid_confusion, _langid_confusion_sql(), ("text", "eval")
+    ),
+    "conversion_funnel": QuerySpec(
+        q_conversion_funnel, O_CONVERSION_FUNNEL, ("relational", "events")
+    ),
+    "retention_cohorts": QuerySpec(
+        q_retention_cohorts, O_RETENTION_COHORTS, ("relational", "events")
     ),
 }
