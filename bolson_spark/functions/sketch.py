@@ -90,6 +90,74 @@ def kmv_distinct(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.3,
+    id_col: str = "doc_id",
+    seed: str = "tmix",
+) -> DataFrame:
+    """Temperature-based mixture sampling: resample so each stratum's
+    share of the output is proportional to n_s^alpha instead of n_s —
+    the standard up-weighting of small sources (languages, domains) in
+    multilingual/multi-source training mixes (alpha in [0,1]; alpha=1
+    is proportional, alpha=0 uniform-over-strata).
+
+    Per-stratum keep fraction: f_s = target_frac * N * n_s^(alpha-1)
+    / sum_t n_t^alpha — expected output = target_frac * N with output
+    shares proportional to n_s^alpha. Selection is the deterministic
+    md5-threshold rule (engine/run/cluster-size reproducible). The
+    stratum stats are ONE aggregate (strata are few — broadcast back);
+    the filter is a narrow map.
+
+    f_s is clamped at 1 (a stratum can at most be kept whole —
+    with-replacement upsampling is a different operator); a clamped
+    stratum's output share falls below its n_s^alpha target, the
+    standard behavior of capped temperature sampling.
+
+    Output: the kept rows' (id_col, stratum_col).
+    """
+    from pyspark.sql.window import Window
+
+    n_alpha = F.sum(F.pow(F.col("n_s"), alpha)).over(
+        Window.partitionBy()
+    )
+    n_total = F.sum("n_s").over(Window.partitionBy())
+    fracs = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("n_s"))
+        .select(
+            stratum_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(target_frac)
+                * n_total
+                * F.pow(F.col("n_s"), alpha - 1.0)
+                / n_alpha,
+            ).alias("keep_frac"),
+        )
+    )
+    # deterministic threshold compare in hex-string space (the
+    # stratified_sample rule): md5(seed|id)[:8] < 08x(f * 2^32)
+    bucket = F.substring(
+        F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+        1,
+        8,
+    )
+    thresh = F.format_string(
+        "%08x",
+        F.floor(F.col("keep_frac") * F.lit(float(1 << 32))).cast("bigint"),
+    )
+    out = (
+        df.select(id_col, stratum_col)
+        .join(F.broadcast(fracs), stratum_col)
+        .where(bucket < thresh)
+        .select(id_col, stratum_col)
+    )
+    return out
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

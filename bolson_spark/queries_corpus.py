@@ -215,6 +215,54 @@ LIMIT 50
 """
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training on the documents corpus: 12 merges
+    learned from the word-frequency table (deterministic — lexicographic
+    tie-break — so the table is a pure function of the corpus).
+    Rows-only in the driver gate: data-dependent iteration is not
+    SQL-expressible; ground truth is the classic-corpus pytest fixture
+    (tests/test_functions.py::test_bpe_train_classic_corpus)."""
+    from bolson_spark.functions.bpe import bpe_train
+
+    merges = bpe_train(_t(spark, sf_dir, "documents"), n_merges=12)
+    return spark.createDataFrame(
+        [
+            (i, left, right, left + right, n)
+            for i, (left, right, n) in enumerate(merges)
+        ],
+        "merge_rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture sampling over languages: alpha=0.5 (sqrt
+    rebalancing), target 30% of the corpus — small languages up-
+    weighted relative to their raw share."""
+    from bolson_spark.functions.sketch import temperature_mix
+
+    return temperature_mix(
+        _t(spark, sf_dir, "documents"), "lang", alpha=0.5, target_frac=0.3
+    )
+
+
+O_TEMPERATURE_MIX = """
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_s FROM documents GROUP BY lang
+),
+fracs AS (
+  SELECT lang,
+         LEAST(1.0,
+               0.3 * SUM(n_s) OVER () * pow(n_s, -0.5)
+               / SUM(pow(n_s, 0.5)) OVER ()) AS keep_frac
+  FROM counts
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN fracs USING (lang)
+WHERE substr(md5('tmix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+      < printf('%08x', CAST(FLOOR(keep_frac * 4294967296.0) AS BIGINT))
+"""
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering of orders on (customer, order day)
     with per-bucket min/max skipping statistics — the data-layout
@@ -577,6 +625,14 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "langid_confusion": QuerySpec(
         q_langid_confusion, _langid_confusion_sql(), ("text", "eval")
+    ),
+    "temperature_mix": QuerySpec(
+        q_temperature_mix, O_TEMPERATURE_MIX, ("sketch", "pipeline")
+    ),
+    "bpe_train": QuerySpec(
+        q_bpe_train, None, ("text", "pipeline"),
+        doc="rows-only: data-dependent iteration (no SQL oracle); "
+        "pytest ground-truth fixture covers correctness",
     ),
     "conversion_funnel": QuerySpec(
         q_conversion_funnel, O_CONVERSION_FUNNEL, ("relational", "events")

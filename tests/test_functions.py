@@ -707,3 +707,80 @@ def test_zorder_improves_two_dim_locality(spark):
     )
     one_span = sum(r.mx - r.mn for r in one_dim) / len(one_dim)
     assert z_span < 0.5 * one_span, (z_span, one_span)
+
+
+def test_temperature_mix_rebalances_shares(spark):
+    """alpha=0.5 must shift output shares toward small strata: the
+    largest language's output share falls below its input share, the
+    smallest's rises."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    raw = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r.lang: r.n
+        for r in QUERIES["temperature_mix"].fn(spark, sf)
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    n_raw, n_kept = sum(raw.values()), sum(kept.values())
+    big = max(raw, key=raw.get)
+    assert kept[big] / n_kept < raw[big] / n_raw
+    # the deterministic property (no binomial noise): realized keep
+    # RATE decreases with stratum size — small strata kept at higher
+    # rates. Compare the largest vs the smallest stratum's rate.
+    small = min(raw, key=raw.get)
+    assert kept[small] / raw[small] > kept[big] / raw[big]
+    # expected volume ~ 30% of the corpus (binomial tolerance)
+    assert abs(n_kept - 0.3 * n_raw) < 0.1 * n_raw
+
+
+def test_bpe_train_classic_corpus(spark):
+    """Ground truth on the classic BPE example corpus (low/lower/
+    newest/widest word frequencies): the learned merge sequence and
+    the re-encoded segmentations must match the published algorithm's
+    hand-derivable results."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.functions.bpe import bpe_encode_col, bpe_train
+
+    rows = [("low",)] * 5 + [("lower",)] * 2 + [("newest",)] * 6 + [("widest",)] * 3
+    corpus = spark.createDataFrame(rows, ["text"])
+    merges = bpe_train(corpus, "text", n_merges=5)
+    assert merges == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("l", "o", 7),
+        ("lo", "w", 7),
+        ("e", "w", 6),
+    ]
+    enc = {
+        r.text: r.toks
+        for r in corpus.distinct()
+        .select("text", bpe_encode_col(F.col("text"), merges).alias("toks"))
+        .collect()
+    }
+    assert enc["low"] == ["low"]
+    assert enc["lower"] == ["low", "e", "r"]
+    assert enc["newest"] == ["n", "ew", "est"]
+    assert enc["widest"] == ["w", "i", "d", "est"]
+
+
+def test_bpe_merge_is_leftmost_greedy(spark):
+    """'aaa' under merge (a,a) -> [aa, a]: the merged symbol must not
+    re-pair with the element it just consumed."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.functions.bpe import _merge_pair_col
+
+    df = spark.createDataFrame([("aaa",), ("aaaa",)], ["w"])
+    got = {
+        r.w: r.m
+        for r in df.select(
+            "w", _merge_pair_col(F.split("w", ""), "a", "a").alias("m")
+        ).collect()
+    }
+    assert got["aaa"] == ["aa", "a"]
+    assert got["aaaa"] == ["aa", "aa"]
