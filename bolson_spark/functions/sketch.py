@@ -118,25 +118,25 @@ def temperature_mix(
 
     Output: the kept rows' (id_col, stratum_col).
     """
-    from pyspark.sql.window import Window
-
-    n_alpha = F.sum(F.pow(F.col("n_s"), alpha)).over(
-        Window.partitionBy()
+    counts = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n_s")
     )
-    n_total = F.sum("n_s").over(Window.partitionBy())
-    fracs = (
-        df.groupBy(stratum_col)
-        .agg(F.count(F.lit(1)).cast("double").alias("n_s"))
-        .select(
-            stratum_col,
-            F.least(
-                F.lit(1.0),
-                F.lit(target_frac)
-                * n_total
-                * F.pow(F.col("n_s"), alpha - 1.0)
-                / n_alpha,
-            ).alias("keep_frac"),
-        )
+    # corpus-wide denominators via a broadcast 1-row aggregate (the
+    # stratum table is tiny, but an unpartitioned window is the wrong
+    # idiom to normalize with — this composes at any stratum count)
+    totals = counts.agg(
+        F.sum(F.pow(F.col("n_s"), alpha)).alias("n_alpha"),
+        F.sum("n_s").alias("n_total"),
+    )
+    fracs = counts.crossJoin(F.broadcast(totals)).select(
+        stratum_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(target_frac)
+            * F.col("n_total")
+            * F.pow(F.col("n_s"), alpha - 1.0)
+            / F.col("n_alpha"),
+        ).alias("keep_frac"),
     )
     # deterministic threshold compare in hex-string space (the
     # stratified_sample rule): md5(seed|id)[:8] < 08x(f * 2^32)
