@@ -595,6 +595,114 @@ GROUP BY 1, 2
 """
 
 
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end training-data pipeline as one composition:
+    Gopher quality filter -> benchmark decontamination -> exact dedup
+    (min-id representative) -> temperature mixture (lang, alpha=0.5,
+    target 50% of survivors) -> per-source sequence packing. Every
+    stage is one of the registry's individually-oracle-proven
+    operators; composing them keeps everything in a single Catalyst
+    plan (semi-joins on doc_id between stages — no materialization
+    barriers), which is how the real job would ship.
+
+    Output: (doc_id, source, lang, n_tokens, start_offset, bin_id).
+    """
+    from bolson_spark.functions.corpus import (
+        decontaminate as _dec,
+        pack_sequences as _pack,
+    )
+    from bolson_spark.functions.quality import quality_metrics
+    from bolson_spark.functions.sketch import temperature_mix as _tmix
+
+    docs = _t(spark, sf_dir, "documents")
+    kept_q = quality_metrics(docs).where("keep").select("doc_id")
+    s1 = docs.join(kept_q, "doc_id", "left_semi")
+    eval_docs = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = s1.filter(F.col("doc_id") % 17 != 0)
+    clean = (
+        _dec(corpus, eval_docs, n=8)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    s2 = corpus.join(clean, "doc_id", "left_semi")
+    reps = (
+        s2.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # Persist the dedup survivors: the mixture stage reads s3 THREE
+    # ways (lang counts, the fraction join, the packing stream), and
+    # without a persist each branch re-executes the full
+    # quality+decontamination+dedup upstream (measured 15.8s -> ~6s at
+    # sf0.1). A production pipeline materializes exactly this stage
+    # boundary (it is also the natural restart point).
+    s3 = s2.join(reps, "doc_id", "left_semi").cache()
+    mixed = _tmix(s3, "lang", alpha=0.5, target_frac=0.5).select("doc_id")
+    s4 = s3.join(mixed, "doc_id", "left_semi")
+    packed = _pack(s4, budget=2048)
+    return packed.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "doc_id", "source", "lang", "n_tokens", "start_offset", "bin_id"
+    )
+
+
+def _training_corpus_sql() -> str:
+    from bolson_spark.queries_train import O_GOPHER_QUALITY
+
+    return f"""
+WITH kept_q AS (
+  SELECT doc_id FROM ({O_GOPHER_QUALITY}) WHERE keep
+),
+dec AS (
+  SELECT doc_id FROM ({O_DECONTAMINATE}) WHERE NOT contaminated
+),
+s2 AS (
+  SELECT d.* FROM documents d
+  JOIN kept_q USING (doc_id)
+  JOIN dec USING (doc_id)
+  WHERE d.doc_id % 17 <> 0
+),
+reps AS (
+  SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY md5(text)
+),
+s3 AS (
+  SELECT s2.* FROM s2 JOIN reps USING (doc_id)
+),
+counts AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_s FROM s3 GROUP BY lang
+),
+fracs AS (
+  SELECT lang,
+         LEAST(1.0,
+               0.5 * SUM(n_s) OVER () * pow(n_s, -0.5)
+               / SUM(pow(n_s, 0.5)) OVER ()) AS keep_frac
+  FROM counts
+),
+s4 AS (
+  SELECT s3.* FROM s3 JOIN fracs USING (lang)
+  WHERE substr(md5('tmix|' || CAST(s3.doc_id AS VARCHAR)), 1, 8)
+        < printf('%08x', CAST(FLOOR(keep_frac * 4294967296.0) AS BIGINT))
+),
+toks AS (
+  SELECT doc_id, source, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM s4
+),
+packed AS (
+  SELECT doc_id, source, lang, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks
+)
+SELECT doc_id, source, lang, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+FROM packed
+"""
+
+
 CORPUS_QUERIES: dict[str, QuerySpec] = {
     "decontaminate": QuerySpec(
         q_decontaminate, O_DECONTAMINATE, ("text", "dedup", "pipeline")
@@ -628,6 +736,9 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "temperature_mix": QuerySpec(
         q_temperature_mix, O_TEMPERATURE_MIX, ("sketch", "pipeline")
+    ),
+    "training_corpus": QuerySpec(
+        q_training_corpus, _training_corpus_sql(), ("text", "pipeline")
     ),
     "bpe_train": QuerySpec(
         q_bpe_train, None, ("text", "pipeline"),

@@ -261,3 +261,14 @@ def test_bm25_stats_broadcast_and_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Generate" not in plan
+
+
+def test_training_corpus_is_one_jvm_plan(spark):
+    """The composed pipeline (quality -> decontaminate -> dedup -> mix
+    -> pack) must stay one JVM-only Catalyst plan: no Python stages,
+    no cartesian joins; the packing window partitioned by source."""
+    plan = formatted_plan(QUERIES["training_corpus"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(source" in plan
