@@ -100,3 +100,47 @@ def zorder_stats(
             F.max(col_y).alias(f"max_{col_y}"),
         )
     )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int = 10_000,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Write a corpus as size-bounded parquet shards and return the
+    shard MANIFEST — the delivery step of a training-data pipeline
+    (the consumer's dataloader reads the manifest, not a directory
+    listing).
+
+    Scale shape: `maxRecordsPerFile` bounds every shard without any
+    extra shuffle (Spark splits files as tasks write); an optional
+    `partition_by` adds hive-style directory pruning on top. The
+    manifest is computed by ONE pass over the written files (grouped
+    by `input_file_name`), giving per-shard row counts and doc-id
+    ranges a resumable loader needs. At 100 TB the manifest is
+    thousands of rows — driver-safe by construction.
+
+    Returns (shard, n_rows, min_doc_id, max_doc_id) — one row per
+    written file.
+    """
+    writer = df.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(path)
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    return (
+        written.groupBy(
+            F.regexp_extract(
+                F.input_file_name(), r"([^/]+\.parquet)", 1
+            ).alias("shard")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

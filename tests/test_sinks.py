@@ -69,3 +69,22 @@ def test_clean_corpus_materializes_partitioned(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == df.count()
     assert set(back.columns) == set(df.columns)
+
+
+def test_write_shards_bounds_and_manifest(spark, tmp_path):
+    """Every shard respects maxRecordsPerFile; the manifest's row
+    counts reconstruct the corpus exactly; doc-id ranges are per-shard
+    consistent."""
+    from bolson_spark.functions.layout import write_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n_docs = docs.count()
+    manifest = write_shards(
+        docs, str(tmp_path / "shards"), max_records_per_file=64
+    ).collect()
+    assert sum(r.n_rows for r in manifest) == n_docs
+    assert all(r.n_rows <= 64 for r in manifest)
+    assert all(r.min_doc_id <= r.max_doc_id for r in manifest)
+    # the written data round-trips
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert back.count() == n_docs
