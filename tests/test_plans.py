@@ -272,3 +272,40 @@ def test_training_corpus_is_one_jvm_plan(spark):
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(source" in plan
+
+
+# Queries where an Exchange SinglePartition is CORRECT: 1-row scalar
+# aggregates (stats rows, funnel counts, layout bounds, TPC-H scalar
+# subqueries), the documented exact-seq parity twins, and global-window
+# shapes kept deliberately as parity/reference variants.
+SINGLE_PARTITION_OK = {
+    "bm25_search", "conversion_funnel", "temperature_mix",
+    "training_corpus", "zorder_layout",
+    "convert_ipc_messages", "convert_ipc_roundtrip",
+    "convert_pipeline_exact", "convert_rebatch", "convert_seq",
+    "convert_serialize_stats",
+    "discounted_revenue", "idle_customers", "important_stock",
+    "order_value_quartiles", "promo_revenue", "revenue_forecast",
+    "small_qty_revenue", "top_supplier",
+}
+
+
+def test_registry_plan_hygiene(spark):
+    """Sweep EVERY registry query's physical plan: no cartesian
+    products, no row-at-a-time Python UDFs anywhere, and
+    single-partition exchanges only where a 1-row aggregate or a
+    documented parity twin makes them correct. This is the systematic
+    net behind the per-query plan tests above."""
+    bad = {}
+    for name, spec in QUERIES.items():
+        plan = formatted_plan(spec.fn(spark, SF))
+        problems = []
+        if "CartesianProduct" in plan:
+            problems.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            problems.append("row-at-a-time Python UDF")
+        if "SinglePartition" in plan and name not in SINGLE_PARTITION_OK:
+            problems.append("undocumented SinglePartition")
+        if problems:
+            bad[name] = problems
+    assert not bad, bad
