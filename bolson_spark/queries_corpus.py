@@ -319,12 +319,11 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 scoring of the corpus against a fixed term query —
-    the retrieval primitive behind search-based data curation (quality
-    mining, hard-negative sampling). Corpus stats (N, avgdl, per-term
-    document frequency) are ONE aggregate broadcast back as a 1-row
-    join; scoring is a narrow codegen map; top-20 is TakeOrdered. The
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every matching document — the reusable
+    scorer behind bm25_search and hybrid_search. Corpus stats (N,
+    avgdl, per-term document frequency) are ONE aggregate broadcast
+    back as a 1-row join; scoring is a narrow codegen map. The
     per-term tf counts each term's occurrences with a lambda filter —
     no explode, so the doc stream is never multiplied."""
     docs = _t(spark, sf_dir, "documents")
@@ -376,12 +375,21 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_tf.crossJoin(F.broadcast(stats))
         .select("doc_id", F.round(score, 6).alias("bm25"))
         .where(F.col("bm25") > 0)
+    )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 against the fixed term query — the retrieval
+    primitive behind search-based data curation; TakeOrdered top-k
+    over the scorer's narrow map."""
+    return (
+        _bm25_scores(spark, sf_dir)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(limit: int = 20) -> str:
     tf = {
         t: f"CAST(len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS DOUBLE)"
         for t in BM25_TERMS
@@ -416,11 +424,62 @@ SELECT doc_id, ROUND({' + '.join(parts)}, 6) AS bm25
 FROM t, s
 WHERE ROUND({' + '.join(parts)}, 6) > 0
 ORDER BY bm25 DESC, doc_id ASC
-LIMIT 20
+LIMIT {limit}
 """
 
 
 O_BM25_SEARCH = _bm25_sql()
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 candidate generation (top-50 lexical)
+    re-ranked by embedding cosine to the query vector — the standard
+    two-stage search stack (cheap wide recall, expensive narrow
+    precision). The embeddings table is probed ONLY for the 50
+    candidates (broadcast semi of the candidate ids at scale); the
+    combined score weights the rounded components so both engines sum
+    identical doubles."""
+    from bolson_spark.functions.similarity import (
+        _query_vector_lit,
+        cosine_similarity_col,
+    )
+    from bolson_spark.queries import _query_vec
+
+    cand = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(50)
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vector_lit(_query_vec(spark, sf_dir))
+    joined = cand.join(emb, cand.doc_id == emb.vec_id)
+    cos = F.round(cosine_similarity_col(F.col("embedding"), qv), 6)
+    hybrid = F.round(F.lit(0.2) * F.col("bm25") + F.col("cosine"), 6)
+    return (
+        joined.select("doc_id", "bm25", cos.alias("cosine"))
+        .select("doc_id", "bm25", "cosine", hybrid.alias("hybrid_score"))
+        .orderBy(F.desc("hybrid_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _hybrid_sql() -> str:
+    from bolson_spark.queries import _cosine_sql
+
+    return f"""
+WITH cand AS ({_bm25_sql(limit=50)}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT c.doc_id, c.bm25,
+         ROUND({_cosine_sql("e.embedding", "q.qv")}, 6) AS cosine
+  FROM cand c JOIN embeddings e ON c.doc_id = e.vec_id, q
+)
+SELECT doc_id, bm25, cosine,
+       ROUND(0.2 * bm25 + cosine, 6) AS hybrid_score
+FROM scored
+ORDER BY hybrid_score DESC, doc_id ASC
+LIMIT 10
+"""
 
 
 def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,6 +786,9 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "bm25_search": QuerySpec(
         q_bm25_search, O_BM25_SEARCH, ("text", "retrieval")
+    ),
+    "hybrid_search": QuerySpec(
+        q_hybrid_search, _hybrid_sql(), ("text", "retrieval", "similarity")
     ),
     "dedup_report": QuerySpec(
         q_dedup_report, O_DEDUP_REPORT, ("dedup", "aggregation")

@@ -279,6 +279,10 @@ def test_training_corpus_is_one_jvm_plan(spark):
 # subqueries), the documented exact-seq parity twins, and global-window
 # shapes kept deliberately as parity/reference variants.
 SINGLE_PARTITION_OK = {
+    # hybrid_search: the global top-50 candidate limit is a 50-row
+    # exchange by construction — two-stage retrieval funnels through
+    # the candidate set on purpose
+    "hybrid_search",
     "bm25_search", "conversion_funnel", "temperature_mix",
     "training_corpus", "zorder_layout",
     "convert_ipc_messages", "convert_ipc_roundtrip",
