@@ -231,6 +231,26 @@ def band_keys_vectorized(
     return _keys(col)
 
 
+def _set_fingerprint(col: Column) -> Column:
+    """Fingerprint of a document's token SET: md5 over the sorted
+    64-bit token hashes — order/multiplicity-free, numeric so no
+    delimiter ambiguity. One narrow map. Documents with equal
+    fingerprints have identical token sets (J=1 by construction)."""
+    return F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.array_distinct(
+                        F.transform(tokens(col), lambda w: F.xxhash64(w))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -268,25 +288,9 @@ def minhash_lsh_pairs(
             df, text_col, num_hashes, bands, jaccard_threshold
         )
 
-    # Set fingerprint over sorted 64-bit token hashes: depends only on
-    # the token SET (order/multiplicity-free), numeric so no delimiter
-    # ambiguity. One narrow map.
-    set_fp = F.md5(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(
-                    F.array_distinct(
-                        F.transform(
-                            tokens(F.col(text_col)), lambda w: F.xxhash64(w)
-                        )
-                    )
-                ),
-                lambda x: x.cast("string"),
-            ),
-        )
+    sets = df.select(
+        "doc_id", _set_fingerprint(F.col(text_col)).alias("set_fp")
     )
-    sets = df.select("doc_id", set_fp.alias("set_fp"))
     groups = sets.groupBy("set_fp").agg(F.min("doc_id").alias("rep_id"))
     members = (
         sets.join(groups, "set_fp").select("doc_id", "rep_id").cache()
@@ -494,6 +498,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    driver_finish_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Collapse near-duplicate PAIRS into duplicate GROUPS: for every
     node appearing in a pair, its component representative = the
@@ -501,13 +506,24 @@ def connected_components(
     representative).
 
     This is the dedup-to-representatives step SCALING.md prescribes
-    instead of materializing quadratic pair lists at 100 TB. Executed
-    as distributed min-label propagation: each iteration is one
-    equi-join (edges ⋈ labels) + a map-side-combinable min-aggregate;
-    near-dup components are dense, so the label frontier converges in
-    a handful of iterations (bounded by graph diameter, checked via a
-    driver-side changed-count). localCheckpoint truncates the plan
-    lineage per iteration — without it the plan doubles each round.
+    instead of materializing quadratic pair lists at 100 TB. Hybrid
+    execution, the shape production CC systems use:
+
+    - Edge lists at or below ``driver_finish_threshold`` (default 2M
+      edges ≈ 32 MB of longs — bounded driver memory by construction)
+      finish with a driver-side union-find: one collect, linear work,
+      zero iterative jobs. The edge count is known for free — the
+      deduped edge cache is materialized by a count() either way.
+    - Larger graphs run distributed min-label propagation: each
+      iteration is one equi-join (edges ⋈ labels) + a map-side-
+      combinable min-aggregate + one pointer jump; near-dup components
+      are dense, so the frontier converges in a handful of iterations
+      (bounded by graph diameter, checked via a driver-side
+      changed-count). localCheckpoint truncates the plan lineage per
+      iteration — without it the plan doubles each round.
+
+    Both paths produce identical output (tested equal); pass
+    ``driver_finish_threshold=0`` to force the distributed loop.
     """
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
@@ -517,6 +533,33 @@ def connected_components(
         .distinct()
         .cache()
     )
+    n_edges = edges.count()
+    if n_edges <= driver_finish_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = edges.collect()
+        for r in rows:
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                # union by MIN root so find() converges to the
+                # component minimum directly
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(n, find(n)) for n in {r.src for r in rows}]
+        schema = edges.select(
+            F.col("src").alias("node"),
+            F.col("src").alias("representative"),
+        ).schema
+        edges.unpersist()
+        return pairs.sparkSession.createDataFrame(out, schema=schema)
     labels = (
         edges.select("src")
         .distinct()

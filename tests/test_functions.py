@@ -784,3 +784,19 @@ def test_bpe_merge_is_leftmost_greedy(spark):
     }
     assert got["aaa"] == ["aa", "a"]
     assert got["aaaa"] == ["aa", "aa"]
+
+
+def test_connected_components_hybrid_paths_equal(spark):
+    """Driver union-find (small-graph finish) and the distributed
+    min-label loop must produce identical (node, representative)."""
+    from bolson_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 1), (30, 31)],
+        "doc_a bigint, doc_b bigint",
+    )
+    a = connected_components(pairs)  # driver path (tiny)
+    b = connected_components(pairs, driver_finish_threshold=0)  # distributed
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    got = dict(map(tuple, a.collect()))
+    assert got[3] == 1 and got[22] == 20 and got[11] == 10 and got[31] == 30
