@@ -114,3 +114,90 @@ def test_asof_join_matches_naive_reference(spark, left, right):
         cands = [(rt, rid) for (rk, rt, rid) in right if rk == k and rt <= t]
         expect[lid] = max(cands)[1] if cands else None
     assert got == expect
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=4),
+        min_size=0,
+        max_size=24,
+    ),
+    n=st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_word_ngrams_property(spark, words, n):
+    """word_ngrams must yield exactly max(0, len-n+1) grams, each the
+    join of n consecutive tokens — including the short-document empty
+    guard (Spark's sequence() counts DOWN without it)."""
+    from bolson_spark.functions.corpus import word_ngrams
+
+    text = " ".join(words)
+    got = (
+        spark.createDataFrame([(text,)], ["text"])
+        .select(word_ngrams(F.col("text"), n).alias("g"))
+        .first()
+        .g
+    )
+    toks = text.split(" ")  # Spark split keeps empties; mirror exactly
+    want = [
+        " ".join(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))
+    ]
+    assert got == want
+
+
+@given(
+    tok_counts=st.lists(
+        st.integers(min_value=1, max_value=300), min_size=1, max_size=40
+    ),
+    budget=st.integers(min_value=16, max_value=512),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pack_sequences_invariants(spark, tok_counts, budget):
+    """Packing invariants per shard: offsets are the exclusive prefix
+    sum (no gaps, no overlaps) and bin_id = floor(start/budget)."""
+    from bolson_spark.functions.corpus import pack_sequences
+
+    rows = [
+        (i, "s0", " ".join(["w"] * c)) for i, c in enumerate(tok_counts)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = sorted(
+        pack_sequences(df, budget=budget).collect(), key=lambda r: r.doc_id
+    )
+    run = 0
+    for r in out:
+        assert r.start_offset == run
+        assert r.bin_id == run // budget
+        run += r.n_tokens
+
+
+@given(
+    xs=st.lists(
+        st.integers(min_value=0, max_value=(1 << 16) - 1),
+        min_size=1,
+        max_size=12,
+    ),
+    ys=st.lists(
+        st.integers(min_value=0, max_value=(1 << 16) - 1),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_zorder_interleave_is_invertible(spark, xs, ys):
+    """The Morton key must be a bijection on (x, y): decoding the
+    even/odd bits recovers the inputs, and the key stays under 2^32."""
+    from bolson_spark.functions.layout import zorder_key_scaled
+
+    n = min(len(xs), len(ys))
+    df = spark.createDataFrame(
+        list(zip(xs[:n], ys[:n])), ["x", "y"]
+    )
+    got = df.select(
+        "x", "y", zorder_key_scaled(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    for r in got:
+        assert 0 <= r.z < (1 << 32)
+        dx = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        dy = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (dx, dy) == (r.x, r.y)
