@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Scale probe: materialize an N× replica of the sf0.1 testdata (doc
+ids offset per copy, texts repeated — the exact-duplicate structure a
+crawl re-ingest produces) and time the headline operators on it.
+
+Usage: python scripts/scale_probe.py [multiplier] [out_dir]
+
+This is the evidence script behind SCALING.md's "10× documents"
+table: the pair-emitting dedup is expected to blow up quadratically
+(its OUTPUT does), while the representative path (identical-set
+canonicalization + hybrid components) and the pipeline composition
+should grow roughly linearly.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bolson_spark.queries import QUERIES  # noqa: E402
+from bolson_spark.session import TABLES, get_spark, load_table  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+PROBES = [
+    "dedup_minhash_components",
+    "training_corpus",
+    "dedup_exact",
+    "decontaminate",
+    "pack_sequences",
+    "convert_pipeline",
+]
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_scale_probe")
+    spark = get_spark("scale-probe")
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+
+    # Replicate documents and events with per-copy id offsets; link the
+    # other tables unchanged (the probes don't scale them).
+    docs = load_table(spark, SRC, "documents")
+    reps = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        for i in range(mult)
+    ]
+    big_docs = reps[0]
+    for r in reps[1:]:
+        big_docs = big_docs.unionByName(r)
+    big_docs.write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    ev = load_table(spark, SRC, "events")
+    evs = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000))
+        for i in range(mult)
+    ]
+    big_ev = evs[0]
+    for r in evs[1:]:
+        big_ev = big_ev.unionByName(r)
+    big_ev.write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    for t in TABLES:
+        dst = out / f"{t}.parquet"
+        if not dst.exists():
+            (dst).symlink_to(f"{SRC}/{t}.parquet")
+
+    n_docs = load_table(spark, str(out), "documents").count()
+    n_ev = load_table(spark, str(out), "events").count()
+    print(f"probe data: {n_docs} docs, {n_ev} events ({mult}x sf0.1)")
+
+    for name in PROBES:
+        t0 = time.perf_counter()
+        n = (
+            QUERIES[name]
+            .fn(spark, str(out))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        dt = time.perf_counter() - t0
+        print(f"{name:28s} {dt:7.1f} s")
+        spark.catalog.clearCache()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
