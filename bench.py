@@ -90,6 +90,11 @@ def main() -> None:
     convert_sec = steady("convert_pipeline")
     convert_exact_sec = steady("convert_pipeline_exact")
 
+    # end-to-end corpus pipeline throughput (docs/s through quality ->
+    # decontaminate -> dedup -> mix -> pack), steady-state like convert
+    n_corpus_docs = load_table(spark, SF_DIR, "documents").count()
+    pipeline_sec = steady("training_corpus")
+
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "registry wall-clock (noop sink) per query",
@@ -105,6 +110,9 @@ def main() -> None:
         else None,
         "convert_mjs_exact": round(n_jsons / convert_exact_sec / 1e6, 6)
         if convert_exact_sec
+        else None,
+        "pipeline_docs_per_s": round(n_corpus_docs / pipeline_sec, 1)
+        if pipeline_sec
         else None,
         "num_queries": len(timings),
     }
