@@ -545,6 +545,91 @@ GROUP BY 1, 2
 """
 
 
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample events to an hourly grid
+    per event type and gap-fill with last-observation-carried-forward
+    — the densification step before any windowed feature computation.
+
+    Scale shape: the hourly grid is GENERATED (keys × sequence), never
+    shuffled out of the data; per-bucket means use decimal-exact sums
+    (partitioning-independent, oracle-identical); the LOCF is a per-key
+    ordered window, so partition size is bounded by the time range /
+    bucket width, not by event volume. Leading gaps before a key's
+    first observation stay NULL — no lookbehind is invented."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(
+        "event_type", hour.alias("hour")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.col("lo"), F.col("hi"), F.expr("interval 1 hour")
+                )
+            ).alias("hour"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(hourly, ["event_type", "hour"], "left")
+    return joined.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("avg_value").isNull().alias("was_gap"),
+    )
+
+
+O_RESAMPLE_LOCF = """
+WITH b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour
+  FROM (SELECT DISTINCT event_type FROM events) t, b
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_value
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT g.event_type, g.hour, h.avg_value
+  FROM grid g LEFT JOIN hourly h USING (event_type, hour)
+)
+SELECT event_type,
+       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       last_value(avg_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+       avg_value IS NULL AS was_gap
+FROM j
+"""
+
+
 def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase: users
     counted at each stage only if the stage event happens strictly
@@ -809,6 +894,9 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "conversion_funnel": QuerySpec(
         q_conversion_funnel, O_CONVERSION_FUNNEL, ("relational", "events")
+    ),
+    "resample_locf": QuerySpec(
+        q_resample_locf, O_RESAMPLE_LOCF, ("events", "timeseries")
     ),
     "retention_cohorts": QuerySpec(
         q_retention_cohorts, O_RETENTION_COHORTS, ("relational", "events")

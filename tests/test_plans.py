@@ -283,6 +283,8 @@ SINGLE_PARTITION_OK = {
     # exchange by construction — two-stage retrieval funnels through
     # the candidate set on purpose
     "hybrid_search",
+    # resample_locf: the global time-bounds aggregate is one row
+    "resample_locf",
     "bm25_search", "conversion_funnel", "temperature_mix",
     "training_corpus", "zorder_layout",
     "convert_ipc_messages", "convert_ipc_roundtrip",
