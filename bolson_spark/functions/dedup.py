@@ -545,15 +545,18 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        rows = edges.collect()
-        for r in rows:
-            ra, rb = find(r.src), find(r.dst)
+        # Arrow transfer (toPandas) instead of Row collect: two int64
+        # columns, ~16 bytes/edge on the driver rather than per-Row
+        # Python objects — the threshold's memory bound stays honest.
+        pdf = edges.toPandas()
+        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            ra, rb = find(a), find(b)
             if ra != rb:
                 # union by MIN root so find() converges to the
                 # component minimum directly
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        out = [(n, find(n)) for n in {r.src for r in rows}]
+        out = [(n, find(n)) for n in set(pdf["src"].tolist())]
         schema = edges.select(
             F.col("src").alias("node"),
             F.col("src").alias("representative"),
