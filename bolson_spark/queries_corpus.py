@@ -630,6 +630,69 @@ FROM j
 """
 
 
+def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection on the hourly event-value series: per-type
+    z-scores of bucket means, flagging |z| >= 2.5. The moments are
+    decimal-exact (S1, S2 over the ROUNDED bucket means — rounding
+    first makes the squared sums exactly representable), so mean and
+    variance are partitioning-independent and identical across
+    engines; only the final z arithmetic is float. One bucket
+    aggregation + one per-type moment aggregation broadcast back."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value")
+    )
+    m = F.col("avg_value").cast("decimal(18,6)")
+    moments = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(m).cast("double").alias("s1"),
+        F.sum(m * m).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = F.round((F.col("avg_value") - mean) / F.sqrt(var), 6)
+    return (
+        hourly.join(F.broadcast(moments), "event_type")
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "avg_value",
+            z.alias("z"),
+        )
+        .where(F.abs(F.col("z")) >= 2.5)
+    )
+
+
+O_VALUE_ANOMALIES = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_value
+  FROM events GROUP BY 1, 2
+),
+moments AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(avg_value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(avg_value AS DECIMAL(18,6))
+                  * CAST(avg_value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type,
+       strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       h.avg_value,
+       ROUND((h.avg_value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+FROM hourly h JOIN moments m USING (event_type)
+WHERE ABS(ROUND((h.avg_value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6)) >= 2.5
+"""
+
+
 def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase: users
     counted at each stage only if the stage event happens strictly
@@ -897,6 +960,9 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "resample_locf": QuerySpec(
         q_resample_locf, O_RESAMPLE_LOCF, ("events", "timeseries")
+    ),
+    "value_anomalies": QuerySpec(
+        q_value_anomalies, O_VALUE_ANOMALIES, ("events", "timeseries", "eval")
     ),
     "retention_cohorts": QuerySpec(
         q_retention_cohorts, O_RETENTION_COHORTS, ("relational", "events")
