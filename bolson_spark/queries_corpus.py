@@ -630,6 +630,119 @@ FROM j
 """
 
 
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample twin of resample_locf with LINEAR INTERPOLATION
+    between the neighboring observed buckets (time-weighted); grid
+    points outside the observed range stay NULL (no extrapolation).
+    Same generated-grid scale shape; the fill needs one backward and
+    one forward bounded window per key."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy("event_type", hour.alias("hour")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    joined = grid.join(hourly, ["event_type", "hour"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.unix_timestamp("hour").cast("double")
+    obs_t = F.when(F.col("avg_value").isNotNull(), t)
+    prev_v = F.last("avg_value", ignorenulls=True).over(wb)
+    prev_t = F.last(obs_t, ignorenulls=True).over(wb)
+    next_v = F.first("avg_value", ignorenulls=True).over(wf)
+    next_t = F.first(obs_t, ignorenulls=True).over(wf)
+    w = (t - prev_t) / (next_t - prev_t)
+    interp = F.when(
+        F.col("avg_value").isNotNull(), F.col("avg_value")
+    ).otherwise(
+        F.round(prev_v + w * (next_v - prev_v), 6)
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        interp.alias("value_interp"),
+        F.col("avg_value").isNull().alias("was_gap"),
+    )
+
+
+O_RESAMPLE_INTERP = """
+WITH b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour
+  FROM (SELECT DISTINCT event_type FROM events) t, b
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_value
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT g.event_type, g.hour, h.avg_value,
+         CAST(epoch(g.hour) AS DOUBLE) AS t,
+         CASE WHEN h.avg_value IS NOT NULL
+              THEN CAST(epoch(g.hour) AS DOUBLE) END AS obs_t
+  FROM grid g LEFT JOIN hourly h USING (event_type, hour)
+),
+w AS (
+  SELECT event_type, hour, avg_value, t,
+         last_value(avg_value IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(obs_t IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+         first_value(avg_value IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(obs_t IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM j
+)
+SELECT event_type,
+       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       CASE WHEN avg_value IS NOT NULL THEN avg_value
+            ELSE ROUND(prev_v + (t - prev_t) / (next_t - prev_t)
+                       * (next_v - prev_v), 6)
+       END AS value_interp,
+       avg_value IS NULL AS was_gap
+FROM w
+"""
+
+
 def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anomaly detection on the hourly event-value series: per-type
     z-scores of bucket means, flagging |z| >= 2.5. The moments are
@@ -960,6 +1073,9 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "resample_locf": QuerySpec(
         q_resample_locf, O_RESAMPLE_LOCF, ("events", "timeseries")
+    ),
+    "resample_interp": QuerySpec(
+        q_resample_interp, O_RESAMPLE_INTERP, ("events", "timeseries")
     ),
     "value_anomalies": QuerySpec(
         q_value_anomalies, O_VALUE_ANOMALIES, ("events", "timeseries", "eval")
