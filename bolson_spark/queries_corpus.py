@@ -545,6 +545,66 @@ GROUP BY 1, 2
 """
 
 
+def q_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between the ingested snapshot
+    (sources src0..src4) and the incoming batch: population stability
+    index over fixed document-length buckets — the data-quality gate a
+    pipeline runs before accepting a new crawl. ONE aggregation
+    (conditional sums per side — no join of the two populations) plus
+    a broadcast 1-row totals join; Laplace-smoothed shares so empty
+    buckets stay finite."""
+    docs = _t(spark, sf_dir, "documents")
+    is_base = F.col("source").isin(
+        ["src0", "src1", "src2", "src3", "src4"]
+    )
+    bucket = F.least(
+        F.lit(9), F.floor(F.col("n_chars") / 64)
+    ).cast("bigint")
+    counts = docs.groupBy(bucket.alias("bucket")).agg(
+        F.sum(is_base.cast("int")).cast("bigint").alias("n_base"),
+        F.sum((~is_base).cast("int")).cast("bigint").alias("n_cand"),
+    )
+    totals = counts.agg(
+        F.sum("n_base").cast("double").alias("tot_base"),
+        F.sum("n_cand").cast("double").alias("tot_cand"),
+    )
+    p = (F.col("n_base") + 0.5) / (F.col("tot_base") + 5.0)
+    q = (F.col("n_cand") + 0.5) / (F.col("tot_cand") + 5.0)
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "n_base",
+        "n_cand",
+        F.round(p, 6).alias("p_base"),
+        F.round(q, 6).alias("p_cand"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
+O_LENGTH_DRIFT = """
+WITH counts AS (
+  SELECT CAST(LEAST(9, FLOOR(n_chars / 64)) AS BIGINT) AS bucket,
+         CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_cand
+  FROM documents GROUP BY 1
+),
+totals AS (
+  SELECT CAST(SUM(n_base) AS DOUBLE) AS tot_base,
+         CAST(SUM(n_cand) AS DOUBLE) AS tot_cand
+  FROM counts
+)
+SELECT bucket, n_base, n_cand,
+       ROUND((n_base + 0.5) / (tot_base + 5.0), 6) AS p_base,
+       ROUND((n_cand + 0.5) / (tot_cand + 5.0), 6) AS p_cand,
+       ROUND(((n_base + 0.5) / (tot_base + 5.0)
+              - (n_cand + 0.5) / (tot_cand + 5.0))
+             * ln(((n_base + 0.5) / (tot_base + 5.0))
+                  / ((n_cand + 0.5) / (tot_cand + 5.0))), 6) AS psi_term
+FROM counts, totals
+"""
+
+
 def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization: resample events to an hourly grid
     per event type and gap-fill with last-observation-carried-forward
@@ -1070,6 +1130,9 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "conversion_funnel": QuerySpec(
         q_conversion_funnel, O_CONVERSION_FUNNEL, ("relational", "events")
+    ),
+    "length_drift": QuerySpec(
+        q_length_drift, O_LENGTH_DRIFT, ("quality", "eval")
     ),
     "resample_locf": QuerySpec(
         q_resample_locf, O_RESAMPLE_LOCF, ("events", "timeseries")

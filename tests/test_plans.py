@@ -284,7 +284,7 @@ SINGLE_PARTITION_OK = {
     # the candidate set on purpose
     "hybrid_search",
     # resample_locf: the global time-bounds aggregate is one row
-    "resample_locf", "resample_interp",
+    "resample_locf", "resample_interp", "length_drift",
     "bm25_search", "conversion_funnel", "temperature_mix",
     "training_corpus", "zorder_layout",
     "convert_ipc_messages", "convert_ipc_roundtrip",
