@@ -1,0 +1,107 @@
+"""Streaming corpus ingestion with a PERSISTENT dedup ledger —
+exactly-once acceptance of new document content across micro-batches
+AND across stream restarts.
+
+The in-query `dropDuplicates` + watermark pattern (see
+test_streaming's cross-micro-batch dedup) only remembers what the
+RUNNING query has seen; a real ingest pipeline must reject content
+that was accepted in any PREVIOUS run. That memory is the ledger: a
+parquet table of accepted content fingerprints, partitioned by the
+micro-batch id that accepted them.
+
+Exactly-once without transactions: ``foreachBatch`` may REPLAY a
+batch after a crash (same batch_id, same input). Every write here is
+keyed by batch_id — accepted docs land in ``accepted/batch=<id>/``
+and ledger rows in ``ledger/batch=<id>/`` via dynamic partition
+overwrite — so a replay overwrites its own partition with identical
+content instead of double-appending. Acceptance itself anti-joins the
+batch against the ledger-as-of-previous-batches, which a replay
+re-reads identically (its own partition is overwritten, not consulted:
+the anti-join filters ledger rows to batch < current batch_id).
+
+Scale shape: the ledger is a 2-column (fingerprint, batch) table;
+the per-batch anti-join shuffles only fingerprints and is
+AQE-selected (broadcast while the ledger is small, sort-merge once it
+isn't); at very large ledger sizes the production refinement is a
+Bloom pre-filter + this exact join (same note as
+functions/corpus.py::incremental_ingest).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _ledger_before(
+    spark: SparkSession, ledger_dir: str, batch_id: int
+) -> DataFrame | None:
+    if not os.path.isdir(ledger_dir):
+        return None
+    try:
+        led = spark.read.parquet(ledger_dir)
+    except Exception:  # noqa: BLE001 — empty/corrupt dir on first batch
+        return None
+    return led.where(F.col("batch") < batch_id)
+
+
+def run_stream_ingest(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Start the ingest stream: accept documents whose content
+    fingerprint is new vs. the persistent ledger, write accepted docs
+    and ledger entries partitioned by batch id. Returns the
+    StreamingQuery; drain with processAllAvailable()."""
+    accepted_dir = os.path.join(out_dir, "accepted")
+    ledger_dir = os.path.join(out_dir, "ledger")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        fp = F.md5(F.col(text_col)).alias("fingerprint")
+        batch = batch_df.select(fp, F.col(id_col), F.col(text_col))
+        # one keeper per fingerprint within the batch (deterministic)
+        batch = (
+            batch.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("fingerprint").orderBy(id_col)
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        led = _ledger_before(sp, ledger_dir, batch_id)
+        if led is not None:
+            batch = batch.join(
+                led.select("fingerprint"), "fingerprint", "left_anti"
+            )
+        batch = batch.withColumn("batch", F.lit(batch_id)).cache()
+        (
+            batch.select(id_col, text_col, "fingerprint", "batch")
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(accepted_dir)
+        )
+        (
+            batch.select("fingerprint", "batch")
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(ledger_dir)
+        )
+        batch.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

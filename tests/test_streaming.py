@@ -559,3 +559,65 @@ def test_stateful_tws_twin_matches(spark, tmp_path):
         assert abs(final.loc[key, "sum_value"] - sum(vals)) < 1e-6
         assert final.loc[key, "min_value"] == min(vals)
         assert final.loc[key, "max_value"] == max(vals)
+
+
+def test_streaming_ingest_persistent_ledger(spark, tmp_path):
+    """Cross-RESTART dedup: content accepted in run 1 must be rejected
+    when it reappears in run 2 (new stream, same ledger), while
+    genuinely new content is accepted; within-batch duplicates keep
+    one representative."""
+    from bolson_spark.streaming.ingest import run_stream_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+
+    mtime = [1_700_000_000]
+
+    def write_batch(fname, rows):
+        path = src / fname
+        path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        # distinct mtimes pin FileStreamSource's batch order (equal
+        # timestamps would make file order — and which duplicate wins
+        # — nondeterministic)
+        mtime[0] += 60
+        os.utime(path, (mtime[0], mtime[0]))
+
+    def start():
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        return run_stream_ingest(spark, stream, str(out), str(ck))
+
+    # run 1: two files; "beta" duplicated within file 2
+    write_batch("a.jsonl", [{"doc_id": 1, "text": "alpha"},
+                            {"doc_id": 2, "text": "beta"}])
+    write_batch("b.jsonl", [{"doc_id": 3, "text": "beta"},
+                            {"doc_id": 4, "text": "gamma"},
+                            {"doc_id": 5, "text": "gamma"}])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    acc = spark.read.parquet(str(out / "accepted"))
+    got = {r.text: r.doc_id for r in acc.collect()}
+    # beta accepted once (doc 2, the earlier batch); gamma keeps min id
+    assert got == {"alpha": 1, "beta": 2, "gamma": 4}
+
+    # run 2: replayed content + new content, after a full restart
+    write_batch("c.jsonl", [{"doc_id": 6, "text": "alpha"},
+                            {"doc_id": 7, "text": "delta"}])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    acc = spark.read.parquet(str(out / "accepted"))
+    got = {r.text: r.doc_id for r in acc.collect()}
+    assert got == {"alpha": 1, "beta": 2, "gamma": 4, "delta": 7}
+    # the ledger holds exactly one row per accepted fingerprint
+    led = spark.read.parquet(str(out / "ledger"))
+    assert led.count() == led.select("fingerprint").distinct().count() == 4
