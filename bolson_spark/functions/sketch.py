@@ -145,9 +145,15 @@ def temperature_mix(
         1,
         8,
     )
+    # cap the integer threshold at 2^32-1: keep_frac = 1.0 would
+    # otherwise format as NINE hex chars ("100000000") and the 8-char
+    # lexicographic compare would wrongly reject buckets >= "1..."
     thresh = F.format_string(
         "%08x",
-        F.floor(F.col("keep_frac") * F.lit(float(1 << 32))).cast("bigint"),
+        F.least(
+            F.floor(F.col("keep_frac") * F.lit(float(1 << 32))),
+            F.lit((1 << 32) - 1),
+        ).cast("bigint"),
     )
     out = (
         df.select(id_col, stratum_col)

@@ -356,6 +356,16 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-interface twin of pricing_summary: the ORACLE's ANSI-SQL
+    string executes verbatim through ``spark.sql`` against a temp view
+    — one query text, two engines, identical results. Demonstrates
+    that the engine's SQL surface (not just the DataFrame API) carries
+    the full workload; Catalyst compiles it to the same plan."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(O_PRICING_SUMMARY)
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped join + top-k: filters pushed to all three scans;
     revenue in exact decimal; deterministic tiebreak on orderkey."""
@@ -2230,6 +2240,9 @@ QUERIES: dict[str, QuerySpec] = {
     "convert_ipc_messages": QuerySpec(q_convert_ipc_messages, None, ("core",)),
     # relational
     "pricing_summary": QuerySpec(q_pricing_summary, O_PRICING_SUMMARY, ("relational",)),
+    "pricing_summary_sql": QuerySpec(
+        q_pricing_summary_sql, O_PRICING_SUMMARY, ("relational", "twin")
+    ),
     "shipping_priority": QuerySpec(
         q_shipping_priority, O_SHIPPING_PRIORITY, ("relational",)
     ),

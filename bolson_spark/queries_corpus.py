@@ -259,7 +259,7 @@ fracs AS (
 SELECT d.doc_id, d.lang
 FROM documents d JOIN fracs USING (lang)
 WHERE substr(md5('tmix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
-      < printf('%08x', CAST(FLOOR(keep_frac * 4294967296.0) AS BIGINT))
+      < printf('%08x', LEAST(CAST(FLOOR(keep_frac * 4294967296.0) AS BIGINT), 4294967295))
 """
 
 
@@ -1062,7 +1062,7 @@ fracs AS (
 s4 AS (
   SELECT s3.* FROM s3 JOIN fracs USING (lang)
   WHERE substr(md5('tmix|' || CAST(s3.doc_id AS VARCHAR)), 1, 8)
-        < printf('%08x', CAST(FLOOR(keep_frac * 4294967296.0) AS BIGINT))
+        < printf('%08x', LEAST(CAST(FLOOR(keep_frac * 4294967296.0) AS BIGINT), 4294967295))
 ),
 toks AS (
   SELECT doc_id, source, lang,

@@ -800,3 +800,30 @@ def test_connected_components_hybrid_paths_equal(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     got = dict(map(tuple, a.collect()))
     assert got[3] == 1 and got[22] == 20 and got[11] == 10 and got[31] == 30
+
+
+def test_decontaminate_empty_eval_set(spark):
+    """An empty benchmark set must mark every corpus doc clean (and
+    keep exact gram counts), not error or drop rows."""
+    from bolson_spark.functions.corpus import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "x")], ["doc_id", "text"]
+    )
+    out = decontaminate(docs, docs.where("doc_id < 0"), n=8).collect()
+    got = {r.doc_id: (r.n_grams, r.n_contaminated, r.contaminated) for r in out}
+    assert got == {1: (2, 0, False), 2: (0, 0, False)}
+
+
+def test_temperature_mix_unknown_strata_kept_whole(spark):
+    """A stratum too small for its boosted share is clamped at keep
+    whole (f_s = 1) — never oversampled."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.functions.sketch import temperature_mix
+
+    rows = [(i, "big") for i in range(1000)] + [(10_001, "tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = temperature_mix(df, "lang", alpha=0.5, target_frac=0.5)
+    by = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by.get("tiny") == 1  # clamped at 1.0 -> the whole stratum
