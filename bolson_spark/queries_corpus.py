@@ -545,6 +545,31 @@ GROUP BY 1, 2
 """
 
 
+def _hourly_means(ev: DataFrame) -> DataFrame:
+    """Per-(event_type, hour) mean value with a decimal-exact sum —
+    the shared first stage of the time-series queries (resample fills,
+    anomaly flags). Rounded to 6 so both engines carry identical
+    doubles downstream."""
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value")
+    )
+
+
+# DuckDB twin of _hourly_means (shared CTE body).
+_SQL_HOURLY = """
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_value
+  FROM events GROUP BY 1, 2
+"""
+
+
 def q_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift report between the ingested snapshot
     (sources src0..src4) and the incoming batch: population stability
@@ -617,16 +642,7 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket width, not by event volume. Leading gaps before a key's
     first observation stay NULL — no lookbehind is invented."""
     ev = _t(spark, sf_dir, "events")
-    hour = F.date_trunc("hour", F.col("ts"))
-    hourly = ev.groupBy(
-        "event_type", hour.alias("hour")
-    ).agg(
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,9)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_value")
-    )
+    hourly = _hourly_means(ev)
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
@@ -660,7 +676,7 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_RESAMPLE_LOCF = """
+O_RESAMPLE_LOCF = f"""
 WITH b AS (
   SELECT date_trunc('hour', MIN(ts)) AS lo,
          date_trunc('hour', MAX(ts)) AS hi
@@ -670,12 +686,7 @@ grid AS (
   SELECT t.event_type, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour
   FROM (SELECT DISTINCT event_type FROM events) t, b
 ),
-hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS hour,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
-           AS avg_value
-  FROM events GROUP BY 1, 2
-),
+hourly AS ({_SQL_HOURLY}),
 j AS (
   SELECT g.event_type, g.hour, h.avg_value
   FROM grid g LEFT JOIN hourly h USING (event_type, hour)
@@ -699,14 +710,7 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = _t(spark, sf_dir, "events")
-    hour = F.date_trunc("hour", F.col("ts"))
-    hourly = ev.groupBy("event_type", hour.alias("hour")).agg(
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,9)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_value")
-    )
+    hourly = _hourly_means(ev)
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
@@ -753,7 +757,7 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_RESAMPLE_INTERP = """
+O_RESAMPLE_INTERP = f"""
 WITH b AS (
   SELECT date_trunc('hour', MIN(ts)) AS lo,
          date_trunc('hour', MAX(ts)) AS hi
@@ -763,12 +767,7 @@ grid AS (
   SELECT t.event_type, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour
   FROM (SELECT DISTINCT event_type FROM events) t, b
 ),
-hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS hour,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
-           AS avg_value
-  FROM events GROUP BY 1, 2
-),
+hourly AS ({_SQL_HOURLY}),
 j AS (
   SELECT g.event_type, g.hour, h.avg_value,
          CAST(epoch(g.hour) AS DOUBLE) AS t,
@@ -812,15 +811,7 @@ def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; only the final z arithmetic is float. One bucket
     aggregation + one per-type moment aggregation broadcast back."""
     ev = _t(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,9)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_value")
-    )
+    hourly = _hourly_means(ev)
     m = F.col("avg_value").cast("decimal(18,6)")
     moments = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -842,13 +833,8 @@ def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_VALUE_ANOMALIES = """
-WITH hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS hour,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
-           AS avg_value
-  FROM events GROUP BY 1, 2
-),
+O_VALUE_ANOMALIES = f"""
+WITH hourly AS ({_SQL_HOURLY}),
 moments AS (
   SELECT event_type,
          CAST(COUNT(*) AS DOUBLE) AS n,
