@@ -144,3 +144,22 @@ def write_shards(
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+def range_cluster_write(
+    df: DataFrame, path: str, cluster_col: str, num_files: int
+) -> None:
+    """The clustered write itself (the step zorder_stats models the
+    statistics for): range-repartition on the cluster key — Spark
+    samples range boundaries, so each output file owns a DISJOINT key
+    range — and sort within partitions so row groups inside a file are
+    ordered too. Min/max file statistics then prune scans maximally:
+    a point/range predicate on the cluster key touches exactly the
+    files whose range intersects it. For two-dimensional pruning pass
+    a Morton key (zorder_key_scaled) as the cluster column."""
+    (
+        df.repartitionByRange(num_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

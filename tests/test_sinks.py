@@ -88,3 +88,28 @@ def test_write_shards_bounds_and_manifest(spark, tmp_path):
     # the written data round-trips
     back = spark.read.parquet(str(tmp_path / "shards"))
     assert back.count() == n_docs
+
+
+def test_range_cluster_write_yields_disjoint_file_ranges(spark, tmp_path):
+    """Every output file must own a disjoint key range (that is what
+    makes min/max pruning effective), and rows inside a file arrive
+    sorted."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.functions.layout import range_cluster_write
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    out = str(tmp_path / "clustered")
+    range_cluster_write(orders, out, "o_custkey", num_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    ranges = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    assert len(spans) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint (boundary keys may touch)
