@@ -35,16 +35,13 @@ from bolson_spark.functions.dedup import (
 )
 from bolson_spark.functions.multimodal import attach_media_metadata, extract_features
 from bolson_spark.functions.similarity import (
-    cosine_similarity_col,
     ivf_assign,
     ivf_knn,
     knn_bruteforce,
 )
 from bolson_spark.functions.text import (
-    doc_fingerprint,
     language_id,
     quality_score,
-    stopword_count,
     text_stats,
     token_count,
 )
