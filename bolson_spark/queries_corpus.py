@@ -570,6 +570,57 @@ _SQL_HOURLY = """
 """
 
 
+def q_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy join: corrupted part-name
+    probes (6th character deleted — a deterministic typo model) are
+    matched back against the DISTINCT-name dictionary with
+    edit-distance <= 2, candidates generated by an EQUI-join on the
+    4-char prefix block key — never an all-pairs Levenshtein scan.
+
+    Scale shape: fuzzy matching runs dictionary-side (entity
+    dictionaries are small — here 64 names for 2000 part rows; real
+    catalogs are thousands-to-millions, still join-able), and mentions
+    attach afterwards by exact equality. Blocking turns the quadratic
+    string-distance problem into per-block work; the edit-distance is
+    a residual predicate on the equi-join."""
+    names = (
+        _t(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    probe = names.select(
+        F.concat(
+            F.substring("p_name", 1, 5),
+            F.expr("substring(p_name, 7)"),
+        ).alias("probe_name")
+    ).distinct()
+    block_p = F.substring("probe_name", 1, 4)
+    block_n = F.substring("p_name", 1, 4)
+    return (
+        probe.join(names, block_p == block_n)
+        .where(F.levenshtein("probe_name", "p_name") <= 2)
+        .select(
+            "probe_name",
+            F.col("p_name").alias("matched_name"),
+            F.levenshtein("probe_name", "p_name").alias("lev"),
+        )
+    )
+
+
+O_FUZZY_MATCH_NAMES = """
+WITH names AS (
+  SELECT DISTINCT p_name FROM part
+),
+probe AS (
+  SELECT DISTINCT substr(p_name, 1, 5) || substr(p_name, 7) AS probe_name
+  FROM names
+)
+SELECT probe_name, p_name AS matched_name,
+       levenshtein(probe_name, p_name) AS lev
+FROM probe JOIN names
+  ON substr(probe_name, 1, 4) = substr(p_name, 1, 4)
+WHERE levenshtein(probe_name, p_name) <= 2
+"""
+
+
 def q_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift report between the ingested snapshot
     (sources src0..src4) and the incoming batch: population stability
@@ -1116,6 +1167,9 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "conversion_funnel": QuerySpec(
         q_conversion_funnel, O_CONVERSION_FUNNEL, ("relational", "events")
+    ),
+    "fuzzy_match_names": QuerySpec(
+        q_fuzzy_match_names, O_FUZZY_MATCH_NAMES, ("text", "entity")
     ),
     "length_drift": QuerySpec(
         q_length_drift, O_LENGTH_DRIFT, ("quality", "eval")
