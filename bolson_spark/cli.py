@@ -187,6 +187,42 @@ def cmd_bench_convert(args) -> int:
     return 0
 
 
+def cmd_bench_pipeline(args) -> int:
+    """End-to-end corpus pipeline throughput: docs/s through the
+    training_corpus composition (quality -> decontaminate -> dedup ->
+    mix -> pack), best of --repeats runs (steady state)."""
+    import json
+    import time
+
+    from bolson_spark.queries import QUERIES
+    from bolson_spark.session import get_spark, load_table
+
+    spark = get_spark("bench-pipeline")
+    n_docs = load_table(spark, args.sf_dir, "documents").count()
+    best = float("nan")
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        QUERIES["training_corpus"].fn(spark, args.sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        dt = time.perf_counter() - t0
+        best = dt if best != best else min(best, dt)
+        spark.catalog.clearCache()
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline docs/s (training_corpus, steady)",
+                "value": round(n_docs / best, 1),
+                "unit": "docs/s",
+                "n_docs": n_docs,
+                "sec": round(best, 3),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def cmd_bench_sink(args) -> int:
     """B4 (publish/bench.cpp:23-92): sink-only micro-bench — write n
     fixed-size junk messages through the IPC sink path and report
@@ -284,6 +320,10 @@ def main(argv=None) -> int:
     bc.set_defaults(fn=cmd_bench_convert)
     bq = bsub.add_parser("queries", help="registry benchmark (bench.py)")
     bq.set_defaults(fn=lambda a: __import__("bench").main() or 0)
+    bp = bsub.add_parser("pipeline", help="end-to-end corpus pipeline docs/s")
+    bp.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    bp.add_argument("--repeats", type=int, default=3)
+    bp.set_defaults(fn=cmd_bench_pipeline)
     bs = bsub.add_parser("sink", help="B4: sink-only goodput/latency")
     bs.add_argument("--sink", required=True)
     bs.add_argument("--num-messages", type=int, default=1024)
