@@ -570,6 +570,46 @@ _SQL_HOURLY = """
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training:
+    documents that score HIGH lexically (BM25 candidates) but are NOT
+    semantic neighbors of the query (anti-join against the exact
+    embedding top-10) — the textbook hard-negative definition. Top-10
+    of the survivors by BM25. Composes the already-verified scorer and
+    kNN plans; the anti-join removes a 10-row broadcast set."""
+    from bolson_spark.functions.similarity import knn_bruteforce
+    from bolson_spark.queries import _query_vec
+
+    cand = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(50)
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    positives = knn_bruteforce(emb, _query_vec(spark, sf_dir), k=10).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    return (
+        cand.join(F.broadcast(positives), "doc_id", "left_anti")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _hard_negatives_sql() -> str:
+    from bolson_spark.queries import O_KNN_BRUTEFORCE
+
+    return f"""
+WITH cand AS ({_bm25_sql(limit=50)}),
+pos AS (SELECT vec_id AS doc_id FROM ({O_KNN_BRUTEFORCE}))
+SELECT doc_id, bm25
+FROM cand
+WHERE doc_id NOT IN (SELECT doc_id FROM pos)
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def q_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution by blocked fuzzy join: corrupted part-name
     probes (6th character deleted — a deterministic typo model) are
@@ -1167,6 +1207,9 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "conversion_funnel": QuerySpec(
         q_conversion_funnel, O_CONVERSION_FUNNEL, ("relational", "events")
+    ),
+    "hard_negatives": QuerySpec(
+        q_hard_negatives, _hard_negatives_sql(), ("text", "retrieval")
     ),
     "fuzzy_match_names": QuerySpec(
         q_fuzzy_match_names, O_FUZZY_MATCH_NAMES, ("text", "entity")

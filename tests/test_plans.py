@@ -282,7 +282,7 @@ SINGLE_PARTITION_OK = {
     # hybrid_search: the global top-50 candidate limit is a 50-row
     # exchange by construction — two-stage retrieval funnels through
     # the candidate set on purpose
-    "hybrid_search",
+    "hybrid_search", "hard_negatives",
     # resample_locf: the global time-bounds aggregate is one row
     "resample_locf", "resample_interp", "length_drift",
     "bm25_search", "conversion_funnel", "temperature_mix",
