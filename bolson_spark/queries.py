@@ -2038,6 +2038,38 @@ LIMIT 10
 O_ANN_LSH = _ann_lsh_sql()
 
 
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the sign-LSH probe vs the exact top-10 —
+    completes the ANN evaluation trio (brute force / IVF n_probe
+    curve / LSH), so the three index strategies are comparable from
+    the same gate."""
+    from bolson_spark.functions.similarity import ann_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    exact = knn_bruteforce(emb, qv, k=10).select("vec_id")
+    approx = ann_lsh(emb, qv, k=10, num_planes=6).select("vec_id")
+    return (
+        exact.join(approx, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(10).cast("bigint").alias("k"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(10.0), 6).alias("recall"),
+        )
+    )
+
+
+O_ANN_LSH_RECALL = f"""
+WITH exact AS (SELECT vec_id FROM ({O_KNN_BRUTEFORCE})),
+approx AS (SELECT vec_id FROM ({O_ANN_LSH}))
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       ROUND(COUNT(*) / 10.0, 6) AS recall
+FROM exact JOIN approx USING (vec_id)
+"""
+
+
 def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means refinement (Lloyd's, 2 deterministic
     iterations from the first-8 seed centroids) — the IVF train step.
@@ -2361,6 +2393,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_minhash_components, _minhash_components_sql(), ("dedup",)
     ),
     "ann_lsh": QuerySpec(q_ann_lsh, O_ANN_LSH, ("similarity",)),
+    "ann_lsh_recall": QuerySpec(
+        q_ann_lsh_recall, O_ANN_LSH_RECALL, ("similarity", "eval")
+    ),
     "ivf_train": QuerySpec(q_ivf_train, O_IVF_TRAIN, ("similarity",)),
     # multimodal
     "multimodal_metadata": QuerySpec(
