@@ -570,6 +570,78 @@ _SQL_HOURLY = """
 """
 
 
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the data-quality sweep a pipeline
+    runs after every load: orphan foreign keys across the warehouse
+    relationships plus modality coverage (documents without an
+    embedding row). Each check is a left-anti join reduced to a count;
+    the union of five 1-row aggregates is driver-trivial while each
+    check itself scans/shuffles only its two key columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def orphans(child, fk, parent, pk, name):
+        return (
+            child.select(F.col(fk).alias("k"))
+            .join(parent.select(F.col(pk).alias("k")), "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("relationship"), "n_orphans")
+        )
+
+    checks = [
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        orphans(orders, "o_custkey", cust, "c_custkey", "orders->customer"),
+        orphans(cust, "c_nationkey", nation, "n_nationkey", "customer->nation"),
+        orphans(supp, "s_nationkey", nation, "n_nationkey", "supplier->nation"),
+        orphans(
+            docs.select(F.col("doc_id").alias("k")).alias("d"),
+            "k",
+            emb.select(F.col("vec_id").alias("k")).alias("e"),
+            "k",
+            "documents->embeddings",
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "relationship", F.col("n_orphans").cast("bigint").alias("n_orphans")
+    )
+
+
+O_INTEGRITY_AUDIT = """
+SELECT 'lineitem->orders' AS relationship,
+       CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders->customer',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer->nation',
+       CAST(COUNT(*) AS BIGINT)
+FROM customer c WHERE NOT EXISTS
+  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'supplier->nation',
+       CAST(COUNT(*) AS BIGINT)
+FROM supplier s WHERE NOT EXISTS
+  (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+UNION ALL
+SELECT 'documents->embeddings',
+       CAST(COUNT(*) AS BIGINT)
+FROM documents d WHERE NOT EXISTS
+  (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+"""
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive retrieval training:
     documents that score HIGH lexically (BM25 candidates) but are NOT
@@ -1207,6 +1279,9 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "conversion_funnel": QuerySpec(
         q_conversion_funnel, O_CONVERSION_FUNNEL, ("relational", "events")
+    ),
+    "integrity_audit": QuerySpec(
+        q_integrity_audit, O_INTEGRITY_AUDIT, ("quality", "relational")
     ),
     "hard_negatives": QuerySpec(
         q_hard_negatives, _hard_negatives_sql(), ("text", "retrieval")

@@ -285,6 +285,8 @@ SINGLE_PARTITION_OK = {
     "hybrid_search", "hard_negatives",
     # resample_locf: the global time-bounds aggregate is one row
     "resample_locf", "resample_interp", "length_drift",
+    # integrity_audit: five 1-row count aggregates unioned
+    "integrity_audit",
     "bm25_search", "conversion_funnel", "temperature_mix",
     "training_corpus", "zorder_layout",
     "convert_ipc_messages", "convert_ipc_roundtrip",
