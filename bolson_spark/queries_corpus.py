@@ -570,6 +570,88 @@ _SQL_HOURLY = """
 """
 
 
+def q_quality_rule_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-rule violation matrix: for each source, how
+    many documents fail each Gopher rule — the triage table that tells
+    a pipeline WHICH filter is rejecting a source's mass (vs. the
+    binary keep flag). One metric pass + one conditional-sum
+    aggregation keyed by source."""
+    from bolson_spark.functions.quality import (
+        MAX_SYMBOL_WORD_RATIO,
+        MAX_TOP_BIGRAM_FRAC,
+        MAX_WORDS,
+        MIN_ALPHA_WORD_FRAC,
+        MIN_MEAN_WORD_LEN,
+        MAX_MEAN_WORD_LEN,
+        MIN_UNIQUE_WORD_FRAC,
+        MIN_WORDS,
+        quality_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = quality_metrics(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+
+    def viol(cond, name):
+        return F.sum(cond.cast("int")).cast("bigint").alias(name)
+
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        viol(
+            ~F.col("n_words").between(MIN_WORDS, MAX_WORDS), "bad_n_words"
+        ),
+        viol(
+            ~F.col("mean_word_len").between(
+                MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN
+            ),
+            "bad_word_len",
+        ),
+        viol(
+            F.col("alpha_word_frac") < MIN_ALPHA_WORD_FRAC, "bad_alpha"
+        ),
+        viol(
+            F.col("symbol_word_ratio") > MAX_SYMBOL_WORD_RATIO,
+            "bad_symbols",
+        ),
+        viol(
+            F.col("unique_word_frac") < MIN_UNIQUE_WORD_FRAC,
+            "bad_unique",
+        ),
+        viol(
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+            > MAX_TOP_BIGRAM_FRAC,
+            "bad_repetition",
+        ),
+    )
+
+
+def _quality_rule_matrix_sql() -> str:
+    from bolson_spark.queries_train import O_GOPHER_QUALITY
+
+    return f"""
+WITH m AS (
+  SELECT q.*, d.source
+  FROM ({O_GOPHER_QUALITY}) q JOIN documents d USING (doc_id)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN NOT (n_words BETWEEN 20 AND 100000)
+                THEN 1 ELSE 0 END) AS BIGINT) AS bad_n_words,
+       CAST(SUM(CASE WHEN NOT (mean_word_len BETWEEN 2.0 AND 12.0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS bad_word_len,
+       CAST(SUM(CASE WHEN alpha_word_frac < 0.8
+                THEN 1 ELSE 0 END) AS BIGINT) AS bad_alpha,
+       CAST(SUM(CASE WHEN symbol_word_ratio > 0.1
+                THEN 1 ELSE 0 END) AS BIGINT) AS bad_symbols,
+       CAST(SUM(CASE WHEN unique_word_frac < 0.2
+                THEN 1 ELSE 0 END) AS BIGINT) AS bad_unique,
+       CAST(SUM(CASE WHEN COALESCE(top_bigram_frac, 0.0) > 0.20
+                THEN 1 ELSE 0 END) AS BIGINT) AS bad_repetition
+FROM m GROUP BY source
+"""
+
+
 def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit — the data-quality sweep a pipeline
     runs after every load: orphan foreign keys across the warehouse
@@ -1279,6 +1361,9 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "conversion_funnel": QuerySpec(
         q_conversion_funnel, O_CONVERSION_FUNNEL, ("relational", "events")
+    ),
+    "quality_rule_matrix": QuerySpec(
+        q_quality_rule_matrix, _quality_rule_matrix_sql(), ("quality",)
     ),
     "integrity_audit": QuerySpec(
         q_integrity_audit, O_INTEGRITY_AUDIT, ("quality", "relational")
