@@ -96,11 +96,10 @@ def main() -> None:
     pipeline_sec = steady("training_corpus")
 
     total = round(sum(timings.values()), 4)
-    out = {
+    summary = {
         "metric": "registry wall-clock (noop sink) per query",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf_from_dir(SF_DIR),
         "convert_mjs": round(n_jsons / convert_sec / 1e6, 6)
         if convert_sec
@@ -116,7 +115,29 @@ def main() -> None:
         else None,
         "num_queries": len(timings),
     }
-    print(json.dumps(out))
+    full = {**summary, "queries": timings}
+    # The driver records only the last ~2 KB of stdout (r2's per-query
+    # evidence was lost to head-truncation of one huge line). Emit:
+    #   1. the full JSON to BENCH_FULL.json on disk (committed evidence),
+    #   2. per-family detail lines early (truncatable),
+    #   3. a compact (<2 KB) summary as the FINAL line so the recorded
+    #      BENCH_r{N}.json tail always parses as complete JSON.
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    fam_queries: dict[str, dict[str, float]] = {}
+    for name, sec in timings.items():
+        fam = (QUERIES[name].tags or ("other",))[0]
+        fam_queries.setdefault(fam, {})[name] = sec
+    for fam, qs in fam_queries.items():
+        print(json.dumps({"family": fam, "queries": qs}))
+    summary["families"] = {
+        fam: round(sum(qs.values()), 3) for fam, qs in fam_queries.items()
+    }
+    summary["slowest"] = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    summary["queries_detail_file"] = "BENCH_FULL.json"
+    print(json.dumps(summary))
     spark.stop()
 
 

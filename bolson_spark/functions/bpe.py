@@ -60,7 +60,11 @@ def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def bpe_train(
-    df: DataFrame, text_col: str = "text", n_merges: int = 10
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_freq: int = 1,
+    max_vocab: int | None = 1_000_000,
 ) -> list[tuple[str, str, int]]:
     """Learn `n_merges` BPE merges from the corpus. Returns the merge
     table [(left, right, pair_count), ...] in merge order.
@@ -76,8 +80,24 @@ def bpe_train(
     iterates in milliseconds locally). If a vocabulary ever exceeded
     driver memory, the fallback is the same loop over Spark jobs —
     `_merge_pair_col` already expresses the distributed merge step.
+
+    Driver-memory guard: on a clean corpus the distinct-word table is
+    Zipf-bounded, but a noisy web-scale corpus has 10^8-10^9 distinct
+    "words" (URLs, hex hashes) — an uncapped collect() OOMs the driver.
+    `min_freq` drops the long noise tail; `max_vocab` hard-caps the
+    transfer (deterministic: ordered by freq DESC, word ASC before the
+    cut). Both preserve the learned merges whenever n_merges ≪ cap —
+    dropped words are the rarest and cannot decide a most-frequent
+    pair; tests assert a cap smaller than |vocab| yields the identical
+    merge table on the classic corpus. Pass max_vocab=None for the
+    exact uncapped behavior.
     """
-    rows = word_freq_table(df, text_col).collect()
+    wf = word_freq_table(df, text_col)
+    if min_freq > 1:
+        wf = wf.where(F.col("freq") >= min_freq)
+    if max_vocab is not None:
+        wf = wf.orderBy(F.col("freq").desc(), F.col("word")).limit(max_vocab)
+    rows = wf.collect()
     vocab: list[tuple[list[str], int]] = [
         (list(r.word), int(r.freq)) for r in rows
     ]

@@ -65,12 +65,16 @@ def decontaminate(
     grams are the common window).
 
     Scale shape: the eval set is SMALL by construction (benchmarks are
-    KBs-MBs against a 100 TB corpus), so its distinct gram-hash set is
-    broadcast and the probe is a map-side hash join on the corpus gram
-    stream — zero shuffle of corpus grams for the hit test; the only
-    shuffle is the per-doc re-aggregation keyed by doc_id. Corpus-side
-    grams are per-doc DISTINCT before the probe so a pathological
-    repeated-gram document cannot amplify join output.
+    KBs-MBs against a 100 TB corpus), so AQE selects a broadcast-hash
+    probe and the hit test is a map-side join on the corpus gram
+    stream — zero shuffle of corpus grams; the only shuffle is the
+    per-doc re-aggregation keyed by doc_id. The broadcast is left to
+    AQE rather than forced with a hint: a hard F.broadcast() would
+    strip AQE's ability to fall back to a shuffle join, turning an
+    oversized eval set into an executor OOM instead of a graceful
+    degradation. Corpus-side grams are per-doc DISTINCT before the
+    probe so a pathological repeated-gram document cannot amplify
+    join output.
 
     Returns every corpus document with its gram counts:
     (doc_id, n_grams, n_contaminated, contaminated).
@@ -86,7 +90,7 @@ def decontaminate(
     # marks eval hits AND the same aggregation counts total grams —
     # no second gram-generation pass just for the denominators.
     per_doc = (
-        corpus_grams.join(F.broadcast(eval_grams), "gram_hash", "left")
+        corpus_grams.join(eval_grams, "gram_hash", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -70,13 +70,18 @@ def choose_bands(
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to the cluster's parallelism ahead of a CPU-heavy
-    narrow map. File-split parallelism tracks *bytes*, but hashing
-    every token of every document costs CPU per row — a handful of
-    small input splits would serialize the whole stage. One cheap
-    round-robin exchange decouples map parallelism from file layout;
-    at scale the same rule applies whenever splits << cores.
+    narrow map — but ONLY when the input is under-split. File-split
+    parallelism tracks *bytes*, but hashing every token of every
+    document costs CPU per row — a handful of small input splits would
+    serialize the whole stage, so when splits < cores one cheap
+    round-robin exchange decouples map parallelism from file layout.
+    When splits >= cores (the 100 TB case: thousands of parquet
+    row-group splits vs hundreds of cores) the exchange would be a
+    full shuffle of the corpus for nothing, so it is skipped.
     """
     sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
     return df.repartition(sc.defaultParallelism)
 
 

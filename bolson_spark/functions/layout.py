@@ -19,6 +19,8 @@ other operator.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -132,10 +134,17 @@ def write_shards(
     writer.parquet(path)
     spark = df.sparkSession
     written = spark.read.parquet(path)
+    # Shard key = path RELATIVE TO THE OUTPUT ROOT, not the basename:
+    # with partition_by, Spark's dynamic-partition writer resets the
+    # per-task file counter per partition value, so files in different
+    # partition directories share identical basenames and a basename
+    # key would silently merge distinct physical files (breaking the
+    # one-row-per-file contract a resumable dataloader relies on).
+    root = re.escape(path.rstrip("/").split("/")[-1])
     return (
         written.groupBy(
             F.regexp_extract(
-                F.input_file_name(), r"([^/]+\.parquet)", 1
+                F.input_file_name(), rf"/{root}/(.+\.parquet)", 1
             ).alias("shard")
         )
         .agg(

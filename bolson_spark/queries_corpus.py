@@ -258,7 +258,8 @@ fracs AS (
 )
 SELECT d.doc_id, d.lang
 FROM documents d JOIN fracs USING (lang)
-WHERE substr(md5('tmix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+WHERE keep_frac >= 1.0
+   OR substr(md5('tmix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
       < printf('%08x', LEAST(CAST(FLOOR(keep_frac * 4294967296.0) AS BIGINT), 4294967295))
 """
 
@@ -1292,7 +1293,8 @@ fracs AS (
 ),
 s4 AS (
   SELECT s3.* FROM s3 JOIN fracs USING (lang)
-  WHERE substr(md5('tmix|' || CAST(s3.doc_id AS VARCHAR)), 1, 8)
+  WHERE keep_frac >= 1.0
+     OR substr(md5('tmix|' || CAST(s3.doc_id AS VARCHAR)), 1, 8)
         < printf('%08x', LEAST(CAST(FLOOR(keep_frac * 4294967296.0) AS BIGINT), 4294967295))
 ),
 toks AS (

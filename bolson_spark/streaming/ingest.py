@@ -11,13 +11,19 @@ micro-batch id that accepted them.
 
 Exactly-once without transactions: ``foreachBatch`` may REPLAY a
 batch after a crash (same batch_id, same input). Every write here is
-keyed by batch_id — accepted docs land in ``accepted/batch=<id>/``
-and ledger rows in ``ledger/batch=<id>/`` via dynamic partition
-overwrite — so a replay overwrites its own partition with identical
-content instead of double-appending. Acceptance itself anti-joins the
-batch against the ledger-as-of-previous-batches, which a replay
-re-reads identically (its own partition is overwritten, not consulted:
-the anti-join filters ledger rows to batch < current batch_id).
+keyed by (run, batch) — each ``run_stream_ingest`` call mints a fresh
+run id, and accepted docs land in ``accepted/run=<r>/batch=<id>/``
+with ledger rows in ``ledger/run=<r>/batch=<id>/`` via dynamic
+partition overwrite — so a replay overwrites its own partition with
+identical content instead of double-appending. Acceptance anti-joins
+the batch against the ledger-as-of-everything-prior: all rows from
+OTHER runs plus this run's batches < current batch_id. Keying by run
+(not batch ordinal alone) is what makes restarts safe: a restart with
+a fresh checkpoint dir restarts batch_id at 0, and a batch-only filter
+(``batch < 0``) would bypass the entire prior ledger while the dynamic
+overwrite clobbered the prior run's ``batch=0`` partitions — duplicate
+acceptance plus silent data loss. With run namespacing the prior run's
+rows are always consulted and never overwritten.
 
 Scale shape: the ledger is a 2-column (fingerprint, batch) table;
 the per-batch anti-join shuffles only fingerprints and is
@@ -30,6 +36,7 @@ functions/corpus.py::incremental_ingest).
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,15 +44,24 @@ from pyspark.sql.window import Window
 
 
 def _ledger_before(
-    spark: SparkSession, ledger_dir: str, batch_id: int
+    spark: SparkSession, ledger_dir: str, run_id: str, batch_id: int
 ) -> DataFrame | None:
+    """Ledger rows accepted strictly before (run_id, batch_id): every
+    other run's rows, plus this run's earlier batches. A replay's own
+    (run, batch) partition is overwritten, never consulted. Ledgers
+    written before run-namespacing existed (no `run` column) are read
+    as a single legacy run."""
     if not os.path.isdir(ledger_dir):
         return None
     try:
         led = spark.read.parquet(ledger_dir)
     except Exception:  # noqa: BLE001 — empty/corrupt dir on first batch
         return None
-    return led.where(F.col("batch") < batch_id)
+    if "run" not in led.columns:
+        led = led.withColumn("run", F.lit("legacy"))
+    return led.where(
+        (F.col("run") != run_id) | (F.col("batch") < batch_id)
+    )
 
 
 def run_stream_ingest(
@@ -62,6 +78,10 @@ def run_stream_ingest(
     StreamingQuery; drain with processAllAvailable()."""
     accepted_dir = os.path.join(out_dir, "accepted")
     ledger_dir = os.path.join(out_dir, "ledger")
+    # One run id per run_stream_ingest call: foreachBatch replays within
+    # this run keep it (idempotent partition overwrite); a restart mints
+    # a new one, so prior runs' partitions are consulted, not clobbered.
+    run_id = uuid.uuid4().hex
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -78,23 +98,27 @@ def run_stream_ingest(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        led = _ledger_before(sp, ledger_dir, batch_id)
+        led = _ledger_before(sp, ledger_dir, run_id, batch_id)
         if led is not None:
             batch = batch.join(
                 led.select("fingerprint"), "fingerprint", "left_anti"
             )
-        batch = batch.withColumn("batch", F.lit(batch_id)).cache()
+        batch = (
+            batch.withColumn("run", F.lit(run_id))
+            .withColumn("batch", F.lit(batch_id))
+            .cache()
+        )
         (
-            batch.select(id_col, text_col, "fingerprint", "batch")
+            batch.select(id_col, text_col, "fingerprint", "run", "batch")
             .write.mode("overwrite")
-            .partitionBy("batch")
+            .partitionBy("run", "batch")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(accepted_dir)
         )
         (
-            batch.select("fingerprint", "batch")
+            batch.select("fingerprint", "run", "batch")
             .write.mode("overwrite")
-            .partitionBy("batch")
+            .partitionBy("run", "batch")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(ledger_dir)
         )

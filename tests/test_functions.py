@@ -827,3 +827,67 @@ def test_temperature_mix_unknown_strata_kept_whole(spark):
     kept = temperature_mix(df, "lang", alpha=0.5, target_frac=0.5)
     by = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert by.get("tiny") == 1  # clamped at 1.0 -> the whole stratum
+
+
+def test_bpe_train_cap_preserves_merges(spark):
+    """A max_vocab / min_freq cap smaller than |vocab| must yield the
+    identical merge table on the classic corpus when the dropped words
+    are the rare tail (driver-OOM guard for noisy web-scale corpora
+    whose distinct-'word' table is 10^8+ rows)."""
+    from bolson_spark.functions.bpe import bpe_train
+
+    rows = (
+        [("low",)] * 5
+        + [("lower",)] * 2
+        + [("newest",)] * 6
+        + [("widest",)] * 3
+        + [("zzzqqq",)]  # singleton noise word (URL/hash stand-in)
+    )
+    corpus = spark.createDataFrame(rows, ["text"])
+    expected = bpe_train(corpus, "text", n_merges=5, max_vocab=None)
+    assert expected == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("l", "o", 7),
+        ("lo", "w", 7),
+        ("e", "w", 6),
+    ]
+    # cap below |vocab|=5 drops exactly the noise singleton
+    assert bpe_train(corpus, "text", n_merges=5, max_vocab=4) == expected
+    assert bpe_train(corpus, "text", n_merges=5, min_freq=2) == expected
+
+
+def test_temperature_mix_clamped_stratum_kept_whole_exactly(spark):
+    """A stratum whose keep_frac clamps to 1.0 must be kept WHOLE by
+    construction — the hash compare is bypassed (keep_frac >= 1.0
+    short-circuit), not merely made improbable to fail, so even the
+    p=2^-32 'ffffffff' md5-prefix edge cannot drop a row."""
+    from bolson_spark.functions.sketch import temperature_mix
+
+    # 490 en / 10 fr at alpha=0.5, target 1.0: fr's raw keep_frac is
+    # ~6.2 -> clamps to 1.0; en's is ~0.9 -> subsampled.
+    df = spark.createDataFrame(
+        [(i, "fr" if i < 10 else "en") for i in range(500)],
+        ["doc_id", "lang"],
+    )
+    kept = temperature_mix(df, "lang", alpha=0.5, target_frac=1.0)
+    counts = {
+        r.lang: r.n
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["fr"] == 10  # clamped stratum: every row, exactly
+    assert 0 < counts["en"] < 490
+
+
+def test_spread_skips_exchange_when_already_parallel(spark):
+    """_spread must be a no-op when input partitioning already
+    saturates the cluster (the 100 TB case: splits >> cores); a
+    round-robin exchange there is a full shuffle of the corpus for
+    nothing. When splits < cores it still repartitions."""
+    from bolson_spark.functions.dedup import _spread
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(par + 4)
+    assert _spread(wide) is wide  # no new plan node at all
+    narrow = spark.range(1000).coalesce(1)
+    assert _spread(narrow).rdd.getNumPartitions() == par

@@ -205,13 +205,25 @@ def test_flagship_has_no_single_partition_exchange(spark):
     assert "SinglePartition" in plan_exact
 
 
-def test_decontaminate_broadcasts_eval_grams(spark):
-    """Decontamination probes the corpus gram stream against the SMALL
-    eval-set gram hashes: the hit-marking join must be a broadcast
-    left-outer with the eval set as build side (map-side, zero
-    corpus-gram shuffle), never a shuffled join of the corpus side."""
-    plan = formatted_plan(QUERIES["decontaminate"].fn(spark, SF))
-    assert "BroadcastHashJoin LeftOuter BuildRight" in plan
+def test_decontaminate_eval_gram_join_is_equi_and_aqe_eligible(spark):
+    """Decontamination probes the corpus gram stream against the
+    eval-set gram hashes. The broadcast decision is deliberately LEFT
+    TO AQE (a hard F.broadcast() hint would OOM instead of degrading
+    to a shuffle join when the eval set is large), so the static plan
+    must be a hash-partitioned EQUI join on gram_hash — broadcast when
+    size stats allow, sort-merge otherwise, never a nested-loop — and
+    a small eval set must still end up broadcast at runtime."""
+    df = QUERIES["decontaminate"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "gram_hash" in plan
+    # runtime (AQE) check: after execution the adaptive plan of the
+    # hit-marking join collapses to a broadcast for a small eval set
+    df.write.mode("overwrite").format("noop").save()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final
 
 
 def test_pack_sequences_window_is_partitioned(spark):

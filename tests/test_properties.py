@@ -201,3 +201,60 @@ def test_zorder_interleave_is_invertible(spark, xs, ys):
         dx = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
         dy = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (dx, dy) == (r.x, r.y)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.one_of(
+            # ~90% mass on two duplicated values -> quantile boundaries
+            # land ON a duplicated key (ties straddle bucket cut points)
+            st.sampled_from([5, 5, 5, 5, 17, 17, 17, 17, 17]),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=30,
+        max_size=150,
+    ),
+    n_buckets=st.integers(min_value=2, max_value=6),
+)
+def test_seq_scalable_skewed_keys_property(spark, keys, n_buckets):
+    """Adversarial scale check for add_seq_scalable: with a
+    duplicate-heavy key distribution (ties across bucket boundaries)
+    and AQE OFF, the frozen-literal bucketing must still produce (a) a
+    contiguous 0-based permutation, (b) key-monotone numbering, and
+    (c) exactly the per-key seq ranges the exact global-window add_seq
+    assigns (seq sets per key are deterministic even though tie order
+    within a key is not)."""
+    from bolson_spark.operators import add_seq
+    from bolson_spark.operators.seq import add_seq_scalable
+
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.createDataFrame([(k,) for k in keys], ["k"]).repartition(4)
+        got = add_seq_scalable(
+            df, "k", num_buckets=n_buckets
+        ).collect()
+        exact = add_seq(df, "k").collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    n = len(keys)
+    assert sorted(r.bolson_seq for r in got) == list(range(n))
+    by_seq = sorted(got, key=lambda r: r.bolson_seq)
+    assert all(
+        a.k <= b.k for a, b in zip(by_seq, by_seq[1:])
+    ), "seq order must follow key order"
+
+    def per_key(rows):
+        out: dict[int, list[int]] = {}
+        for r in rows:
+            out.setdefault(r.k, []).append(r.bolson_seq)
+        return {k: sorted(v) for k, v in out.items()}
+
+    assert per_key(got) == per_key(exact)

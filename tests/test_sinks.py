@@ -113,3 +113,31 @@ def test_range_cluster_write_yields_disjoint_file_ranges(spark, tmp_path):
     assert len(spans) > 1
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # disjoint (boundary keys may touch)
+
+
+def test_write_shards_manifest_with_partition_by(spark, tmp_path):
+    """With partition_by, Spark's dynamic-partition writer resets the
+    per-task file counter per partition value, so files in DIFFERENT
+    partition dirs share identical basenames. The manifest must key on
+    the root-relative path (keeping partition subdirs): one manifest
+    row per physical file, every shard within the record cap, row
+    counts reconstructing the corpus exactly."""
+    import glob
+
+    from bolson_spark.functions.layout import write_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n_docs = docs.count()
+    out = tmp_path / "shards_p"
+    manifest = write_shards(
+        docs, str(out), max_records_per_file=64, partition_by="lang"
+    ).collect()
+    files_on_disk = glob.glob(str(out / "**" / "*.parquet"), recursive=True)
+    assert len(manifest) == len(files_on_disk)
+    # shard keys are unique root-relative paths including lang=...
+    shards = [r.shard for r in manifest]
+    assert len(set(shards)) == len(shards)
+    assert all("/" in s for s in shards), "partition dir must be kept"
+    assert sum(r.n_rows for r in manifest) == n_docs
+    assert all(r.n_rows <= 64 for r in manifest)
+    assert all(r.min_doc_id <= r.max_doc_id for r in manifest)

@@ -621,3 +621,33 @@ def test_streaming_ingest_persistent_ledger(spark, tmp_path):
     # the ledger holds exactly one row per accepted fingerprint
     led = spark.read.parquet(str(out / "ledger"))
     assert led.count() == led.select("fingerprint").distinct().count() == 4
+
+    # run 3: FRESH checkpoint dir — batch_id restarts at 0. The ledger
+    # is run-namespaced, so the prior runs' rows must still be
+    # consulted (alpha rejected again) and their batch=0 partitions
+    # must NOT be clobbered by the new run's batch 0.
+    write_batch("d.jsonl", [{"doc_id": 8, "text": "alpha"},
+                            {"doc_id": 9, "text": "epsilon"}])
+
+    def start_fresh_ck():
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        return run_stream_ingest(
+            spark, stream, str(out), str(tmp_path / "ck2")
+        )
+
+    q = start_fresh_ck()
+    q.processAllAvailable()
+    q.stop()
+
+    acc = spark.read.parquet(str(out / "accepted"))
+    got = {r.text: r.doc_id for r in acc.collect()}
+    # run-1 acceptances survive; only the genuinely-new epsilon added
+    assert got == {"alpha": 1, "beta": 2, "gamma": 4, "delta": 7,
+                   "epsilon": 9}
+    led = spark.read.parquet(str(out / "ledger"))
+    assert led.count() == led.select("fingerprint").distinct().count() == 5
