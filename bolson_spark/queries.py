@@ -49,7 +49,7 @@ from bolson_spark.operators.parse import parse_json, validate_no_unexpected_fiel
 from bolson_spark.operators.rebatch import add_batch_id, batch_stats
 from bolson_spark.operators.seq import add_seq, add_seq_scalable
 from bolson_spark.operators.serialize import deserialize_ipc, serialize_ipc
-from bolson_spark.schemas import EVENT_PROPS_SPARK
+from bolson_spark.schemas import BATTERY_SPARK, EVENT_PROPS_SPARK, TRIP_SPARK
 from bolson_spark.session import load_table
 
 
@@ -110,6 +110,175 @@ def q_convert_strict_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_CONVERT_STRICT = """
 SELECT event_id FROM events
 WHERE len(list_filter(json_keys(props), k -> k NOT IN ('k'))) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Battery / trip JSON workloads — the reference's own differential test
+# corpora (test_opae_battery.cpp:51-88, test_opae_trip.cpp:204-206),
+# run end-to-end under the value-hash gate. The corpora are synthesized
+# DETERMINISTICALLY from o_orderkey (both engines derive identical
+# documents from the same parquet), so the oracle checks the list /
+# fixed-size-list / boolean parse paths the events-based convert
+# queries never touch.
+# ---------------------------------------------------------------------------
+
+
+def q_convert_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 battery workload (voltage: list<uint64>, 1..16 items, values
+    0..2047 — battery.cpp:37-40, generator metadata in
+    test_opae_battery.cpp:32-41): strict schema-driven parse of a
+    deterministic battery-JSON corpus, then the scale-path sequence
+    numbers and per-document list reductions."""
+    k = F.col("o_orderkey")
+    n = (k % 16 + 1).cast("int")
+    volt = F.transform(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda i: (k * 7 + i.cast("bigint") * 13) % 2048,
+    )
+    docs = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_json(F.struct(volt.alias("voltage"))).alias("payload"),
+    )
+    parsed = parse_json(
+        docs, BATTERY_SPARK, "payload", strict=True, keep=["o_orderkey"]
+    )
+    seqd = add_seq_scalable(parsed, "o_orderkey")
+    return seqd.select(
+        "bolson_seq",
+        "o_orderkey",
+        F.size("voltage").alias("n_items"),
+        F.aggregate(
+            "voltage", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("v_sum"),
+        F.array_min("voltage").alias("v_min"),
+        F.array_max("voltage").alias("v_max"),
+    )
+
+
+O_CONVERT_PARSE_BATTERY = """
+WITH gen AS (
+  SELECT o_orderkey,
+         list_transform(range(0, CAST(o_orderkey % 16 + 1 AS INT)),
+                        i -> (o_orderkey * 7 + i * 13) % 2048) AS voltage
+  FROM orders
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS bolson_seq,
+       o_orderkey,
+       CAST(len(voltage) AS INT) AS n_items,
+       CAST(list_sum(voltage) AS BIGINT) AS v_sum,
+       CAST(list_min(voltage) AS BIGINT) AS v_min,
+       CAST(list_max(voltage) AS BIGINT) AS v_max
+FROM gen
+"""
+
+
+# (field, fixed_size, stride) for the trip schema's ten list fields;
+# element i = (o_orderkey + i*stride) % 1000. Sizes from trip.cpp:48-100.
+_TRIP_LISTS: list[tuple[str, int, int]] = [
+    ("sec_in_band", 12, 3),
+    ("miles_in_time_range", 24, 4),
+    ("const_speed_miles_in_band", 12, 5),
+    ("vary_speed_miles_in_band", 12, 6),
+    ("sec_decel", 10, 7),
+    ("sec_accel", 10, 8),
+    ("braking", 6, 9),
+    ("accel", 6, 10),
+    ("small_speed_var", 13, 11),
+    ("large_speed_var", 13, 12),
+]
+
+
+def q_convert_parse_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 trip workload: the 19-field trip-report schema
+    (trip.cpp:48-100) with fixed-size lists, booleans, and a utf8
+    timestamp, parsed strictly from a deterministic JSON corpus. The
+    projection returns every scalar plus per-list (size, sum) so the
+    fixed-size constraint and element values sit under the hash gate."""
+    k = F.col("o_orderkey")
+
+    def lst(size: int, stride: int) -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(size - 1)),
+            lambda i: (k + i.cast("bigint") * stride) % 1000,
+        )
+
+    payload = F.to_json(
+        F.struct(
+            F.format_string(
+                "2024-%02d-%02dT%02d:00:00", k % 12 + 1, k % 28 + 1, k % 24
+            ).alias("timestamp"),
+            (k % 24).alias("timezone"),
+            ((k * 7919) % 10000000).alias("vin"),
+            ((k * 131) % 1000000).alias("odometer"),
+            (k % 2 == 0).alias("hypermiling"),
+            (k % 120).alias("avgspeed"),
+            *[
+                lst(size, stride).alias(name)
+                for name, size, stride in _TRIP_LISTS[:8]
+            ],
+            (k % 3 == 0).alias("orientation"),
+            *[
+                lst(size, stride).alias(name)
+                for name, size, stride in _TRIP_LISTS[8:]
+            ],
+            (k % 50).alias("accel_decel"),
+            (k % 200).alias("speed_changes"),
+        )
+    )
+    docs = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", payload.alias("payload")
+    )
+    parsed = parse_json(
+        docs, TRIP_SPARK, "payload", strict=True, keep=["o_orderkey"]
+    )
+    return parsed.select(
+        "o_orderkey",
+        "timestamp",
+        "timezone",
+        "vin",
+        "odometer",
+        "hypermiling",
+        "avgspeed",
+        "orientation",
+        "accel_decel",
+        "speed_changes",
+        *[
+            c
+            for name, _, _ in _TRIP_LISTS
+            for c in (
+                F.size(name).alias(f"{name}_n"),
+                F.aggregate(
+                    name, F.lit(0).cast("bigint"), lambda a, x: a + x
+                ).alias(f"{name}_sum"),
+            )
+        ],
+    )
+
+
+_TRIP_LIST_COLS_SQL = ",\n       ".join(
+    f"CAST({size} AS INT) AS {name}_n,\n       "
+    f"CAST(list_sum(list_transform(range(0, {size}), "
+    f"i -> (o_orderkey + i * {stride}) % 1000)) AS BIGINT) AS {name}_sum"
+    for name, size, stride in _TRIP_LISTS
+)
+
+O_CONVERT_PARSE_TRIP = f"""
+SELECT o_orderkey,
+       printf('2024-%02d-%02dT%02d:00:00',
+              CAST(o_orderkey % 12 + 1 AS INT),
+              CAST(o_orderkey % 28 + 1 AS INT),
+              CAST(o_orderkey % 24 AS INT)) AS timestamp,
+       o_orderkey % 24 AS timezone,
+       (o_orderkey * 7919) % 10000000 AS vin,
+       (o_orderkey * 131) % 1000000 AS odometer,
+       (o_orderkey % 2) = 0 AS hypermiling,
+       o_orderkey % 120 AS avgspeed,
+       (o_orderkey % 3) = 0 AS orientation,
+       o_orderkey % 50 AS accel_decel,
+       o_orderkey % 200 AS speed_changes,
+       {_TRIP_LIST_COLS_SQL}
+FROM orders
 """
 
 
@@ -2245,6 +2414,14 @@ SELECT node AS vec_id, MIN(r) AS representative FROM reach GROUP BY node
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, QuerySpec] = {
+    # battery/trip differential workloads first: new in round 3, so the
+    # driver-coverage rotation (end of file) keeps them in the window
+    "convert_parse_battery": QuerySpec(
+        q_convert_parse_battery, O_CONVERT_PARSE_BATTERY, ("core",)
+    ),
+    "convert_parse_trip": QuerySpec(
+        q_convert_parse_trip, O_CONVERT_PARSE_TRIP, ("core",)
+    ),
     # core conversion (reference parity)
     "convert_parse": QuerySpec(q_convert_parse, O_CONVERT_PARSE, ("core",)),
     "convert_parse_arrow": QuerySpec(q_convert_parse_arrow, O_CONVERT_PARSE, ("core",)),

@@ -3,6 +3,7 @@ from bolson_spark.streaming.sink import (
     IpcFileSink,
     KafkaSink,
     PublishSink,
+    PulsarSink,
     SchemaMismatchError,
     make_sink,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "IpcFileSink",
     "KafkaSink",
     "PublishSink",
+    "PulsarSink",
     "SchemaMismatchError",
     "make_sink",
     "run_stream_convert",

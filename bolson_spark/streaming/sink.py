@@ -9,7 +9,7 @@ is configured with max messages / max bytes / max delay
 (publisher.cpp:63-69, CLI defaults publisher.cpp:265-277).
 
 Spark mapping: the pub/sub boundary is ``foreachBatch`` + a
-``PublishSink``. Two backends share the handshake protocol:
+``PublishSink``. Three backends share the handshake protocol:
 
 - ``IpcFileSink`` — directory-backed topic stand-in (the only backend
   that can run in this environment; fully end-to-end tested);
@@ -20,7 +20,11 @@ Spark mapping: the pub/sub boundary is ``foreachBatch`` + a
   bounds it). No broker exists in this sandbox, so the Kafka calls are
   exercised up to the network boundary in tests (message assembly,
   option mapping, handshake verify logic) and documented as the
-  swap-in production backend.
+  swap-in production backend;
+- ``PulsarSink`` — the reference's own transport, same
+  tested-to-the-boundary posture (no pulsar-spark connector in this
+  sandbox): ``BatchingOptions`` -> ``pulsar.producer.batching*``, and
+  the 5 MiB - 10 KiB default message-size cap (publisher.h:39-41).
 """
 
 from __future__ import annotations
@@ -208,6 +212,101 @@ class KafkaSink(PublishSink):
         )
 
 
+# Reference default: Pulsar's 5 MiB broker max minus 10 KiB of message
+# envelope headroom (publisher.h:39-41).
+PULSAR_DEFAULT_MAX_MSG_SIZE = 5 * 1024 * 1024 - 10 * 1024
+
+
+class PulsarSink(PublishSink):
+    """Pulsar producer backend — the reference's actual transport
+    (publisher.cpp:185-250). Maps ``BatchingOptions`` onto the public
+    Pulsar producer batching config (publisher.cpp:63-69: max messages /
+    max bytes / max publish delay) using the pulsar-spark connector's
+    ``pulsar.producer.*`` option namespace, and defaults the FNC10
+    message-size cap to 5 MiB - 10 KiB (publisher.h:39-41).
+
+    Neither the pulsar-spark connector nor a broker exists in this
+    sandbox, so ``make_sink("pulsar://...")`` fails fast with an
+    env-missing error; the option mapping and handshake logic are
+    unit-tested against this class directly (the same
+    tested-to-the-network-boundary posture as ``KafkaSink``).
+    """
+
+    def __init__(
+        self,
+        spark,
+        service_url: str,
+        topic: str,
+        *,
+        batching: BatchingOptions | None = None,
+        max_msg_size: int | None = None,
+    ):
+        self.spark = spark
+        self.service_url = service_url
+        self.topic = topic
+        self.batching = batching or BatchingOptions()
+        self.max_msg_size = (
+            PULSAR_DEFAULT_MAX_MSG_SIZE if max_msg_size is None else max_msg_size
+        )
+
+    def producer_options(self) -> dict[str, str]:
+        """Pulsar producer config implementing the reference's batching
+        CLI (publisher.cpp:265-277): max_messages ->
+        batchingMaxMessages, max_bytes -> batchingMaxBytes, max_delay_ms
+        -> batchingMaxPublishDelayMicros (ms -> us)."""
+        opts = {
+            "service.url": self.service_url,
+            "topic": self.topic,
+            "pulsar.producer.batchingEnabled": str(
+                self.batching.enable
+            ).lower(),
+        }
+        if self.batching.enable:
+            opts["pulsar.producer.batchingMaxMessages"] = str(
+                self.batching.max_messages
+            )
+            opts["pulsar.producer.batchingMaxBytes"] = str(
+                self.batching.max_bytes
+            )
+            opts["pulsar.producer.batchingMaxPublishDelayMicros"] = str(
+                self.batching.max_delay_ms * 1000
+            )
+        return opts
+
+    # message assembly is transport-agnostic: same (value, key, headers)
+    # shape as Kafka — Pulsar carries seq range as message properties
+    to_messages = staticmethod(KafkaSink.to_messages)
+
+    def _read_topic_schema(self) -> pa.Schema | None:
+        raise _pulsar_env_missing()
+
+    def _publish_schema(self, schema: pa.Schema) -> None:
+        raise _pulsar_env_missing()
+
+    def write(self, serialized: DataFrame) -> None:
+        raise _pulsar_env_missing()
+
+
+def _pulsar_env_missing() -> RuntimeError:
+    return RuntimeError(
+        "pulsar backend unavailable: the pulsar-spark connector and a "
+        "reachable broker are required, and neither exists in this "
+        "environment. The PulsarSink option mapping and handshake are "
+        "unit-tested; swap in a real cluster by adding the connector "
+        "jar and a pulsar://host:6650/topic URL."
+    )
+
+
+def _pulsar_connector_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.pulsar.client.api.PulsarClient"
+        )
+        return True
+    except Exception:  # noqa: BLE001 — absent class/jvm == unavailable
+        return False
+
+
 def make_sink(
     spark,
     url: str,
@@ -215,8 +314,10 @@ def make_sink(
     batching: BatchingOptions | None = None,
     max_msg_size: int | None = None,
 ) -> PublishSink:
-    """Sink factory: ``kafka://host:port/topic`` -> KafkaSink, anything
-    else is a directory path -> IpcFileSink."""
+    """Sink factory: ``kafka://host:port/topic`` -> KafkaSink,
+    ``pulsar://host:port/topic`` -> PulsarSink (requires the
+    pulsar-spark connector on the classpath), anything else is a
+    directory path -> IpcFileSink."""
     if url.startswith("kafka://"):
         rest = url[len("kafka://") :]
         servers, _, topic = rest.partition("/")
@@ -226,5 +327,21 @@ def make_sink(
             )
         return KafkaSink(
             spark, servers, topic, batching=batching, max_msg_size=max_msg_size
+        )
+    if url.startswith("pulsar://"):
+        rest = url[len("pulsar://") :]
+        servers, _, topic = rest.partition("/")
+        if not servers or not topic:
+            raise ValueError(
+                f"pulsar sink url must be pulsar://host:port/topic, got {url!r}"
+            )
+        if not _pulsar_connector_available(spark):
+            raise _pulsar_env_missing()
+        return PulsarSink(
+            spark,
+            f"pulsar://{servers}",
+            topic,
+            batching=batching,
+            max_msg_size=max_msg_size,
         )
     return IpcFileSink(url)

@@ -170,6 +170,67 @@ def test_kafka_sink_shape_and_handshake(spark, tmp_path):
     assert isinstance(make_sink(spark, str(tmp_path / "dir")), _F)
 
 
+def test_pulsar_sink_option_mapping_and_env_missing(spark, tmp_path):
+    """Pulsar backend (the reference's actual transport,
+    publisher.cpp:185-250): BatchingOptions map onto the public
+    pulsar.producer.* batching config, the FNC10 size cap defaults to
+    5 MiB - 10 KiB (publisher.h:39-41), the handshake verify logic is
+    shared, message assembly matches the Kafka shape, and — with no
+    connector in this environment — make_sink fails fast with a clear
+    env-missing error while network-touching methods do the same."""
+    from bolson_spark.streaming import BatchingOptions, PulsarSink, make_sink
+
+    sink = PulsarSink(
+        spark,
+        "pulsar://broker1:6650",
+        "bolson",
+        batching=BatchingOptions(
+            enable=True, max_messages=500, max_bytes=65536, max_delay_ms=5
+        ),
+    )
+    opts = sink.producer_options()
+    assert opts["service.url"] == "pulsar://broker1:6650"
+    assert opts["topic"] == "bolson"
+    assert opts["pulsar.producer.batchingEnabled"] == "true"
+    assert opts["pulsar.producer.batchingMaxMessages"] == "500"
+    assert opts["pulsar.producer.batchingMaxBytes"] == "65536"
+    # ms -> us (the Pulsar knob is batchingMaxPublishDelayMicros)
+    assert opts["pulsar.producer.batchingMaxPublishDelayMicros"] == "5000"
+    # reference default cap: 5 MiB minus 10 KiB envelope headroom
+    assert sink.max_msg_size == 5 * 1024 * 1024 - 10 * 1024
+    # batching disabled -> only the enabled=false flag is emitted
+    plain = PulsarSink(spark, "pulsar://b:6650", "t")
+    p_opts = plain.producer_options()
+    assert p_opts["pulsar.producer.batchingEnabled"] == "false"
+    assert "pulsar.producer.batchingMaxMessages" not in p_opts
+
+    # message assembly is transport-agnostic (shared with Kafka)
+    ipc_rows = spark.createDataFrame(
+        [(b"\x00p", 0, 9, 10, 2)],
+        "payload binary, seq_first long, seq_last long, num_rows long, ipc_bytes long",
+    )
+    row = PulsarSink.to_messages(ipc_rows).collect()[0]
+    assert bytes(row.value) == b"\x00p" and bytes(row.key) == b"0"
+
+    # handshake verify logic shared with the other backends
+    class _Stub(PulsarSink):
+        def _read_topic_schema(self):
+            return pa.schema([pa.field("other", pa.int64())])
+
+    with pytest.raises(SchemaMismatchError):
+        _Stub(spark, "pulsar://b:6650", "t").handshake(
+            spark_to_arrow_schema(BATTERY_SPARK)
+        )
+
+    # env-missing behavior: factory + network methods fail fast, loudly
+    with pytest.raises(RuntimeError, match="pulsar backend unavailable"):
+        make_sink(spark, "pulsar://broker1:6650/bolson")
+    with pytest.raises(RuntimeError, match="pulsar backend unavailable"):
+        sink.write(ipc_rows)
+    with pytest.raises(ValueError):
+        make_sink(spark, "pulsar://only-servers")
+
+
 def test_stream_strict_parse_fails_stream(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
