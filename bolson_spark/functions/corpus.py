@@ -241,3 +241,133 @@ def incremental_ingest(
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level hygiene: boilerplate removal & intra-document dedup.
+#
+# Web-corpus pipelines (C4, RefinedWeb, Gopher data cards) strip
+# boilerplate at the LINE level — a line occurring in more than K
+# documents is navigation/footer chrome, not content — and drop
+# repeated passages within a document. The corpus here is a single
+# word stream per document, so the unit is a fixed-width,
+# NON-overlapping word chunk ("passage"): the same df-capped removal
+# rule, the same first-occurrence intra-doc dedup, expressed on chunks.
+# ---------------------------------------------------------------------------
+
+
+def doc_chunk_array(col: Column, w: int) -> Column:
+    """Non-overlapping w-word chunks of a single-space-tokenized text
+    column, as array<string> (last chunk may be shorter). Pure
+    arithmetic + higher-order built-ins — narrow, codegen'd."""
+    words = F.filter(F.split(col, " "), lambda x: x != "")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(w))).cast("int")
+    return F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda j: F.array_join(F.slice(words, j * w + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exploded_chunks(
+    docs: DataFrame, w: int, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, idx, chunk) — one row per non-overlapping w-word chunk,
+    idx 0-based in document order."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(doc_chunk_array(F.col(text_col), w)).alias(
+            "idx", "chunk"
+        ),
+    )
+
+
+def boilerplate_removal(
+    docs: DataFrame, w: int = 5, max_df: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Cross-document boilerplate strip (the C4 line rule on chunks):
+    a chunk whose content occurs in MORE THAN `max_df` distinct
+    documents is boilerplate; cleaned text = the surviving chunks in
+    document order.
+
+    Returns (doc_id, n_chunks, n_boilerplate, cleaned_md5) — counts
+    plus a digest of the reassembled text so the removal itself sits
+    under the value-hash gate.
+
+    100 TB posture: chunk df is ONE aggregation on md5 chunk keys
+    (uniform — no skew); the frequent set is tiny by construction
+    (df > max_df chunks are precisely the repetitive mass) and joins
+    back as an AQE-selected broadcast anti-join, never a shuffle of
+    reassembled text; reassembly is a per-doc sort_array(collect_list)
+    over (idx, chunk) pairs — keyed by doc_id, map-side combinable.
+    """
+    chunks = exploded_chunks(docs, w, text_col).withColumn(
+        "chash", F.md5(F.col("chunk"))
+    )
+    frequent = (
+        chunks.select("doc_id", "chash")
+        .distinct()
+        .groupBy("chash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("chash")
+    )
+    kept = chunks.join(frequent, "chash", "left_anti")
+    per_doc_kept = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("idx", "chunk"))
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    totals = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    return (
+        totals.join(per_doc_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            (
+                F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("bigint").alias("n_boilerplate"),
+            F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias(
+                "cleaned_md5"
+            ),
+        )
+    )
+
+
+def intra_doc_dedup(
+    docs: DataFrame, w: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Within-document repeated-passage removal: keep the FIRST
+    occurrence of each distinct w-word chunk, preserving document
+    order (`array_distinct` is order-preserving). Returns
+    (doc_id, n_chunks, n_distinct, dup_fraction, cleaned_md5).
+
+    100 TB posture: a pure narrow map — zero shuffles, whole-stage
+    codegen end to end; the text never leaves its input partition.
+    """
+    chunks = doc_chunk_array(F.col(text_col), w)
+    dedup = F.array_distinct(chunks)
+    return docs.select(
+        "doc_id",
+        F.size(chunks).cast("bigint").alias("n_chunks"),
+        F.size(dedup).cast("bigint").alias("n_distinct"),
+        F.round(
+            F.when(
+                F.size(chunks) > 0,
+                1.0 - F.size(dedup) / F.size(chunks).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_fraction"),
+        F.md5(F.array_join(dedup, " ")).alias("cleaned_md5"),
+    )

@@ -170,3 +170,68 @@ def fraction_hex_threshold(f: float) -> str:
     """8-hex-digit threshold such that `md5[:8] < threshold` keeps an
     `f` fraction of uniformly hashed rows."""
     return format(max(0, min(int(f * 2 ** 32), 2 ** 32 - 1)), "08x")
+
+
+def unigram_lm_score(
+    docs: DataFrame, text_col: str = "text", min_freq: int = 1
+) -> DataFrame:
+    """CCNet-style language-model quality proxy with a corpus-trained
+    unigram LM: score(doc) = mean over tokens of ln p(token), where
+    p(token) = corpus_freq / corpus_total. Low (very negative) scores
+    mark rare-token-heavy documents; near-zero scores mark documents
+    made of the corpus's most common tokens.
+
+    Cross-engine determinism: each token's ln p is rounded to 6
+    decimals and summed as DECIMAL(28,6) (exact, order-independent),
+    then divided by the token count and rounded — the documented
+    engine-parity recipe for float aggregation.
+
+    Returns (doc_id, n_tokens, lm_score).
+
+    100 TB posture: the LM is ONE aggregation over exploded tokens
+    (uniform md5-free string keys — Zipf head is hot but the count is
+    map-side combined); scoring re-explodes and joins token->logp,
+    AQE-broadcast while the vocabulary is small (the common case; cap
+    with `min_freq` — dropped tokens score at the floor of the kept
+    vocabulary, keeping the join build side bounded), then one
+    aggregation keyed by doc_id.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    if min_freq > 1:
+        freqs = freqs.where(F.col("freq") >= min_freq)
+    total = freqs.agg(F.sum("freq").alias("total"))
+    lm = freqs.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(
+            F.log(F.col("freq").cast("double") / F.col("total")), 6
+        )
+        .cast("decimal(28,6)")
+        .alias("logp"),
+    )
+    floor = lm.agg(F.min("logp").alias("floor_logp"))
+    scored = (
+        toks.join(lm, "tok", "left")
+        .crossJoin(F.broadcast(floor))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("logp"), F.col("floor_logp")).alias("logp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("logp").alias("logp_sum"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.col("logp_sum").cast("double") / F.col("n_tokens"), 6
+        ).alias("lm_score"),
+    )

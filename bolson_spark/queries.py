@@ -2644,7 +2644,19 @@ _DRIVER_CHECKED_R1_R2 = frozenset({
     "value_percentiles", "viewers_not_buyers", "window_top_orders",
 })
 
+# Brand-new round-3 queries lead outright (fresh code benefits most
+# from an immediate driver row), then the rest of the never-checked
+# backlog, then the already-checked 56.
+_NEW_R3_FIRST = [
+    "convert_parse_battery",
+    "convert_parse_trip",
+    "boilerplate_chunks",
+    "intra_doc_dedup",
+    "lm_quality",
+]
+
 QUERIES = {
+    **{k: QUERIES[k] for k in _NEW_R3_FIRST if k in QUERIES},
     **{k: v for k, v in QUERIES.items() if k not in _DRIVER_CHECKED_R1_R2},
     **{k: v for k, v in QUERIES.items() if k in _DRIVER_CHECKED_R1_R2},
 }

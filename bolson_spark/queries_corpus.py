@@ -1392,3 +1392,142 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
         q_retention_cohorts, O_RETENTION_COHORTS, ("relational", "events")
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-3 passage hygiene + LM quality proxy
+# ---------------------------------------------------------------------------
+
+
+def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate strip (the C4/RefinedWeb line rule on
+     5-word passages): chunks occurring in >2 distinct documents are
+    removed; per-doc counts + cleaned-text digest under the hash gate."""
+    from bolson_spark.functions.corpus import boilerplate_removal
+
+    return boilerplate_removal(_t(spark, sf_dir, "documents"), w=5, max_df=2)
+
+
+O_BOILERPLATE_CHUNKS = """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(j AS INT) AS idx,
+         array_to_string(ws[j*5+1 : j*5+5], ' ') AS chunk
+  FROM words, UNNEST(range(0, CAST(ceil(len(ws)/5.0) AS BIGINT))) AS t(j)
+  WHERE len(ws) > 0
+),
+freq AS (
+  SELECT chunk FROM (
+    SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk
+  ) WHERE df > 2
+),
+kept AS (
+  SELECT c.doc_id, c.idx, c.chunk
+  FROM chunks c LEFT JOIN freq f USING (chunk) WHERE f.chunk IS NULL
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id),
+keptagg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY idx) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_chunks AS BIGINT) AS n_chunks,
+       CAST(t.n_chunks - COALESCE(k.n_kept, 0) AS BIGINT) AS n_boilerplate,
+       md5(COALESCE(k.cleaned, '')) AS cleaned_md5
+FROM tot t LEFT JOIN keptagg k USING (doc_id)
+"""
+
+
+def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-passage removal (first occurrence of
+    each distinct 5-word chunk kept, document order preserved) — a
+    pure narrow map, zero shuffles."""
+    from bolson_spark.functions.corpus import intra_doc_dedup
+
+    return intra_doc_dedup(_t(spark, sf_dir, "documents"), w=5)
+
+
+O_INTRA_DOC_DEDUP = """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(j AS INT) AS idx,
+         array_to_string(ws[j*5+1 : j*5+5], ' ') AS chunk
+  FROM words, UNNEST(range(0, CAST(ceil(len(ws)/5.0) AS BIGINT))) AS t(j)
+  WHERE len(ws) > 0
+),
+firsts AS (
+  SELECT doc_id, chunk, MIN(idx) AS first_idx
+  FROM chunks GROUP BY doc_id, chunk
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id),
+ded AS (
+  SELECT doc_id, COUNT(*) AS n_distinct,
+         md5(string_agg(chunk, ' ' ORDER BY first_idx)) AS cleaned_md5
+  FROM firsts GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_chunks AS BIGINT) AS n_chunks,
+       CAST(d.n_distinct AS BIGINT) AS n_distinct,
+       round(CASE WHEN t.n_chunks > 0
+                  THEN 1.0 - d.n_distinct / CAST(t.n_chunks AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_fraction,
+       d.cleaned_md5
+FROM tot t JOIN ded d USING (doc_id)
+"""
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality proxy: mean ln p(token) per
+    document under a corpus-trained unigram model (decimal-exact
+    order-independent summation for engine parity)."""
+    from bolson_spark.functions.quality import unigram_lm_score
+
+    return unigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+O_LM_QUALITY = """
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+    FROM documents
+  ), UNNEST(ws) AS t(tok)
+),
+freqs AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+total AS (SELECT SUM(freq) AS total FROM freqs),
+lm AS (
+  SELECT tok,
+         CAST(round(ln(CAST(freq AS DOUBLE) / total), 6) AS DECIMAL(28,6)) AS logp
+  FROM freqs, total
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(logp) AS logp_sum
+  FROM toks JOIN lm USING (tok) GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(logp_sum AS DOUBLE) / n_tokens, 6) AS lm_score
+FROM scored
+"""
+
+
+CORPUS_QUERIES.update(
+    {
+        "boilerplate_chunks": QuerySpec(
+            q_boilerplate_chunks, O_BOILERPLATE_CHUNKS, ("text", "quality")
+        ),
+        "intra_doc_dedup": QuerySpec(
+            q_intra_doc_dedup, O_INTRA_DOC_DEDUP, ("text", "dedup")
+        ),
+        "lm_quality": QuerySpec(
+            q_lm_quality, O_LM_QUALITY, ("text", "quality")
+        ),
+    }
+)

@@ -891,3 +891,93 @@ def test_spread_skips_exchange_when_already_parallel(spark):
     assert _spread(wide) is wide  # no new plan node at all
     narrow = spark.range(1000).coalesce(1)
     assert _spread(narrow).rdd.getNumPartitions() == par
+
+
+def test_boilerplate_removal_strips_frequent_chunks(spark):
+    """A 5-word chunk occurring in > max_df distinct documents is
+    removed from every document; cleaned text preserves document
+    order; fully-boilerplate docs clean to the empty string."""
+    import hashlib
+
+    from bolson_spark.functions.corpus import boilerplate_removal
+
+    boiler = "click here to buy now"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta eps"),
+            (2, f"{boiler} one two three four five"),
+            (3, f"{boiler} six seven eight nine ten"),
+            (4, boiler),  # nothing but boilerplate
+            (5, "clean words only here today now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in boilerplate_removal(docs, w=5, max_df=2).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1].n_chunks == 2 and out[1].n_boilerplate == 1
+    assert out[1].cleaned_md5 == md5("alpha beta gamma delta eps")
+    assert out[4].n_chunks == 1 and out[4].n_boilerplate == 1
+    assert out[4].cleaned_md5 == md5("")
+    assert out[5].n_boilerplate == 0
+    assert out[5].cleaned_md5 == md5("clean words only here today now")
+
+
+def test_intra_doc_dedup_keeps_first_occurrence(spark):
+    """Repeated passages inside one document collapse to their first
+    occurrence, order preserved; unique docs pass through unchanged."""
+    import hashlib
+
+    from bolson_spark.functions.corpus import intra_doc_dedup
+
+    rep = "la la la la la"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{rep} fresh words here right now {rep}"),
+            (2, "all distinct words in this doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in intra_doc_dedup(docs, w=5).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1].n_chunks == 3 and out[1].n_distinct == 2
+    assert abs(out[1].dup_fraction - (1 - 2 / 3)) < 1e-6
+    assert out[1].cleaned_md5 == md5(f"{rep} fresh words here right now")
+    # 6 words -> chunks of 5 + 1; both distinct
+    assert out[2].n_chunks == 2 and out[2].n_distinct == 2
+    assert out[2].dup_fraction == 0.0
+
+
+def test_unigram_lm_score_matches_hand_computation(spark):
+    """lm_score = mean ln p(token) under the corpus unigram model,
+    with per-token logp rounded to 6 decimals then decimal-summed."""
+    import math
+    from decimal import Decimal
+
+    from bolson_spark.functions.quality import unigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")],
+        ["doc_id", "text"],
+    )
+    # freqs: a=3, b=1, c=1, total=5
+    logp = {
+        t: Decimal(str(round(math.log(f / 5), 6)))
+        for t, f in {"a": 3, "b": 1, "c": 1}.items()
+    }
+    out = {r.doc_id: r for r in unigram_lm_score(docs).collect()}
+    exp1 = round(float(logp["a"] + logp["a"] + logp["b"]) / 3, 6)
+    exp2 = round(float(logp["a"] + logp["c"]) / 2, 6)
+    assert out[1].n_tokens == 3 and out[1].lm_score == exp1
+    assert out[2].n_tokens == 2 and out[2].lm_score == exp2
+
+    # min_freq cap: dropped singletons score at the kept-vocab floor
+    capped = {
+        r.doc_id: r
+        for r in unigram_lm_score(docs, min_freq=2).collect()
+    }
+    # only "a" survives (freq 3, total 3): logp = ln(1) = 0; b/c take
+    # the floor, which is also 0 here -> every score is 0
+    assert capped[1].lm_score == 0.0 and capped[2].lm_score == 0.0

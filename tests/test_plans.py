@@ -307,6 +307,8 @@ SINGLE_PARTITION_OK = {
     "discounted_revenue", "idle_customers", "important_stock",
     "order_value_quartiles", "promo_revenue", "revenue_forecast",
     "small_qty_revenue", "top_supplier",
+    # lm_quality: two 1-row aggregates (corpus total, vocab floor)
+    "lm_quality",
 }
 
 
