@@ -144,3 +144,68 @@ def parse_json(
         *[c for c in (keep or [])], "_parsed.*"
     )
     return out
+
+
+def parse_json_quarantine(
+    df: DataFrame,
+    schema: T.StructType,
+    column: str = "value",
+    *,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Dead-letter variant of P1: instead of failing the job on the
+    first bad document (the reference's semantics, parse/arrow.cpp:87),
+    classify each row and let the caller route it. Production ingest
+    pipelines at 100 TB need this — one malformed crawl record must
+    not kill a 10-hour job; the reference can afford hard errors only
+    because its unit of work is a single TCP stream.
+
+    Adds two columns next to the parsed fields:
+
+    - ``quarantine_reason``: null for clean rows, ``'malformed'`` for
+      documents the parser rejects (invalid JSON or schema-type
+      mismatch), ``'unexpected_field'`` for valid documents carrying
+      out-of-schema top-level keys (UnexpectedFieldBehavior::Error
+      re-expressed as routing instead of raising);
+    - ``raw`` — the original document for quarantined rows (null
+      otherwise), so the dead-letter sink keeps the evidence.
+
+    Parsed fields are NULL on quarantined rows. Single pass, all
+    built-in expressions (PERMISSIVE ``from_json`` with a corrupt
+    record column + ``json_object_keys``), zero Python.
+    """
+    src = F.col(column)
+    ext = T.StructType(
+        list(schema.fields)
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    parsed = F.from_json(
+        src,
+        ext,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    keep_cols = [F.col(c) for c in (keep or [])]
+    step = df.select(
+        *keep_cols,
+        src.alias("_src"),
+        parsed.alias("_parsed"),
+        _unexpected_keys(src, schema).alias("_extra"),
+    )
+    reason = (
+        F.when(
+            F.col("_parsed._corrupt_record").isNotNull(), F.lit("malformed")
+        )
+        .when(F.col("_extra").isNull(), F.lit("malformed"))
+        .when(F.size("_extra") > 0, F.lit("unexpected_field"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    out = step.select(
+        *[c for c in (keep or [])],
+        *[
+            F.when(reason.isNull(), F.col(f"_parsed.{f.name}")).alias(f.name)
+            for f in schema.fields
+        ],
+        reason.alias("quarantine_reason"),
+        F.when(reason.isNotNull(), F.col("_src")).alias("raw"),
+    )
+    return out

@@ -189,6 +189,69 @@ _TRIP_LISTS: list[tuple[str, int, int]] = [
 ]
 
 
+def q_convert_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter parse routing: a deterministically corrupted events
+    corpus (every 7th document truncated -> malformed; every remaining
+    11th given an out-of-schema key -> unexpected_field) is CLASSIFIED
+    instead of failing the job — the production posture for 100 TB
+    ingest where the reference's hard error (parse/arrow.cpp:87) is
+    only affordable on a single TCP stream. Parsed value, reason, and
+    a digest of the quarantined raw document all sit under the hash
+    gate."""
+    from bolson_spark.operators.parse import parse_json_quarantine
+
+    ev = _t(spark, sf_dir, "events")
+    doc = (
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.substring(
+                F.col("props"), 1, F.length("props") - F.lit(1)
+            ),
+        )
+        .when(
+            F.col("event_id") % 11 == 0,
+            F.regexp_replace("props", r"^\{", '{"intruder":1,'),
+        )
+        .otherwise(F.col("props"))
+    )
+    src = ev.select("event_id", doc.alias("payload"))
+    q = parse_json_quarantine(
+        src, EVENT_PROPS_SPARK, "payload", keep=["event_id"]
+    )
+    return q.select(
+        "event_id",
+        "k",
+        "quarantine_reason",
+        F.md5(F.coalesce(F.col("raw"), F.lit(""))).alias("raw_md5"),
+    )
+
+
+O_CONVERT_QUARANTINE = """
+WITH src AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN substr(props, 1, len(props) - 1)
+              WHEN event_id % 11 = 0 THEN replace(props, '{', '{"intruder":1,')
+              ELSE props END AS payload
+  FROM events
+),
+cls AS (
+  SELECT event_id, payload,
+         CASE WHEN NOT json_valid(payload) THEN 'malformed'
+              WHEN len(list_filter(json_keys(payload), k -> k NOT IN ('k'))) > 0
+                   THEN 'unexpected_field'
+              ELSE NULL END AS quarantine_reason
+  FROM src
+)
+SELECT event_id,
+       CASE WHEN quarantine_reason IS NULL
+            THEN CAST(payload->>'$.k' AS BIGINT) END AS k,
+       quarantine_reason,
+       md5(CASE WHEN quarantine_reason IS NULL THEN '' ELSE payload END)
+           AS raw_md5
+FROM cls
+"""
+
+
 def q_convert_parse_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 trip workload: the 19-field trip-report schema
     (trip.cpp:48-100) with fixed-size lists, booleans, and a utf8
@@ -2422,6 +2485,9 @@ QUERIES: dict[str, QuerySpec] = {
     "convert_parse_trip": QuerySpec(
         q_convert_parse_trip, O_CONVERT_PARSE_TRIP, ("core",)
     ),
+    "convert_quarantine": QuerySpec(
+        q_convert_quarantine, O_CONVERT_QUARANTINE, ("core",)
+    ),
     # core conversion (reference parity)
     "convert_parse": QuerySpec(q_convert_parse, O_CONVERT_PARSE, ("core",)),
     "convert_parse_arrow": QuerySpec(q_convert_parse_arrow, O_CONVERT_PARSE, ("core",)),
@@ -2650,6 +2716,7 @@ _DRIVER_CHECKED_R1_R2 = frozenset({
 _NEW_R3_FIRST = [
     "convert_parse_battery",
     "convert_parse_trip",
+    "convert_quarantine",
     "boilerplate_chunks",
     "intra_doc_dedup",
     "lm_quality",

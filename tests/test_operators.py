@@ -335,3 +335,36 @@ def test_salted_agg_equals_plain_agg(spark):
         if m.k == r.k
     }
     assert merged == plain
+
+
+def test_parse_json_quarantine_routes_instead_of_failing(spark):
+    """Dead-letter parse: malformed docs and out-of-schema docs are
+    CLASSIFIED (reason + raw evidence) while clean docs parse, in one
+    pass — no job failure, parsed fields null on quarantined rows."""
+    from bolson_spark.operators.parse import parse_json_quarantine
+    from bolson_spark.schemas import EVENT_PROPS_SPARK
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7}'),
+            (2, '{"k": 7'),  # truncated -> malformed
+            (3, '{"k": 1, "intruder": 2}'),  # out-of-schema key
+            (4, "not json at all"),
+            (5, '{"k": "not-a-long"}'),  # schema-type mismatch
+        ],
+        ["event_id", "value"],
+    )
+    out = {
+        r.event_id: r
+        for r in parse_json_quarantine(
+            df, EVENT_PROPS_SPARK, "value", keep=["event_id"]
+        ).collect()
+    }
+    assert out[1].quarantine_reason is None
+    assert out[1].k == 7 and out[1].raw is None
+    assert out[2].quarantine_reason == "malformed"
+    assert out[2].k is None and out[2].raw == '{"k": 7'
+    assert out[3].quarantine_reason == "unexpected_field"
+    assert out[3].k is None and out[3].raw == '{"k": 1, "intruder": 2}'
+    assert out[4].quarantine_reason == "malformed"
+    assert out[5].quarantine_reason == "malformed"
