@@ -888,3 +888,74 @@ def pq_train(
             new_books[r.j][r.code][r.dim] = float(r.mean)
         books = new_books
     return books
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_eval: int = 100_000,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    companion of the n-gram rule (functions/corpus.py::decontaminate):
+    flag corpus items whose embedding is within cosine >= `threshold`
+    of ANY evaluation-set embedding (paraphrased benchmark leakage that
+    shares no 8-gram).
+
+    Scale shape: the eval set is SMALL by construction (benchmarks),
+    bounded by `max_eval` with a hard error beyond it; its matrix is
+    closed over into a ``mapInPandas`` GEMM, so the corpus is scanned
+    ONCE with one BLAS call per Arrow batch — linear in the corpus,
+    zero shuffle, no |corpus| x |eval| join materialization. (An IVF
+    probe is the refinement once eval outgrows a broadcast — same
+    note as the ANN index.)
+
+    Determinism: cosines accumulate in float64 and round to 6
+    decimals; best_eval_id ties break to the LOWEST eval id (eval rows
+    sorted by id, argmax takes the first maximum).
+
+    Returns (vec_id, best_eval_id, max_cos, contaminated).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = eval_set.select(id_col, vec_col).orderBy(id_col).collect()
+    if len(rows) > max_eval:
+        raise ValueError(
+            f"semantic_decontaminate: eval set has {len(rows)} vectors, "
+            f"above the max_eval={max_eval} broadcast bound; use an IVF "
+            "probe for oversized eval sets"
+        )
+    if not rows:
+        raise ValueError("semantic_decontaminate: empty eval set")
+    eval_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    E = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    e_norms = np.sqrt((E * E).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt((m * m).sum(axis=1))
+            sims = np.round(
+                (m @ E.T) / np.outer(norms, e_norms), 6
+            )
+            best = sims.argmax(axis=1)
+            max_cos = sims[np.arange(len(pdf)), best]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "best_eval_id": eval_ids[best],
+                    "max_cos": max_cos,
+                    "contaminated": max_cos >= threshold,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score,
+        "vec_id bigint, best_eval_id bigint, max_cos double, "
+        "contaminated boolean",
+    )

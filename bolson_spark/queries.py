@@ -1430,6 +1430,48 @@ LIMIT 10
 """
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors (vec_id % 17
+    != 0) within cosine >= 0.3 of ANY eval vector (vec_id % 17 == 0)
+    are flagged — the semantic companion of the n-gram
+    `decontaminate` rule, same 1/17 eval split. Threshold 0.3 is
+    calibrated to the synthetic near-orthogonal corpus so the emit
+    path is exercised (production leak thresholds are ~0.95, the API
+    default)."""
+    from bolson_spark.functions.similarity import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.where(F.col("vec_id") % 17 != 0),
+        emb.where(F.col("vec_id") % 17 == 0),
+        threshold=0.3,
+    )
+
+
+O_SEMANTIC_DECONTAMINATE = """
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding AS evec
+  FROM embeddings WHERE vec_id % 17 = 0
+),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0
+),
+scored AS (
+  SELECT c.vec_id, ev.eval_id,
+         ROUND({cos}, 6) AS cos
+  FROM corpus c CROSS JOIN ev
+),
+best AS (
+  SELECT vec_id, eval_id AS best_eval_id, cos AS max_cos
+  FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC, eval_id ASC) = 1
+)
+SELECT vec_id, best_eval_id, max_cos, max_cos >= 0.3 AS contaminated
+FROM best
+""".format(cos=_cosine_sql("c.embedding", "ev.evec"))
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") < 8).select(
@@ -2595,6 +2637,11 @@ QUERIES: dict[str, QuerySpec] = {
     "simhash": QuerySpec(q_simhash, O_SIMHASH, ("dedup",)),
     # similarity
     "knn_bruteforce": QuerySpec(q_knn_bruteforce, O_KNN_BRUTEFORCE, ("similarity",)),
+    "semantic_decontaminate": QuerySpec(
+        q_semantic_decontaminate,
+        O_SEMANTIC_DECONTAMINATE,
+        ("similarity", "quality"),
+    ),
     "ivf_assign": QuerySpec(q_ivf_assign, O_IVF_ASSIGN, ("similarity",)),
     "ivf_knn": QuerySpec(q_ivf_knn, O_IVF_KNN, ("similarity",)),
     "ann_recall": QuerySpec(q_ann_recall, O_ANN_RECALL, ("similarity", "eval")),
@@ -2720,6 +2767,7 @@ _NEW_R3_FIRST = [
     "boilerplate_chunks",
     "intra_doc_dedup",
     "lm_quality",
+    "semantic_decontaminate",
 ]
 
 QUERIES = {

@@ -981,3 +981,40 @@ def test_unigram_lm_score_matches_hand_computation(spark):
     # only "a" survives (freq 3, total 3): logp = ln(1) = 0; b/c take
     # the floor, which is also 0 here -> every score is 0
     assert capped[1].lm_score == 0.0 and capped[2].lm_score == 0.0
+
+
+def test_semantic_decontaminate_flags_paraphrase_leak(spark):
+    """A corpus vector identical to an eval vector scores max_cos 1.0
+    and is flagged at the production threshold; orthogonal vectors are
+    not; the eval broadcast bound raises beyond max_eval."""
+    import pytest as _pytest
+
+    from bolson_spark.functions.similarity import semantic_decontaminate
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    eval_set = spark.createDataFrame(
+        [(100, e1), (101, e2)], ["vec_id", "embedding"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, e1),  # exact leak of eval 100
+            (2, [0.0, 0.0, 1.0, 0.0]),  # orthogonal to both
+            (3, [0.8, 0.6, 0.0, 0.0]),  # cos 0.8 to e1, 0.6 to e2
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_decontaminate(
+            corpus, eval_set, threshold=0.95
+        ).collect()
+    }
+    assert out[1].max_cos == 1.0 and out[1].contaminated
+    assert out[1].best_eval_id == 100
+    assert out[2].max_cos == 0.0 and not out[2].contaminated
+    assert out[3].best_eval_id == 100 and out[3].max_cos == 0.8
+    assert not out[3].contaminated
+
+    with _pytest.raises(ValueError, match="max_eval"):
+        semantic_decontaminate(corpus, eval_set, max_eval=1)
