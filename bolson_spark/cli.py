@@ -102,6 +102,8 @@ def cmd_stream(args) -> int:
         checkpoint_dir=args.checkpoint,
         available_now=available_now,
         latency=tracker,
+        on_error=args.on_error,
+        quarantine_dir=args.quarantine_dir,
     )
     query.awaitTermination()
     elapsed = time.time() - t0
@@ -113,6 +115,7 @@ def cmd_stream(args) -> int:
         json.dumps(
             {
                 "num_jsons": metrics.num_jsons,
+                "num_quarantined": metrics.num_quarantined,
                 "json_bytes": metrics.json_bytes,
                 "num_ipc": metrics.num_ipc,
                 "ipc_bytes": metrics.ipc_bytes,
@@ -277,8 +280,17 @@ def main(argv=None) -> int:
     s.add_argument(
         "--sink",
         required=True,
-        help="directory path (IPC file topic) or kafka://host:port/topic",
+        help="directory path (IPC file topic), kafka://host:port/topic, "
+        "or pulsar://host:port/topic",
     )
+    s.add_argument(
+        "--on-error",
+        choices=("fail", "quarantine"),
+        default="fail",
+        help="bad-document posture: fail the job (reference semantics) "
+        "or route to --quarantine-dir and keep streaming",
+    )
+    s.add_argument("--quarantine-dir", help="dead-letter parquet dir")
     # producer batching (K3) — defaults from publisher.cpp:265-277
     s.add_argument("--batch", action="store_true", help="enable producer batching")
     s.add_argument("--batch-max-messages", type=int, default=1000)

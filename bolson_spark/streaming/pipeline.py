@@ -48,6 +48,7 @@ class StreamMetrics:
     json_bytes: int = 0
     num_ipc: int = 0
     ipc_bytes: int = 0
+    num_quarantined: int = 0
     batches: list[int] = field(default_factory=list)
 
 
@@ -64,12 +65,22 @@ def run_stream_convert(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     latency=None,
+    on_error: str = "fail",
+    quarantine_dir: str | None = None,
 ):
     """Start the convert stream; returns (query, metrics).
 
     ``parser`` selects the physical parse implementation per micro-batch
     ("catalyst" = from_json + guard, "arrow" = single-pass Arrow C++
     TableReader — see operators.pipeline.convert for the tradeoff).
+
+    ``on_error`` selects the failure posture: ``"fail"`` reproduces the
+    reference's hard error on the first bad document
+    (parse/arrow.cpp:87); ``"quarantine"`` routes bad documents (with
+    their raw bytes + reason) to ``quarantine_dir`` as append-only
+    parquet and keeps the stream alive — the 100 TB ingest posture.
+    Quarantined rows are excluded from the sequence numbering, so
+    published seqs stay contiguous over CLEAN documents.
 
     The sequence base is maintained per epoch: batch N's seqs start at
     the total row count of batches < N. With availableNow + checkpoint
@@ -84,6 +95,8 @@ def run_stream_convert(
     )
     if parser not in ("catalyst", "arrow"):
         raise ValueError(f"unknown parser {parser!r}")
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"unknown on_error {on_error!r}")
     parse_fn = parse_json if parser == "catalyst" else parse_json_arrow
     sink.handshake(arrow_schema)
     metrics = StreamMetrics()
@@ -122,7 +135,39 @@ def run_stream_convert(
             # row order per partition; a single-partition source (socket)
             # gives the reference's total order. We materialize it with a
             # monotonic local id, then number globally from the base.
-            parsed = parse_fn(batch_df, schema, json_col, strict=strict)
+            routed = None
+            if on_error == "quarantine":
+                from bolson_spark.operators.parse import (
+                    parse_json_quarantine,
+                )
+
+                routed = parse_json_quarantine(
+                    batch_df, schema, json_col
+                ).cache()
+                bad = routed.where(
+                    F.col("quarantine_reason").isNotNull()
+                )
+                nq = bad.count()
+                if nq and quarantine_dir:
+                    (
+                        bad.select(
+                            "raw",
+                            F.col("quarantine_reason").alias("reason"),
+                        )
+                        .withColumn("batch", F.lit(batch_id))
+                        .write.mode("append")
+                        .parquet(quarantine_dir)
+                    )
+                metrics.num_quarantined += nq
+                parsed = routed.where(
+                    F.col("quarantine_reason").isNull()
+                ).select(*[f.name for f in schema.fields])
+                n -= nq
+                if n == 0:
+                    routed.unpersist()
+                    return
+            else:
+                parsed = parse_fn(batch_df, schema, json_col, strict=strict)
             with_order = parsed.withColumn("_arrival", F.monotonically_increasing_id())
             seqd = add_seq(with_order, "_arrival", start=state["base"]).drop("_arrival")
             # Distribute contiguous seq blocks arithmetically: block =
@@ -188,6 +233,8 @@ def run_stream_convert(
             metrics.num_ipc += agg["m"]
             metrics.ipc_bytes += agg["ib"] or 0
             metrics.batches.append(n)
+            if routed is not None:
+                routed.unpersist()
         finally:
             batch_df.unpersist()
 

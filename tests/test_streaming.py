@@ -245,6 +245,50 @@ def test_stream_strict_parse_fails_stream(spark, tmp_path):
         raise RuntimeError("StreamingQuery did not fail")
 
 
+def test_stream_quarantine_routes_bad_docs(spark, tmp_path):
+    """on_error='quarantine': bad documents land in the dead-letter
+    dir with raw bytes + reason, clean documents publish with
+    CONTIGUOUS seqs over the clean subset, and the stream completes
+    instead of failing (contrast test_stream_strict_parse_fails_stream)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "mix.jsonl").write_text(
+        '{"voltage": [1]}\n'
+        '{"voltage": [2], "intruder": 5}\n'  # unexpected_field
+        '{"voltage": [3]\n'  # malformed (unbalanced)
+        '{"voltage": [4, 5]}\n'
+    )
+    raw = spark.readStream.format("text").load(str(src))
+    sink = IpcFileSink(str(tmp_path / "topic"))
+    qdir = str(tmp_path / "quarantine")
+    query, metrics = run_stream_convert(
+        raw,
+        BATTERY_SPARK,
+        sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on_error="quarantine",
+        quarantine_dir=qdir,
+    )
+    query.awaitTermination(120)
+    assert metrics.num_jsons == 2 and metrics.num_quarantined == 2
+
+    quar = spark.read.parquet(qdir)
+    reasons = {r.raw: r.reason for r in quar.collect()}
+    assert reasons['{"voltage": [2], "intruder": 5}'] == "unexpected_field"
+    assert reasons['{"voltage": [3]'] == "malformed"
+
+    # published clean rows carry contiguous seqs 0..1
+    from bolson_spark.operators.serialize import deserialize_ipc
+
+    out = deserialize_ipc(
+        sink.read(spark).select("payload"),
+        "bolson_seq bigint, voltage array<bigint>",
+    )
+    rows = sorted(out.collect(), key=lambda r: r.bolson_seq)
+    assert [r.bolson_seq for r in rows] == [0, 1]
+    assert [r.voltage for r in rows] == [[1], [4, 5]]
+
+
 def test_stateful_running_stats(spark, tmp_path):
     """applyInPandasWithState: per-key state folds across micro-batches;
     the LAST update per key equals the batch-mode groupBy totals."""
