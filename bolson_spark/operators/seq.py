@@ -71,15 +71,26 @@ def add_seq_scalable(
     name: str = SEQ_COL,
     start: int = 0,
     num_buckets: int | None = None,
+    bounds_mode: str = "minmax",
 ) -> DataFrame:
     """Contiguous sequence numbers without a global sort.
 
     Three passes, deterministic by construction (see module docstring):
 
-    1. approx-quantile bucket boundaries over the NUMERIC key column
+    1. frozen literal bucket boundaries over the NUMERIC key column
        (key-only scan: Catalyst prunes every other column — an upstream
-       JSON parse does not execute here). Boundary accuracy only
-       affects balance, never correctness.
+       JSON parse does not execute here). Boundary placement only
+       affects balance, never correctness: the per-key seq assignment
+       is identical for ANY boundaries because ties share a bucket and
+       bases come from exact counts. Two modes:
+
+       - ``"minmax"`` (default): equal-width buckets from one min/max
+         aggregate — the cheapest correct pass; right for the
+         near-uniform arrival keys (offsets, timestamps) seq is
+         normally driven by.
+       - ``"quantile"``: approx-quantile boundaries — a heavier pass
+         that balances buckets under heavy key skew.
+
     2. exact per-bucket counts (key-only scan) -> exclusive prefix
        sums on the driver, O(buckets) data.
     3. the single full-width pass: shuffle by the literal bucket id,
@@ -97,11 +108,26 @@ def add_seq_scalable(
         key = keys[0]
     else:
         return add_seq(df, order_by, name, start)
+    if bounds_mode not in ("minmax", "quantile"):
+        raise ValueError(f"unknown bounds_mode {bounds_mode!r}")
     sc = df.sparkSession.sparkContext
     n_buckets = num_buckets or sc.defaultParallelism
     # Pass 1: frozen literal boundaries (balance only).
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(df.stat.approxQuantile(key, probs, 0.001)))
+    if bounds_mode == "minmax":
+        mm = df.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).first()
+        lo, hi = mm["lo"], mm["hi"]
+        if lo is None or hi is None or hi <= lo:
+            bounds: list[float] = []
+        else:
+            width = (float(hi) - float(lo)) / n_buckets
+            bounds = sorted(
+                {float(lo) + i * width for i in range(1, n_buckets)}
+            )
+    else:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = sorted(set(df.stat.approxQuantile(key, probs, 0.001)))
     pid_expr = F.lit(0)
     for b in bounds:
         pid_expr = pid_expr + (F.col(key) > F.lit(b)).cast("int")

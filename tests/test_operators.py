@@ -368,3 +368,24 @@ def test_parse_json_quarantine_routes_instead_of_failing(spark):
     assert out[3].k is None and out[3].raw == '{"k": 1, "intruder": 2}'
     assert out[4].quarantine_reason == "malformed"
     assert out[5].quarantine_reason == "malformed"
+
+
+def test_seq_scalable_bounds_modes_identical(spark):
+    """Bucket boundary placement (equal-width minmax vs approx
+    quantiles) must not change the seq assignment — boundaries affect
+    balance only; bases come from exact counts either way."""
+    from bolson_spark.operators.seq import add_seq_scalable
+
+    df = spark.createDataFrame(
+        [(k,) for k in [5, 5, 5, 17, 17, 2, 40, 40, 40, 40, 1]], ["k"]
+    ).repartition(3)
+    a = sorted(
+        (r.bolson_seq, r.k)
+        for r in add_seq_scalable(df, "k", bounds_mode="minmax").collect()
+    )
+    b = sorted(
+        (r.bolson_seq, r.k)
+        for r in add_seq_scalable(df, "k", bounds_mode="quantile").collect()
+    )
+    assert a == b
+    assert [s for s, _ in a] == list(range(11))
