@@ -54,13 +54,26 @@ def main() -> None:
     timings: dict[str, float] = {}
     n_jsons = 0
     for name, spec in QUERIES.items():
-        t0 = time.perf_counter()
-        df = spec.fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # per-query cache isolation: a query's internal .cache()s must
-        # not subsidize (or crowd out) later queries' timings
-        spark.catalog.clearCache()
+        def one_run() -> float:
+            t0 = time.perf_counter()
+            spec.fn(spark, SF_DIR).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            dt = time.perf_counter() - t0
+            # per-query cache isolation: a query's internal .cache()s
+            # must not subsidize (or crowd out) later queries' timings
+            spark.catalog.clearCache()
+            return dt
+
+        t1 = one_run()
+        # One-shot timings of the heavy queries carry 2-4x run-to-run
+        # noise (first-run codegen + GC pressure late in the session —
+        # r2/r3 cross-round comparisons were polluted by exactly this).
+        # Re-run anything slow once and keep the min; bounds the added
+        # wall time to the slow tail while stabilizing the artifact.
+        if t1 > 3.0:
+            t1 = min(t1, one_run())
+        timings[name] = round(t1, 4)
     # convert throughput (MJ/s, metrics.cpp:39-92 analog): rows of the
     # events table pushed through the full convert pipeline. Measured
     # with a repeats loop (bench.cpp:155-190) and the best run taken,
@@ -98,6 +111,7 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     summary = {
         "metric": "registry wall-clock (noop sink) per query",
+        "timing": "min of up to 2 runs (second run only if first >3s)",
         "value": total,
         "unit": "sec",
         "sf": sf_from_dir(SF_DIR),
