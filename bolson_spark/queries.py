@@ -2732,11 +2732,34 @@ QUERIES.update(CORPUS_QUERIES)
 #
 # The correctness driver samples only the first ~50 registry entries per
 # round (insertion order). Rounds 1-2 therefore only ever checked the 56
-# names below; the other ~77 (similarity/ANN, TPC-H batch, train, corpus
-# families) passed the judge's DuckDB differential but never received a
-# driver row. Rotate never-driver-checked queries to the front so each
-# round's window covers new ground. Pure reordering — specs unchanged.
+# names in the fallback set below; the others passed the judge's DuckDB
+# differential but never received a driver row. Rotate never-yet-checked
+# queries to the front so each round's window covers new ground. Pure
+# reordering — specs unchanged.
+#
+# The checked set is derived from the committed CORRECTNESS_r*.json
+# artifacts at import time, so the rotation maintains itself as rounds
+# accumulate; the frozen set is the fallback when no artifacts are
+# readable (e.g. the package imported outside the repo checkout).
 # ---------------------------------------------------------------------------
+
+
+def _driver_checked_names() -> frozenset[str]:
+    import glob
+    import json as _json
+    import os as _os
+
+    repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    names: set[str] = set()
+    for path in glob.glob(_os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                names |= set(_json.load(f))
+        except Exception:  # noqa: BLE001 — unreadable artifact, skip
+            continue
+    return frozenset(names) if names else _DRIVER_CHECKED_R1_R2
+
+
 _DRIVER_CHECKED_R1_R2 = frozenset({
     "all_parties", "convert_ipc_messages", "convert_ipc_roundtrip",
     "convert_parse", "convert_parse_arrow", "convert_pipeline",
@@ -2759,7 +2782,7 @@ _DRIVER_CHECKED_R1_R2 = frozenset({
 
 # Brand-new round-3 queries lead outright (fresh code benefits most
 # from an immediate driver row), then the rest of the never-checked
-# backlog, then the already-checked 56.
+# backlog, then the already-checked names.
 _NEW_R3_FIRST = [
     "convert_parse_battery",
     "convert_parse_trip",
@@ -2770,8 +2793,10 @@ _NEW_R3_FIRST = [
     "semantic_decontaminate",
 ]
 
+_CHECKED = _driver_checked_names()
+
 QUERIES = {
-    **{k: QUERIES[k] for k in _NEW_R3_FIRST if k in QUERIES},
-    **{k: v for k, v in QUERIES.items() if k not in _DRIVER_CHECKED_R1_R2},
-    **{k: v for k, v in QUERIES.items() if k in _DRIVER_CHECKED_R1_R2},
+    **{k: QUERIES[k] for k in _NEW_R3_FIRST if k in QUERIES and k not in _CHECKED},
+    **{k: v for k, v in QUERIES.items() if k not in _CHECKED},
+    **{k: v for k, v in QUERIES.items() if k in _CHECKED},
 }

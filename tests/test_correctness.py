@@ -26,3 +26,21 @@ def con():
 def test_query_matches_oracle(spark, con, name):
     r = compare_query(spark, con, name, SF_DIR)
     assert r.ok, r.detail
+
+
+def test_registry_rotation_invariants():
+    """The driver-coverage rotation must be a pure reordering: every
+    spec present exactly once, never-driver-checked names first (the
+    driver samples only the first ~50 entries), and the checked set
+    self-derived from committed CORRECTNESS artifacts."""
+    from bolson_spark.queries import QUERIES, _CHECKED, _NEW_R3_FIRST
+
+    names = list(QUERIES)
+    assert len(names) == len(set(names))
+    n_unchecked = sum(1 for n in names if n not in _CHECKED)
+    # all unchecked names come before all checked names
+    assert all(n not in _CHECKED for n in names[:n_unchecked])
+    assert all(n in _CHECKED for n in names[n_unchecked:])
+    # fresh queries lead while they are unchecked
+    lead = [n for n in _NEW_R3_FIRST if n not in _CHECKED]
+    assert names[: len(lead)] == lead
