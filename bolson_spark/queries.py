@@ -1788,13 +1788,42 @@ FROM documents,
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction with the deterministic fake codec
     (real codecs unavailable in-container; plumbing is production-shaped).
-    Rows-only check: the oracle cannot reproduce sha-derived doubles
-    cheaply, and the point is the Arrow batch plumbing."""
+    Fully oracle-checked since round 3: the fake decode is sha256-byte
+    arithmetic, which DuckDB reproduces with hex-digit extraction —
+    width/height and all 8 feature doubles sit under the hash gate."""
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
     )
     return extract_features(media, fake=True)
+
+
+def _multimodal_features_sql() -> str:
+    """sha256-byte arithmetic in portable SQL: byte i of the hex digest
+    via two hex-digit CASE lookups; feature doubles are exact b/255.0
+    IEEE divisions (bit-identical to the Python fake decoder)."""
+    hexv = (
+        "CASE {c} "
+        + " ".join(f"WHEN '{d}' THEN {int(d, 16)}" for d in "0123456789abcdef")
+        + " END"
+    )
+
+    def sha_byte(i: int) -> str:
+        c1 = f"substr(h, {2 * i + 1}, 1)"
+        c2 = f"substr(h, {2 * i + 2}, 1)"
+        return f"(16*({hexv.format(c=c1)}) + ({hexv.format(c=c2)}))"
+
+    feats = ", ".join(
+        f"CAST({sha_byte(i)} AS DOUBLE)/255.0" for i in range(2, 10)
+    )
+    return f"""
+WITH s AS (SELECT doc_id AS media_id, sha256(text) AS h FROM documents)
+SELECT media_id,
+       CAST(16 + ({sha_byte(0)}) % 64 AS INT) AS width,
+       CAST(16 + ({sha_byte(1)}) % 64 AS INT) AS height,
+       [{feats}] AS feature
+FROM s
+"""
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2691,7 +2720,9 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_metadata": QuerySpec(
         q_multimodal_metadata, O_MULTIMODAL_METADATA, ("multimodal",)
     ),
-    "multimodal_features": QuerySpec(q_multimodal_features, None, ("multimodal",)),
+    "multimodal_features": QuerySpec(
+        q_multimodal_features, _multimodal_features_sql(), ("multimodal",)
+    ),
     "multimodal_decode": QuerySpec(
         q_multimodal_decode, O_MULTIMODAL_DECODE, ("multimodal",)
     ),
