@@ -258,3 +258,67 @@ def test_seq_scalable_skewed_keys_property(spark, keys, n_buckets):
         return {k: sorted(v) for k, v in out.items()}
 
     assert per_key(got) == per_key(exact)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            # tiny vocab -> chunks repeat within and across docs
+            st.sampled_from(["a", "b", "c", "dd"]),
+            min_size=1,
+            max_size=23,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    w=st.integers(min_value=1, max_value=5),
+)
+def test_passage_ops_match_python_reference(spark, docs, w):
+    """intra_doc_dedup and boilerplate_removal agree with a direct
+    Python reference on arbitrary word streams: chunking boundaries,
+    first-occurrence order, df counting, and cleaned-text digests."""
+    import hashlib
+
+    from bolson_spark.functions.corpus import (
+        boilerplate_removal,
+        intra_doc_dedup,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+
+    def chunks_of(ws):
+        return [" ".join(ws[j : j + w]) for j in range(0, len(ws), w)]
+
+    # --- intra-doc reference ---
+    got = {r.doc_id: r for r in intra_doc_dedup(df, w=w).collect()}
+    for i, ws in enumerate(docs):
+        cs = chunks_of(ws)
+        firsts = list(dict.fromkeys(cs))
+        assert got[i].n_chunks == len(cs)
+        assert got[i].n_distinct == len(firsts)
+        assert got[i].cleaned_md5 == md5(" ".join(firsts))
+
+    # --- boilerplate reference (max_df=1: any cross-doc repeat) ---
+    all_chunks = {i: chunks_of(ws) for i, ws in enumerate(docs)}
+    df_count: dict[str, set] = {}
+    for i, cs in all_chunks.items():
+        for c in set(cs):
+            df_count.setdefault(c, set()).add(i)
+    frequent = {c for c, d in df_count.items() if len(d) > 1}
+    got_b = {
+        r.doc_id: r
+        for r in boilerplate_removal(df, w=w, max_df=1).collect()
+    }
+    for i, cs in all_chunks.items():
+        kept = [c for c in cs if c not in frequent]
+        assert got_b[i].n_chunks == len(cs)
+        assert got_b[i].n_boilerplate == len(cs) - len(kept)
+        assert got_b[i].cleaned_md5 == md5(" ".join(kept))
