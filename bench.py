@@ -102,6 +102,7 @@ def main() -> None:
     # overhead, at scale they are two key-only column scans
     convert_sec = steady("convert_pipeline")
     convert_exact_sec = steady("convert_pipeline_exact")
+    convert_arrow_sec = steady("convert_pipeline_arrow")
 
     # end-to-end corpus pipeline throughput (docs/s through quality ->
     # decontaminate -> dedup -> mix -> pack), steady-state like convert
@@ -123,6 +124,9 @@ def main() -> None:
         else None,
         "convert_mjs_exact": round(n_jsons / convert_exact_sec / 1e6, 6)
         if convert_exact_sec
+        else None,
+        "convert_mjs_arrow": round(n_jsons / convert_arrow_sec / 1e6, 6)
+        if convert_arrow_sec
         else None,
         "pipeline_docs_per_s": round(n_corpus_docs / pipeline_sec, 1)
         if pipeline_sec

@@ -415,6 +415,35 @@ def q_convert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_convert_pipeline_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third physical twin of the flagship: the Arrow C++ single-pass
+    strict parser (the reference's own CPU parser family) feeding the
+    exact seq path — completing the dual-execution matrix
+    (catalyst-scalable / catalyst-exact / arrow-exact) under one
+    oracle. Uses exact seq deliberately: ``mapInArrow`` is opaque to
+    Catalyst, so the scalable path's key-only boundary/count passes
+    would re-execute the full parse (operators/pipeline.py composition
+    note)."""
+    from bolson_spark.operators.parse import parse_json_arrow
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = parse_json_arrow(
+        ev, EVENT_PROPS_SPARK, "props", strict=True, keep=["event_id", "props"]
+    )
+    seqd = add_seq(parsed, "event_id")
+    return (
+        add_batch_id(seqd)
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("bolson_seq").alias("seq_first"),
+            F.max("bolson_seq").alias("seq_last"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.octet_length("props").cast("bigint")).alias("json_bytes"),
+        )
+    )
+
+
 O_CONVERT_PIPELINE = """
 WITH parsed AS (
   SELECT event_id,
@@ -2574,6 +2603,9 @@ QUERIES: dict[str, QuerySpec] = {
     "convert_pipeline_exact": QuerySpec(
         q_convert_pipeline_exact, O_CONVERT_PIPELINE, ("core",)
     ),
+    "convert_pipeline_arrow": QuerySpec(
+        q_convert_pipeline_arrow, O_CONVERT_PIPELINE, ("core", "twin")
+    ),
     "convert_ipc_roundtrip": QuerySpec(
         q_convert_ipc_roundtrip, O_CONVERT_IPC_ROUNDTRIP, ("core",)
     ),
@@ -2822,6 +2854,7 @@ _NEW_R3_FIRST = [
     "intra_doc_dedup",
     "lm_quality",
     "semantic_decontaminate",
+    "convert_pipeline_arrow",
 ]
 
 _CHECKED = _driver_checked_names()

@@ -123,3 +123,58 @@ def read_csv_with_schema(
 
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Kafka streaming-source option mapping (the production partner
+    of streaming/sink.py::KafkaSink): subscribe + offset posture +
+    per-micro-batch rate cap (``maxOffsetsPerTrigger`` is the
+    micro-batch analog of the reference client's bounded in-flight
+    buffers)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka topic -> line-framed JSON stream shaped for
+    ``run_stream_convert`` (string ``value`` plus partition/offset for
+    the per-partition seq semantics of SURVEY §1.4). Requires the
+    spark-sql-kafka connector — absent in this sandbox, so this fails
+    fast with a clear env-missing error; the option mapping above is
+    the unit-tested surface."""
+    opts = kafka_source_options(
+        bootstrap_servers,
+        topic,
+        starting_offsets=starting_offsets,
+        max_offsets_per_trigger=max_offsets_per_trigger,
+    )
+    try:
+        raw = spark.readStream.format("kafka").options(**opts).load()
+    except Exception as e:  # noqa: BLE001 — connector/classpath missing
+        raise RuntimeError(
+            "kafka source unavailable: the spark-sql-kafka connector is "
+            "not on the classpath in this environment; add the connector "
+            "jar and a reachable broker to use read_kafka_stream"
+        ) from e
+    return raw.selectExpr(
+        "CAST(value AS STRING) AS value", "partition", "offset"
+    )

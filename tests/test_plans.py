@@ -302,7 +302,8 @@ SINGLE_PARTITION_OK = {
     "bm25_search", "conversion_funnel", "temperature_mix",
     "training_corpus", "zorder_layout",
     "convert_ipc_messages", "convert_ipc_roundtrip",
-    "convert_pipeline_exact", "convert_rebatch", "convert_seq",
+    "convert_pipeline_exact", "convert_pipeline_arrow",
+    "convert_rebatch", "convert_seq",
     "convert_serialize_stats",
     "discounted_revenue", "idle_customers", "important_stock",
     "order_value_quartiles", "promo_revenue", "revenue_forecast",

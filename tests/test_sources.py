@@ -48,3 +48,29 @@ def test_json_lines_reader_explicit_schema(spark, tmp_path):
     assert df.schema.simpleString() == "struct<a:bigint,b:string>"
     assert df.count() == 50
     assert df.agg(F.sum("a")).first()[0] == sum(range(50))
+
+
+def test_kafka_source_option_mapping_and_env_missing(spark):
+    """Source-side Kafka parity: option mapping (subscribe, offsets,
+    rate cap) is unit-tested; with no connector in this environment
+    read_kafka_stream fails fast with a clear env-missing error."""
+    import pytest
+
+    from bolson_spark.sources.readers import (
+        kafka_source_options,
+        read_kafka_stream,
+    )
+
+    opts = kafka_source_options(
+        "b1:9092,b2:9092", "bolson", max_offsets_per_trigger=50_000
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "bolson",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "50000",
+    }
+    assert "maxOffsetsPerTrigger" not in kafka_source_options("b", "t")
+
+    with pytest.raises(RuntimeError, match="kafka source unavailable"):
+        read_kafka_stream(spark, "b1:9092", "bolson")
