@@ -735,3 +735,119 @@ def simhash64_vectorized(col: Column) -> Column:
         return pd.Series(out)
 
     return _simhash(col)
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int | None = None,
+    jaccard_threshold: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate INGEST GATE: probe a DELTA batch against the
+    CORPUS's MinHash band index — the incremental companion of
+    :func:`minhash_lsh_pairs` (all-pairs within one corpus) and of
+    ``corpus.incremental_ingest`` (exact fingerprints only). This is
+    how a production crawl re-ingest runs: the existing corpus's band
+    rows are a persisted index; each new batch computes its own band
+    keys and equi-joins against the index, so work is
+    O(|delta| + matched buckets), never all-pairs and never a rescan
+    of the corpus text (only candidate corpus docs' token sets are
+    fetched for verification via an equi-join).
+
+    Returns one row per delta document:
+    (doc_id, accepted, dup_of, jaccard) — accepted=false when some
+    corpus document verifies at true Jaccard >= `jaccard_threshold`;
+    dup_of is the best-matching corpus doc (ties: lowest id), null
+    when accepted.
+
+    Same candidate recall, size-ratio prefilter, and exact
+    verification as the all-pairs operator; the DuckDB oracle mirrors
+    the banded probe in lock-step.
+    """
+    from pyspark.sql.window import Window
+
+    bands = (
+        choose_bands(num_hashes, jaccard_threshold) if bands is None else bands
+    )
+
+    def prep(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        toksets = (
+            _spread(df)
+            .select(
+                "doc_id",
+                F.array_distinct(
+                    F.transform(
+                        tokens(F.col(text_col)), lambda w: F.xxhash64(w)
+                    )
+                ).alias("toks"),
+            )
+            .select("doc_id", "toks", F.size("toks").alias("n_toks"))
+        )
+        band_rows = band_keys_from_signature(
+            minhash_signature(_spread(df), text_col, num_hashes),
+            num_hashes,
+            bands,
+        ).join(toksets.select("doc_id", "n_toks"), "doc_id")
+        return toksets, band_rows
+
+    c_toks, c_bands = prep(corpus)
+    d_toks, d_bands = prep(delta)
+    cands = (
+        d_bands.alias("d")
+        .join(c_bands.alias("c"), ["band", "band_key"])
+        .where(
+            F.least(F.col("d.n_toks"), F.col("c.n_toks"))
+            >= jaccard_threshold
+            * F.greatest(F.col("d.n_toks"), F.col("c.n_toks"))
+        )
+        .select(
+            F.col("d.doc_id").alias("delta_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    dt, ct = d_toks.alias("dt"), c_toks.alias("ct")
+    verified = (
+        cands.join(dt, cands.delta_id == F.col("dt.doc_id"))
+        .join(ct, cands.corpus_id == F.col("ct.doc_id"))
+        .select(
+            "delta_id",
+            "corpus_id",
+            F.size(F.array_intersect(F.col("dt.toks"), F.col("ct.toks")))
+            .cast("double")
+            .alias("inter"),
+            (F.col("dt.n_toks") + F.col("ct.n_toks")).alias("n_ab"),
+        )
+        .select(
+            "delta_id",
+            "corpus_id",
+            (F.col("inter") / (F.col("n_ab") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select(
+            "delta_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+        )
+    )
+    w = Window.partitionBy("delta_id").orderBy(
+        F.col("jaccard").desc(), F.col("corpus_id").asc()
+    )
+    best = (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumnRenamed("delta_id", "doc_id")
+    )
+    return (
+        delta.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("corpus_id").isNull().alias("accepted"),
+            F.col("corpus_id").alias("dup_of"),
+            "jaccard",
+        )
+    )

@@ -1380,6 +1380,106 @@ def q_dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_DEDUP_MINHASH = _minhash_sql()
 
 
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup INGEST GATE: delta batch (doc_id % 10 == 0) probed
+    against the corpus's (doc_id % 10 != 0) MinHash band index — the
+    incremental crawl-re-ingest shape: O(|delta| + matched buckets),
+    never an all-pairs rescan of the corpus."""
+    from bolson_spark.functions.dedup import incremental_minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_minhash_dedup(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+    )
+
+
+def _incremental_minhash_sql(
+    num_hashes: int = 16, bands: int | None = None, threshold: float = 0.9
+) -> str:
+    """DuckDB oracle mirroring incremental_minhash_dedup in lock-step:
+    same Carter-Wegman signatures and band keys as _minhash_sql, but an
+    asymmetric delta-vs-corpus probe with size-ratio prefilter, exact
+    Jaccard verification, and lowest-id best-match tie-break."""
+    from bolson_spark.functions.dedup import choose_bands
+
+    bands = choose_bands(num_hashes, threshold) if bands is None else bands
+    rows = num_hashes // bands
+    mh = ",\n         ".join(
+        "list_min(list_transform(hs, h -> (h.hi + %d * h.lo) %% 4294967296))"
+        " AS mh%d" % (i, i)
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, %d AS band,"
+        " CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT) AS band_key"
+        " FROM sigs" % (
+            b,
+            " || '|' || ".join(
+                f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toksets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+),
+halved AS (
+  SELECT doc_id, toks,
+         list_transform(toks, w -> struct_pack(
+           hi := CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT),
+           lo := CAST(('0x' || substr(md5(w), 9, 8)) AS BIGINT))) AS hs
+  FROM toksets
+),
+sigs AS (
+  SELECT doc_id,
+         {mh}
+  FROM halved
+),
+bands AS (
+{band_rows}
+),
+sizes AS (SELECT doc_id, len(toks) AS n FROM toksets),
+cands AS (
+  SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+  FROM bands d
+  JOIN bands c ON d.band = c.band AND d.band_key = c.band_key
+  JOIN sizes sd ON sd.doc_id = d.doc_id
+  JOIN sizes sc ON sc.doc_id = c.doc_id
+  WHERE d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    AND LEAST(sd.n, sc.n) >= {threshold} * GREATEST(sd.n, sc.n)
+),
+verified AS (
+  SELECT delta_id, corpus_id,
+         ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+  FROM cands
+  JOIN toksets a ON delta_id = a.doc_id
+  JOIN toksets b ON corpus_id = b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks)
+           - len(list_intersect(a.toks, b.toks))) >= {threshold}
+),
+best AS (
+  SELECT delta_id, corpus_id, jaccard
+  FROM verified
+  QUALIFY row_number() OVER (
+    PARTITION BY delta_id ORDER BY jaccard DESC, corpus_id ASC) = 1
+)
+SELECT d.doc_id,
+       b.corpus_id IS NULL AS accepted,
+       b.corpus_id AS dup_of,
+       b.jaccard AS jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN best b ON d.doc_id = b.delta_id
+"""
+
+
+O_INCREMENTAL_MINHASH = _incremental_minhash_sql()
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, jaccard_threshold=0.05
@@ -2691,6 +2791,9 @@ QUERIES: dict[str, QuerySpec] = {
     # dedup
     "dedup_exact": QuerySpec(q_dedup_exact, O_DEDUP_EXACT, ("dedup",)),
     "dedup_minhash": QuerySpec(q_dedup_minhash, O_DEDUP_MINHASH, ("dedup",)),
+    "incremental_minhash": QuerySpec(
+        q_incremental_minhash, O_INCREMENTAL_MINHASH, ("dedup", "pipeline")
+    ),
     "dedup_minhash_canonical": QuerySpec(
         q_dedup_minhash_canonical, O_DEDUP_MINHASH, ("dedup", "twin")
     ),
@@ -2855,6 +2958,7 @@ _NEW_R3_FIRST = [
     "lm_quality",
     "semantic_decontaminate",
     "convert_pipeline_arrow",
+    "incremental_minhash",
 ]
 
 _CHECKED = _driver_checked_names()

@@ -1018,3 +1018,38 @@ def test_semantic_decontaminate_flags_paraphrase_leak(spark):
 
     with _pytest.raises(ValueError, match="max_eval"):
         semantic_decontaminate(corpus, eval_set, max_eval=1)
+
+
+def test_incremental_minhash_gates_delta_against_corpus(spark):
+    """Ingest gate: a delta doc near-duplicating (J~0.9) or exactly
+    copying a corpus doc is rejected with the right dup_of/jaccard; a
+    fresh doc is accepted; the corpus is never gated against itself."""
+    from bolson_spark.functions.dedup import incremental_minhash_dedup
+
+    base = [f"w{j}" for j in range(40)]
+    near = ["x0", "x1"] + base[2:]  # J = 38/42 ~ 0.905
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(base)),
+            (2, "entirely different content lives here today friends"),
+        ],
+        ["doc_id", "text"],
+    )
+    delta = spark.createDataFrame(
+        [
+            (100, " ".join(near)),  # near-dup of 1
+            (101, "entirely different content lives here today friends"),
+            (102, " ".join(f"z{j}" for j in range(30))),  # fresh
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in incremental_minhash_dedup(corpus, delta).collect()
+    }
+    assert len(out) == 3
+    assert not out[100].accepted and out[100].dup_of == 1
+    assert abs(out[100].jaccard - 38 / 42) < 1e-4
+    assert not out[101].accepted and out[101].dup_of == 2
+    assert out[101].jaccard == 1.0
+    assert out[102].accepted and out[102].dup_of is None
