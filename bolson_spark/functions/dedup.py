@@ -766,34 +766,55 @@ def incremental_minhash_dedup(
     verification as the all-pairs operator; the DuckDB oracle mirrors
     the banded probe in lock-step.
     """
-    from pyspark.sql.window import Window
-
     bands = (
         choose_bands(num_hashes, jaccard_threshold) if bands is None else bands
     )
+    c_toks, c_bands = _minhash_prep(corpus, text_col, num_hashes, bands)
+    d_toks, d_bands = _minhash_prep(delta, text_col, num_hashes, bands)
+    return _minhash_probe_gate(
+        c_toks, c_bands, d_toks, d_bands, delta, jaccard_threshold
+    )
 
-    def prep(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        toksets = (
-            _spread(df)
-            .select(
-                "doc_id",
-                F.array_distinct(
-                    F.transform(
-                        tokens(F.col(text_col)), lambda w: F.xxhash64(w)
-                    )
-                ).alias("toks"),
-            )
-            .select("doc_id", "toks", F.size("toks").alias("n_toks"))
+
+def _minhash_prep(
+    df: DataFrame, text_col: str, num_hashes: int, bands: int
+) -> tuple[DataFrame, DataFrame]:
+    """(toksets, band_rows) for the banded probe: hashed distinct token
+    arrays with sizes, and (doc_id, band, band_key, n_toks) rows."""
+    toksets = (
+        _spread(df)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    tokens(F.col(text_col)), lambda w: F.xxhash64(w)
+                )
+            ).alias("toks"),
         )
-        band_rows = band_keys_from_signature(
-            minhash_signature(_spread(df), text_col, num_hashes),
-            num_hashes,
-            bands,
-        ).join(toksets.select("doc_id", "n_toks"), "doc_id")
-        return toksets, band_rows
+        .select("doc_id", "toks", F.size("toks").alias("n_toks"))
+    )
+    band_rows = band_keys_from_signature(
+        minhash_signature(_spread(df), text_col, num_hashes),
+        num_hashes,
+        bands,
+    ).join(toksets.select("doc_id", "n_toks"), "doc_id")
+    return toksets, band_rows
 
-    c_toks, c_bands = prep(corpus)
-    d_toks, d_bands = prep(delta)
+
+def _minhash_probe_gate(
+    c_toks: DataFrame,
+    c_bands: DataFrame,
+    d_toks: DataFrame,
+    d_bands: DataFrame,
+    delta: DataFrame,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """The asymmetric banded probe shared by the inline gate and the
+    persisted-index gate: candidates via (band, band_key) equi-join
+    with the exact size-ratio prefilter, exact Jaccard verification,
+    lowest-id best-match, one output row per delta document."""
+    from pyspark.sql.window import Window
+
     cands = (
         d_bands.alias("d")
         .join(c_bands.alias("c"), ["band", "band_key"])
@@ -850,4 +871,74 @@ def incremental_minhash_dedup(
             F.col("corpus_id").alias("dup_of"),
             "jaccard",
         )
+    )
+
+
+def save_minhash_index(
+    corpus: DataFrame,
+    name: str,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int | None = None,
+    jaccard_threshold: float = 0.9,
+    buckets: int = 16,
+) -> None:
+    """Persist the corpus's MinHash probe index as two BUCKETED tables
+    (the near-dup analog of similarity.save_ivf_index):
+
+    - ``<name>_bands`` bucketed+sorted by ``band_key`` — the probe
+      join key, so `probe_minhash_index` joins the (huge) index WITHOUT
+      shuffling it: the bucketed scan's hash distribution on band_key
+      satisfies the (band, band_key) clustering requirement, and only
+      the (small) delta side exchanges;
+    - ``<name>_toks`` bucketed+sorted by ``doc_id`` — the verification
+      join key, same property for the token-set fetch.
+
+    At 100 TB the index is built ONCE per corpus snapshot and every
+    ingest batch probes it; re-deriving band rows per batch would be a
+    full corpus rescan per batch.
+    """
+    bands = (
+        choose_bands(num_hashes, jaccard_threshold) if bands is None else bands
+    )
+    toksets, band_rows = _minhash_prep(corpus, text_col, num_hashes, bands)
+    (
+        band_rows.write.bucketBy(buckets, "band_key")
+        .sortBy("band_key")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{name}_bands")
+    )
+    (
+        toksets.write.bucketBy(buckets, "doc_id")
+        .sortBy("doc_id")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{name}_toks")
+    )
+
+
+def probe_minhash_index(
+    spark,
+    name: str,
+    delta: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int | None = None,
+    jaccard_threshold: float = 0.9,
+) -> DataFrame:
+    """Gate a delta batch against a PERSISTED MinHash index written by
+    :func:`save_minhash_index` — identical output to
+    :func:`incremental_minhash_dedup` (tested equal), but the corpus is
+    never rescanned: band rows and token sets come from the bucketed
+    index tables, and the probe/verify joins leave the index side
+    exchange-free."""
+    bands = (
+        choose_bands(num_hashes, jaccard_threshold) if bands is None else bands
+    )
+    c_bands = spark.table(f"{name}_bands")
+    c_toks = spark.table(f"{name}_toks")
+    d_toks, d_bands = _minhash_prep(delta, text_col, num_hashes, bands)
+    return _minhash_probe_gate(
+        c_toks, c_bands, d_toks, d_bands, delta, jaccard_threshold
     )

@@ -141,3 +141,35 @@ def test_write_shards_manifest_with_partition_by(spark, tmp_path):
     assert sum(r.n_rows for r in manifest) == n_docs
     assert all(r.n_rows <= 64 for r in manifest)
     assert all(r.min_doc_id <= r.max_doc_id for r in manifest)
+
+
+def test_minhash_index_probe_matches_inline_and_is_bucketed(spark):
+    """The persisted-index gate must (a) return exactly the inline
+    incremental gate's output and (b) read the index through bucketed
+    scans so the probe never shuffles the (huge) index side."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.functions.dedup import (
+        incremental_minhash_dedup,
+        probe_minhash_index,
+        save_minhash_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+
+    save_minhash_index(corpus, "mh_idx_test")
+    try:
+        via_index = probe_minhash_index(spark, "mh_idx_test", delta)
+        inline = incremental_minhash_dedup(corpus, delta)
+        assert sorted(map(tuple, via_index.collect())) == sorted(
+            map(tuple, inline.collect())
+        )
+        from bolson_spark.plans import formatted_plan
+
+        plan = formatted_plan(via_index)
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_idx_test_bands")
+        spark.sql("DROP TABLE IF EXISTS mh_idx_test_toks")
