@@ -64,6 +64,90 @@ def _ledger_before(
     )
 
 
+def _index_before(
+    spark: SparkSession, index_dir: str, run_id: str, batch_id: int
+) -> DataFrame | None:
+    """Accumulated-index rows accepted strictly before (run_id,
+    batch_id) — same consultation rule as the ledger."""
+    if not os.path.isdir(index_dir):
+        return None
+    try:
+        idx = spark.read.parquet(index_dir)
+    except Exception:  # noqa: BLE001 — empty dir on first batch
+        return None
+    return idx.where(
+        (F.col("run") != run_id) | (F.col("batch") < batch_id)
+    )
+
+
+def _near_dup_gate_and_index(
+    sp: SparkSession,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    bands_dir: str,
+    toks_dir: str,
+    run_id: str,
+    batch_id: int,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Probe the batch's exact-gate survivors against the accumulated
+    MinHash index of previously accepted docs; append the accepted
+    docs' own band rows / token sets to the index under (run, batch)
+    partitions (idempotent replays). Returns (gated batch, cached
+    frames for the caller to unpersist after its writes)."""
+    from bolson_spark.functions.dedup import (
+        DEFAULT_NUM_HASHES,
+        _minhash_prep,
+        _minhash_probe_gate,
+        choose_bands,
+    )
+
+    n_bands = choose_bands(DEFAULT_NUM_HASHES, threshold)
+    delta = (
+        batch.withColumnRenamed(id_col, "doc_id")
+        if id_col != "doc_id"
+        else batch
+    ).cache()
+    caches = [delta]
+    d_toks, d_bands = _minhash_prep(
+        delta, text_col, DEFAULT_NUM_HASHES, n_bands
+    )
+    c_bands = _index_before(sp, bands_dir, run_id, batch_id)
+    if c_bands is not None:
+        c_toks = _index_before(sp, toks_dir, run_id, batch_id)
+        gate = _minhash_probe_gate(
+            c_toks.select("doc_id", "toks", "n_toks"),
+            c_bands.select("doc_id", "band", "band_key", "n_toks"),
+            d_toks,
+            d_bands,
+            delta.select("doc_id"),
+            threshold,
+        )
+        keep = gate.where(F.col("accepted")).select("doc_id")
+        delta_kept = delta.join(keep, "doc_id", "left_semi").cache()
+        caches.append(delta_kept)
+    else:
+        delta_kept = delta
+    kept_ids = delta_kept.select("doc_id")
+    for df, out in ((d_bands, bands_dir), (d_toks, toks_dir)):
+        (
+            df.join(kept_ids, "doc_id", "left_semi")
+            .withColumn("run", F.lit(run_id))
+            .withColumn("batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("run", "batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out)
+        )
+    out_batch = (
+        delta_kept.withColumnRenamed("doc_id", id_col)
+        if id_col != "doc_id"
+        else delta_kept
+    )
+    return out_batch, caches
+
+
 def run_stream_ingest(
     spark: SparkSession,
     stream_df: DataFrame,
@@ -71,13 +155,29 @@ def run_stream_ingest(
     checkpoint_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    near_dup_threshold: float | None = None,
 ):
     """Start the ingest stream: accept documents whose content
     fingerprint is new vs. the persistent ledger, write accepted docs
     and ledger entries partitioned by batch id. Returns the
-    StreamingQuery; drain with processAllAvailable()."""
+    StreamingQuery; drain with processAllAvailable().
+
+    ``near_dup_threshold`` upgrades the gate from exact-content to
+    NEAR-duplicate rejection: each batch's survivors of the exact
+    anti-join are additionally probed (banded MinHash, exact Jaccard
+    verify) against the ACCUMULATED index of previously accepted
+    documents' band rows and token sets, persisted next to the ledger
+    under the same (run, batch) partitioning — so replays stay
+    idempotent and fresh-checkpoint restarts still consult every prior
+    run. Accepted docs append their own band rows/token sets to the
+    index; the per-batch cost is O(batch + matched buckets), never a
+    rescan of the accepted corpus. Near-dups WITHIN one micro-batch
+    are not cross-gated (the standard streaming compromise — the first
+    accepted copy gates all later batches)."""
     accepted_dir = os.path.join(out_dir, "accepted")
     ledger_dir = os.path.join(out_dir, "ledger")
+    index_bands_dir = os.path.join(out_dir, "mh_bands")
+    index_toks_dir = os.path.join(out_dir, "mh_toks")
     # One run id per run_stream_ingest call: foreachBatch replays within
     # this run keep it (idempotent partition overwrite); a restart mints
     # a new one, so prior runs' partitions are consulted, not clobbered.
@@ -103,6 +203,19 @@ def run_stream_ingest(
             batch = batch.join(
                 led.select("fingerprint"), "fingerprint", "left_anti"
             )
+        gate_caches: list[DataFrame] = []
+        if near_dup_threshold is not None:
+            batch, gate_caches = _near_dup_gate_and_index(
+                sp,
+                batch,
+                text_col,
+                id_col,
+                near_dup_threshold,
+                index_bands_dir,
+                index_toks_dir,
+                run_id,
+                batch_id,
+            )
         batch = (
             batch.withColumn("run", F.lit(run_id))
             .withColumn("batch", F.lit(batch_id))
@@ -123,6 +236,8 @@ def run_stream_ingest(
             .parquet(ledger_dir)
         )
         batch.unpersist()
+        for c in gate_caches:
+            c.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(process)

@@ -756,3 +756,63 @@ def test_streaming_ingest_persistent_ledger(spark, tmp_path):
                    "epsilon": 9}
     led = spark.read.parquet(str(out / "ledger"))
     assert led.count() == led.select("fingerprint").distinct().count() == 5
+
+
+def test_streaming_ingest_near_dup_gate(spark, tmp_path):
+    """near_dup_threshold upgrades the ingest gate: a later batch's
+    document that NEAR-duplicates (J~0.9, different fingerprint) an
+    accepted one is rejected; genuinely new content passes; the
+    accumulated index survives a full restart with a fresh checkpoint."""
+    from bolson_spark.streaming.ingest import run_stream_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "out"
+
+    base = [f"w{j}" for j in range(40)]
+    near = ["x0", "x1"] + base[2:]  # J = 38/42 ~ 0.905
+    fresh = [f"z{j}" for j in range(30)]
+
+    mtime = [1_700_000_000]
+
+    def write_batch(fname, rows):
+        path = src / fname
+        path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        mtime[0] += 60
+        os.utime(path, (mtime[0], mtime[0]))
+
+    def start(ck):
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        return run_stream_ingest(
+            spark, stream, str(out), str(tmp_path / ck),
+            near_dup_threshold=0.9,
+        )
+
+    write_batch("a.jsonl", [{"doc_id": 1, "text": " ".join(base)}])
+    write_batch("b.jsonl", [{"doc_id": 2, "text": " ".join(near)},
+                            {"doc_id": 3, "text": " ".join(fresh)}])
+    q = start("ck1")
+    q.processAllAvailable()
+    q.stop()
+
+    acc = {r.doc_id for r in
+           spark.read.parquet(str(out / "accepted")).collect()}
+    assert acc == {1, 3}  # near-dup doc 2 gated out
+
+    # restart with a FRESH checkpoint: the index (run-namespaced) still
+    # gates a re-arriving near-dup variant of doc 1
+    near2 = ["y0", "y1"] + base[2:]
+    write_batch("c.jsonl", [{"doc_id": 4, "text": " ".join(near2)},
+                            {"doc_id": 5, "text": "wholly new words only"}])
+    q = start("ck2")
+    q.processAllAvailable()
+    q.stop()
+
+    acc = {r.doc_id for r in
+           spark.read.parquet(str(out / "accepted")).collect()}
+    assert acc == {1, 3, 5}  # doc 4 near-dups doc 1 across runs
