@@ -172,3 +172,37 @@ def range_cluster_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_shards(
+    spark,
+    path: str,
+    out_path: str,
+    target_records_per_file: int = 10_000,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Small-file compaction — the lakehouse OPTIMIZE step for a shard
+    directory that accumulated many undersized files (streaming ingest
+    and dynamic-partition writes both produce them). One count pass
+    sizes the job, then a round-robin repartition to
+    ceil(n / target) tasks makes every output file land within one
+    record of the target (repartition splits differ by <= 1 row, so
+    ``maxRecordsPerFile`` never fragments them). Returns the fresh
+    manifest from :func:`write_shards`.
+
+    At 100 TB this is the periodic maintenance job that keeps scan
+    task counts proportional to DATA size rather than to ingest batch
+    count; without it a year of micro-batches means millions of tiny
+    files and a scheduler-bound scan.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_records_per_file))
+    return write_shards(
+        df.repartition(n_files),
+        out_path,
+        max_records_per_file=target_records_per_file,
+        partition_by=partition_by,
+    )

@@ -173,3 +173,32 @@ def test_minhash_index_probe_matches_inline_and_is_bucketed(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_idx_test_bands")
         spark.sql("DROP TABLE IF EXISTS mh_idx_test_toks")
+
+
+def test_compact_shards_merges_small_files(spark, tmp_path):
+    """Compaction rewrites a many-small-files shard dir into
+    ceil(n/target) near-target files with nothing lost: row counts
+    reconstruct exactly and every file respects the cap."""
+    import glob
+    import math
+
+    from bolson_spark.functions.layout import compact_shards, write_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n = docs.count()
+    frag = tmp_path / "fragmented"
+    write_shards(docs, str(frag), max_records_per_file=16)
+    n_small = len(glob.glob(str(frag / "*.parquet")))
+    assert n_small >= n // 16  # genuinely fragmented input
+
+    out = tmp_path / "compacted"
+    manifest = compact_shards(
+        spark, str(frag), str(out), target_records_per_file=256
+    ).collect()
+    files = glob.glob(str(out / "*.parquet"))
+    assert len(files) == math.ceil(n / 256)
+    assert len(files) < n_small
+    assert sum(r.n_rows for r in manifest) == n
+    assert all(r.n_rows <= 256 for r in manifest)
+    back = spark.read.parquet(str(out))
+    assert back.count() == n and set(back.columns) == set(docs.columns)
