@@ -897,6 +897,12 @@ def save_minhash_index(
     At 100 TB the index is built ONCE per corpus snapshot and every
     ingest batch probes it; re-deriving band rows per batch would be a
     full corpus rescan per batch.
+
+    Catalog note: bucketing metadata lives in the session catalog, so
+    cross-process reuse needs a persistent metastore (Hive/Glue/Unity —
+    standard on a real cluster). The parquet files themselves are
+    plain; `streaming/ingest.py` uses the directory-based variant of
+    the same index for its checkpoint-friendly accumulation.
     """
     bands = (
         choose_bands(num_hashes, jaccard_threshold) if bands is None else bands

@@ -1053,3 +1053,34 @@ def test_incremental_minhash_gates_delta_against_corpus(spark):
     assert not out[101].accepted and out[101].dup_of == 2
     assert out[101].jaccard == 1.0
     assert out[102].accepted and out[102].dup_of is None
+
+
+def test_passage_and_gate_ops_empty_edge_cases(spark):
+    """Empty/degenerate inputs must not crash the round-3 operators:
+    empty-string docs yield zero-chunk rows; an empty delta probes to
+    an empty gate result; an empty corpus accepts everything."""
+    from bolson_spark.functions.corpus import (
+        boilerplate_removal,
+        intra_doc_dedup,
+    )
+    from bolson_spark.functions.dedup import incremental_minhash_dedup
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "some real words here")], ["doc_id", "text"]
+    )
+    intra = {r.doc_id: r for r in intra_doc_dedup(docs, w=5).collect()}
+    assert intra[1].n_chunks == 0 and intra[1].dup_fraction == 0.0
+    assert intra[2].n_chunks == 1
+
+    boiler = {
+        r.doc_id: r for r in boilerplate_removal(docs, w=5).collect()
+    }
+    # the empty doc has no chunks, so no row in the totals — only doc 2
+    assert set(boiler) == {2} and boiler[2].n_boilerplate == 0
+
+    corpus = docs.where("doc_id = 2")
+    empty = docs.where("doc_id < 0")
+    assert incremental_minhash_dedup(corpus, empty).count() == 0
+    out = incremental_minhash_dedup(empty, docs).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+    assert all(r.accepted for r in out)
