@@ -922,6 +922,12 @@ def save_minhash_index(
         .format("parquet")
         .saveAsTable(f"{name}_toks")
     )
+    # persist the signature parameters: a probe computed with different
+    # num_hashes/bands would produce band keys that never match —
+    # silently accepting every near-dup — so the probe reads these back
+    corpus.sparkSession.createDataFrame(
+        [(int(num_hashes), int(bands))], "num_hashes int, bands int"
+    ).write.mode("overwrite").format("parquet").saveAsTable(f"{name}_meta")
 
 
 def probe_minhash_index(
@@ -939,6 +945,26 @@ def probe_minhash_index(
     never rescanned: band rows and token sets come from the bucketed
     index tables, and the probe/verify joins leave the index side
     exchange-free."""
+    # The index's signature parameters are authoritative: band keys
+    # from mismatched num_hashes/bands would never equi-match and every
+    # near-dup would silently pass. Explicitly conflicting caller args
+    # are an error, not a silent override.
+    try:
+        meta = spark.table(f"{name}_meta").first()
+    except Exception:  # noqa: BLE001 — pre-meta index, trust the caller
+        meta = None
+    if meta is not None:
+        if num_hashes != DEFAULT_NUM_HASHES and num_hashes != meta["num_hashes"]:
+            raise ValueError(
+                f"index {name!r} was built with num_hashes="
+                f"{meta['num_hashes']}, probe requested {num_hashes}"
+            )
+        if bands is not None and bands != meta["bands"]:
+            raise ValueError(
+                f"index {name!r} was built with bands={meta['bands']}, "
+                f"probe requested {bands}"
+            )
+        num_hashes, bands = meta["num_hashes"], meta["bands"]
     bands = (
         choose_bands(num_hashes, jaccard_threshold) if bands is None else bands
     )

@@ -140,11 +140,17 @@ def write_shards(
     # partition directories share identical basenames and a basename
     # key would silently merge distinct physical files (breaking the
     # one-row-per-file contract a resumable dataloader relies on).
+    # input_file_name() returns a percent-encoded URI — decode before
+    # matching so a root dir containing spaces/special characters still
+    # keys every file (an unmatched regex would collapse the manifest
+    # to one '' row).
     root = re.escape(path.rstrip("/").split("/")[-1])
     return (
         written.groupBy(
             F.regexp_extract(
-                F.input_file_name(), rf"/{root}/(.+\.parquet)", 1
+                F.url_decode(F.input_file_name()),
+                rf"/{root}/(.+\.parquet)",
+                1,
             ).alias("shard")
         )
         .agg(
@@ -190,6 +196,13 @@ def compact_shards(
     ``maxRecordsPerFile`` never fragments them). Returns the fresh
     manifest from :func:`write_shards`.
 
+    With ``partition_by`` the repartition is BY the partition column,
+    not round-robin: each task then owns whole partition values, so
+    the dynamic-partition writer emits ceil(rows_p / target) files per
+    partition value instead of one sliver per (task x partition) pair
+    — round-robin there would re-fragment exactly what compaction is
+    meant to fix.
+
     At 100 TB this is the periodic maintenance job that keeps scan
     task counts proportional to DATA size rather than to ingest batch
     count; without it a year of micro-batches means millions of tiny
@@ -198,10 +211,14 @@ def compact_shards(
     import math
 
     df = spark.read.parquet(path)
-    n = df.count()
-    n_files = max(1, math.ceil(n / target_records_per_file))
+    if partition_by:
+        compacted = df.repartition(F.col(partition_by))
+    else:
+        n = df.count()
+        n_files = max(1, math.ceil(n / target_records_per_file))
+        compacted = df.repartition(n_files)
     return write_shards(
-        df.repartition(n_files),
+        compacted,
         out_path,
         max_records_per_file=target_records_per_file,
         partition_by=partition_by,

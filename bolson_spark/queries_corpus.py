@@ -1472,14 +1472,16 @@ ded AS (
          md5(string_agg(chunk, ' ' ORDER BY first_idx)) AS cleaned_md5
   FROM firsts GROUP BY doc_id
 )
-SELECT t.doc_id,
-       CAST(t.n_chunks AS BIGINT) AS n_chunks,
-       CAST(d.n_distinct AS BIGINT) AS n_distinct,
-       round(CASE WHEN t.n_chunks > 0
-                  THEN 1.0 - d.n_distinct / CAST(t.n_chunks AS DOUBLE)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(de.n_distinct, 0) AS BIGINT) AS n_distinct,
+       round(CASE WHEN COALESCE(t.n_chunks, 0) > 0
+                  THEN 1.0 - de.n_distinct / CAST(t.n_chunks AS DOUBLE)
                   ELSE 0.0 END, 6) AS dup_fraction,
-       d.cleaned_md5
-FROM tot t JOIN ded d USING (doc_id)
+       COALESCE(de.cleaned_md5, md5('')) AS cleaned_md5
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN ded de USING (doc_id)
 """
 
 

