@@ -64,7 +64,7 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 10,
     min_freq: int = 1,
-    max_vocab: int | None = 1_000_000,
+    max_vocab: int | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn `n_merges` BPE merges from the corpus. Returns the merge
     table [(left, right, pair_count), ...] in merge order.
@@ -86,11 +86,14 @@ def bpe_train(
     "words" (URLs, hex hashes) — an uncapped collect() OOMs the driver.
     `min_freq` drops the long noise tail; `max_vocab` hard-caps the
     transfer (deterministic: ordered by freq DESC, word ASC before the
-    cut). Both preserve the learned merges whenever n_merges ≪ cap —
-    dropped words are the rarest and cannot decide a most-frequent
-    pair; tests assert a cap smaller than |vocab| yields the identical
-    merge table on the classic corpus. Pass max_vocab=None for the
-    exact uncapped behavior.
+    cut). The default is EXACT (no cap): capping is an APPROXIMATION —
+    pair counts sum across all words containing the pair, so a large
+    dropped tail of rare words can in principle carry enough aggregate
+    mass to change a merge decision. Opt into the caps when training
+    on noisy web-scale corpora, where the tail is hash/URL junk whose
+    pairs are near-unique and the approximation is the standard
+    production tradeoff; tests cover both the exact default and a
+    bound-but-harmless cap on the classic corpus.
     """
     wf = word_freq_table(df, text_col)
     if min_freq > 1:

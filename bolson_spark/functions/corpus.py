@@ -296,12 +296,15 @@ def boilerplate_removal(
     plus a digest of the reassembled text so the removal itself sits
     under the value-hash gate.
 
-    100 TB posture: chunk df is ONE aggregation on md5 chunk keys
-    (uniform — no skew); the frequent set is tiny by construction
-    (df > max_df chunks are precisely the repetitive mass) and joins
-    back as an AQE-selected broadcast anti-join, never a shuffle of
-    reassembled text; reassembly is a per-doc sort_array(collect_list)
-    over (idx, chunk) pairs — keyed by doc_id, map-side combinable.
+    100 TB posture: the chunk stream is generated TWICE (one pass for
+    the df aggregation on uniform md5 chunk keys, one for the marking
+    join + per-doc aggregation — no third totals pass); the frequent
+    set is tiny by construction (df > max_df chunks are precisely the
+    repetitive mass) and joins back as an AQE-selected broadcast left
+    join, never a shuffle of reassembled text; counts and first-order
+    reassembly come from ONE map-side-combinable aggregation keyed by
+    doc_id (``collect_list`` skips nulls, so the kept-chunk list falls
+    out of the same pass that counts boilerplate hits).
     """
     chunks = exploded_chunks(docs, w, text_col).withColumn(
         "chash", F.md5(F.col("chunk"))
@@ -312,36 +315,34 @@ def boilerplate_removal(
         .groupBy("chash")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > max_df)
-        .select("chash")
+        .select("chash", F.lit(1).alias("_boiler"))
     )
-    kept = chunks.join(frequent, "chash", "left_anti")
-    per_doc_kept = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    marked = chunks.join(frequent, "chash", "left")
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.coalesce(F.col("_boiler"), F.lit(0))).alias(
+            "n_boilerplate"
+        ),
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("idx", "chunk"))
+                    F.collect_list(
+                        F.when(
+                            F.col("_boiler").isNull(),
+                            F.struct("idx", "chunk"),
+                        )
+                    )
                 ),
                 lambda s: s["chunk"],
             ),
             " ",
         ).alias("cleaned"),
     )
-    totals = chunks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks")
-    )
-    return (
-        totals.join(per_doc_kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_chunks").cast("bigint").alias("n_chunks"),
-            (
-                F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))
-            ).cast("bigint").alias("n_boilerplate"),
-            F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias(
-                "cleaned_md5"
-            ),
-        )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        F.col("n_boilerplate").cast("bigint").alias("n_boilerplate"),
+        F.md5(F.col("cleaned")).alias("cleaned_md5"),
     )
 
 

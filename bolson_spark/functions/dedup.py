@@ -80,6 +80,12 @@ def _spread(df: DataFrame) -> DataFrame:
     full shuffle of the corpus for nothing, so it is skipped.
     """
     sc = df.sparkSession.sparkContext
+    # An upstream Exchange means parallelism was already set by
+    # spark.sql.shuffle.partitions — and, under AQE, touching df.rdd on
+    # a shuffled plan would EXECUTE the query stages just to count
+    # partitions. Detect via the pre-AQE physical plan (no execution).
+    if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
+        return df
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
         return df
     return df.repartition(sc.defaultParallelism)

@@ -206,13 +206,21 @@ def unigram_lm_score(
     if min_freq > 1:
         freqs = freqs.where(F.col("freq") >= min_freq)
     total = freqs.agg(F.sum("freq").alias("total"))
-    lm = freqs.crossJoin(F.broadcast(total)).select(
-        "tok",
-        F.round(
-            F.log(F.col("freq").cast("double") / F.col("total")), 6
+    # cached: the vocabulary frame is tiny by the function's own
+    # assumption, and it feeds TWO actions (the floor aggregate and the
+    # scoring join) — uncached, each would re-run the full token
+    # aggregation over the corpus.
+    lm = (
+        freqs.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.round(
+                F.log(F.col("freq").cast("double") / F.col("total")), 6
+            )
+            .cast("decimal(28,6)")
+            .alias("logp"),
         )
-        .cast("decimal(28,6)")
-        .alias("logp"),
+        .cache()
     )
     floor = lm.agg(F.min("logp").alias("floor_logp"))
     scored = (

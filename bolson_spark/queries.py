@@ -230,7 +230,8 @@ O_CONVERT_QUARANTINE = """
 WITH src AS (
   SELECT event_id,
          CASE WHEN event_id % 7 = 0 THEN substr(props, 1, len(props) - 1)
-              WHEN event_id % 11 = 0 THEN replace(props, '{', '{"intruder":1,')
+              WHEN event_id % 11 = 0
+                   THEN regexp_replace(props, '^\\{', '{"intruder":1,')
               ELSE props END AS payload
   FROM events
 ),

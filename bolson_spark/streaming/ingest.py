@@ -57,13 +57,41 @@ def _ledger_before(
         return None
     try:
         led = spark.read.parquet(ledger_dir)
-    except Exception:  # noqa: BLE001 — empty/corrupt dir on first batch
-        return None
+    except Exception:
+        # Swallow ONLY the empty-directory case (first batch). A
+        # populated ledger that fails to read must raise — silently
+        # returning None here would bypass dedup and re-accept every
+        # previously-fingerprinted document.
+        if not os.listdir(ledger_dir):
+            return None
+        raise
     if "run" not in led.columns:
         led = led.withColumn("run", F.lit("legacy"))
     return led.where(
         (F.col("run") != run_id) | (F.col("batch") < batch_id)
     )
+
+
+def _reject_mixed_ledger_layout(out_dir: str) -> None:
+    """Fail fast if `out_dir` was written by the pre-run-namespacing
+    layout (ledger/batch=N/ at the root): writing the new
+    run=<id>/batch=N/ layout next to it would make the directory
+    unreadable as one parquet table, and the read failure would
+    otherwise surface batches later as a confusing error mid-stream.
+    Migration: move the old partitions under ledger/run=legacy/ (the
+    reader maps a missing `run` column to run='legacy')."""
+    for sub in ("ledger", "accepted"):
+        d = os.path.join(out_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        has_old = any(e.startswith("batch=") for e in os.listdir(d))
+        has_new = any(e.startswith("run=") for e in os.listdir(d))
+        if has_old and not has_new:
+            raise RuntimeError(
+                f"{d} uses the legacy batch=N partition layout; move its "
+                f"batch=* directories under {d}/run=legacy/ before "
+                "resuming ingest (mixed layouts are unreadable)"
+            )
 
 
 def _index_before(
@@ -182,6 +210,7 @@ def run_stream_ingest(
     rescan of the accepted corpus. Near-dups WITHIN one micro-batch
     are not cross-gated (the standard streaming compromise — the first
     accepted copy gates all later batches)."""
+    _reject_mixed_ledger_layout(out_dir)
     accepted_dir = os.path.join(out_dir, "accepted")
     ledger_dir = os.path.join(out_dir, "ledger")
     index_bands_dir = os.path.join(out_dir, "mh_bands")

@@ -105,6 +105,13 @@ def run_stream_convert(
             "on_error='quarantine' requires parser='catalyst' "
             "(the Arrow reader has no per-row corrupt-record routing)"
         )
+    if on_error == "quarantine" and not quarantine_dir:
+        # preserving the raw bad documents IS the point of the mode —
+        # silently discarding them would be worse than failing
+        raise ValueError(
+            "on_error='quarantine' requires quarantine_dir (the "
+            "dead-letter evidence sink)"
+        )
     parse_fn = parse_json if parser == "catalyst" else parse_json_arrow
     sink.handshake(arrow_schema)
     metrics = StreamMetrics()
@@ -119,6 +126,25 @@ def run_stream_convert(
     base_file = (
         os.path.join(checkpoint_dir, "bolson_seq_base") if checkpoint_dir else None
     )
+    # Quarantine partitions are namespaced by a run id minted once per
+    # checkpoint lineage (same pattern as the seq base / ingest ledger):
+    # same-checkpoint replays overwrite their own (run, batch) partition
+    # idempotently, while a fresh checkpoint's batch 0 cannot clobber a
+    # prior run's batch-0 dead-letter evidence.
+    import uuid as _uuid
+
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        run_id_file = os.path.join(checkpoint_dir, "bolson_run_id")
+        if os.path.exists(run_id_file):
+            with open(run_id_file) as f:
+                quarantine_run = f.read().strip()
+        else:
+            quarantine_run = _uuid.uuid4().hex
+            with open(run_id_file, "w") as f:
+                f.write(quarantine_run)
+    else:
+        quarantine_run = _uuid.uuid4().hex
     start_base = 0
     if base_file and os.path.exists(base_file):
         with open(base_file) as f:
@@ -130,6 +156,7 @@ def run_stream_convert(
 
         received_ts = _time.time()
         batch_df = batch_df.cache()
+        routed = None
         try:
             # one job for both micro-batch stats (count + input bytes)
             sizes = batch_df.select(
@@ -143,7 +170,6 @@ def run_stream_convert(
             # row order per partition; a single-partition source (socket)
             # gives the reference's total order. We materialize it with a
             # monotonic local id, then number globally from the base.
-            routed = None
             if on_error == "quarantine":
                 from bolson_spark.operators.parse import (
                     parse_json_quarantine,
@@ -161,17 +187,20 @@ def run_stream_convert(
                 ).first()
                 nq, bq = bad_stats["nq"], bad_stats["bq"] or 0
                 if nq and quarantine_dir:
-                    # batch-keyed dynamic partition overwrite, not a
-                    # blind append: a foreachBatch replay rewrites its
-                    # own partition instead of duplicating rows
+                    # (run, batch)-keyed dynamic partition overwrite,
+                    # not a blind append: a foreachBatch replay rewrites
+                    # its own partition instead of duplicating rows, and
+                    # a fresh-checkpoint restart cannot clobber a prior
+                    # run's evidence
                     (
                         bad.select(
                             "raw",
                             F.col("quarantine_reason").alias("reason"),
                         )
+                        .withColumn("run", F.lit(quarantine_run))
                         .withColumn("batch", F.lit(batch_id))
                         .write.mode("overwrite")
-                        .partitionBy("batch")
+                        .partitionBy("run", "batch")
                         .option("partitionOverwriteMode", "dynamic")
                         .parquet(quarantine_dir)
                     )
@@ -184,8 +213,7 @@ def run_stream_convert(
                 n -= nq
                 jb = (jb or 0) - bq
                 if n == 0:
-                    routed.unpersist()
-                    return
+                    return  # finally unpersists routed + batch_df
             else:
                 parsed = parse_fn(batch_df, schema, json_col, strict=strict)
             with_order = parsed.withColumn("_arrival", F.monotonically_increasing_id())
@@ -253,9 +281,12 @@ def run_stream_convert(
             metrics.num_ipc += agg["m"]
             metrics.ipc_bytes += agg["ib"] or 0
             metrics.batches.append(n)
+        finally:
+            # unpersist in finally: an exception mid-batch (e.g. a
+            # transient sink failure followed by a streaming retry)
+            # must not leak a cached copy of the micro-batch per attempt
             if routed is not None:
                 routed.unpersist()
-        finally:
             batch_df.unpersist()
 
     writer = raw.writeStream.foreachBatch(process)

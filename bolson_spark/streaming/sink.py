@@ -312,10 +312,31 @@ class PulsarSink(PublishSink):
         except Exception as e:  # noqa: BLE001 — connector absent
             raise _pulsar_env_missing() from e
 
+    def _capped_messages(self, serialized: DataFrame) -> DataFrame:
+        """Producer records with the FNC10 size cap ENFORCED client-side
+        (error-not-split, matching serialize_ipc's semantics): Pulsar
+        has no producer-side max-request knob like Kafka's, so a
+        payload above the 5 MiB - 10 KiB broker budget raises here
+        instead of bouncing off the broker at publish time."""
+        msgs = self.to_messages(serialized)
+        guard = F.when(
+            F.octet_length("value") > self.max_msg_size,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "bolson_spark: IPC message exceeds pulsar "
+                        "max message size "
+                    ),
+                    F.lit(str(self.max_msg_size)),
+                )
+            ),
+        ).otherwise(F.col("value"))
+        return msgs.withColumn("value", guard)
+
     def write(self, serialized: DataFrame) -> None:
         try:
             (
-                self.to_messages(serialized)
+                self._capped_messages(serialized)
                 .write.format("pulsar")
                 .options(**self.producer_options())
                 .save()

@@ -222,6 +222,15 @@ def test_pulsar_sink_option_mapping_and_env_missing(spark, tmp_path):
             spark_to_arrow_schema(BATTERY_SPARK)
         )
 
+    # the FNC10 size cap is ENFORCED client-side (error-not-split):
+    # Pulsar has no producer max-request knob, so oversized payloads
+    # must raise before reaching the broker
+    tiny = PulsarSink(spark, "pulsar://b:6650", "t", max_msg_size=1)
+    with pytest.raises(Exception, match="max message size"):
+        tiny._capped_messages(ipc_rows).collect()
+    ok = sink._capped_messages(ipc_rows).collect()  # default cap: passes
+    assert bytes(ok[0].value) == b"\x00p"
+
     # env-missing behavior: factory + network methods fail fast, loudly
     with pytest.raises(RuntimeError, match="pulsar backend unavailable"):
         make_sink(spark, "pulsar://broker1:6650/bolson")
