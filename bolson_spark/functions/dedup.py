@@ -80,11 +80,14 @@ def _spread(df: DataFrame) -> DataFrame:
     full shuffle of the corpus for nothing, so it is skipped.
     """
     sc = df.sparkSession.sparkContext
-    # An upstream Exchange means parallelism was already set by
+    # An upstream SHUFFLE Exchange means parallelism was already set by
     # spark.sql.shuffle.partitions — and, under AQE, touching df.rdd on
     # a shuffled plan would EXECUTE the query stages just to count
-    # partitions. Detect via the pre-AQE physical plan (no execution).
-    if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
+    # partitions. Detect via the pre-AQE physical plan (no execution);
+    # BroadcastExchange does NOT count — a single-split corpus joined
+    # with a broadcast dim is still under-split on the streamed side.
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    if "Exchange" in plan.replace("BroadcastExchange", ""):
         return df
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
         return df

@@ -143,12 +143,17 @@ def write_shards(
     # input_file_name() returns a percent-encoded URI — decode before
     # matching so a root dir containing spaces/special characters still
     # keys every file (an unmatched regex would collapse the manifest
-    # to one '' row).
+    # to one '' row). url_decode is FORM decoding ('+' -> space), which
+    # would corrupt literal '+' in paths; protect it by re-encoding '+'
+    # as %2B first, making the combination a pure percent-decoder.
     root = re.escape(path.rstrip("/").split("/")[-1])
+    decoded = F.url_decode(
+        F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+    )
     return (
         written.groupBy(
             F.regexp_extract(
-                F.url_decode(F.input_file_name()),
+                decoded,
                 rf"/{root}/(.+\.parquet)",
                 1,
             ).alias("shard")

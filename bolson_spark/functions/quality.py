@@ -205,30 +205,33 @@ def unigram_lm_score(
     freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     if min_freq > 1:
         freqs = freqs.where(F.col("freq") >= min_freq)
-    total = freqs.agg(F.sum("freq").alias("total"))
-    # cached: the vocabulary frame is tiny by the function's own
-    # assumption, and it feeds TWO actions (the floor aggregate and the
-    # scoring join) — uncached, each would re-run the full token
-    # aggregation over the corpus.
-    lm = (
-        freqs.crossJoin(F.broadcast(total))
-        .select(
-            "tok",
-            F.round(
-                F.log(F.col("freq").cast("double") / F.col("total")), 6
-            )
-            .cast("decimal(28,6)")
-            .alias("logp"),
-        )
-        .cache()
+    # One stats row carries BOTH the normalizer and the floor: ln is
+    # monotone and round is order-preserving, so the kept vocabulary's
+    # minimum logp equals round(ln(min_freq / total), 6) — no second
+    # pass over the vocabulary aggregation and no cached frame to leak.
+    stats = freqs.agg(
+        F.sum("freq").alias("total"), F.min("freq").alias("vocab_min_freq")
     )
-    floor = lm.agg(F.min("logp").alias("floor_logp"))
+    lm = freqs.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.round(
+            F.log(F.col("freq").cast("double") / F.col("total")), 6
+        )
+        .cast("decimal(28,6)")
+        .alias("logp"),
+    )
+    floor_logp = F.round(
+        F.log(
+            F.col("vocab_min_freq").cast("double") / F.col("total")
+        ),
+        6,
+    ).cast("decimal(28,6)")
     scored = (
         toks.join(lm, "tok", "left")
-        .crossJoin(F.broadcast(floor))
+        .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
-            F.coalesce(F.col("logp"), F.col("floor_logp")).alias("logp"),
+            F.coalesce(F.col("logp"), floor_logp).alias("logp"),
         )
         .groupBy("doc_id")
         .agg(

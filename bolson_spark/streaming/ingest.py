@@ -58,17 +58,28 @@ def _ledger_before(
     try:
         led = spark.read.parquet(ledger_dir)
     except Exception:
-        # Swallow ONLY the empty-directory case (first batch). A
-        # populated ledger that fails to read must raise — silently
-        # returning None here would bypass dedup and re-accept every
-        # previously-fingerprinted document.
-        if not os.listdir(ledger_dir):
+        # Swallow ONLY the effectively-empty case (first batch, or a
+        # crash that left nothing but _temporary/.spark-staging debris
+        # — hidden entries are excluded from parquet reads, so they
+        # must not wedge the replay). A ledger with REAL partitions
+        # that fails to read must raise: silently returning None would
+        # bypass dedup and re-accept every fingerprinted document.
+        if not _has_real_entries(ledger_dir):
             return None
         raise
     if "run" not in led.columns:
         led = led.withColumn("run", F.lit("legacy"))
     return led.where(
         (F.col("run") != run_id) | (F.col("batch") < batch_id)
+    )
+
+
+def _has_real_entries(path: str) -> bool:
+    """True if `path` holds entries a parquet read would actually see
+    (staging/metadata debris — _temporary, .spark-staging-*, _SUCCESS —
+    is invisible to the reader and must not count)."""
+    return any(
+        not e.startswith(("_", ".")) for e in os.listdir(path)
     )
 
 
@@ -84,13 +95,15 @@ def _reject_mixed_ledger_layout(out_dir: str) -> None:
         d = os.path.join(out_dir, sub)
         if not os.path.isdir(d):
             continue
-        has_old = any(e.startswith("batch=") for e in os.listdir(d))
-        has_new = any(e.startswith("run=") for e in os.listdir(d))
-        if has_old and not has_new:
+        # ANY legacy batch=N dir at the root is fatal — including the
+        # already-mixed state (both layouts present), which is exactly
+        # the unreadable case; waiting for the read to fail would
+        # surface a confusing partition-discovery error batches later
+        if any(e.startswith("batch=") for e in os.listdir(d)):
             raise RuntimeError(
-                f"{d} uses the legacy batch=N partition layout; move its "
-                f"batch=* directories under {d}/run=legacy/ before "
-                "resuming ingest (mixed layouts are unreadable)"
+                f"{d} contains legacy batch=N partitions at its root; "
+                f"move them under {d}/run=legacy/ before resuming "
+                "ingest (mixed layouts are unreadable as one table)"
             )
 
 
@@ -103,8 +116,13 @@ def _index_before(
         return None
     try:
         idx = spark.read.parquet(index_dir)
-    except Exception:  # noqa: BLE001 — empty dir on first batch
-        return None
+    except Exception:
+        # same rule as the ledger: only an effectively-empty dir reads
+        # as None; a populated index that fails to read must raise, or
+        # the near-dup gate would silently accept every duplicate
+        if not _has_real_entries(index_dir):
+            return None
+        raise
     return idx.where(
         (F.col("run") != run_id) | (F.col("batch") < batch_id)
     )

@@ -112,6 +112,24 @@ def run_stream_convert(
             "on_error='quarantine' requires quarantine_dir (the "
             "dead-letter evidence sink)"
         )
+    import os
+
+    if (
+        on_error == "quarantine"
+        and os.path.isdir(quarantine_dir)
+        and any(
+            not e.startswith(("run=", "_", "."))
+            for e in os.listdir(quarantine_dir)
+        )
+    ):
+        # pre-run-namespacing quarantine dirs held bare files at the
+        # root; writing run=/batch= partitions next to them makes the
+        # evidence table unreadable as one parquet dataset
+        raise RuntimeError(
+            f"{quarantine_dir} contains non-partitioned legacy entries; "
+            "move them under a run=legacy/batch=0/ subdirectory before "
+            "resuming (mixed layouts are unreadable as one table)"
+        )
     parse_fn = parse_json if parser == "catalyst" else parse_json_arrow
     sink.handshake(arrow_schema)
     metrics = StreamMetrics()

@@ -295,8 +295,8 @@ class PulsarSink(PublishSink):
                 .limit(1)
                 .collect()
             )
-        except Exception as e:  # noqa: BLE001 — connector absent
-            raise _pulsar_env_missing() from e
+        except Exception as e:  # noqa: BLE001 — see _translate
+            raise _translate_pulsar_error(e) from e
         if not first:
             return None
         return pa.ipc.read_schema(pa.BufferReader(first[0].value))
@@ -309,8 +309,8 @@ class PulsarSink(PublishSink):
             df.write.format("pulsar").options(
                 **self.producer_options()
             ).save()
-        except Exception as e:  # noqa: BLE001 — connector absent
-            raise _pulsar_env_missing() from e
+        except Exception as e:  # noqa: BLE001 — see _translate
+            raise _translate_pulsar_error(e) from e
 
     def _capped_messages(self, serialized: DataFrame) -> DataFrame:
         """Producer records with the FNC10 size cap ENFORCED client-side
@@ -341,8 +341,24 @@ class PulsarSink(PublishSink):
                 .options(**self.producer_options())
                 .save()
             )
-        except Exception as e:  # noqa: BLE001 — connector absent
-            raise _pulsar_env_missing() from e
+        except Exception as e:  # noqa: BLE001 — see _translate
+            raise _translate_pulsar_error(e) from e
+
+
+def _translate_pulsar_error(e: Exception) -> Exception:
+    """Map CONNECTOR-ABSENCE failures to the clear env-missing error;
+    anything else (the FNC10 size-cap raise_error, broker auth/topic
+    errors on a live cluster) must propagate untranslated — masking a
+    cap violation as 'backend unavailable' would be a wrong diagnosis."""
+    msg = str(e)
+    markers = (
+        "Failed to find data source: pulsar",
+        "DATA_SOURCE_NOT_FOUND",
+        "ClassNotFoundException",
+    )
+    if any(m in msg for m in markers):
+        return _pulsar_env_missing()
+    return e
 
 
 def _pulsar_env_missing() -> RuntimeError:
