@@ -83,10 +83,13 @@ def _spread(df: DataFrame) -> DataFrame:
     # An upstream SHUFFLE Exchange means parallelism was already set by
     # spark.sql.shuffle.partitions — and, under AQE, touching df.rdd on
     # a shuffled plan would EXECUTE the query stages just to count
-    # partitions. Detect via the pre-AQE physical plan (no execution);
-    # BroadcastExchange does NOT count — a single-split corpus joined
-    # with a broadcast dim is still under-split on the streamed side.
-    plan = df._jdf.queryExecution().sparkPlan().toString()
+    # partitions. Detection must use executedPlan(): EnsureRequirements
+    # inserts Exchange nodes there and NOT into sparkPlan() (verified
+    # on this Spark build), and printing the adaptive plan runs zero
+    # jobs. BroadcastExchange does NOT count as parallelism — a
+    # single-split corpus joined with a broadcast dim is still
+    # under-split on the streamed side.
+    plan = df._jdf.queryExecution().executedPlan().toString()
     if "Exchange" in plan.replace("BroadcastExchange", ""):
         return df
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:

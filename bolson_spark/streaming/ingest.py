@@ -75,12 +75,17 @@ def _ledger_before(
 
 
 def _has_real_entries(path: str) -> bool:
-    """True if `path` holds entries a parquet read would actually see
-    (staging/metadata debris — _temporary, .spark-staging-*, _SUCCESS —
-    is invisible to the reader and must not count)."""
-    return any(
-        not e.startswith(("_", ".")) for e in os.listdir(path)
-    )
+    """True if `path` holds DATA FILES a parquet read would actually
+    see. Staging/metadata debris (_temporary, .spark-staging-*,
+    _SUCCESS, .crc) is invisible to the reader and must not count —
+    and neither must an EMPTY partition directory tree (a crash after
+    the run=/batch= rename but before any file landed): both states
+    hold zero rows, so reading them as None self-heals the replay."""
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any(not f.startswith(("_", ".")) for f in files):
+            return True
+    return False
 
 
 def _reject_mixed_ledger_layout(out_dir: str) -> None:

@@ -139,8 +139,6 @@ def run_stream_convert(
     # query continues the global sequence instead of overlapping it.
     # foreachBatch bodies run serially on the driver, so plain file I/O
     # is race-free.
-    import os
-
     base_file = (
         os.path.join(checkpoint_dir, "bolson_seq_base") if checkpoint_dir else None
     )

@@ -354,7 +354,10 @@ def _translate_pulsar_error(e: Exception) -> Exception:
     markers = (
         "Failed to find data source: pulsar",
         "DATA_SOURCE_NOT_FOUND",
-        "ClassNotFoundException",
+        # scoped to the data-source lookup: a bare ClassNotFoundException
+        # marker would also match missing transitive deps (codecs etc.)
+        # on a connector-present cluster and misdiagnose them
+        "ClassNotFoundException: pulsar",
     )
     if any(m in msg for m in markers):
         return _pulsar_env_missing()

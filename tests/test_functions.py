@@ -889,6 +889,12 @@ def test_spread_skips_exchange_when_already_parallel(spark):
     par = spark.sparkContext.defaultParallelism
     wide = spark.range(1000).repartition(par + 4)
     assert _spread(wide) is wide  # no new plan node at all
+    # an upstream SHUFFLE (groupBy) also counts as already-parallel —
+    # and must be detected from the adaptive plan WITHOUT executing it
+    shuffled = (
+        spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    )
+    assert _spread(shuffled) is shuffled
     narrow = spark.range(1000).coalesce(1)
     assert _spread(narrow).rdd.getNumPartitions() == par
 
