@@ -71,7 +71,11 @@ def main() -> None:
         # r2/r3 cross-round comparisons were polluted by exactly this).
         # Re-run anything slow once and keep the min; bounds the added
         # wall time to the slow tail while stabilizing the artifact.
-        if t1 > 3.0:
+        # Threshold 1.0 s (was 3.0): every r3 "unexplained drift" sat in
+        # the 1.2-3.0 s band — one cold run recorded, never re-checked.
+        # The second run is warm, so the added wall time is the steady
+        # cost of the >1 s tail, not double the bench.
+        if t1 > 1.0:
             t1 = min(t1, one_run())
         timings[name] = round(t1, 4)
     # convert throughput (MJ/s, metrics.cpp:39-92 analog): rows of the
@@ -104,6 +108,14 @@ def main() -> None:
     convert_exact_sec = steady("convert_pipeline_exact")
     convert_arrow_sec = steady("convert_pipeline_arrow")
 
+    # Steady-state for the battery/trip convert differentials: their
+    # one-shot registry timing is dominated by driver-side Catalyst
+    # ANALYSIS of the wide expression trees (r3: 4.1 s of trip's 5.9 s),
+    # which JIT-warms across runs — record both so real execution
+    # regressions aren't masked by the analysis constant.
+    battery_steady_sec = steady("convert_parse_battery")
+    trip_steady_sec = steady("convert_parse_trip")
+
     # end-to-end corpus pipeline throughput (docs/s through quality ->
     # decontaminate -> dedup -> mix -> pack), steady-state like convert
     n_corpus_docs = load_table(spark, SF_DIR, "documents").count()
@@ -112,7 +124,7 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     summary = {
         "metric": "registry wall-clock (noop sink) per query",
-        "timing": "min of up to 2 runs (second run only if first >3s)",
+        "timing": "min of up to 2 runs (second run only if first >1s)",
         "value": total,
         "unit": "sec",
         "sf": sf_from_dir(SF_DIR),
@@ -131,6 +143,8 @@ def main() -> None:
         "pipeline_docs_per_s": round(n_corpus_docs / pipeline_sec, 1)
         if pipeline_sec
         else None,
+        "battery_steady_sec": round(battery_steady_sec, 4),
+        "trip_steady_sec": round(trip_steady_sec, 4),
         "num_queries": len(timings),
     }
     full = {**summary, "queries": timings}

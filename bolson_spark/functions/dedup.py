@@ -25,6 +25,8 @@ a valid universal-hash family for Jaccard estimation and portable SQL.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -88,9 +90,17 @@ def _spread(df: DataFrame) -> DataFrame:
     # on this Spark build), and printing the adaptive plan runs zero
     # jobs. BroadcastExchange does NOT count as parallelism — a
     # single-split corpus joined with a broadcast dim is still
-    # under-split on the streamed side.
+    # under-split on the streamed side. The probe forces full driver-
+    # side physical planning, so callers that need both token sets and
+    # signatures from one input should call _spread ONCE and reuse the
+    # result (see _minhash_prep) rather than probing per branch.
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan.replace("BroadcastExchange", ""):
+    # word-boundary node-name match, not a bare substring: 'Exchange'
+    # as a standalone node (shuffle) counts; 'BroadcastExchange' /
+    # 'BroadcastQueryStage' must not (\bExchange\b cannot match inside
+    # BroadcastExchange — 'E' is preceded by a word char). AQE rewrites
+    # materialized shuffles into ShuffleQueryStage/AQEShuffleRead nodes.
+    if re.search(r"\b(?:Exchange|ShuffleQueryStage|AQEShuffleRead)\b", plan):
         return df
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
         return df
@@ -361,7 +371,8 @@ def _banded_verified_pairs(
     # several× cheaper than string-array intersects at any scale
     # (8-byte fixed-width comparisons, no UTF-8 walks). xxhash64
     # collisions are ~V²/2⁶⁵ for vocabulary V — immaterial.
-    toksets = _spread(df).select(
+    sdf = _spread(df)  # probe once, reuse for both branches
+    toksets = sdf.select(
         "doc_id",
         F.array_distinct(
             F.transform(tokens(F.col(text_col)), lambda w: F.xxhash64(w))
@@ -375,7 +386,7 @@ def _banded_verified_pairs(
     # prefilter can run inside the candidate join, before distinct().
     band_rows = (
         band_keys_from_signature(
-            minhash_signature(_spread(df), text_col, num_hashes),
+            minhash_signature(sdf, text_col, num_hashes),
             num_hashes,
             bands,
         )
@@ -793,9 +804,9 @@ def _minhash_prep(
 ) -> tuple[DataFrame, DataFrame]:
     """(toksets, band_rows) for the banded probe: hashed distinct token
     arrays with sizes, and (doc_id, band, band_key, n_toks) rows."""
+    sdf = _spread(df)  # probe once, reuse for both branches
     toksets = (
-        _spread(df)
-        .select(
+        sdf.select(
             "doc_id",
             F.array_distinct(
                 F.transform(
@@ -806,7 +817,7 @@ def _minhash_prep(
         .select("doc_id", "toks", F.size("toks").alias("n_toks"))
     )
     band_rows = band_keys_from_signature(
-        minhash_signature(_spread(df), text_col, num_hashes),
+        minhash_signature(sdf, text_col, num_hashes),
         num_hashes,
         bands,
     ).join(toksets.select("doc_id", "n_toks"), "doc_id")
@@ -947,7 +958,7 @@ def probe_minhash_index(
     name: str,
     delta: DataFrame,
     text_col: str = "text",
-    num_hashes: int = DEFAULT_NUM_HASHES,
+    num_hashes: int | None = None,
     bands: int | None = None,
     jaccard_threshold: float = 0.9,
 ) -> DataFrame:
@@ -959,14 +970,19 @@ def probe_minhash_index(
     exchange-free."""
     # The index's signature parameters are authoritative: band keys
     # from mismatched num_hashes/bands would never equi-match and every
-    # near-dup would silently pass. Explicitly conflicting caller args
-    # are an error, not a silent override.
+    # near-dup would silently pass. ANY explicitly-passed value that
+    # conflicts with the meta is an error (num_hashes=None is the
+    # unambiguous 'unspecified' sentinel — an explicit num_hashes=16
+    # against an index built with 32 errors rather than being silently
+    # overridden); a meta-less (pre-meta) index falls back to the
+    # caller's parameters with a logged warning, since a wrong guess
+    # there silently accepts every near-dup.
     try:
         meta = spark.table(f"{name}_meta").first()
     except Exception:  # noqa: BLE001 — pre-meta index, trust the caller
         meta = None
     if meta is not None:
-        if num_hashes != DEFAULT_NUM_HASHES and num_hashes != meta["num_hashes"]:
+        if num_hashes is not None and num_hashes != meta["num_hashes"]:
             raise ValueError(
                 f"index {name!r} was built with num_hashes="
                 f"{meta['num_hashes']}, probe requested {num_hashes}"
@@ -977,6 +993,18 @@ def probe_minhash_index(
                 f"probe requested {bands}"
             )
         num_hashes, bands = meta["num_hashes"], meta["bands"]
+    else:
+        import warnings
+
+        if num_hashes is None:
+            num_hashes = DEFAULT_NUM_HASHES
+        warnings.warn(
+            f"index {name!r} has no _meta table; trusting caller "
+            f"parameters (num_hashes={num_hashes}, bands={bands}) — a "
+            "mismatch with the build parameters silently accepts every "
+            "near-dup",
+            stacklevel=2,
+        )
     bands = (
         choose_bands(num_hashes, jaccard_threshold) if bands is None else bands
     )

@@ -136,7 +136,16 @@ def q_sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bolson_spark.functions.similarity import sq_encode
 
     emb = _t(spark, sf_dir, "embeddings")
-    return sq_encode(emb)
+    # Registry outputs must be scalar columns (driver canonicalizer
+    # cannot hash array cells) — explode the code vector to
+    # (vec_id, dim_idx, code) rows. sq_encode() itself keeps the
+    # array-valued API for programmatic use.
+    codes = sq_encode(emb)
+    return codes.select(
+        "vec_id",
+        "sq_scale",
+        F.posexplode("sq_codes").alias("dim_idx", "code"),
+    )
 
 
 O_SQ_ENCODE = """
@@ -149,10 +158,10 @@ WITH s AS (
 )
 SELECT vec_id,
        ROUND(scale, 6) AS sq_scale,
-       list_transform(embedding,
-                      x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
-         AS sq_codes
-FROM s
+       CAST(i AS INT) AS dim_idx,
+       CAST(floor(CAST(embedding[i + 1] AS DOUBLE) / scale + 0.5) AS BIGINT)
+         AS code
+FROM s, LATERAL unnest(range(len(embedding))) AS t(i)
 """
 
 
@@ -191,7 +200,12 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bolson_spark.functions.similarity import pq_encode
 
     emb = _t(spark, sf_dir, "embeddings")
-    return pq_encode(emb, _pq_codebooks(spark, sf_dir))
+    # Scalar-column output shape (see q_sq_encode): one row per
+    # (vector, subspace) with its selected code.
+    codes = pq_encode(emb, _pq_codebooks(spark, sf_dir))
+    return codes.select(
+        "vec_id", F.posexplode("pq_codes").alias("subspace", "code")
+    )
 
 
 def _pq_encode_sql() -> str:
@@ -223,8 +237,8 @@ best AS (
   QUALIFY row_number() OVER (
     PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) = 1
 )
-SELECT vec_id, list(c ORDER BY j) AS pq_codes
-FROM best GROUP BY vec_id
+SELECT vec_id, CAST(j AS INT) AS subspace, CAST(c AS INT) AS code
+FROM best
 """
 
 
@@ -266,9 +280,8 @@ lut AS (    -- LUT[j][c] = ||q_sub_j - codebook[j][c]||^2
   FROM embeddings e, (SELECT UNNEST(range({PQ_M})) AS j) j, q
   WHERE e.vec_id < {PQ_K}
 ),
-codes AS (  -- parallel UNNESTs zip positionally in DuckDB
-  SELECT vec_id, UNNEST(pq_codes) AS code,
-         UNNEST(range(8)) AS j
+codes AS (  -- encode SQL already emits one (vec_id, subspace, code) row
+  SELECT vec_id, code, subspace AS j
   FROM enc
 ),
 scored AS (

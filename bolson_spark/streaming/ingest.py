@@ -133,7 +133,7 @@ def _index_before(
     )
 
 
-def _near_dup_gate_and_index(
+def _near_dup_gate(
     sp: SparkSession,
     batch: DataFrame,
     text_col: str,
@@ -143,12 +143,24 @@ def _near_dup_gate_and_index(
     toks_dir: str,
     run_id: str,
     batch_id: int,
-) -> tuple[DataFrame, list[DataFrame]]:
+) -> tuple[DataFrame, list[tuple[DataFrame, str]], list[DataFrame]]:
     """Probe the batch's exact-gate survivors against the accumulated
-    MinHash index of previously accepted docs; append the accepted
-    docs' own band rows / token sets to the index under (run, batch)
-    partitions (idempotent replays). Returns (gated batch, cached
-    frames for the caller to unpersist after its writes)."""
+    MinHash index of previously accepted docs. Returns (gated batch,
+    pending index writes as (frame, out_dir) pairs, cached frames for
+    the caller to unpersist after its writes).
+
+    The index writes are RETURNED, not performed: the caller must land
+    them only AFTER the accepted+ledger writes succeed. Writing the
+    index first opens a data-loss window — a crash after the index
+    write but before the accepted write, followed by a FRESH-checkpoint
+    restart (new run id, so the replayed (run,batch) partition is NOT
+    overwritten), leaves phantom index rows for docs that were never
+    accepted; the re-arriving doc passes the exact gate (no ledger row)
+    but self-matches its own phantom rows at J=1.0 and is silently
+    dropped forever. With index-last ordering the same crash instead
+    yields accepted-but-unindexed docs, which the exact fingerprint
+    gate still rejects on re-arrival — a missed near-dup index entry,
+    never lost data."""
     from bolson_spark.functions.dedup import (
         DEFAULT_NUM_HASHES,
         _minhash_prep,
@@ -189,22 +201,21 @@ def _near_dup_gate_and_index(
     else:
         delta_kept = delta
     kept_ids = delta_kept.select("doc_id")
-    for df, out in ((d_bands, bands_dir), (d_toks, toks_dir)):
+    pending_index_writes = [
         (
             df.join(kept_ids, "doc_id", "left_semi")
             .withColumn("run", F.lit(run_id))
-            .withColumn("batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("run", "batch")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(out)
+            .withColumn("batch", F.lit(batch_id)),
+            out,
         )
+        for df, out in ((d_bands, bands_dir), (d_toks, toks_dir))
+    ]
     out_batch = (
         delta_kept.withColumnRenamed("doc_id", id_col)
         if id_col != "doc_id"
         else delta_kept
     )
-    return out_batch, caches
+    return out_batch, pending_index_writes, caches
 
 
 def run_stream_ingest(
@@ -279,8 +290,9 @@ def run_stream_ingest(
                 led.select("fingerprint"), "fingerprint", "left_anti"
             )
         gate_caches: list[DataFrame] = []
+        index_writes: list[tuple[DataFrame, str]] = []
         if near_dup_threshold is not None:
-            batch, gate_caches = _near_dup_gate_and_index(
+            batch, index_writes, gate_caches = _near_dup_gate(
                 sp,
                 batch,
                 text_col,
@@ -310,6 +322,18 @@ def run_stream_ingest(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(ledger_dir)
         )
+        # Index partitions land LAST (see _near_dup_gate's docstring):
+        # a crash before this point leaves accepted-but-unindexed docs,
+        # which the exact fingerprint gate still rejects on re-arrival;
+        # the reverse ordering would let phantom index rows silently
+        # drop never-accepted docs after a fresh-checkpoint restart.
+        for df, out in index_writes:
+            (
+                df.write.mode("overwrite")
+                .partitionBy("run", "batch")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(out)
+            )
         batch.unpersist()
         for c in gate_caches:
             c.unpersist()

@@ -186,6 +186,7 @@ def run_stream_convert(
             # row order per partition; a single-partition source (socket)
             # gives the reference's total order. We materialize it with a
             # monotonic local id, then number globally from the base.
+            nq = 0
             if on_error == "quarantine":
                 from bolson_spark.operators.parse import (
                     parse_json_quarantine,
@@ -220,7 +221,6 @@ def run_stream_convert(
                         .option("partitionOverwriteMode", "dynamic")
                         .parquet(quarantine_dir)
                     )
-                metrics.num_quarantined += nq
                 parsed = routed.where(
                     F.col("quarantine_reason").isNull()
                 ).select(*[f.name for f in schema.fields])
@@ -229,6 +229,10 @@ def run_stream_convert(
                 n -= nq
                 jb = (jb or 0) - bq
                 if n == 0:
+                    # nothing left to publish: the batch is complete
+                    # once the (idempotent) quarantine write landed, so
+                    # counting here cannot be replayed-and-recounted
+                    metrics.num_quarantined += nq
                     return  # finally unpersists routed + batch_df
             else:
                 parsed = parse_fn(batch_df, schema, json_col, strict=strict)
@@ -292,6 +296,12 @@ def run_stream_convert(
             if base_file:
                 with open(base_file, "w") as f:
                     f.write(str(state["base"]))
+            # All counters update only after a successful publish: if
+            # sink.write raises and Spark replays the micro-batch,
+            # counting nq earlier would double-count quarantined docs
+            # while num_jsons/num_ipc counted the batch once — the
+            # counters would silently drift apart on every retry.
+            metrics.num_quarantined += nq
             metrics.num_jsons += n
             metrics.json_bytes += jb or 0
             metrics.num_ipc += agg["m"]

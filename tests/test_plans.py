@@ -332,3 +332,26 @@ def test_registry_plan_hygiene(spark):
         if problems:
             bad[name] = problems
     assert not bad, bad
+
+
+def test_registry_outputs_are_scalar_columns(spark):
+    """Every oracle-checked registry query must return only scalar
+    columns: the driver canonicalizes results with pandas sort_values,
+    which cannot sort array/map/struct cells (exactly how the r3
+    multimodal_features row errored despite correct values). Rows-only
+    queries (oracle=None) are exempt — the driver never hashes them."""
+    from pyspark.sql import types as T
+
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    bad = {}
+    for name, spec in QUERIES.items():
+        if spec.oracle is None:
+            continue
+        offending = [
+            f.name
+            for f in spec.fn(spark, SF).schema.fields
+            if isinstance(f.dataType, complex_types)
+        ]
+        if offending:
+            bad[name] = offending
+    assert not bad, f"non-scalar output columns (driver cannot hash): {bad}"

@@ -825,3 +825,143 @@ def test_streaming_ingest_near_dup_gate(spark, tmp_path):
     acc = {r.doc_id for r in
            spark.read.parquet(str(out / "accepted")).collect()}
     assert acc == {1, 3, 5}  # doc 4 near-dups doc 1 across runs
+
+
+def test_streaming_ingest_index_crash_window_is_lossless(spark, tmp_path):
+    """Crash-ordering property of the near-dup gate (ADVICE r3): index
+    partitions are written AFTER accepted+ledger, so the only possible
+    crash debris is accepted-but-unindexed docs. Simulate that exact
+    state (delete the index partitions of an accepted batch), restart
+    with a FRESH checkpoint, and re-feed the same doc plus a near-dup:
+
+    - the identical doc must be REJECTED (exact fingerprint gate — no
+      duplicate acceptance, no data loss);
+    - the near-dup variant is accepted (missed-index degradation, the
+      documented trade — versus the old index-first ordering, where a
+      never-accepted doc could be silently dropped forever).
+    """
+    import shutil
+
+    from bolson_spark.streaming.ingest import run_stream_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "out"
+
+    base = [f"w{j}" for j in range(40)]
+    near = ["x0", "x1"] + base[2:]  # J ~ 0.905 vs base
+
+    mtime = [1_700_000_000]
+
+    def write_batch(fname, rows):
+        path = src / fname
+        path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        mtime[0] += 60
+        os.utime(path, (mtime[0], mtime[0]))
+
+    def start(ck):
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        return run_stream_ingest(
+            spark, stream, str(out), str(tmp_path / ck),
+            near_dup_threshold=0.9,
+        )
+
+    write_batch("a.jsonl", [{"doc_id": 1, "text": " ".join(base)}])
+    q = start("ck1")
+    q.processAllAvailable()
+    q.stop()
+
+    # simulate the crash window: accepted+ledger landed, index did not
+    shutil.rmtree(out / "mh_bands")
+    shutil.rmtree(out / "mh_toks")
+
+    write_batch("b.jsonl", [{"doc_id": 2, "text": " ".join(base)},
+                            {"doc_id": 3, "text": " ".join(near)}])
+    q = start("ck2")  # fresh checkpoint — new run id
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.doc_id for r in
+           spark.read.parquet(str(out / "accepted")).collect()}
+    # doc 1 stays accepted exactly once; exact dup doc 2 rejected by
+    # the ledger; near-dup doc 3 slips through the missing index
+    assert got == {1, 3}
+
+
+@pytest.mark.parametrize(
+    "which,parser",
+    [("battery", "arrow"), ("trip", "catalyst")],
+)
+def test_stream_convert_battery_trip_parity(spark, tmp_path, which, parser):
+    """Battery/trip differential corpora through the STREAMING convert
+    path (the reference's own differential tests are streaming-shaped —
+    test_opae_battery.cpp:51-88): the deterministic corpus streams in
+    as line-framed JSON over three micro-batches, IPC lands in the file
+    sink, and we assert drain parity (received == published), global
+    seq contiguity, and value parity with the batch parse of the same
+    corpus. Battery runs the Arrow TableReader parser, trip the strict
+    Catalyst parser — both physical parse impls covered e2e."""
+    from bolson_spark.operators.parse import parse_json
+    from bolson_spark.queries import battery_corpus, trip_corpus
+    from bolson_spark.schemas import TRIP_SPARK
+
+    sf = "/root/testdata/sf0.001"
+    corpus_fn = battery_corpus if which == "battery" else trip_corpus
+    schema = BATTERY_SPARK if which == "battery" else TRIP_SPARK
+
+    payloads = [
+        r.payload
+        for r in corpus_fn(spark, sf).orderBy("o_orderkey").collect()
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    third = (len(payloads) + 2) // 3
+    for i in range(3):
+        chunk = payloads[i * third:(i + 1) * third]
+        (src / f"part-{i}.jsonl").write_text("\n".join(chunk) + "\n")
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    sink = IpcFileSink(str(tmp_path / "topic"))
+    query, metrics = run_stream_convert(
+        raw,
+        schema,
+        sink,
+        parser=parser,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_rows=256,
+    )
+    query.awaitTermination(120)
+
+    assert metrics.num_jsons == len(payloads)  # drain parity
+    out_schema = T.StructType(
+        [T.StructField("bolson_seq", T.LongType(), False)] + schema.fields
+    )
+    back = deserialize_ipc(sink.read(spark), out_schema).collect()
+    assert sorted(r.bolson_seq for r in back) == list(range(len(payloads)))
+
+    batch = parse_json(
+        spark.createDataFrame(
+            [(p,) for p in payloads], "payload string"
+        ),
+        schema,
+        "payload",
+        strict=True,
+    ).collect()
+
+    def key(row):
+        return tuple(
+            tuple(v) if isinstance(v, list) else v
+            for f in schema.fields
+            for v in [row[f.name]]
+        )
+
+    assert sorted(key(r) for r in back) == sorted(key(r) for r in batch)
