@@ -224,11 +224,14 @@ def incremental_ingest(
     anti-join against the snapshot runs on fingerprints only — a
     2-column shuffle regardless of document size — and is left to AQE:
     a small snapshot becomes a broadcast hash anti-join, a 100 TB
-    snapshot a sort-merge anti-join on a uniform key (at that scale the
-    production refinement is a pre-filter against a Bloom sketch of the
-    snapshot fingerprints, then this exact anti-join on the survivors;
-    Spark 4's `bloom_filter_agg` is not exposed to the public registry,
-    so the exact join IS the implementation here). The within-batch
+    snapshot a sort-merge anti-join on a uniform key. At that scale
+    the refinement is a Bloom pre-filter of the batch against the
+    snapshot fingerprints, then this exact anti-join on the survivors
+    — implemented (JVM-side, no `bloom_filter_agg` needed) in
+    streaming/ingest.py (build_bloom_words / bloom_maybe_contains),
+    where the per-run amortization makes it pay; for this one-shot
+    batch shape the Bloom build would scan the snapshot anyway, so
+    the exact join IS the right implementation. The within-batch
     dedup is a min-aggregation per fingerprint, map-side combined.
 
     Returns (fingerprint, doc_id) with doc_id = min over the batch.

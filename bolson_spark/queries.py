@@ -2954,8 +2954,15 @@ def _driver_checked_names() -> frozenset[str]:
             # A row that ERRORED (e.g. the r3 multimodal_features
             # canonicalizer TypeError) is not real coverage — leave the
             # name unchecked so the next round's window retries it.
+            # err='no_oracle' is the driver's NORMAL record for a
+            # rows-only query (spark side executed fine) — that IS the
+            # query's full testable coverage, so it counts as checked.
             for name, row in data.items():
-                if isinstance(row, dict) and row.get("err"):
+                if (
+                    isinstance(row, dict)
+                    and row.get("err")
+                    and row["err"] != "no_oracle"
+                ):
                     continue
                 names.add(name)
         else:

@@ -935,6 +935,143 @@ GROUP BY c_count
 """
 
 
+# ---------------------------------------------------------------------------
+# Batch event analytics (round 4): gap sessionization + SCD-2 state
+# intervals — the warehouse-temporal counterparts of the streaming
+# session_window / stateful operators.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 60  # minutes of inactivity that closes a session
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH gap-based sessionization (the offline twin of the
+    streaming `events_sessions` session_window query): a session
+    breaks after >=60 min of user inactivity; per session emit
+    boundaries (epoch micros — engine-neutral integers), event count,
+    and decimal-exact value sum.
+
+    Shape: both windows partition by user_id, so the whole query is
+    ONE shuffle on user_id (lag -> running sum of session starts ->
+    groupBy(user_id, session_id) reuses the same partitioning; the
+    aggregation is map-side combinable within partitions). At 100 TB
+    this scales as users do — per-user event sequences sort locally,
+    and AQE handles a power-user skew tail."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    sess = (
+        ev.select(
+            "user_id", "ts", "event_id", "value",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+        )
+        .withColumn("_prev", F.lag("_us").over(w))
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev").isNull()
+                | ((F.col("_us") - F.col("_prev")) > gap_us)
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("_us").alias("session_start_us"),
+        F.max("_us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+O_SESSIONIZE_EVENTS = f"""
+WITH s AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, value, us,
+         CASE WHEN prev_us IS NULL
+                   OR us - prev_us > {SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM s
+),
+numbered AS (
+  SELECT user_id, event_id, value, us,
+         CAST(SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       MIN(us) AS session_start_us,
+       MAX(us) AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event stream:
+    collapse each user's event-type sequence into change-point
+    intervals [valid_from, valid_to) with a NULL-open current row —
+    the standard warehouse temporal-dimension load, expressed as two
+    window passes (lag to find change points, lead over the filtered
+    change rows to close intervals). Both windows partition by
+    user_id: one shuffle total, per-user local sorts at scale."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    changes = (
+        ev.select(
+            "user_id", "event_id", "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+        )
+        .withColumn("_prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("_prev_type").isNull()
+            | (F.col("_prev_type") != F.col("event_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("_us").alias("valid_from_us"),
+        F.lead("_us").over(w2).alias("valid_to_us"),
+        F.lead("_us").over(w2).isNull().alias("is_current"),
+    )
+
+
+O_SCD2_USER_STATE = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, event_id, us
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type AS state, us AS valid_from_us,
+       lead(us) OVER (
+         PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+       lead(us) OVER (
+         PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
+FROM changes
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "order_priority_check": QuerySpec(
         q_order_priority_check, O_ORDER_PRIORITY_CHECK, ("relational",)
@@ -987,5 +1124,11 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     ),
     "customer_order_histogram": QuerySpec(
         q_customer_order_histogram, O_CUSTOMER_ORDER_HISTOGRAM, ("relational",)
+    ),
+    "sessionize_events": QuerySpec(
+        q_sessionize_events, O_SESSIONIZE_EVENTS, ("relational", "sessions")
+    ),
+    "scd2_user_state": QuerySpec(
+        q_scd2_user_state, O_SCD2_USER_STATE, ("relational", "temporal")
     ),
 }

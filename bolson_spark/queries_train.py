@@ -299,6 +299,702 @@ LIMIT 10
 O_PQ_ADC_KNN = _pq_adc_sql()
 
 
+# ---------------------------------------------------------------------------
+# Round-4 widening: per-language quality percentile gate, token-budget
+# mixture solving, bigram-LM document scoring, rare-token junk
+# detection, quantized kNN, and pairwise keep-best near-dup pruning.
+# ---------------------------------------------------------------------------
+
+
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language RELATIVE quality gate: keep each language's upper
+    half by unique-word fraction. Absolute thresholds (gopher_quality)
+    misfire on languages with different baseline statistics; the
+    percentile gate adapts per stratum. One narrow map + one window —
+    the window partitions by lang, so at 100 TB it shuffles once on a
+    low-cardinality key whose per-partition work is a sort (AQE skew
+    handling applies if one language dominates)."""
+    from pyspark.sql.window import Window
+
+    from bolson_spark.functions.quality import words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = words_col(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.round(F.size(F.array_distinct(ws)) / F.size(ws), 6).alias(
+            "uniq_frac"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy("uniq_frac", "doc_id")
+    return (
+        scored.withColumn("pr", F.round(F.percent_rank().over(w), 6))
+        .where(F.col("pr") >= 0.5)
+        .select("doc_id", "lang", "uniq_frac", "pr")
+    )
+
+
+O_QUALITY_PERCENTILE = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         ROUND(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6)
+           AS uniq_frac
+  FROM (SELECT doc_id, lang, {_W} AS words FROM documents)
+),
+r AS (
+  SELECT doc_id, lang, uniq_frac,
+         ROUND(percent_rank() OVER (
+           PARTITION BY lang ORDER BY uniq_frac, doc_id), 6) AS pr
+  FROM s
+)
+SELECT doc_id, lang, uniq_frac, pr FROM r WHERE pr >= 0.5
+"""
+
+
+TOKEN_BUDGET_FRAC = 0.5  # global budget = half the corpus's tokens
+MIX_TEMPERATURE = 2.0  # w_s ~ tokens_s^(1/T): flattens the source skew
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture solver for a token budget: given per-source token
+    counts, temperature-flatten the source weights (w_s proportional
+    to tokens_s^(1/T) — upweights small sources the way multilingual
+    pretraining mixes do) and solve the per-source sampling rate that
+    spends a global budget of TOKEN_BUDGET_FRAC of the corpus:
+    rate_s = min(1, budget * w_s / tokens_s). One aggregation to
+    per-source counts (map-side combined), then scalar arithmetic over
+    a source-cardinality table joined with a broadcast 1-row total —
+    nothing here grows with corpus size except the first agg."""
+    from bolson_spark.functions.quality import words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.size(words_col(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), 1.0 / MIX_TEMPERATURE)).alias(
+            "tot_w"
+        ),
+    )
+    weight = F.pow(F.col("n_tokens").cast("double"), 1.0 / MIX_TEMPERATURE) / F.col(
+        "tot_w"
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(TOKEN_BUDGET_FRAC)
+        * F.col("tot_tokens")
+        * weight
+        / F.col("n_tokens"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 6).alias("weight"),
+        F.round(rate, 6).alias("rate"),
+        F.round(rate * F.col("n_tokens"), 2).alias("exp_tokens"),
+    )
+
+
+O_TOKEN_BUDGET_MIX = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({_W})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_tokens) AS tot_tokens,
+         SUM(pow(CAST(n_tokens AS DOUBLE), 1.0/{MIX_TEMPERATURE})) AS tot_w
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(pow(CAST(n_tokens AS DOUBLE), 1.0/{MIX_TEMPERATURE}) / tot_w, 6)
+         AS weight,
+       ROUND(least(1.0, {TOKEN_BUDGET_FRAC} * tot_tokens
+             * (pow(CAST(n_tokens AS DOUBLE), 1.0/{MIX_TEMPERATURE}) / tot_w)
+             / n_tokens), 6) AS rate,
+       ROUND(least(1.0, {TOKEN_BUDGET_FRAC} * tot_tokens
+             * (pow(CAST(n_tokens AS DOUBLE), 1.0/{MIX_TEMPERATURE}) / tot_w)
+             / n_tokens) * n_tokens, 2) AS exp_tokens
+FROM per_src, tot
+"""
+
+
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring (the LM-quality signal one tier up
+    from lm_quality's unigram model): corpus-wide bigram/context
+    counts with add-one smoothing over the vocabulary, then each
+    document's mean negative log-likelihood per bigram occurrence.
+    High avg_nll = improbable word sequences = junk candidate.
+
+    Shuffle profile: one explode to bigram occurrences, two map-side-
+    combined count aggregations (context key w1 is Zipf-skewed —
+    bounded by stopword frequency, AQE skew-join territory at 100 TB),
+    two equi-joins back, one doc_id aggregation. Hash-gate float
+    discipline: each occurrence's nll is rounded to 6 THEN summed as
+    DECIMAL(20,6) — integer-exact and ORDER-INDEPENDENT, so partial-
+    aggregation order can never flip a bit; only the final mean is a
+    (deterministic) double division."""
+    from bolson_spark.functions.quality import words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", words_col(F.col("text")).alias("ws"))
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    pair = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = w.select(F.explode("ws").alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    )
+    nll = F.round(
+        F.log(
+            (F.col("c1") + F.col("v")).cast("double")
+            / (F.col("c12") + F.lit(1)).cast("double")
+        ),
+        6,
+    ).cast("decimal(20,6)")
+    per_doc = (
+        bg.join(pair, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(nll).alias("_s"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.col("_s").cast("double") / F.col("n_bigrams"), 6
+        ).alias("avg_nll"),
+    )
+
+
+O_BIGRAM_NLL = f"""
+WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+bg AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         UNNEST(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+  FROM w
+),
+ctx AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+pair AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+vocab AS (SELECT COUNT(DISTINCT t) AS v
+          FROM (SELECT UNNEST(ws) AS t FROM w))
+SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(ROUND(ln(
+           CAST(c1 + v AS DOUBLE) / CAST(c12 + 1 AS DOUBLE)), 6)
+         AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+FROM bg JOIN pair USING (w1, w2) JOIN ctx USING (w1), vocab
+GROUP BY bg.doc_id
+"""
+
+
+RARE_FRAC_JUNK = 0.5  # flag docs where >=50% of unique tokens are corpus-unique
+
+
+def q_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token junk detector: fraction of a document's UNIQUE
+    tokens whose corpus document-frequency is 1 (hashes, ids, OCR
+    garbage appear nowhere else). Inverted-index shape: distinct
+    (doc, token) explode, token-df aggregation, join back, per-doc
+    aggregation — all equi-keyed, map-side combined; the df table is
+    the same scale object the n-gram dedup family already builds."""
+    from bolson_spark.functions.quality import words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(words_col(F.col("text")))).alias("t"),
+    )
+    dfreq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        toks.join(dfreq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_toks"),
+            F.sum((F.col("df") == 1).cast("int")).alias("_rare"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_unique_toks",
+        F.round(F.col("_rare") / F.col("n_unique_toks"), 6).alias(
+            "rare_frac"
+        ),
+        (
+            F.col("_rare") / F.col("n_unique_toks") >= RARE_FRAC_JUNK
+        ).alias("junk"),
+    )
+
+
+O_RARE_TOKEN_DOCS = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_distinct({_W})) AS t FROM documents
+),
+dfreq AS (SELECT t, COUNT(*) AS df FROM toks GROUP BY t)
+SELECT doc_id, COUNT(*) AS n_unique_toks,
+       ROUND(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS rare_frac,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         >= {RARE_FRAC_JUNK} AS junk
+FROM toks JOIN dfreq USING (t)
+GROUP BY doc_id
+"""
+
+
+def q_knn_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest neighbors IN THE QUANTIZED DOMAIN: both sides
+    int8-scalar-quantized (sq_encode), similarity = scale_q * scale_v *
+    <codes_q, codes_v> — the integer dot product is EXACT arithmetic
+    (order-independent), so the only float ops are two multiplies.
+    This is the memory-bound ANN scan shape at 100 TB: 4x less data
+    moved than float32 brute force with the same TakeOrdered top-k, no
+    global sort. Query vector = vec_id 0's encoding (broadcast)."""
+    from bolson_spark.functions.similarity import sq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = sq_encode(emb)
+    q = codes.where(F.col("vec_id") == 0).select(
+        F.col("sq_scale").alias("q_scale"),
+        F.col("sq_codes").alias("q_codes"),
+    )
+    dot = F.aggregate(
+        F.zip_with("sq_codes", "q_codes", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                F.col("sq_scale") * F.col("q_scale") * dot.cast("double"), 6
+            ).alias("qdot"),
+        )
+    )
+    return scored.orderBy(F.col("qdot").desc(), "vec_id").limit(10)
+
+
+O_KNN_SQ = """
+WITH s AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
+           / 127.0 AS scale,
+         embedding
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, ROUND(scale, 6) AS sq_scale,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+           AS codes
+  FROM s
+),
+q AS (SELECT sq_scale AS q_scale, codes AS q_codes FROM c WHERE vec_id = 0)
+SELECT c.vec_id,
+       ROUND(c.sq_scale * q.q_scale
+             * CAST(list_aggregate(
+                 list_transform(list_zip(c.codes, q.q_codes),
+                                p -> p[1] * p[2]), 'sum') AS DOUBLE), 6)
+         AS qdot
+FROM c, q
+WHERE c.vec_id <> 0
+ORDER BY qdot DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy keep-best near-dup pruning: a document is DROPPED iff at
+    least one of its J>=0.9 MinHash neighbors is strictly better
+    (longer n_chars; ties keep the smaller doc_id). The per-pair
+    greedy rule needs no transitive closure — unlike the components
+    path it is one symmetric-edge pass over the Theta(true pairs)
+    list + two integer metadata joins + distinct, all equi-keyed.
+    Output: the dropped docs. Composing the existing pair generator
+    with a selection policy is exactly how a production dedup decides
+    WHICH copy of near-identical pages survives."""
+    from bolson_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select("doc_id", "n_chars")
+    # SINGLE pass over the Theta(true pairs) list: (n_chars DESC,
+    # doc_id ASC) is a total order, so each pair has exactly one worse
+    # member — emit it directly instead of symmetrizing the edge list
+    # (a union of two references would execute the un-cached pair
+    # pipeline twice).
+    pairs = (
+        minhash_lsh_pairs(docs)
+        .select("doc_a", "doc_b")
+        .join(
+            meta.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("ca")
+            ),
+            "doc_a",
+        )
+        .join(
+            meta.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("cb")
+            ),
+            "doc_b",
+        )
+    )
+    b_better = (F.col("cb") > F.col("ca")) | (
+        (F.col("cb") == F.col("ca")) & (F.col("doc_b") < F.col("doc_a"))
+    )
+    return pairs.select(
+        F.when(b_better, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "doc_id"
+        ),
+        F.when(b_better, F.col("ca")).otherwise(F.col("cb")).alias("n_chars"),
+    ).distinct()
+
+
+def _dedup_keep_best_sql() -> str:
+    from bolson_spark.queries import _minhash_sql
+
+    return f"""
+WITH mh AS ({_minhash_sql()}),
+edges AS (
+  SELECT doc_a, doc_b FROM mh
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM mh
+)
+SELECT DISTINCT e.doc_a AS doc_id, da.n_chars
+FROM edges e
+JOIN documents da ON e.doc_a = da.doc_id
+JOIN documents db ON e.doc_b = db.doc_id
+WHERE db.n_chars > da.n_chars
+   OR (db.n_chars = da.n_chars AND e.doc_b < e.doc_a)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 2: Gopher repetition metrics, deterministic training-
+# order shuffle, the composed IVF+PQ ANN stack, and tokenizer
+# application (BPE encode) over the corpus.
+# ---------------------------------------------------------------------------
+
+
+MAX_TOP_WORD_FRAC = 0.10
+MAX_DUP_TRIGRAM_FRAC = 0.30
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's repetition filter family beyond the top-bigram metric
+    already in `gopher_quality`: the fraction of word slots taken by
+    the single most frequent word, and the fraction of trigram
+    occurrences that are duplicates (occur >=2x within the doc) —
+    the n-gram analog of Rae et al. 2021 table A1's duplicate-line
+    fraction for corpora without line structure.
+
+    Shape: two explode -> (doc, gram) count -> doc_id aggregations,
+    all map-side combined and keyed by doc_id — the standard token-
+    pipeline shuffle, nothing grows beyond Theta(tokens)."""
+    from bolson_spark.functions.quality import words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", words_col(F.col("text")).alias("ws"))
+    word_top = (
+        w.select("doc_id", F.explode("ws").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_top"), F.sum("c").alias("_n"))
+        .select(
+            "doc_id",
+            F.col("_n").alias("n_words"),
+            F.round(F.col("_top") / F.col("_n"), 6).alias("top_word_frac"),
+        )
+    )
+    tri = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 2, 0)),"
+                " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+            )
+        ).alias("g"),
+    )
+    tri_dup = (
+        tri.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
+                "_dup"
+            ),
+            F.sum("c").alias("_n"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("_dup") / F.col("_n"), 6).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
+    return word_top.join(tri_dup, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "top_word_frac",
+        "dup_trigram_frac",
+        (
+            (F.col("top_word_frac") <= MAX_TOP_WORD_FRAC)
+            & (F.col("dup_trigram_frac") <= MAX_DUP_TRIGRAM_FRAC)
+        ).alias("keep"),
+    )
+
+
+O_GOPHER_REPETITION = f"""
+WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+wc AS (
+  SELECT doc_id, t, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(ws) AS t FROM w)
+  GROUP BY doc_id, t
+),
+word_top AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_word_frac
+  FROM wc GROUP BY doc_id
+),
+tc AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(
+             range(1, greatest(len(ws) - 1, 1)),
+             i -> concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))) AS g
+    FROM w
+  )
+  GROUP BY doc_id, g
+),
+tri_dup AS (
+  SELECT doc_id,
+         ROUND(CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+               / SUM(c), 6) AS dup_trigram_frac
+  FROM tc GROUP BY doc_id
+)
+SELECT word_top.doc_id, n_words, top_word_frac, dup_trigram_frac,
+       top_word_frac <= {MAX_TOP_WORD_FRAC}
+         AND dup_trigram_frac <= {MAX_DUP_TRIGRAM_FRAC} AS keep
+FROM word_top JOIN tri_dup USING (doc_id)
+"""
+
+
+SHUFFLE_SALT = "epoch0"
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    pseudo-random key md5(doc_id ':' salt) and a CONTIGUOUS global
+    position in key order — the "shuffle the corpus once per epoch"
+    step every pretraining run needs. Changing the salt re-shuffles;
+    same salt reproduces the exact order on any cluster size.
+
+    The global position comes from the scalable sequence operator
+    (add_seq_scalable: boundary pass + per-bucket counts + one
+    full-width pass), NOT a single-reducer global window — the md5 key
+    is uniform by construction, so equal-width buckets over its
+    numeric value are balanced and the 100 TB shuffle order costs one
+    repartition. Keys are 60-bit md5 prefixes: collisions are
+    birthday-bounded ~2^-60 per pair (none at any driver SF; at
+    corpus scale a collision only makes the relative order of that
+    one pair engine-dependent, never non-contiguous)."""
+    from bolson_spark.operators.seq import add_seq_scalable
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.lit(SHUFFLE_SALT)
+            )
+        ).alias("shuffle_key"),
+    ).withColumn(
+        "_k",
+        F.conv(F.substring("shuffle_key", 1, 15), 16, 10).cast("bigint"),
+    )
+    out = add_seq_scalable(keyed, "_k", name="seq")
+    return out.select("doc_id", "shuffle_key", "seq")
+
+
+O_TRAINING_ORDER = f"""
+SELECT doc_id,
+       md5(concat(CAST(doc_id AS VARCHAR), ':{SHUFFLE_SALT}'))
+         AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY substr(
+           md5(concat(CAST(doc_id AS VARCHAR), ':{SHUFFLE_SALT}')), 1, 15),
+           doc_id) - 1 AS BIGINT) AS seq
+FROM documents
+"""
+
+
+IVF_PQ_CELLS = 8
+
+
+def q_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN stack (FAISS IVFADC): coarse IVF
+    quantizer routes the query to its nearest cell, then the ADC scan
+    runs ONLY over that cell's PQ codes — candidate generation by
+    partition pruning, distance by broadcast-LUT lookups, full-
+    precision vectors never touched at search time. At 100 TB the
+    scan cost is |cell| ~= N/n_cells code rows, not N float vectors.
+
+    Centroids/codebooks are the same deterministic data-derived
+    artifacts as `ivf_knn`/`pq_encode`, so the oracle re-derives the
+    whole stack in SQL."""
+    from bolson_spark.functions.similarity import (
+        ivf_assign,
+        pq_adc_knn,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < IVF_PQ_CELLS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = ivf_assign(emb, centroids)
+    qv = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+        .embedding
+    ]
+    # The query is corpus-member vec 0, so its own cell IS the probed
+    # cell (argmax centroid cosine) — one scalar collect, same bounded
+    # driver transfer the qv collect already does.
+    best_cell = (
+        assigned.where(F.col("vec_id") == 0).collect()[0].cluster
+    )
+    books = _pq_codebooks(spark, sf_dir)
+    cand = pq_encode(emb, books).join(
+        assigned.where(F.col("cluster") == best_cell).select("vec_id"),
+        "vec_id",
+    )
+    return pq_adc_knn(cand, books, qv, k=10)
+
+
+def _ivf_pq_sql() -> str:
+    from bolson_spark.queries import _cosine_sql
+
+    _cosine_ec = _cosine_sql("e.embedding", "c.centroid")
+    return f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid
+  FROM embeddings WHERE vec_id < {IVF_PQ_CELLS}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+assigned AS (
+  SELECT vec_id, centroid_id AS cluster
+  FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROUND({_cosine_ec}, 6) AS sim
+    FROM embeddings e CROSS JOIN c
+  )
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1
+),
+best AS (SELECT cluster FROM assigned WHERE vec_id = 0),
+enc AS ({_pq_encode_sql()}),
+lut AS (
+  SELECT j.j, e.vec_id AS c,
+         list_aggregate(
+           list_transform(
+             list_zip(q.qv[j.j * {PQ_DSUB} + 1 : (j.j + 1) * {PQ_DSUB}],
+                      e.embedding[j.j * {PQ_DSUB} + 1 : (j.j + 1) * {PQ_DSUB}]),
+             p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                  * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+           'sum') AS d2
+  FROM embeddings e, (SELECT UNNEST(range({PQ_M})) AS j) j, q
+  WHERE e.vec_id < {PQ_K}
+),
+scored AS (
+  SELECT enc.vec_id, SUM(lut.d2) AS adc
+  FROM enc
+  JOIN assigned ON enc.vec_id = assigned.vec_id
+  JOIN best ON assigned.cluster = best.cluster
+  JOIN lut ON lut.j = enc.subspace AND lut.c = enc.code
+  GROUP BY enc.vec_id
+)
+SELECT vec_id, ROUND(adc, 6) AS adc_dist
+FROM scored
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+BPE_ENCODE_MERGES = 12
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: learn a merge table
+    (bpe_train — one corpus scan, driver merge loop on the Zipf-
+    bounded word table), then encode every document with it and report
+    per-doc token counts + compression ratio.
+
+    The encode runs over the DISTINCT word table (Zipf: |vocab| <<
+    corpus), one static expression chain of 12 merges — whole-stage
+    codegen, no Python — then joins the per-word token counts back to
+    word occurrences (AQE picks broadcast while the vocab is small,
+    sort-merge when a web-scale vocab isn't). Encoding each occurrence
+    directly would re-fold identical words millions of times.
+
+    Rows-only like `bpe_train` (the merge table is data-dependent
+    iteration, not SQL-expressible); correctness is pytest ground
+    truth: lossless round-trip (concat(tokens) == word) and the exact
+    token-count arithmetic vs a pure-Python encoder."""
+    from bolson_spark.functions.bpe import bpe_encode_col, bpe_train
+    from bolson_spark.functions.quality import words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=BPE_ENCODE_MERGES)
+    occ = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("word")
+    )
+    dw = (
+        occ.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.size(bpe_encode_col(F.col("word"), merges)).alias("n_toks"),
+            F.length("word").alias("n_ch"),
+        )
+    )
+    return (
+        occ.join(dw, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.round(
+                F.sum("n_ch") / F.sum("n_toks"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
 TRAIN_QUERIES: dict[str, QuerySpec] = {
     "gopher_quality": QuerySpec(
         q_gopher_quality, O_GOPHER_QUALITY, ("text", "quality")
@@ -315,4 +1011,30 @@ TRAIN_QUERIES: dict[str, QuerySpec] = {
     "pq_adc_knn": QuerySpec(
         q_pq_adc_knn, O_PQ_ADC_KNN, ("similarity", "quantization")
     ),
+    "quality_percentile_filter": QuerySpec(
+        q_quality_percentile_filter, O_QUALITY_PERCENTILE, ("text", "quality")
+    ),
+    "token_budget_mix": QuerySpec(
+        q_token_budget_mix, O_TOKEN_BUDGET_MIX, ("text", "pipeline")
+    ),
+    "bigram_nll": QuerySpec(q_bigram_nll, O_BIGRAM_NLL, ("text", "quality")),
+    "rare_token_docs": QuerySpec(
+        q_rare_token_docs, O_RARE_TOKEN_DOCS, ("text", "quality")
+    ),
+    "knn_sq": QuerySpec(
+        q_knn_sq, O_KNN_SQ, ("similarity", "quantization")
+    ),
+    "dedup_keep_best": QuerySpec(
+        q_dedup_keep_best, _dedup_keep_best_sql(), ("dedup",)
+    ),
+    "gopher_repetition": QuerySpec(
+        q_gopher_repetition, O_GOPHER_REPETITION, ("text", "quality")
+    ),
+    "training_order": QuerySpec(
+        q_training_order, O_TRAINING_ORDER, ("text", "pipeline")
+    ),
+    "ivf_pq_knn": QuerySpec(
+        q_ivf_pq_knn, _ivf_pq_sql(), ("similarity", "quantization")
+    ),
+    "bpe_encode": QuerySpec(q_bpe_encode, None, ("text", "pipeline")),
 }

@@ -30,9 +30,13 @@ rows are always consulted and never overwritten.
 Scale shape: the ledger is a 2-column (fingerprint, batch) table;
 the per-batch anti-join shuffles only fingerprints and is
 AQE-selected (broadcast while the ledger is small, sort-merge once it
-isn't); at very large ledger sizes the production refinement is a
-Bloom pre-filter + this exact join (same note as
-functions/corpus.py::incremental_ingest).
+isn't). A per-run BLOOM PREFILTER (built once per stream start over
+the prior-ledger snapshot, entirely JVM-side: xxhash64 positions +
+bit_or word aggregation, probed via a broadcast word-table join)
+routes definitely-new fingerprints around the prior-ledger anti-join,
+so at very large ledger sizes the exact join runs only over the
+maybe-subset (true dups + ~1% false positives) — see
+build_bloom_words / bloom_maybe_contains.
 """
 
 from __future__ import annotations
@@ -130,6 +134,74 @@ def _index_before(
         raise
     return idx.where(
         (F.col("run") != run_id) | (F.col("batch") < batch_id)
+    )
+
+
+BLOOM_K = 5  # hash functions; with bits ~= 10x items, fpp ~= 0.9%
+
+
+def _bloom_positions(fp_col, n_bits: int):
+    """Array of BLOOM_K bit positions for a fingerprint — pure codegen
+    (xxhash64 seeded by the probe index via tuple-hashing)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(fp_col, F.lit(s)), F.lit(n_bits))
+            for s in range(BLOOM_K)
+        ]
+    )
+
+
+def build_bloom_words(fps: DataFrame, n_bits: int) -> DataFrame:
+    """Distributed Bloom filter build: (word_idx, word) rows — the
+    bitset packed into 64-bit words via a bit_or aggregation. One scan
+    of the fingerprint set, no driver collect: the result is
+    n_bits/64 rows at most (MBs for billions of items), broadcastable.
+    """
+    pos = fps.select(
+        F.explode(_bloom_positions(F.col("fingerprint"), n_bits)).alias("p")
+    )
+    # shiftleft/shiftright take a Python-int bit count in the classic
+    # column API, so the per-row shifts are SQL expressions
+    return pos.groupBy((F.col("p") / 64).cast("long").alias("word_idx")).agg(
+        F.bit_or(F.expr("shiftleft(1L, cast(p % 64 as int))")).alias("word")
+    )
+
+
+def bloom_maybe_contains(
+    batch: DataFrame, bloom_words: DataFrame, n_bits: int, fp_col: str = "fingerprint"
+) -> DataFrame:
+    """Adds a `_bloom_maybe` flag: False means DEFINITELY not in the
+    set the Bloom was built over (no false negatives — the routing
+    correctness hinges on this), True means probe the exact store.
+    Shape: posexplode to BLOOM_K rows, broadcast-join the (tiny) word
+    table, AND the bits back per row — all JVM-side codegen."""
+    # keyed on the fingerprint itself (a pure function of the row), not
+    # a synthetic monotonically_increasing_id — the flag join then
+    # cannot be perturbed by recomputation/partition-layout differences
+    # between the two references to `probe`; duplicate fingerprints
+    # (none after the in-batch dedup, but allowed by this API) simply
+    # share their identical flag
+    bits = (
+        batch.select(
+            F.col(fp_col),
+            F.explode(_bloom_positions(F.col(fp_col), n_bits)).alias("p"),
+        )
+        .withColumn("word_idx", (F.col("p") / 64).cast("long"))
+        .join(F.broadcast(bloom_words), "word_idx", "left")
+        .select(
+            fp_col,
+            F.expr(
+                "(shiftright(coalesce(word, 0L), cast(p % 64 as int)) & 1L)"
+                " = 1L"
+            ).alias("bit_set"),
+        )
+        .groupBy(fp_col)
+        .agg(F.min(F.col("bit_set").cast("int")).alias("_all_set"))
+    )
+    return (
+        batch.join(bits, fp_col)
+        .withColumn("_bloom_maybe", F.col("_all_set") == 1)
+        .drop("_all_set")
     )
 
 
@@ -269,6 +341,29 @@ def run_stream_ingest(
         with open(run_id_file, "w") as f:
             f.write(run_id)
 
+    # Bloom prefilter over the PRIOR ledger snapshot (every run except
+    # this one), built ONCE per stream start — one ledger scan
+    # amortized over all of this run's batches. Per batch, fingerprints
+    # the Bloom rules out are DEFINITELY new (no false negatives) and
+    # skip the prior-ledger anti-join entirely; only the maybe-subset
+    # (true dups + ~1% fp noise) probes the exact ledger. This run's
+    # own earlier batches are not in the snapshot, so every row still
+    # anti-joins against them — that side is one run's worth of rows,
+    # not the historical corpus. Single-writer assumption (already
+    # required by the dynamic-partition overwrite protocol): no other
+    # run appends to the ledger while this stream lives, so the
+    # snapshot Bloom stays a superset of the prior ledger.
+    prior_bloom: tuple[DataFrame, int] | None = None
+    led0 = _ledger_before(spark, ledger_dir, run_id, 0)
+    if led0 is not None:
+        prior0 = led0.where(F.col("run") != run_id).select("fingerprint")
+        n_prior = prior0.count()
+        if n_prior:
+            n_bits = max(1 << 14, 1 << (10 * n_prior).bit_length())
+            words = build_bloom_words(prior0, n_bits).cache()
+            words.count()  # materialize once, before the stream starts
+            prior_bloom = (words, n_bits)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         fp = F.md5(F.col(text_col)).alias("fingerprint")
@@ -286,9 +381,30 @@ def run_stream_ingest(
         )
         led = _ledger_before(sp, ledger_dir, run_id, batch_id)
         if led is not None:
-            batch = batch.join(
-                led.select("fingerprint"), "fingerprint", "left_anti"
-            )
+            if prior_bloom is not None:
+                words, n_bits = prior_bloom
+                prior_led = led.where(F.col("run") != run_id)
+                this_led = led.where(F.col("run") == run_id)
+                flagged = bloom_maybe_contains(batch, words, n_bits)
+                fresh = flagged.where(~F.col("_bloom_maybe")).drop(
+                    "_bloom_maybe"
+                )
+                maybe = (
+                    flagged.where(F.col("_bloom_maybe"))
+                    .drop("_bloom_maybe")
+                    .join(
+                        prior_led.select("fingerprint"),
+                        "fingerprint",
+                        "left_anti",
+                    )
+                )
+                batch = fresh.unionByName(maybe).join(
+                    this_led.select("fingerprint"), "fingerprint", "left_anti"
+                )
+            else:
+                batch = batch.join(
+                    led.select("fingerprint"), "fingerprint", "left_anti"
+                )
         gate_caches: list[DataFrame] = []
         index_writes: list[tuple[DataFrame, str]] = []
         if near_dup_threshold is not None:

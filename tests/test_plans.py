@@ -310,6 +310,10 @@ SINGLE_PARTITION_OK = {
     "small_qty_revenue", "top_supplier",
     # lm_quality: two 1-row aggregates (corpus total, vocab floor)
     "lm_quality",
+    # token_budget_mix: 1-row totals aggregate over the per-source table
+    "token_budget_mix",
+    # bigram_nll: 1-row vocabulary-size aggregate (broadcast V)
+    "bigram_nll",
 }
 
 
@@ -355,3 +359,29 @@ def test_registry_outputs_are_scalar_columns(spark):
         if offending:
             bad[name] = offending
     assert not bad, f"non-scalar output columns (driver cannot hash): {bad}"
+
+
+def test_knn_sq_is_take_ordered_with_broadcast_query(spark):
+    """Quantized kNN: top-k must be TakeOrdered (no global sort) and
+    the 1-row query encoding must arrive by broadcast."""
+    plan = formatted_plan(QUERIES["knn_sq"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dedup_keep_best_single_pass_no_union(spark):
+    """The keep-best pruning must consume the verified pair list ONCE:
+    a symmetric-edge union would execute the un-cached MinHash pair
+    pipeline twice (measured 15.5 s -> 3.3 s at sf0.1). The plan
+    therefore contains no Union node, and the metadata joins stay
+    broadcast at dim size."""
+    plan = formatted_plan(QUERIES["dedup_keep_best"].fn(spark, SF))
+    assert "Union" not in plan
+
+
+def test_bigram_nll_vocab_is_broadcast_one_row(spark):
+    """The vocabulary-size scalar joins in as a broadcast 1-row
+    aggregate, not a shuffled cross join."""
+    plan = formatted_plan(QUERIES["bigram_nll"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -965,3 +965,37 @@ def test_stream_convert_battery_trip_parity(spark, tmp_path, which, parser):
         )
 
     assert sorted(key(r) for r in back) == sorted(key(r) for r in batch)
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """The ledger Bloom prefilter's routing correctness: every
+    fingerprint in the build set MUST be flagged maybe (a false
+    negative would skip the exact anti-join and re-accept an already-
+    accepted doc), and most non-members are ruled out (the 100 TB win:
+    they skip the prior-ledger anti-join). The word-table join must be
+    a broadcast."""
+    from bolson_spark.streaming.ingest import (
+        bloom_maybe_contains,
+        build_bloom_words,
+    )
+
+    members = spark.range(500).selectExpr("md5(cast(id as string)) fingerprint")
+    n_bits = 1 << 14
+    words = build_bloom_words(members, n_bits).cache()
+
+    flagged = bloom_maybe_contains(members, words, n_bits)
+    assert flagged.where("NOT _bloom_maybe").count() == 0  # no false negs
+
+    others = spark.range(10_000, 12_000).selectExpr(
+        "md5(cast(id as string)) fingerprint"
+    )
+    fp_rate = (
+        bloom_maybe_contains(others, words, n_bits)
+        .where("_bloom_maybe")
+        .count()
+        / 2000
+    )
+    assert fp_rate < 0.05, fp_rate  # ~0.9% expected at 10 bits/item
+
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan
