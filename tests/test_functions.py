@@ -1090,3 +1090,35 @@ def test_passage_and_gate_ops_empty_edge_cases(spark):
     out = incremental_minhash_dedup(empty, docs).collect()
     assert {r.doc_id for r in out} == {1, 2}
     assert all(r.accepted for r in out)
+
+
+def test_bpe_encode_query_lossless_roundtrip(spark):
+    """The corpus-scale BPE encode (registry `bpe_encode`, rows-only):
+    encoding must be LOSSLESS (concat(tokens) == word for every
+    distinct corpus word) and each word's token count bounded by
+    [1, len(word)] — the invariants a merge-table application cannot
+    break if the greedy fold is correct."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.functions.bpe import bpe_encode_col, bpe_train
+    from bolson_spark.functions.quality import words_col
+    from bolson_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents")
+    merges = bpe_train(docs, n_merges=12)
+    assert len(merges) == 12
+    dw = (
+        docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+        .distinct()
+        .select(
+            "word",
+            bpe_encode_col(F.col("word"), merges).alias("toks"),
+        )
+    )
+    bad = dw.where(
+        (F.concat_ws("", F.col("toks")) != F.col("word"))
+        | (F.size("toks") < 1)
+        | (F.size("toks") > F.length("word"))
+    ).count()
+    assert bad == 0

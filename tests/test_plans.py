@@ -385,3 +385,39 @@ def test_bigram_nll_vocab_is_broadcast_one_row(spark):
     plan = formatted_plan(QUERIES["bigram_nll"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sessionize_events_one_user_shuffle(spark):
+    """Gap sessionization must cost ONE shuffle: both windows and the
+    final (user_id, session_id) aggregation are satisfied by the same
+    hashpartitioning(user_id) exchange (HashPartitioning on a subset
+    of the grouping keys satisfies ClusteredDistribution)."""
+    plan = formatted_plan(QUERIES["sessionize_events"].fn(spark, SF))
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_scd2_user_state_one_user_shuffle(spark):
+    """SCD-2 interval build: lag, the change filter, and lead all ride
+    one hashpartitioning(user_id) exchange."""
+    plan = formatted_plan(QUERIES["scd2_user_state"].fn(spark, SF))
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_training_order_uses_scalable_seq_buckets(spark):
+    """The global shuffle order must come from the bucket-partitioned
+    scalable sequence pass (repartition on the literal bucket id), not
+    a single-reducer global window — the plan-hygiene sweep already
+    rejects SinglePartition; this pins the positive shape."""
+    plan = formatted_plan(QUERIES["training_order"].fn(spark, SF))
+    assert "hashpartitioning(_pid" in plan, plan
+
+
+def test_ivf_pq_knn_is_take_ordered(spark):
+    """The composed IVF+PQ stack: top-k must execute as TakeOrdered
+    over the cell-restricted ADC scan (no global sort, no cartesian
+    expansion — the LUT is a literal, the cell filter an equi-join)."""
+    plan = formatted_plan(QUERIES["ivf_pq_knn"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
