@@ -674,6 +674,38 @@ def ivf_probe_saved(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def ivf_append_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """INCREMENTAL index maintenance: assign a delta of new vectors to
+    the saved index's OWN centroids and append them to the cell
+    partition layout — the crawl-re-ingest shape for the ANN index
+    (the vector analog of the MinHash band-index append in
+    streaming/ingest.py). Cost is O(delta): one broadcast-centroid
+    argmax over the new vectors and a partitioned append; the existing
+    corpus is never read or rewritten, and every later probe prunes to
+    the probed cells exactly as before (append only adds files inside
+    cell directories). Centroid DRIFT is deliberately not handled here
+    — production IVF deployments freeze the coarse quantizer between
+    periodic retrains, because re-assigning the corpus is the O(N)
+    operation this path exists to avoid."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assigned = ivf_assign(
+        new_df, centroids, vec_col=vec_col, id_col=id_col
+    )
+    (
+        new_df.join(assigned.select(id_col, "cluster"), id_col)
+        .repartition(F.col("cluster"))
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{path}/cells")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding quantization: int8 scalar quantization + product quantization
 # ---------------------------------------------------------------------------

@@ -1072,6 +1072,136 @@ FROM changes
 """
 
 
+# ---------------------------------------------------------------------------
+# Iterative graph algorithm: PageRank over the part co-occurrence
+# graph (round 4) — the "centrality on a derived graph" family every
+# large-scale curation pipeline eventually needs (popularity priors,
+# link-graph quality signals).
+# ---------------------------------------------------------------------------
+
+PR_QTY_MIN = 45  # bounds the co-occurrence graph to heavy order lines
+PR_ITERS = 3
+PR_DAMPING = 0.85
+
+
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 unrolled power iterations, damping 0.85) over the
+    undirected part co-occurrence graph: parts joined by appearing in
+    the same order with l_quantity > 45.
+
+    Iterative algorithms on Spark = unrolled join/agg rounds (the
+    Pregel pattern without the framework): per iteration one equi-join
+    of the edge list with the score table and one map-side-combined
+    sum per destination. Edge construction is an equi-self-join on
+    l_orderkey (Theta(sum of per-order pairs), bounded by the quantity
+    filter, which is PUSHED to the lineitem scan). At 100 TB both the
+    join and the aggregation shuffle on integer keys; a power-law hub
+    part is AQE skew territory — same posture as the token pipelines.
+
+    Hash-gate float discipline: FIXED-POINT integer arithmetic.
+    Scores are bigint nano-units (1.0 = 10^9); per-edge contribution
+    is integer division score_e9 div deg, the damping update is
+    (85 * in_sum) div 100 + 150000000 — every operation is exact
+    bigint math, so the result is bit-identical on any engine,
+    partition order, or cluster size. Double- and decimal-domain
+    variants were both measurably 1-ulp engine-divergent at rounding
+    ties (~1/5000 casts); integer fixed point has no rounding mode at
+    all. The div truncation (vs true rounding) perturbs each score by
+    < 1e-9*deg — far below the 4th decimal anyone reads PageRank at."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > PR_QTY_MIN)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "l_orderkey").where(F.col("pa") < F.col("pb"))
+    sym = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    vertices = li.select(F.col("l_partkey").alias("part_id")).distinct()
+    scores = vertices.select(
+        "part_id", F.lit(1_000_000_000).cast("bigint").alias("score_e9")
+    )
+    edges = sym.join(deg, "src")
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(
+                scores.select(
+                    F.col("part_id").alias("src"), "score_e9"
+                ),
+                "src",
+            )
+            .select("dst", F.expr("score_e9 div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        scores = vertices.join(
+            contrib, vertices.part_id == contrib.dst, "left"
+        ).select(
+            "part_id",
+            (
+                F.lit(150_000_000).cast("bigint")
+                + F.expr("(85 * coalesce(in_sum, 0L)) div 100")
+            ).alias("score_e9"),
+        )
+    return scores.join(
+        deg.select(F.col("src").alias("part_id"), "deg"), "part_id", "left"
+    ).select(
+        "part_id",
+        F.col("score_e9").alias("pagerank_e9"),
+        F.coalesce("deg", F.lit(0)).alias("degree"),
+    )
+
+
+def _part_pagerank_sql() -> str:
+    it = """
+it{n} AS (
+  SELECT v.part_id,
+         CAST(150000000 + (85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT)
+           AS score_e9
+  FROM vertices v
+  LEFT JOIN (
+    SELECT e.dst, CAST(SUM(p.score_e9 // e.deg) AS BIGINT) AS in_sum
+    FROM edges e JOIN it{m} p ON e.src = p.part_id
+    GROUP BY e.dst
+  ) s ON v.part_id = s.dst
+)"""
+    iters = ",".join(
+        it.format(n=i + 1, m=i if i else 0) for i in range(PR_ITERS)
+    )
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > {PR_QTY_MIN}
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+edges AS (SELECT sym.src, sym.dst, deg.deg FROM sym JOIN deg USING (src)),
+vertices AS (SELECT DISTINCT l_partkey AS part_id FROM li),
+it0 AS (
+  SELECT part_id, CAST(1000000000 AS BIGINT) AS score_e9 FROM vertices
+),
+{iters}
+SELECT v.part_id, it{PR_ITERS}.score_e9 AS pagerank_e9,
+       CAST(COALESCE(deg.deg, 0) AS BIGINT) AS degree
+FROM vertices v
+JOIN it{PR_ITERS} ON v.part_id = it{PR_ITERS}.part_id
+LEFT JOIN deg ON v.part_id = deg.src
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "order_priority_check": QuerySpec(
         q_order_priority_check, O_ORDER_PRIORITY_CHECK, ("relational",)
@@ -1130,5 +1260,8 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     ),
     "scd2_user_state": QuerySpec(
         q_scd2_user_state, O_SCD2_USER_STATE, ("relational", "temporal")
+    ),
+    "part_pagerank": QuerySpec(
+        q_part_pagerank, _part_pagerank_sql(), ("graph", "iterative")
     ),
 }

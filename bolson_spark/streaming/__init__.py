@@ -8,7 +8,11 @@ from bolson_spark.streaming.sink import (
     make_sink,
 )
 from bolson_spark.streaming.pipeline import run_stream_convert
-from bolson_spark.streaming.stateful import running_stats, running_stats_tws
+from bolson_spark.streaming.stateful import (
+    running_stats,
+    running_stats_tws,
+    sessionize_stream,
+)
 
 __all__ = [
     "BatchingOptions",
@@ -21,4 +25,5 @@ __all__ = [
     "run_stream_convert",
     "running_stats",
     "running_stats_tws",
+    "sessionize_stream",
 ]

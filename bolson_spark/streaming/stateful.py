@@ -166,3 +166,112 @@ def running_stats_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming gap sessionization (the stateful twin of the batch
+# `sessionize_events` registry query)
+# ---------------------------------------------------------------------------
+
+SESSIONIZE_GAP_MIN = 60  # same gap as queries_ext.SESSION_GAP_MIN
+
+SESSIONIZE_OUTPUT = (
+    "user_id bigint, session_start_us bigint, session_end_us bigint, "
+    "n_events bigint, sum_value double"
+)
+SESSIONIZE_STATE = (
+    "session_start_us bigint, last_us bigint, n_events bigint, "
+    "sum_value double"
+)
+
+
+def _sessionize_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's events (sorted by event time) into the open
+    session for `key`; emit every session CLOSED by a gap, keep the
+    trailing open session in state, and close it via event-time
+    timeout when the watermark passes last_us + gap."""
+    gap_us = SESSIONIZE_GAP_MIN * 60 * 1_000_000
+    closed: list[tuple[int, int, int, int, float]] = []
+    cur = list(state.get) if state.exists else None
+    if state.hasTimedOut:
+        # watermark passed last_us + gap: the open session is final
+        if cur is not None:
+            closed.append((key[0], cur[0], cur[1], cur[2], cur[3]))
+        state.remove()
+    else:
+        frames = list(pdfs)
+        ev = pd.concat(frames) if frames else pd.DataFrame()
+        if len(ev):
+            ev = ev.sort_values("us", kind="stable")
+            for us, value in zip(ev["us"], ev["value"]):
+                us = int(us)
+                if cur is None:
+                    cur = [us, us, 0, 0.0]
+                elif us - cur[1] > gap_us:
+                    closed.append((key[0], cur[0], cur[1], cur[2], cur[3]))
+                    cur = [us, us, 0, 0.0]
+                cur[1] = us
+                cur[2] += 1
+                cur[3] += float(value)
+        if cur is not None:
+            state.update(tuple(cur))
+            # timeout fires once the WATERMARK (not wall clock) passes
+            # this instant — late events inside the watermark can still
+            # extend the session first. If other keys already advanced
+            # the watermark past last+gap (this session is ALREADY
+            # gap-expired), clamp forward: Spark rejects timestamps
+            # behind the watermark, and the clamped timer fires at the
+            # very next trigger, which is the earliest legal close.
+            desired_ms = cur[1] // 1000 + gap_us // 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(desired_ms, wm_ms + 1))
+    yield pd.DataFrame(
+        closed,
+        columns=[
+            "user_id",
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            "sum_value",
+        ],
+    )
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming gap-based sessionization: emits each user session
+    once, when it CLOSES — either a later event arrives past the gap,
+    or the event-time watermark passes last-event + gap (idle
+    sessions cannot pin state forever, the unbounded-stream
+    requirement). Identical session boundaries to the batch
+    `sessionize_events` query (parity-tested on the closed set).
+
+    Scale posture: state is one O(1) tuple per OPEN session (active
+    users, not events); the per-micro-batch shuffle keys by user_id —
+    the same single-shuffle shape as the batch twin, amortized over
+    the stream.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = stream_df.withWatermark(ts_col, watermark).select(
+        F.col(user_col).cast("bigint").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=SESSIONIZE_OUTPUT,
+        stateStructType=SESSIONIZE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1122,3 +1122,56 @@ def test_bpe_encode_query_lossless_roundtrip(spark):
         | (F.size("toks") > F.length("word"))
     ).count()
     assert bad == 0
+
+
+def test_ivf_append_index_equals_full_build(spark, tmp_path):
+    """Incremental IVF maintenance: building the index on half the
+    corpus and APPENDING the other half must be probe-identical to a
+    full build — same assignments (frozen centroids), same partition
+    layout, same top-k at every n_probe."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.functions.similarity import (
+        ivf_append_index,
+        ivf_probe_saved,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    cut = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+
+    full = str(tmp_path / "ivf_full")
+    save_ivf_index(emb, centroids, full)
+    incr = str(tmp_path / "ivf_incr")
+    save_ivf_index(emb.where(F.col("vec_id") <= cut), centroids, incr)
+    ivf_append_index(spark, incr, emb.where(F.col("vec_id") > cut))
+
+    for n_probe in (1, 3, 8):
+        got = [
+            (r.vec_id, r.cosine)
+            for r in ivf_probe_saved(
+                spark, incr, qv, k=10, n_probe=n_probe
+            ).collect()
+        ]
+        want = [
+            (r.vec_id, r.cosine)
+            for r in ivf_probe_saved(
+                spark, full, qv, k=10, n_probe=n_probe
+            ).collect()
+        ]
+        assert got == want, n_probe
+    # appended rows landed inside existing cell dirs (pruning intact)
+    import os
+
+    cells = sorted(
+        d for d in os.listdir(f"{incr}/cells") if d.startswith("cluster=")
+    )
+    full_cells = sorted(
+        d for d in os.listdir(f"{full}/cells") if d.startswith("cluster=")
+    )
+    assert cells == full_cells

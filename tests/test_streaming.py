@@ -999,3 +999,161 @@ def test_bloom_prefilter_no_false_negatives(spark):
 
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
+    """Streaming gap sessionization (applyInPandasWithState, event-time
+    timeout) must emit exactly the sessions the BATCH sessionize logic
+    closes: every session except each user's trailing one (the stream
+    ends before the watermark can pass its gap, so it stays open in
+    state). Boundaries, counts, and sums must match per session."""
+    import pandas as pd
+
+    from bolson_spark.streaming import sessionize_stream
+
+    gap_us = 60 * 60 * 1_000_000
+    rng = random.Random(7)
+    base = 1_700_000_000_000_000  # epoch micros
+    rows = []
+    for uid in range(6):
+        t = base + uid * 13_000_000
+        for _ in range(rng.randint(8, 15)):
+            # mixture of intra-session steps and gap-crossing jumps
+            t += rng.choice([60_000_000, 240_000_000, gap_us + 120_000_000])
+            rows.append(
+                {
+                    "user_id": uid,
+                    "us": t,
+                    "value": round(rng.uniform(0, 20), 2),
+                }
+            )
+    # a stream arrives roughly time-ordered; the 96h watermark covers
+    # the cross-user event-time skew so nothing is late-dropped and no
+    # timer fires before stream end (the timer path has its own test)
+    rows.sort(key=lambda r: r["us"])
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        chunk = rows[i * third:(i + 1) * third]
+        (src / f"b{i}.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in chunk) + "\n"
+        )
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id bigint, us bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .selectExpr(
+            "user_id", "timestamp_micros(us) AS ts", "value"
+        )
+    )
+    out_dir = tmp_path / "sess_out"
+    q = (
+        sessionize_stream(stream, watermark="96 hours")
+        .writeStream.foreachBatch(
+            lambda bdf, _b: bdf.write.mode("append").parquet(str(out_dir))
+        )
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.read.parquet(str(out_dir))
+        .toPandas()
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+
+    # batch reference: same fold in pure pandas
+    ref_rows = []
+    pdf = pd.DataFrame(rows).sort_values(["user_id", "us"])
+    for uid, grp in pdf.groupby("user_id"):
+        cur = None
+        sessions = []
+        for us, value in zip(grp["us"], grp["value"]):
+            if cur is None or us - cur[1] > gap_us:
+                if cur is not None:
+                    sessions.append(cur)
+                cur = [us, us, 0, 0.0]
+            cur[1] = us
+            cur[2] += 1
+            cur[3] += float(value)
+        # trailing session stays OPEN in the stream — excluded
+        ref_rows.extend(
+            (uid, s[0], s[1], s[2], round(s[3], 6)) for s in sessions
+        )
+    ref = (
+        pd.DataFrame(
+            ref_rows,
+            columns=[
+                "user_id",
+                "session_start_us",
+                "session_end_us",
+                "n_events",
+                "sum_value",
+            ],
+        )
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref), (len(got), len(ref))
+    got["sum_value"] = got["sum_value"].round(6)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_sessionize_stream_timeout_closes_idle_session(spark, tmp_path):
+    """The event-time timer path: an idle session must close once the
+    watermark (advanced by OTHER keys' events) passes last-event + gap
+    — idle sessions cannot pin state on an unbounded stream."""
+    from bolson_spark.streaming import sessionize_stream
+
+    base = 1_700_000_000_000_000
+    hour = 3_600_000_000
+    batches = [
+        # user 1: a 3-event session ending at base+10min
+        [
+            {"user_id": 1, "us": base, "value": 1.0},
+            {"user_id": 1, "us": base + 300_000_000, "value": 2.0},
+            {"user_id": 1, "us": base + 600_000_000, "value": 3.0},
+        ],
+        # user 2 advances the watermark 5h past user 1's last event
+        [{"user_id": 2, "us": base + 5 * hour, "value": 9.0}],
+        # any further trigger fires user 1's (long-expired) timer
+        [{"user_id": 2, "us": base + 5 * hour + 60_000_000, "value": 9.5}],
+    ]
+    src = tmp_path / "to_src"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        (src / f"b{i}.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in b) + "\n"
+        )
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id bigint, us bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .selectExpr("user_id", "timestamp_micros(us) AS ts", "value")
+    )
+    out_dir = tmp_path / "to_out"
+    q = (
+        sessionize_stream(stream)
+        .writeStream.foreachBatch(
+            lambda bdf, _b: bdf.write.mode("append").parquet(str(out_dir))
+        )
+        .option("checkpointLocation", str(tmp_path / "to_ck"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(str(out_dir)).where("user_id = 1").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.session_start_us == base
+    assert r.session_end_us == base + 600_000_000
+    assert r.n_events == 3
+    assert abs(r.sum_value - 6.0) < 1e-9
