@@ -60,33 +60,36 @@ def quality_metrics(df: DataFrame, text_col: str = "text",
         F.col(text_col).alias("_text"),
         words_col(F.col(text_col)).alias("_words"),
     )
+    # zero-word documents: every ratio is undefined — NULL, not a
+    # divide-by-zero (ANSI mode raises on 0/0; the oracle mirrors with
+    # CASE WHEN). keep still evaluates FALSE via the n_words range.
+    def _ratio(expr: Column) -> Column:
+        return F.when(F.size("_words") > 0, F.round(expr, 6))
+
     scalar = w.select(
         id_col,
         "_text",
         "_words",
         F.size("_words").alias("n_words"),
-        F.round(
+        _ratio(
             F.aggregate(
                 "_words", F.lit(0.0), lambda acc, x: acc + F.length(x)
             )
-            / F.size("_words"),
-            6,
+            / F.size("_words")
         ).alias("mean_word_len"),
-        F.round(
-            F.size(F.array_distinct("_words")) / F.size("_words"), 6
+        _ratio(
+            F.size(F.array_distinct("_words")) / F.size("_words")
         ).alias("unique_word_frac"),
-        F.round(
+        _ratio(
             F.size(F.filter("_words", lambda x: x.rlike("[a-zA-Z]")))
-            / F.size("_words"),
-            6,
+            / F.size("_words")
         ).alias("alpha_word_frac"),
-        F.round(
+        _ratio(
             (
                 _count_occurrences(F.col("_text"), "#")
                 + _count_occurrences(F.col("_text"), "...")
             )
-            / F.size("_words"),
-            6,
+            / F.size("_words")
         ).alias("symbol_word_ratio"),
     )
 
@@ -94,13 +97,21 @@ def quality_metrics(df: DataFrame, text_col: str = "text",
     # bigram. explode → count per (doc, bigram) → max per doc: two
     # map-side-combined shuffles on doc_id — the scale-safe shape (the
     # all-in-one-expression alternative is O(n_words^2) per document).
+    # sequence(1, 0) counts DOWN in Spark, so 0/1-word docs would
+    # manufacture junk NULL bigrams where the oracle emits none —
+    # guard to an empty array (doc then falls out of `top`, exactly
+    # like the oracle's empty range(1, 1), and the LEFT join + keep
+    # coalesce handle the NULL)
     bigrams = w.select(
         id_col,
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(_words) - 1),"
-                " i -> concat(_words[i-1], ' ', _words[i]))"
-            )
+            F.when(
+                F.size("_words") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(_words) - 1),"
+                    " i -> concat(_words[i-1], ' ', _words[i]))"
+                ),
+            ).otherwise(F.expr("array()").cast("array<string>"))
         ).alias("bigram"),
     )
     top = (
@@ -130,7 +141,10 @@ def quality_metrics(df: DataFrame, text_col: str = "text",
         & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
            <= MAX_TOP_BIGRAM_FRAC)
     )
-    return out.withColumn("keep", keep)
+    # NULL-text docs have NULL n_words -> NULL keep; pin to FALSE (a
+    # degenerate doc is never keepable, and NULL booleans render
+    # engine-differently through pandas)
+    return out.withColumn("keep", F.coalesce(keep, F.lit(False)))
 
 
 def stratified_sample(

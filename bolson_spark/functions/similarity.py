@@ -627,14 +627,24 @@ def save_ivf_index(
     the corpus. Assignment is ivf_assign (broadcast centroids, map-side
     argmax); the one data shuffle is the partitioned write itself."""
     assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    _write_cells(df, assigned, path, "overwrite", id_col)
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def _write_cells(
+    df: DataFrame, assigned: DataFrame, path: str, mode: str, id_col: str
+) -> None:
+    """The one definition of the cells layout contract (assignment
+    join, cluster repartition, partitioned parquet under
+    `<path>/cells`) — shared by the full build and the incremental
+    append so the two paths cannot desynchronize."""
     (
         df.join(assigned.select(id_col, "cluster"), id_col)
         .repartition(F.col("cluster"))
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("cluster")
         .parquet(f"{path}/cells")
     )
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def ivf_probe_saved(
@@ -697,13 +707,7 @@ def ivf_append_index(
     assigned = ivf_assign(
         new_df, centroids, vec_col=vec_col, id_col=id_col
     )
-    (
-        new_df.join(assigned.select(id_col, "cluster"), id_col)
-        .repartition(F.col("cluster"))
-        .write.mode("append")
-        .partitionBy("cluster")
-        .parquet(f"{path}/cells")
-    )
+    _write_cells(new_df, assigned, path, "append", id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -1170,9 +1170,7 @@ it{n} AS (
     GROUP BY e.dst
   ) s ON v.part_id = s.dst
 )"""
-    iters = ",".join(
-        it.format(n=i + 1, m=i if i else 0) for i in range(PR_ITERS)
-    )
+    iters = ",".join(it.format(n=i + 1, m=i) for i in range(PR_ITERS))
     return f"""
 WITH li AS (
   SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > {PR_QTY_MIN}

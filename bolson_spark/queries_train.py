@@ -46,15 +46,19 @@ WITH w AS (
 scalar AS (
   SELECT doc_id,
          len(words) AS n_words,
-         ROUND(list_aggregate(list_transform(words, x -> CAST(len(x) AS DOUBLE)), 'sum')
-               / len(words), 6) AS mean_word_len,
-         ROUND(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6)
-           AS unique_word_frac,
-         ROUND(CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
-               / len(words), 6) AS alpha_word_frac,
-         ROUND((CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
-                + (len(text) - len(replace(text, '...', ''))) / 3.0)
-               / len(words), 6) AS symbol_word_ratio
+         CASE WHEN len(words) > 0 THEN
+           ROUND(list_aggregate(list_transform(words, x -> CAST(len(x) AS DOUBLE)), 'sum')
+                 / len(words), 6) END AS mean_word_len,
+         CASE WHEN len(words) > 0 THEN
+           ROUND(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6)
+           END AS unique_word_frac,
+         CASE WHEN len(words) > 0 THEN
+           ROUND(CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                 / len(words), 6) END AS alpha_word_frac,
+         CASE WHEN len(words) > 0 THEN
+           ROUND((CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+                  + (len(text) - len(replace(text, '...', ''))) / 3.0)
+                 / len(words), 6) END AS symbol_word_ratio
   FROM w
 ),
 bg AS (
@@ -74,12 +78,12 @@ top AS (
 )
 SELECT s.doc_id, s.n_words, s.mean_word_len, s.unique_word_frac,
        s.alpha_word_frac, s.symbol_word_ratio, t.top_bigram_frac,
-       (s.n_words BETWEEN 20 AND 100000
+       COALESCE(s.n_words BETWEEN 20 AND 100000
         AND s.mean_word_len BETWEEN 2.0 AND 12.0
         AND s.alpha_word_frac >= 0.8
         AND s.symbol_word_ratio <= 0.1
         AND s.unique_word_frac >= 0.2
-        AND COALESCE(t.top_bigram_frac, 0.0) <= 0.20) AS keep
+        AND COALESCE(t.top_bigram_frac, 0.0) <= 0.20, FALSE) AS keep
 FROM scalar s LEFT JOIN top t USING (doc_id)
 """
 
@@ -320,7 +324,10 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     ws = words_col(F.col("text"))
-    scored = docs.select(
+    # zero-word docs: Spark 0/0 -> NULL (sorted NULLS FIRST) but
+    # DuckDB -> NaN (sorted last) — exclude them from the stratum on
+    # BOTH sides so the percentile lattice is engine-identical
+    scored = docs.where(F.size(ws) > 0).select(
         "doc_id",
         "lang",
         F.round(F.size(F.array_distinct(ws)) / F.size(ws), 6).alias(
@@ -341,6 +348,7 @@ WITH s AS (
          ROUND(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6)
            AS uniq_frac
   FROM (SELECT doc_id, lang, {_W} AS words FROM documents)
+  WHERE len(words) > 0
 ),
 r AS (
   SELECT doc_id, lang, uniq_frac,
@@ -446,12 +454,22 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     w = docs.select("doc_id", words_col(F.col("text")).alias("ws"))
+    # sequence(1, 0) counts DOWN in Spark (junk (word, NULL) bigrams
+    # that inflate the context counts vs the oracle) — guard 1-word
+    # docs to an empty array, same pattern as corpus.py::word_ngrams
     bg = w.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(ws) - 1),"
-                " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+            F.when(
+                F.size("ws") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+                ),
+            ).otherwise(
+                F.expr("array()").cast(
+                    "array<struct<w1:string,w2:string>>"
+                )
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
@@ -726,13 +744,19 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_top") / F.col("_n"), 6).alias("top_word_frac"),
         )
     )
+    # greatest(size-2, 0) does NOT stop sequence(1, 0) from counting
+    # DOWN for 1-2-word docs (junk grams the oracle never emits) —
+    # guard to an empty array like corpus.py::word_ngrams
     tri = w.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(ws) - 2, 0)),"
-                " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
-            )
+            F.when(
+                F.size("ws") >= 3,
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2),"
+                    " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+                ),
+            ).otherwise(F.expr("array()").cast("array<string>"))
         ).alias("g"),
     )
     tri_dup = (

@@ -151,12 +151,21 @@ def _bloom_positions(fp_col, n_bits: int):
     )
 
 
+BLOOM_BROADCAST_MAX_BITS = 1 << 28  # <= 4M word rows (~64 MB) broadcast
+
+
 def build_bloom_words(fps: DataFrame, n_bits: int) -> DataFrame:
     """Distributed Bloom filter build: (word_idx, word) rows — the
     bitset packed into 64-bit words via a bit_or aggregation. One scan
-    of the fingerprint set, no driver collect: the result is
-    n_bits/64 rows at most (MBs for billions of items), broadcastable.
-    """
+    of the fingerprint set, no driver collect; the result is at most
+    n_bits/64 rows. Size honesty: at 10 bits/item that is ~16 MB of
+    words per 100M fingerprints — broadcast-friendly into the
+    ~billion-item range, but at multi-billion-item ledgers the word
+    table reaches GBs, and `bloom_maybe_contains` switches the probe
+    from a broadcast join to a shuffled equi-join on word_idx above
+    BLOOM_BROADCAST_MAX_BITS (a production refinement past that point
+    is a driver-packed bitmap broadcast variable; the routing
+    semantics are unchanged either way)."""
     pos = fps.select(
         F.explode(_bloom_positions(F.col("fingerprint"), n_bits)).alias("p")
     )
@@ -181,13 +190,18 @@ def bloom_maybe_contains(
     # between the two references to `probe`; duplicate fingerprints
     # (none after the in-batch dedup, but allowed by this API) simply
     # share their identical flag
+    words = (
+        F.broadcast(bloom_words)
+        if n_bits <= BLOOM_BROADCAST_MAX_BITS
+        else bloom_words
+    )
     bits = (
         batch.select(
             F.col(fp_col),
             F.explode(_bloom_positions(F.col(fp_col), n_bits)).alias("p"),
         )
         .withColumn("word_idx", (F.col("p") / 64).cast("long"))
-        .join(F.broadcast(bloom_words), "word_idx", "left")
+        .join(words, "word_idx", "left")
         .select(
             fp_col,
             F.expr(
@@ -366,7 +380,15 @@ def run_stream_ingest(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        fp = F.md5(F.col(text_col)).alias("fingerprint")
+        # coalesce NULL text to "": md5(NULL) is NULL, and NULL join
+        # keys behave differently in the plain anti-join (kept) vs the
+        # Bloom split's inner flag join (dropped) — a NULL-text doc
+        # must not be accepted or rejected depending on whether a
+        # prior ledger happens to exist. Empty-content docs dedup
+        # among themselves under the md5("") fingerprint.
+        fp = F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias(
+            "fingerprint"
+        )
         batch = batch_df.select(fp, F.col(id_col), F.col(text_col))
         # one keeper per fingerprint within the batch (deterministic)
         batch = (
@@ -380,12 +402,17 @@ def run_stream_ingest(
             .drop("_rn")
         )
         led = _ledger_before(sp, ledger_dir, run_id, batch_id)
+        extra_caches: list[DataFrame] = []
         if led is not None:
             if prior_bloom is not None:
                 words, n_bits = prior_bloom
                 prior_led = led.where(F.col("run") != run_id)
                 this_led = led.where(F.col("run") == run_id)
-                flagged = bloom_maybe_contains(batch, words, n_bits)
+                # cache: BOTH union branches reference `flagged` — an
+                # un-cached split re-executes the batch dedup shuffle
+                # and the Bloom probe aggregation once per branch
+                flagged = bloom_maybe_contains(batch, words, n_bits).cache()
+                extra_caches.append(flagged)
                 fresh = flagged.where(~F.col("_bloom_maybe")).drop(
                     "_bloom_maybe"
                 )
@@ -452,6 +479,8 @@ def run_stream_ingest(
             )
         batch.unpersist()
         for c in gate_caches:
+            c.unpersist()
+        for c in extra_caches:
             c.unpersist()
 
     return (

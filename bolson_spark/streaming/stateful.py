@@ -214,7 +214,12 @@ def _sessionize_fn(
                 elif us - cur[1] > gap_us:
                     closed.append((key[0], cur[0], cur[1], cur[2], cur[3]))
                     cur = [us, us, 0, 0.0]
-                cur[1] = us
+                # a late-but-within-watermark event can arrive BELOW
+                # the open session's bounds (cross-batch disorder) —
+                # fold it in without regressing either boundary or the
+                # timeout timer (min/max, never overwrite)
+                cur[0] = min(cur[0], us)
+                cur[1] = max(cur[1], us)
                 cur[2] += 1
                 cur[3] += float(value)
         if cur is not None:

@@ -1157,3 +1157,97 @@ def test_sessionize_stream_timeout_closes_idle_session(spark, tmp_path):
     assert r.session_end_us == base + 600_000_000
     assert r.n_events == 3
     assert abs(r.sum_value - 6.0) < 1e-9
+
+
+def test_sessionize_stream_late_event_does_not_regress_boundaries(
+    spark, tmp_path
+):
+    """A late-but-within-watermark event arriving BELOW the open
+    session's bounds must fold in via min/max — never overwrite
+    session_end_us (which would also re-arm the close timer early)."""
+    from bolson_spark.streaming import sessionize_stream
+
+    base = 1_700_000_000_000_000
+    m = 60_000_000
+    batches = [
+        # session opens [base, base+10m]
+        [
+            {"user_id": 1, "us": base, "value": 1.0},
+            {"user_id": 1, "us": base + 10 * m, "value": 1.0},
+        ],
+        # LATE event at base+5m (inside the 1h session span)
+        [{"user_id": 1, "us": base + 5 * m, "value": 1.0}],
+        # gap-crossing event closes the session -> emitted
+        [{"user_id": 1, "us": base + 200 * m, "value": 1.0}],
+    ]
+    src = tmp_path / "late_src"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        (src / f"b{i}.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in b) + "\n"
+        )
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id bigint, us bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .selectExpr("user_id", "timestamp_micros(us) AS ts", "value")
+    )
+    out_dir = tmp_path / "late_out"
+    q = (
+        sessionize_stream(stream, watermark="24 hours")
+        .writeStream.foreachBatch(
+            lambda bdf, _b: bdf.write.mode("append").parquet(str(out_dir))
+        )
+        .option("checkpointLocation", str(tmp_path / "late_ck"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(str(out_dir)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.session_start_us == base
+    assert r.session_end_us == base + 10 * m  # NOT regressed to +5m
+    assert r.n_events == 3
+
+
+def test_stream_ingest_null_text_consistent_across_bloom_paths(
+    spark, tmp_path
+):
+    """NULL-text docs must gate identically whether or not the Bloom
+    prefilter is active: fingerprint = md5(coalesce(text, '')), so an
+    empty-string doc accepted in run 1 makes a NULL-text doc in run 2
+    (fresh checkpoint -> prior ledger -> Bloom path) a DUPLICATE."""
+    from bolson_spark.streaming.ingest import run_stream_ingest
+
+    root = tmp_path / "nulltext"
+    src = root / "src"
+    src.mkdir(parents=True)
+
+    def run_once(ck: str, rows):
+        for f in src.glob("*.jsonl"):
+            f.unlink()
+        (src / f"{ck}.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id bigint, text string")
+            .load(str(src))
+        )
+        q = run_stream_ingest(
+            spark, stream, str(root / "out"), str(root / ck)
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once("ck1", [{"doc_id": 1, "text": ""}, {"doc_id": 2, "text": "x"}])
+    # fresh checkpoint -> new run; prior ledger exists -> Bloom path
+    run_once("ck2", [{"doc_id": 3, "text": None}, {"doc_id": 4, "text": "y"}])
+
+    acc = spark.read.parquet(str(root / "out" / "accepted")).collect()
+    ids = sorted(r.doc_id for r in acc)
+    # doc 3 (NULL text) is a dup of doc 1 ("" text) — rejected; doc 4 new
+    assert ids == [1, 2, 4], ids
