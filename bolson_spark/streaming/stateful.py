@@ -179,9 +179,16 @@ SESSIONIZE_OUTPUT = (
     "user_id bigint, session_start_us bigint, session_end_us bigint, "
     "n_events bigint, sum_value double"
 )
+# State = ALL non-final sessions for the key as parallel arrays
+# (disjoint, sorted by start, adjacent sessions separated by > gap).
+# A session is held here until the WATERMARK passes its end + gap —
+# emitting earlier would be premature: a late-but-within-watermark
+# event may still belong to it (extend it, or bridge it with the next
+# session). Spark's own session_window append mode finalizes on the
+# same condition for the same reason.
 SESSIONIZE_STATE = (
-    "session_start_us bigint, last_us bigint, n_events bigint, "
-    "sum_value double"
+    "starts array<bigint>, ends array<bigint>, ns array<bigint>, "
+    "sums array<double>"
 )
 
 
@@ -190,52 +197,83 @@ def _sessionize_fn(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Fold this batch's events (sorted by event time) into the open
-    session for `key`; emit every session CLOSED by a gap, keep the
-    trailing open session in state, and close it via event-time
-    timeout when the watermark passes last_us + gap."""
+    """Merge this batch's events into the key's pending-session set,
+    then emit (finalize) exactly the sessions the watermark has passed.
+
+    Merge step: pending sessions and new events are swept together as
+    intervals sorted by start; an item within `gap` of the running
+    interval folds in (end = max, counts/sums add), otherwise it opens
+    a new interval. Because pending sessions are separated by > gap,
+    two sessions only ever merge when a new (late) event bridges them
+    — so out-of-order arrival within the watermark converges to the
+    exact batch sessionization, including events that arrive after a
+    later session has already opened.
+
+    Finalize step: a session is emitted iff session_end + gap <
+    watermark. Events behind the watermark are DROPPED here first —
+    unlike windowed aggregations, arbitrary stateful ops do NOT get
+    automatic late-row filtering from Spark, and an accepted
+    behind-watermark event could belong to an already-emitted session.
+    With the drop, no accepted event can be within `gap` of a
+    finalized session (merge requires ts <= end + gap < watermark) —
+    emitted sessions are immutable-final, never revised. This is the
+    same drop rule Spark applies to its own session_window
+    aggregation."""
     gap_us = SESSIONIZE_GAP_MIN * 60 * 1_000_000
-    closed: list[tuple[int, int, int, int, float]] = []
-    cur = list(state.get) if state.exists else None
-    if state.hasTimedOut:
-        # watermark passed last_us + gap: the open session is final
-        if cur is not None:
-            closed.append((key[0], cur[0], cur[1], cur[2], cur[3]))
-        state.remove()
+    wm_ms = state.getCurrentWatermarkMs()
+    wm_us = wm_ms * 1000
+    if state.exists:
+        starts, ends, ns, sums = state.get
+        sessions = [
+            [int(s), int(e), int(n), float(v)]
+            for s, e, n, v in zip(starts, ends, ns, sums)
+        ]
     else:
-        frames = list(pdfs)
-        ev = pd.concat(frames) if frames else pd.DataFrame()
-        if len(ev):
-            ev = ev.sort_values("us", kind="stable")
-            for us, value in zip(ev["us"], ev["value"]):
-                us = int(us)
-                if cur is None:
-                    cur = [us, us, 0, 0.0]
-                elif us - cur[1] > gap_us:
-                    closed.append((key[0], cur[0], cur[1], cur[2], cur[3]))
-                    cur = [us, us, 0, 0.0]
-                # a late-but-within-watermark event can arrive BELOW
-                # the open session's bounds (cross-batch disorder) —
-                # fold it in without regressing either boundary or the
-                # timeout timer (min/max, never overwrite)
-                cur[0] = min(cur[0], us)
-                cur[1] = max(cur[1], us)
-                cur[2] += 1
-                cur[3] += float(value)
-        if cur is not None:
-            state.update(tuple(cur))
-            # timeout fires once the WATERMARK (not wall clock) passes
-            # this instant — late events inside the watermark can still
-            # extend the session first. If other keys already advanced
-            # the watermark past last+gap (this session is ALREADY
-            # gap-expired), clamp forward: Spark rejects timestamps
-            # behind the watermark, and the clamped timer fires at the
-            # very next trigger, which is the earliest legal close.
-            desired_ms = cur[1] // 1000 + gap_us // 1000
-            wm_ms = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max(desired_ms, wm_ms + 1))
+        sessions = []
+    frames = [] if state.hasTimedOut else list(pdfs)
+    ev = pd.concat(frames) if frames else None
+    if ev is not None and len(ev):
+        ev = ev[ev["us"] >= wm_us]  # late beyond watermark: dropped
+    if ev is not None and len(ev):
+        items = sessions + [
+            [int(us), int(us), 1, float(v)]
+            for us, v in zip(ev["us"], ev["value"])
+        ]
+        items.sort(key=lambda it: (it[0], it[1]))
+        merged: list[list] = []
+        for it in items:
+            if merged and it[0] - merged[-1][1] <= gap_us:
+                last = merged[-1]
+                last[1] = max(last[1], it[1])
+                last[2] += it[2]
+                last[3] += it[3]
+            else:
+                merged.append(it)
+        sessions = merged
+    final = [s for s in sessions if s[1] + gap_us < wm_us]
+    pending = [s for s in sessions if s[1] + gap_us >= wm_us]
+    if pending:
+        state.update(
+            (
+                [s[0] for s in pending],
+                [s[1] for s in pending],
+                [s[2] for s in pending],
+                [s[3] for s in pending],
+            )
+        )
+        # Fire when the watermark passes the EARLIEST pending close
+        # point (end + gap); ms floor is safe — the timer fires when
+        # wm_ms > timer_ms, i.e. wm_us > end + gap. Clamp to wm + 1:
+        # Spark rejects timers behind the watermark, and the clamped
+        # timer fires at the very next trigger, the earliest legal
+        # close for an already-expired session (finalization re-checks
+        # against the actual watermark either way).
+        desired_ms = min(s[1] for s in pending) // 1000 + gap_us // 1000
+        state.setTimeoutTimestamp(max(desired_ms, wm_ms + 1))
+    else:
+        state.remove()
     yield pd.DataFrame(
-        closed,
+        [(key[0], s[0], s[1], s[2], s[3]) for s in final],
         columns=[
             "user_id",
             "session_start_us",
@@ -254,16 +292,22 @@ def sessionize_stream(
     watermark: str = "0 seconds",
 ) -> DataFrame:
     """Streaming gap-based sessionization: emits each user session
-    once, when it CLOSES — either a later event arrives past the gap,
-    or the event-time watermark passes last-event + gap (idle
-    sessions cannot pin state forever, the unbounded-stream
-    requirement). Identical session boundaries to the batch
-    `sessionize_events` query (parity-tested on the closed set).
+    exactly once, when the event-time WATERMARK passes its end + gap —
+    the earliest moment the session is provably final (no event that
+    could still extend or bridge it can arrive afterwards, since rows
+    behind the watermark are dropped). Gap-crossing arrivals alone do
+    NOT emit: a late-but-within-watermark event may still belong to
+    the earlier session, so it is held in state and merged on arrival
+    — identical session boundaries to the batch `sessionize_events`
+    query under ANY within-watermark arrival order (parity-tested,
+    including cross-gap late arrivals). Idle sessions close via
+    event-time timers, so state cannot grow unboundedly on an
+    unbounded stream.
 
-    Scale posture: state is one O(1) tuple per OPEN session (active
-    users, not events); the per-micro-batch shuffle keys by user_id —
-    the same single-shuffle shape as the batch twin, amortized over
-    the stream.
+    Scale posture: state is one O(1) tuple per NON-FINAL session —
+    bounded by (active users) x (sessions per watermark delay), not by
+    events; the per-micro-batch shuffle keys by user_id — the same
+    single-shuffle shape as the batch twin, amortized over the stream.
     """
     from pyspark.sql import functions as F
 

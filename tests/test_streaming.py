@@ -1001,15 +1001,53 @@ def test_bloom_prefilter_no_false_negatives(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan
 
 
+def _run_sessionize_batches(spark, tmp_path, name, batches, watermark):
+    """Drive sessionize_stream with a DETERMINISTIC batch sequence:
+    each entry of `batches` is written and fully drained before the
+    next lands. (Writing all files up front and relying on
+    maxFilesPerTrigger is NOT deterministic — the file source orders
+    by ms-truncated mtime, and same-ms ties can process a later file
+    first, silently reordering the event stream.) Returns the emitted
+    sessions as a DataFrame."""
+    from bolson_spark.streaming import sessionize_stream
+
+    src = tmp_path / f"{name}_src"
+    src.mkdir()
+    out_dir = tmp_path / f"{name}_out"
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id bigint, us bigint, value double")
+        .load(str(src))
+        .selectExpr("user_id", "timestamp_micros(us) AS ts", "value")
+    )
+    q = (
+        sessionize_stream(stream, watermark=watermark)
+        .writeStream.foreachBatch(
+            lambda bdf, _b: bdf.write.mode("append").parquet(str(out_dir))
+        )
+        .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+        .outputMode("append")
+        .start()
+    )
+    for i, b in enumerate(batches):
+        (src / f"b{i}.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in b) + "\n"
+        )
+        q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(str(out_dir))
+
+
 def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
     """Streaming gap sessionization (applyInPandasWithState, event-time
     timeout) must emit exactly the sessions the BATCH sessionize logic
-    closes: every session except each user's trailing one (the stream
-    ends before the watermark can pass its gap, so it stays open in
-    state). Boundaries, counts, and sums must match per session."""
+    produces — each exactly once, finalized when the watermark passes
+    session_end + gap. A far-future sentinel key advances the
+    watermark past every real session (one batch to move the
+    watermark, one more to fire the timers), so ALL real sessions,
+    trailing ones included, must be emitted with exact boundaries,
+    counts, and sums."""
     import pandas as pd
-
-    from bolson_spark.streaming import sessionize_stream
 
     gap_us = 60 * 60 * 1_000_000
     rng = random.Random(7)
@@ -1027,48 +1065,30 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
                     "value": round(rng.uniform(0, 20), 2),
                 }
             )
-    # a stream arrives roughly time-ordered; the 96h watermark covers
-    # the cross-user event-time skew so nothing is late-dropped and no
-    # timer fires before stream end (the timer path has its own test)
+    # the stream arrives time-ordered (watermark "0 seconds": an
+    # out-of-order row would be late-dropped; disorder has its own
+    # test below)
     rows.sort(key=lambda r: r["us"])
-    src = tmp_path / "sess_src"
-    src.mkdir()
+    far = rows[-1]["us"] + 30 * 24 * gap_us
     third = (len(rows) + 2) // 3
-    for i in range(3):
-        chunk = rows[i * third:(i + 1) * third]
-        (src / f"b{i}.jsonl").write_text(
-            "\n".join(json.dumps(r) for r in chunk) + "\n"
-        )
-
-    stream = (
-        spark.readStream.format("json")
-        .schema("user_id bigint, us bigint, value double")
-        .option("maxFilesPerTrigger", 1)
-        .load(str(src))
-        .selectExpr(
-            "user_id", "timestamp_micros(us) AS ts", "value"
-        )
-    )
-    out_dir = tmp_path / "sess_out"
-    q = (
-        sessionize_stream(stream, watermark="96 hours")
-        .writeStream.foreachBatch(
-            lambda bdf, _b: bdf.write.mode("append").parquet(str(out_dir))
-        )
-        .option("checkpointLocation", str(tmp_path / "sess_ck"))
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    batches = [rows[i * third:(i + 1) * third] for i in range(3)] + [
+        # sentinel batch advances the watermark; one more fires timers
+        [{"user_id": 999, "us": far, "value": 0.0}],
+        [{"user_id": 999, "us": far + 1, "value": 0.0}],
+    ]
     got = (
-        spark.read.parquet(str(out_dir))
+        _run_sessionize_batches(
+            spark, tmp_path, "sess", batches, watermark="0 seconds"
+        )
+        .where("user_id <> 999")
         .toPandas()
         .sort_values(["user_id", "session_start_us"])
         .reset_index(drop=True)
     )
 
-    # batch reference: same fold in pure pandas
+    # batch reference: same fold in pure pandas — EVERY session,
+    # including each user's trailing one (the sentinel watermark
+    # finalizes them all)
     ref_rows = []
     pdf = pd.DataFrame(rows).sort_values(["user_id", "us"])
     for uid, grp in pdf.groupby("user_id"):
@@ -1082,7 +1102,7 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
             cur[1] = us
             cur[2] += 1
             cur[3] += float(value)
-        # trailing session stays OPEN in the stream — excluded
+        sessions.append(cur)
         ref_rows.extend(
             (uid, s[0], s[1], s[2], round(s[3], 6)) for s in sessions
         )
@@ -1109,8 +1129,6 @@ def test_sessionize_stream_timeout_closes_idle_session(spark, tmp_path):
     """The event-time timer path: an idle session must close once the
     watermark (advanced by OTHER keys' events) passes last-event + gap
     — idle sessions cannot pin state on an unbounded stream."""
-    from bolson_spark.streaming import sessionize_stream
-
     base = 1_700_000_000_000_000
     hour = 3_600_000_000
     batches = [
@@ -1125,32 +1143,13 @@ def test_sessionize_stream_timeout_closes_idle_session(spark, tmp_path):
         # any further trigger fires user 1's (long-expired) timer
         [{"user_id": 2, "us": base + 5 * hour + 60_000_000, "value": 9.5}],
     ]
-    src = tmp_path / "to_src"
-    src.mkdir()
-    for i, b in enumerate(batches):
-        (src / f"b{i}.jsonl").write_text(
-            "\n".join(json.dumps(r) for r in b) + "\n"
+    got = (
+        _run_sessionize_batches(
+            spark, tmp_path, "to", batches, watermark="0 seconds"
         )
-    stream = (
-        spark.readStream.format("json")
-        .schema("user_id bigint, us bigint, value double")
-        .option("maxFilesPerTrigger", 1)
-        .load(str(src))
-        .selectExpr("user_id", "timestamp_micros(us) AS ts", "value")
+        .where("user_id = 1")
+        .collect()
     )
-    out_dir = tmp_path / "to_out"
-    q = (
-        sessionize_stream(stream)
-        .writeStream.foreachBatch(
-            lambda bdf, _b: bdf.write.mode("append").parquet(str(out_dir))
-        )
-        .option("checkpointLocation", str(tmp_path / "to_ck"))
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    got = spark.read.parquet(str(out_dir)).where("user_id = 1").collect()
     assert len(got) == 1
     r = got[0]
     assert r.session_start_us == base
@@ -1159,58 +1158,98 @@ def test_sessionize_stream_timeout_closes_idle_session(spark, tmp_path):
     assert abs(r.sum_value - 6.0) < 1e-9
 
 
-def test_sessionize_stream_late_event_does_not_regress_boundaries(
+def test_sessionize_stream_late_event_joins_gap_closed_session(
     spark, tmp_path
 ):
-    """A late-but-within-watermark event arriving BELOW the open
-    session's bounds must fold in via min/max — never overwrite
-    session_end_us (which would also re-arm the close timer early)."""
-    from bolson_spark.streaming import sessionize_stream
-
+    """THE append-mode correctness case: a session that crossed a gap
+    boundary must NOT be emitted until the watermark passes its
+    end + gap — a late-but-within-watermark event arriving AFTER the
+    gap-crossing event still belongs to it. The late events here land
+    both inside the earlier session's span (boundaries must not
+    regress) and past its end (the pending session must extend);
+    emitted sessions must match the batch fold over the full event
+    set, with no overlap and no misattribution."""
     base = 1_700_000_000_000_000
     m = 60_000_000
+    h = 60 * m
     batches = [
-        # session opens [base, base+10m]
+        # session A opens [base, base+10m]
+        [
+            {"user_id": 1, "us": base, "value": 1.0},
+            {"user_id": 1, "us": base + 10 * m, "value": 2.0},
+        ],
+        # gap-crossing event opens session B — A is now gap-closed but
+        # NOT final (watermark is far behind); must not be emitted yet
+        [{"user_id": 1, "us": base + 200 * m, "value": 8.0}],
+        # LATE events: one inside A's span, one past A's end — both
+        # must merge into PENDING session A, not into B
+        [
+            {"user_id": 1, "us": base + 5 * m, "value": 0.5},
+            {"user_id": 1, "us": base + 20 * m, "value": 4.0},
+        ],
+        # another key advances the watermark past A.end+gap AND
+        # B.end+gap (wm = this ts - 4h = base+320m)
+        [{"user_id": 2, "us": base + 200 * m + 8 * h, "value": 0.0}],
+        # one more trigger fires the (now-expired) timers
+        [{"user_id": 2, "us": base + 200 * m + 8 * h + m, "value": 0.0}],
+    ]
+    got = sorted(
+        _run_sessionize_batches(
+            spark, tmp_path, "late", batches, watermark="4 hours"
+        )
+        .where("user_id = 1")
+        .collect(),
+        key=lambda r: r.session_start_us,
+    )
+    assert len(got) == 2, got
+    a, b = got
+    # session A absorbed both late events: [base, base+20m], 4 events
+    assert a.session_start_us == base
+    assert a.session_end_us == base + 20 * m  # extended, not regressed
+    assert a.n_events == 4
+    assert abs(a.sum_value - 7.5) < 1e-9
+    # session B is untouched by the late events
+    assert b.session_start_us == base + 200 * m
+    assert b.session_end_us == base + 200 * m
+    assert b.n_events == 1
+    assert abs(b.sum_value - 8.0) < 1e-9
+
+
+def test_sessionize_stream_late_event_bridges_two_sessions(spark, tmp_path):
+    """A late event landing BETWEEN two pending sessions, within gap
+    of both, must merge them into ONE session (the batch fold over
+    the full event set yields one session) — the merge-sweep case the
+    eager-emit design could never get right."""
+    base = 1_700_000_000_000_000
+    m = 60_000_000
+    h = 60 * m
+    batches = [
+        # session A [base, base+10m]
         [
             {"user_id": 1, "us": base, "value": 1.0},
             {"user_id": 1, "us": base + 10 * m, "value": 1.0},
         ],
-        # LATE event at base+5m (inside the 1h session span)
-        [{"user_id": 1, "us": base + 5 * m, "value": 1.0}],
-        # gap-crossing event closes the session -> emitted
-        [{"user_id": 1, "us": base + 200 * m, "value": 1.0}],
+        # session B [base+100m, base+100m] (90m > 60m gap from A)
+        [{"user_id": 1, "us": base + 100 * m, "value": 1.0}],
+        # LATE bridge at base+55m: 45m after A.end, 45m before B.start
+        [{"user_id": 1, "us": base + 55 * m, "value": 1.0}],
+        # advance watermark far past everything, then fire timers
+        [{"user_id": 2, "us": base + 100 * m + 8 * h, "value": 0.0}],
+        [{"user_id": 2, "us": base + 100 * m + 8 * h + m, "value": 0.0}],
     ]
-    src = tmp_path / "late_src"
-    src.mkdir()
-    for i, b in enumerate(batches):
-        (src / f"b{i}.jsonl").write_text(
-            "\n".join(json.dumps(r) for r in b) + "\n"
+    got = (
+        _run_sessionize_batches(
+            spark, tmp_path, "bridge", batches, watermark="4 hours"
         )
-    stream = (
-        spark.readStream.format("json")
-        .schema("user_id bigint, us bigint, value double")
-        .option("maxFilesPerTrigger", 1)
-        .load(str(src))
-        .selectExpr("user_id", "timestamp_micros(us) AS ts", "value")
+        .where("user_id = 1")
+        .collect()
     )
-    out_dir = tmp_path / "late_out"
-    q = (
-        sessionize_stream(stream, watermark="24 hours")
-        .writeStream.foreachBatch(
-            lambda bdf, _b: bdf.write.mode("append").parquet(str(out_dir))
-        )
-        .option("checkpointLocation", str(tmp_path / "late_ck"))
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    got = spark.read.parquet(str(out_dir)).collect()
-    assert len(got) == 1
+    assert len(got) == 1, got
     r = got[0]
     assert r.session_start_us == base
-    assert r.session_end_us == base + 10 * m  # NOT regressed to +5m
-    assert r.n_events == 3
+    assert r.session_end_us == base + 100 * m
+    assert r.n_events == 4
+    assert abs(r.sum_value - 4.0) < 1e-9
 
 
 def test_stream_ingest_null_text_consistent_across_bloom_paths(
