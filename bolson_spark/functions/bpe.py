@@ -59,47 +59,76 @@ def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Above this many distinct words, the driver merge loop's collect()
+# is a driver-OOM risk (a noisy web-scale corpus has 10^8-10^9
+# distinct "words" — URLs, hex hashes) and bpe_train(mode="auto")
+# routes to the fully distributed merge loop instead. 4M rows is
+# ~100s of MB on the driver — comfortably inside driver memory, far
+# outside scheduling-overhead territory for the distributed loop.
+DRIVER_VOCAB_CAP = 4_000_000
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
     min_freq: int = 1,
     max_vocab: int | None = None,
+    mode: str = "auto",
+    driver_vocab_cap: int = DRIVER_VOCAB_CAP,
 ) -> list[tuple[str, str, int]]:
     """Learn `n_merges` BPE merges from the corpus. Returns the merge
     table [(left, right, pair_count), ...] in merge order.
 
-    Architecture: ONE distributed job (the word-frequency count over
-    the corpus — the only step that touches 100 TB), then the merge
-    loop runs driver-local on the collected vocabulary. This is how
-    production tokenizer trainers are built: the distinct-word table
-    is Zipf-bounded (millions of rows even for web-scale corpora — MBs
-    on the driver), and per-merge Spark jobs on a vocabulary-sized
-    table would be pure scheduling overhead at every scale (measured:
-    12 Spark-looped merges cost ~9 s of job latency on a table that
-    iterates in milliseconds locally). If a vocabulary ever exceeded
-    driver memory, the fallback is the same loop over Spark jobs —
-    `_merge_pair_col` already expresses the distributed merge step.
+    Architecture: ONE distributed job builds the word-frequency table
+    (the only step that touches 100 TB), then the merge loop runs on
+    the Zipf-bounded vocabulary — driver-local while the vocabulary
+    fits (millions of rows — the fast path: per-merge Spark jobs on a
+    table that iterates in milliseconds locally would be pure
+    scheduling overhead), FULLY DISTRIBUTED once it doesn't. ``mode``:
 
-    Driver-memory guard: on a clean corpus the distinct-word table is
-    Zipf-bounded, but a noisy web-scale corpus has 10^8-10^9 distinct
-    "words" (URLs, hex hashes) — an uncapped collect() OOMs the driver.
+    - ``"auto"`` (default): materialize the vocabulary once
+      (localCheckpoint), count it, and pick — driver loop at or under
+      `driver_vocab_cap` rows, distributed loop above. There is no
+      input on which this collects an unbounded table.
+    - ``"driver"`` / ``"distributed"``: force a path (tests assert the
+      two produce identical merge tables).
+
+    The distributed loop runs one `groupBy(pair).sum(freq)` + a
+    1-row collect per merge round over the vocabulary table, applies
+    the merge as the same `_merge_pair_col` codegen expression the
+    encoder uses, and localCheckpoints per round to truncate lineage
+    — O(rounds) jobs over |vocab| rows, O(1) driver transfer.
+
     `min_freq` drops the long noise tail; `max_vocab` hard-caps the
-    transfer (deterministic: ordered by freq DESC, word ASC before the
-    cut). The default is EXACT (no cap): capping is an APPROXIMATION —
-    pair counts sum across all words containing the pair, so a large
-    dropped tail of rare words can in principle carry enough aggregate
-    mass to change a merge decision. Opt into the caps when training
-    on noisy web-scale corpora, where the tail is hash/URL junk whose
-    pairs are near-unique and the approximation is the standard
-    production tradeoff; tests cover both the exact default and a
-    bound-but-harmless cap on the classic corpus.
+    vocabulary (deterministic: ordered by freq DESC, word ASC before
+    the cut). The default is EXACT (no cap): capping is an
+    APPROXIMATION — pair counts sum across all words containing the
+    pair, so a large dropped tail can in principle carry enough
+    aggregate mass to change a merge decision. The caps are the
+    standard production tradeoff for noisy web corpora whose tail is
+    hash/URL junk; the auto guard above makes the EXACT path safe at
+    any scale regardless.
+
+    Determinism: ties on pair count break lexicographically on
+    (left, right) — Python codepoint order on the driver, UTF8 binary
+    order in Spark: identical for the ASCII corpora this runs on, so
+    both paths yield the same table on any engine or cluster size.
     """
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown mode {mode!r}")
     wf = word_freq_table(df, text_col)
     if min_freq > 1:
         wf = wf.where(F.col("freq") >= min_freq)
     if max_vocab is not None:
         wf = wf.orderBy(F.col("freq").desc(), F.col("word")).limit(max_vocab)
+    if mode == "auto":
+        # one materialization serves the count probe AND whichever
+        # loop runs — the corpus-wide shuffle is never re-executed
+        wf = wf.localCheckpoint()
+        mode = "driver" if wf.count() <= driver_vocab_cap else "distributed"
+    if mode == "distributed":
+        return _bpe_train_distributed(wf, n_merges)
     rows = wf.collect()
     vocab: list[tuple[list[str], int]] = [
         (list(r.word), int(r.freq)) for r in rows
@@ -132,6 +161,53 @@ def bpe_train(
                     out.append(s)
             new_vocab.append((out, freq))
         vocab = new_vocab
+    return merges
+
+
+def _bpe_train_distributed(
+    wf: DataFrame, n_merges: int
+) -> list[tuple[str, str, int]]:
+    """The scale path of :func:`bpe_train`: the merge loop as Spark
+    jobs over the (word, freq) table. Per round: adjacent-pair explode
+    -> map-side-combined `groupBy(pair).sum(freq)` -> collect exactly
+    ONE winning row -> apply the merge with the same `_merge_pair_col`
+    codegen fold the encoder uses -> localCheckpoint (truncates the
+    per-round lineage so the merge expression doesn't nest). Driver
+    transfer is one row per round; the vocabulary never leaves the
+    cluster."""
+    vocab = wf.select(
+        F.split(F.col("word"), "").alias("syms"), F.col("freq")
+    ).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("syms") - 2),
+                        lambda i: F.struct(
+                            F.get("syms", i).alias("left"),
+                            F.get("syms", i + 1).alias("right"),
+                        ),
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair.left", "pair.right")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, n = best[0].left, best[0].right, int(best[0].n)
+        merges.append((left, right, n))
+        vocab = vocab.select(
+            _merge_pair_col(F.col("syms"), left, right).alias("syms"),
+            "freq",
+        ).localCheckpoint()
     return merges
 
 

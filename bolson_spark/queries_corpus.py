@@ -218,19 +218,93 @@ LIMIT 50
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training on the documents corpus: 12 merges
     learned from the word-frequency table (deterministic — lexicographic
-    tie-break — so the table is a pure function of the corpus).
-    Rows-only in the driver gate: data-dependent iteration is not
-    SQL-expressible; ground truth is the classic-corpus pytest fixture
-    (tests/test_functions.py::test_bpe_train_classic_corpus)."""
+    tie-break — so the table is a pure function of the corpus; the
+    auto driver/distributed guard in functions/bpe.py keeps the loop
+    collect-bounded at any corpus size).
+
+    Oracled since round 5: the data-dependent merge iteration IS
+    DuckDB-expressible for a fixed round count — 12 UNROLLED rounds
+    over a marker-delimited symbol-string vocabulary, where one SQL
+    ``replace()`` per round is exactly the leftmost-greedy merge (see
+    `_bpe_merge_rounds_sql`). Full rows+schema+hash gate; the
+    classic-corpus pytest fixture remains the hand-derivable ground
+    truth."""
     from bolson_spark.functions.bpe import bpe_train
 
-    merges = bpe_train(_t(spark, sf_dir, "documents"), n_merges=12)
+    merges = bpe_train(_t(spark, sf_dir, "documents"), n_merges=BPE_MERGES)
     return spark.createDataFrame(
         [
             (i, left, right, left + right, n)
             for i, (left, right, n) in enumerate(merges)
         ],
         "merge_rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
+BPE_MERGES = 12
+
+# Marker chars delimiting each symbol inside the SQL vocabulary
+# string: \x1f before, \x1e after. A merge of (L, R) is then the
+# string pattern '\x1fL\x1e\x1fR\x1e' -> '\x1fLR\x1e': the distinct
+# markers force full-symbol alignment (no suffix of one symbol can
+# complete a match), and SQL replace() scans left-to-right without
+# rescanning its own output — exactly the leftmost-greedy fold of
+# functions/bpe.py::_merge_pair_col, including the L=R run-parity
+# case ('aaaa' -> 'aa','aa'). Assumes corpus text contains neither
+# control char (true of any printable corpus).
+_BPE_SEP = "chr(31)"
+_BPE_EOS = "chr(30)"
+
+
+def _bpe_merge_rounds_sql(n_merges: int) -> str:
+    """CTE chain re-deriving the BPE merge table in pure DuckDB SQL:
+    `wf` is the word-frequency table (single-space split, matching
+    functions/bpe.py::word_freq_table), `v0` wraps every character in
+    symbol markers, and round i computes freq-weighted adjacent-pair
+    counts (`p{i}`), picks the (count DESC, left, right) argmax
+    (`b{i}` — DuckDB binary string order == Spark UTF8 binary order ==
+    Python codepoint order on ASCII), and applies the merge with one
+    `replace()` (`v{i+1}`). Every per-round CTE is MATERIALIZED:
+    DuckDB inlines plain CTEs, and v{i}'s two consumers would
+    otherwise re-expand the whole chain 2^rounds times."""
+    parts = [f"""wf AS MATERIALIZED (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+  GROUP BY w
+),
+v0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', {_BPE_SEP} || '\\1' || {_BPE_EOS}, 'g') AS s, freq
+  FROM wf
+)"""]
+    for i in range(n_merges):
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT syms[i] AS lft, syms[i+1] AS rgt, CAST(SUM(freq) AS BIGINT) AS n
+  FROM (
+    SELECT UNNEST(range(1, len(syms))) AS i, syms, freq
+    FROM (SELECT string_split(trim(s, {_BPE_SEP} || {_BPE_EOS}), {_BPE_EOS} || {_BPE_SEP}) AS syms, freq FROM v{i})
+    WHERE len(syms) >= 2
+  )
+  GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (SELECT lft, rgt, n FROM p{i} ORDER BY n DESC, lft, rgt LIMIT 1),
+v{i+1} AS MATERIALIZED (
+  SELECT replace(v.s, {_BPE_SEP} || b.lft || {_BPE_EOS} || {_BPE_SEP} || b.rgt || {_BPE_EOS},
+                 {_BPE_SEP} || b.lft || b.rgt || {_BPE_EOS}) AS s, v.freq
+  FROM v{i} v CROSS JOIN b{i} b
+)""")
+    return ",\n".join(parts)
+
+
+def _bpe_train_sql(n_merges: int = BPE_MERGES) -> str:
+    union = "\nUNION ALL\n".join(
+        f'SELECT {i} AS merge_rank, lft AS "left", rgt AS "right", '
+        f"lft || rgt AS merged, n AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return (
+        f"WITH {_bpe_merge_rounds_sql(n_merges)}\n"
+        f"SELECT * FROM (\n{union}\n) ORDER BY merge_rank"
     )
 
 
@@ -1357,9 +1431,7 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
         q_training_corpus, _training_corpus_sql(), ("text", "pipeline")
     ),
     "bpe_train": QuerySpec(
-        q_bpe_train, None, ("text", "pipeline"),
-        doc="rows-only: data-dependent iteration (no SQL oracle); "
-        "pytest ground-truth fixture covers correctness",
+        q_bpe_train, _bpe_train_sql(), ("text", "pipeline")
     ),
     "conversion_funnel": QuerySpec(
         q_conversion_funnel, O_CONVERSION_FUNNEL, ("relational", "events")

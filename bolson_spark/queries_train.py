@@ -839,10 +839,12 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-width pass), NOT a single-reducer global window — the md5 key
     is uniform by construction, so equal-width buckets over its
     numeric value are balanced and the 100 TB shuffle order costs one
-    repartition. Keys are 60-bit md5 prefixes: collisions are
-    birthday-bounded ~2^-60 per pair (none at any driver SF; at
-    corpus scale a collision only makes the relative order of that
-    one pair engine-dependent, never non-contiguous)."""
+    repartition. The order is the TWO-key (60-bit md5 prefix, doc_id)
+    — doc_id breaks the birthday-bounded ~2^-60 prefix-collision tie
+    exactly as the oracle does, so seq assignment is total-order
+    collision-free and engine-independent (buckets still derive from
+    the numeric prefix alone; a tied pair shares a bucket by
+    construction)."""
     from bolson_spark.operators.seq import add_seq_scalable
 
     docs = _t(spark, sf_dir, "documents")
@@ -857,7 +859,7 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_k",
         F.conv(F.substring("shuffle_key", 1, 15), 16, 10).cast("bigint"),
     )
-    out = add_seq_scalable(keyed, "_k", name="seq")
+    out = add_seq_scalable(keyed, ["_k", "doc_id"], name="seq")
     return out.select("doc_id", "shuffle_key", "seq")
 
 
@@ -985,10 +987,14 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-merge when a web-scale vocab isn't). Encoding each occurrence
     directly would re-fold identical words millions of times.
 
-    Rows-only like `bpe_train` (the merge table is data-dependent
-    iteration, not SQL-expressible); correctness is pytest ground
-    truth: lossless round-trip (concat(tokens) == word) and the exact
-    token-count arithmetic vs a pure-Python encoder."""
+    Oracled since round 5: the oracle re-derives the merge table in
+    DuckDB via the same 12 unrolled merge rounds as `bpe_train`'s
+    oracle, then replays them over the distinct words (see
+    queries_corpus._bpe_merge_rounds_sql). The compression ratio is
+    FIXED-POINT (micro-chars-per-token, integer division): a
+    double-rounded rational ratio can tie at the 6th decimal and
+    diverge 1 ulp between engines — bigint div cannot. Pytest ground
+    truth (lossless round-trip, pure-Python encoder equality) stays."""
     from bolson_spark.functions.bpe import bpe_encode_col, bpe_train
     from bolson_spark.functions.quality import words_col
 
@@ -1012,11 +1018,59 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_toks").alias("n_tokens"),
-            F.round(
-                F.sum("n_ch") / F.sum("n_toks"), 6
-            ).alias("chars_per_token"),
+            F.sum("n_ch").alias("_n_ch"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.expr("(1000000 * _n_ch) div n_tokens")
+            .cast("bigint")
+            .alias("chars_per_token_e6"),
         )
     )
+
+
+def _bpe_encode_sql(n_merges: int = BPE_ENCODE_MERGES) -> str:
+    """DuckDB oracle for q_bpe_encode: re-derive the merge table (12
+    unrolled rounds — shared CTE builder), replay the merges over the
+    DISTINCT word table (same |vocab|-not-|corpus| shape as the Spark
+    side), count symbols by counting end markers, join back to word
+    occurrences, aggregate per doc."""
+    from bolson_spark.queries_corpus import (
+        _BPE_EOS,
+        _BPE_SEP,
+        _bpe_merge_rounds_sql,
+    )
+
+    enc = [f"""occ AS MATERIALIZED (
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w FROM documents)
+),
+e0 AS MATERIALIZED (
+  SELECT word, regexp_replace(word, '(.)', {_BPE_SEP} || '\\1' || {_BPE_EOS}, 'g') AS s
+  FROM (SELECT DISTINCT word FROM occ)
+)"""]
+    for i in range(n_merges):
+        enc.append(f"""e{i + 1} AS MATERIALIZED (
+  SELECT e.word, replace(e.s, {_BPE_SEP} || b.lft || {_BPE_EOS} || {_BPE_SEP} || b.rgt || {_BPE_EOS},
+                 {_BPE_SEP} || b.lft || b.rgt || {_BPE_EOS}) AS s
+  FROM e{i} e CROSS JOIN b{i} b
+)""")
+    enc.append(f"""dw AS (
+  SELECT word,
+         CAST(len(s) - len(replace(s, {_BPE_EOS}, '')) AS BIGINT) AS n_toks,
+         CAST(length(word) AS BIGINT) AS n_ch
+  FROM e{n_merges}
+)""")
+    return f"""WITH {_bpe_merge_rounds_sql(n_merges)},
+{",".join(enc)}
+SELECT o.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(d.n_toks) AS BIGINT) AS n_tokens,
+       (1000000 * CAST(SUM(d.n_ch) AS BIGINT)) // CAST(SUM(d.n_toks) AS BIGINT) AS chars_per_token_e6
+FROM occ o JOIN dw d USING (word)
+GROUP BY o.doc_id"""
 
 
 TRAIN_QUERIES: dict[str, QuerySpec] = {
@@ -1060,5 +1114,7 @@ TRAIN_QUERIES: dict[str, QuerySpec] = {
     "ivf_pq_knn": QuerySpec(
         q_ivf_pq_knn, _ivf_pq_sql(), ("similarity", "quantization")
     ),
-    "bpe_encode": QuerySpec(q_bpe_encode, None, ("text", "pipeline")),
+    "bpe_encode": QuerySpec(
+        q_bpe_encode, _bpe_encode_sql(), ("text", "pipeline")
+    ),
 }

@@ -1149,7 +1149,14 @@ def test_ivf_append_index_equals_full_build(spark, tmp_path):
     save_ivf_index(emb, centroids, full)
     incr = str(tmp_path / "ivf_incr")
     save_ivf_index(emb.where(F.col("vec_id") <= cut), centroids, incr)
-    ivf_append_index(spark, incr, emb.where(F.col("vec_id") > cut))
+    delta = emb.where(F.col("vec_id") > cut)
+    ivf_append_index(spark, incr, delta, delta_id="crawl-1")
+    # retry of the same delta id (failed/partial append replay) must
+    # be IDEMPOTENT: dynamic overwrite of its own (cluster, delta)
+    # partitions, never a duplicate append
+    ivf_append_index(spark, incr, delta, delta_id="crawl-1")
+    n_incr = spark.read.parquet(f"{incr}/cells").count()
+    assert n_incr == emb.count()
 
     for n_probe in (1, 3, 8):
         got = [
@@ -1175,3 +1182,39 @@ def test_ivf_append_index_equals_full_build(spark, tmp_path):
         d for d in os.listdir(f"{full}/cells") if d.startswith("cluster=")
     )
     assert cells == full_cells
+
+
+def test_bpe_train_distributed_equals_driver(spark):
+    """The distributed merge loop (per-round pair groupBy + 1-row
+    collect) must produce the IDENTICAL merge table to the driver
+    loop — including pair counts and tie-breaks."""
+    from bolson_spark.functions.bpe import bpe_train
+
+    rows = (
+        [("low",)] * 5
+        + [("lower",)] * 2
+        + [("newest",)] * 6
+        + [("widest",)] * 3
+        + [("aaa bb aaa",)] * 2  # multi-word rows + an L=R run case
+    )
+    corpus = spark.createDataFrame(rows, ["text"])
+    driver = bpe_train(corpus, "text", n_merges=6, mode="driver")
+    dist = bpe_train(corpus, "text", n_merges=6, mode="distributed")
+    assert dist == driver
+    assert len(driver) == 6
+
+
+def test_bpe_train_auto_guard_routes_distributed(spark):
+    """mode='auto' with a vocabulary above driver_vocab_cap must take
+    the distributed path (no vocabulary-sized collect) and still
+    return the exact merge table — the driver-OOM guard for noisy
+    web-scale corpora, proven by shrinking the cap below |vocab|."""
+    from bolson_spark.functions.bpe import bpe_train
+
+    rows = [("low",)] * 5 + [("lower",)] * 2 + [("newest",)] * 6 + [("widest",)] * 3
+    corpus = spark.createDataFrame(rows, ["text"])
+    expected = bpe_train(corpus, "text", n_merges=5, mode="driver")
+    got = bpe_train(
+        corpus, "text", n_merges=5, mode="auto", driver_vocab_cap=2
+    )
+    assert got == expected
