@@ -4,6 +4,12 @@ Subcommands mirror the reference:
 
 - ``stream``          the product: line-framed JSON source -> convert ->
                       IPC sink (socket host:port or a directory of files)
+- ``ingest``          ledger-gated corpus ingestion (exact dedup across
+                      runs, Bloom prefilter; ``--near-dup`` upgrades the
+                      gate to MinHash near-duplicate rejection against
+                      the accumulated index) — streaming/ingest.py
+- ``sessionize``      streaming gap sessionization of a user-event
+                      stream, watermark-finalized — streaming/stateful.py
 - ``bench convert``   B2: generate N random JSONs for a schema, run the
                       batch convert pipeline, report MB/s and MJ/s
 - ``bench queries``   the registry benchmark (same output as bench.py)
@@ -12,6 +18,10 @@ Usage examples::
 
     python -m bolson_spark.cli stream --in-dir /data/jsonl \
         --schema battery --sink /tmp/topic --max-rows 1024
+    python -m bolson_spark.cli ingest --in-dir /data/docs \
+        --out-dir /data/corpus --checkpoint /data/ck --near-dup 0.9
+    python -m bolson_spark.cli sessionize --in-dir /data/events \
+        --out-dir /data/sessions --checkpoint /data/ck2 --watermark "1 hour"
     python -m bolson_spark.cli bench convert --num-jsons 100000
 """
 
@@ -121,6 +131,103 @@ def cmd_stream(args) -> int:
                 "ipc_bytes": metrics.ipc_bytes,
                 "elapsed_sec": round(elapsed, 3),
                 "mjs": round(metrics.num_jsons / 1e6 / elapsed, 6) if elapsed else None,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    """Ledger-gated ingestion of a jsonl document stream (doc_id,
+    text): exact-content dedup across runs and restarts via the
+    persistent fingerprint ledger (Bloom-prefiltered), optionally
+    upgraded to near-duplicate rejection with ``--near-dup`` — the
+    runnable product shape of streaming/ingest.py's tested path."""
+    import os
+
+    from bolson_spark.session import get_spark
+    from bolson_spark.streaming.ingest import run_stream_ingest
+
+    spark = get_spark("bolson-ingest")
+    reader = (
+        spark.readStream.format("json")
+        .schema("doc_id bigint, text string")
+    )
+    if args.max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", args.max_files_per_trigger
+        )
+    stream = reader.load(args.in_dir)
+    t0 = time.time()
+    query = run_stream_ingest(
+        spark,
+        stream,
+        args.out_dir,
+        args.checkpoint,
+        near_dup_threshold=args.near_dup,
+    )
+    query.processAllAvailable()
+    query.stop()
+    elapsed = time.time() - t0
+    acc_dir = os.path.join(args.out_dir, "accepted")
+    n_accepted = spark.read.parquet(acc_dir).count()
+    print(
+        json.dumps(
+            {
+                "accepted_total": n_accepted,
+                "near_dup_threshold": args.near_dup,
+                "elapsed_sec": round(elapsed, 3),
+                "out_dir": args.out_dir,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_sessionize(args) -> int:
+    """Streaming gap sessionization of a jsonl event stream (user_id,
+    us epoch-micros, value): sessions are emitted exactly once, when
+    the event-time watermark passes session end + gap — the runnable
+    product shape of streaming/stateful.py's tested path."""
+    from bolson_spark.session import get_spark
+    from bolson_spark.streaming import sessionize_stream
+
+    spark = get_spark("bolson-sessionize")
+    reader = (
+        spark.readStream.format("json")
+        .schema("user_id bigint, us bigint, value double")
+    )
+    if args.max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", args.max_files_per_trigger
+        )
+    stream = reader.load(args.in_dir).selectExpr(
+        "user_id", "timestamp_micros(us) AS ts", "value"
+    )
+    t0 = time.time()
+    query = (
+        sessionize_stream(stream, watermark=args.watermark)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda bdf, _b: bdf.write.mode("append").parquet(args.out_dir)
+        )
+        .option("checkpointLocation", args.checkpoint)
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    elapsed = time.time() - t0
+    try:
+        n_sessions = spark.read.parquet(args.out_dir).count()
+    except Exception:  # no session closed yet -> nothing written
+        n_sessions = 0
+    print(
+        json.dumps(
+            {
+                "sessions_closed": n_sessions,
+                "watermark": args.watermark,
+                "elapsed_sec": round(elapsed, 3),
+                "out_dir": args.out_dir,
             }
         )
     )
@@ -303,6 +410,35 @@ def main(argv=None) -> int:
     s.add_argument("--latency", help="latency CSV path (M2)")
     s.add_argument("--metrics", help="metrics CSV path (M1)")
     s.set_defaults(fn=cmd_stream)
+
+    ig = sub.add_parser(
+        "ingest",
+        help="ledger-gated corpus ingestion (exact + optional near-dup)",
+    )
+    ig.add_argument("--in-dir", required=True, help="jsonl docs (doc_id, text)")
+    ig.add_argument("--out-dir", required=True)
+    ig.add_argument("--checkpoint", required=True)
+    ig.add_argument(
+        "--near-dup",
+        type=float,
+        default=None,
+        metavar="JACCARD",
+        help="also reject near-duplicates at this Jaccard threshold",
+    )
+    ig.add_argument("--max-files-per-trigger", type=int)
+    ig.set_defaults(fn=cmd_ingest)
+
+    sz = sub.add_parser(
+        "sessionize", help="streaming gap sessionization of user events"
+    )
+    sz.add_argument(
+        "--in-dir", required=True, help="jsonl events (user_id, us, value)"
+    )
+    sz.add_argument("--out-dir", required=True)
+    sz.add_argument("--checkpoint", required=True)
+    sz.add_argument("--watermark", default="0 seconds")
+    sz.add_argument("--max-files-per-trigger", type=int)
+    sz.set_defaults(fn=cmd_sessionize)
 
     b = sub.add_parser("bench", help="micro-benchmarks")
     bsub = b.add_subparsers(dest="bench_cmd", required=True)

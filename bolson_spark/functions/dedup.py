@@ -70,7 +70,7 @@ def choose_bands(
     return num_hashes  # r=1: recall is maximal, selectivity minimal
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, already_spread: bool = False) -> DataFrame:
     """Repartition to the cluster's parallelism ahead of a CPU-heavy
     narrow map — but ONLY when the input is under-split. File-split
     parallelism tracks *bytes*, but hashing every token of every
@@ -80,7 +80,15 @@ def _spread(df: DataFrame) -> DataFrame:
     When splits >= cores (the 100 TB case: thousands of parquet
     row-group splits vs hundreds of cores) the exchange would be a
     full shuffle of the corpus for nothing, so it is skipped.
+
+    `already_spread=True` skips the probe entirely — for callers that
+    KNOW their input's parallelism was already set (e.g. the streaming
+    near-dup gate, whose micro-batches arrive pre-split by the source):
+    the detection below forces full driver-side physical planning,
+    which a steady-state per-micro-batch path must not pay.
     """
+    if already_spread:
+        return df
     sc = df.sparkSession.sparkContext
     # An upstream SHUFFLE Exchange means parallelism was already set by
     # spark.sql.shuffle.partitions — and, under AQE, touching df.rdd on
@@ -800,11 +808,15 @@ def incremental_minhash_dedup(
 
 
 def _minhash_prep(
-    df: DataFrame, text_col: str, num_hashes: int, bands: int
+    df: DataFrame,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    already_spread: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(toksets, band_rows) for the banded probe: hashed distinct token
     arrays with sizes, and (doc_id, band, band_key, n_toks) rows."""
-    sdf = _spread(df)  # probe once, reuse for both branches
+    sdf = _spread(df, already_spread)  # probe once, reuse for both branches
     toksets = (
         sdf.select(
             "doc_id",
@@ -998,6 +1010,11 @@ def probe_minhash_index(
 
         if num_hashes is None:
             num_hashes = DEFAULT_NUM_HASHES
+        # resolve bands BEFORE formatting the warning: an unspecified
+        # bands would otherwise report 'bands=None' instead of the
+        # band count the probe actually uses
+        if bands is None:
+            bands = choose_bands(num_hashes, jaccard_threshold)
         warnings.warn(
             f"index {name!r} has no _meta table; trusting caller "
             f"parameters (num_hashes={num_hashes}, bands={bands}) — a "

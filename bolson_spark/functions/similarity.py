@@ -627,24 +627,38 @@ def save_ivf_index(
     the corpus. Assignment is ivf_assign (broadcast centroids, map-side
     argmax); the one data shuffle is the partitioned write itself."""
     assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
-    _write_cells(df, assigned, path, "overwrite", id_col)
+    # static overwrite: a full rebuild must clobber every prior delta
+    _write_cells(df, assigned, path, id_col, "base", dynamic=False)
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def _write_cells(
-    df: DataFrame, assigned: DataFrame, path: str, mode: str, id_col: str
+    df: DataFrame,
+    assigned: DataFrame,
+    path: str,
+    id_col: str,
+    delta_id: str,
+    dynamic: bool,
 ) -> None:
-    """The one definition of the cells layout contract (assignment
-    join, cluster repartition, partitioned parquet under
-    `<path>/cells`) — shared by the full build and the incremental
-    append so the two paths cannot desynchronize."""
-    (
+    """The one definition of the cells layout contract — shared by the
+    full build and the incremental append so the two paths cannot
+    desynchronize. Layout: `<path>/cells/cluster=<n>/delta=<id>/`:
+    cluster stays the TOP partition level (probe pruning unchanged),
+    and the second level keys every write by the delta that produced
+    it, so an append retried after a partial failure dynamically
+    OVERWRITES its own (cluster, delta) partitions with identical
+    content instead of double-appending — the same idempotence
+    protocol as the streaming ledger's (run, batch) writes."""
+    w = (
         df.join(assigned.select(id_col, "cluster"), id_col)
+        .withColumn("delta", F.lit(delta_id))
         .repartition(F.col("cluster"))
-        .write.mode(mode)
-        .partitionBy("cluster")
-        .parquet(f"{path}/cells")
+        .write.mode("overwrite")
+        .partitionBy("cluster", "delta")
     )
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.parquet(f"{path}/cells")
 
 
 def ivf_probe_saved(
@@ -688,6 +702,7 @@ def ivf_append_index(
     spark,
     path: str,
     new_df: DataFrame,
+    delta_id: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> None:
@@ -696,18 +711,28 @@ def ivf_append_index(
     partition layout — the crawl-re-ingest shape for the ANN index
     (the vector analog of the MinHash band-index append in
     streaming/ingest.py). Cost is O(delta): one broadcast-centroid
-    argmax over the new vectors and a partitioned append; the existing
+    argmax over the new vectors and a partitioned write; the existing
     corpus is never read or rewritten, and every later probe prunes to
-    the probed cells exactly as before (append only adds files inside
-    cell directories). Centroid DRIFT is deliberately not handled here
-    — production IVF deployments freeze the coarse quantizer between
-    periodic retrains, because re-assigning the corpus is the O(N)
-    operation this path exists to avoid."""
+    the probed cells exactly as before (cluster stays the top
+    partition level).
+
+    `delta_id` must uniquely name this delta (crawl id, batch id) and
+    must differ from every previously appended delta: the write lands
+    under `cluster=<n>/delta=<delta_id>/` with dynamic partition
+    overwrite, so RETRYING a failed/partial append with the same id is
+    idempotent (it rewrites its own partitions, never duplicates),
+    while reusing an OLD id would silently replace that delta's
+    vectors — the same contract as the ledger's (run, batch) keying.
+
+    Centroid DRIFT is deliberately not handled here — production IVF
+    deployments freeze the coarse quantizer between periodic retrains,
+    because re-assigning the corpus is the O(N) operation this path
+    exists to avoid."""
     centroids = spark.read.parquet(f"{path}/centroids")
     assigned = ivf_assign(
         new_df, centroids, vec_col=vec_col, id_col=id_col
     )
-    _write_cells(new_df, assigned, path, "append", id_col)
+    _write_cells(new_df, assigned, path, id_col, delta_id, dynamic=True)
 
 
 # ---------------------------------------------------------------------------

@@ -96,15 +96,19 @@ def add_seq_scalable(
     3. the single full-width pass: shuffle by the literal bucket id,
        intra-bucket ``row_number`` + bucket base.
 
-    Non-numeric keys fall back to the exact global window (`add_seq`) —
-    correct, but not the scale path; pre-map such keys to a numeric
-    arrival ordinal to stay scalable.
+    Multi-key orders stay scalable when the FIRST key is numeric:
+    buckets derive from keys[0] alone (ties on it always share a
+    bucket, so bucketing is order-consistent for ANY tie-breaker),
+    while the intra-bucket window orders by the full key list — the
+    shape q_training_order uses to make its md5-prefix order
+    collision-free via a doc-id tie-break. A non-numeric FIRST key
+    falls back to the exact global window (`add_seq`) — correct, but
+    not the scale path; pre-map such keys to a numeric arrival
+    ordinal to stay scalable.
     """
     keys = [order_by] if isinstance(order_by, str) else list(order_by)
     key_cols = [F.col(k) for k in keys]
-    if len(keys) == 1 and isinstance(
-        df.schema[keys[0]].dataType, _NUMERIC_TYPES
-    ):
+    if isinstance(df.schema[keys[0]].dataType, _NUMERIC_TYPES):
         key = keys[0]
     else:
         return add_seq(df, order_by, name, start)

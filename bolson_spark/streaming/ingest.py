@@ -44,6 +44,8 @@ from __future__ import annotations
 import os
 import uuid
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -176,6 +178,49 @@ def build_bloom_words(fps: DataFrame, n_bits: int) -> DataFrame:
     )
 
 
+def build_bloom_bitmap(bloom_words: DataFrame, n_bits: int):
+    """Pack the (word_idx, word) table into ONE driver-side uint64
+    bitmap — the production refinement for ledgers whose word table
+    outgrows a broadcast-join (> BLOOM_BROADCAST_MAX_BITS): the
+    collect here is BOUNDED by n_bits/64 rows (the bitmap size chosen
+    up front), never by ledger cardinality, and the packed array
+    ships to executors once as a broadcast variable."""
+    import numpy as np
+
+    arr = np.zeros((n_bits + 63) // 64, dtype=np.uint64)
+    for r in bloom_words.collect():
+        arr[int(r.word_idx)] = np.uint64(r.word & 0xFFFFFFFFFFFFFFFF)
+    return arr
+
+
+def bloom_maybe_contains_bitmap(
+    batch: DataFrame, bitmap_bc, n_bits: int, fp_col: str = "fingerprint"
+) -> DataFrame:
+    """`bloom_maybe_contains` against a broadcast packed bitmap (from
+    :func:`build_bloom_bitmap`): bit positions are computed JVM-side
+    (same xxhash64 expressions as the build — no false negatives by
+    construction), then ONE Arrow-vectorized pandas UDF gathers all
+    BLOOM_K bits per row from the bitmap. A pure narrow map: no
+    explode, no join, no groupBy — the probe introduces ZERO shuffles,
+    which is the point of this route at multi-billion-item ledgers
+    where the word-table equi-join would shuffle every batch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _all_set(pos: pd.Series) -> pd.Series:
+        if not len(pos):
+            return pd.Series([], dtype=bool)
+        bm = bitmap_bc.value
+        mat = np.vstack(pos.values).astype(np.int64)  # rows x BLOOM_K
+        bits = (bm[mat // 64] >> (mat % 64).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(bits.all(axis=1))
+
+    return batch.withColumn(
+        "_bloom_maybe", _all_set(_bloom_positions(F.col(fp_col), n_bits))
+    )
+
+
 def bloom_maybe_contains(
     batch: DataFrame, bloom_words: DataFrame, n_bits: int, fp_col: str = "fingerprint"
 ) -> DataFrame:
@@ -261,8 +306,11 @@ def _near_dup_gate(
         else batch
     ).cache()
     caches = [delta]
+    # already_spread: the micro-batch arrives pre-split by the
+    # streaming source, and the per-batch steady-state path must not
+    # pay _spread's driver-side physical-planning probe on every batch
     d_toks, d_bands = _minhash_prep(
-        delta, text_col, DEFAULT_NUM_HASHES, n_bands
+        delta, text_col, DEFAULT_NUM_HASHES, n_bands, already_spread=True
     )
     c_bands = _index_before(sp, bands_dir, run_id, batch_id)
     c_toks = (
@@ -367,16 +415,28 @@ def run_stream_ingest(
     # required by the dynamic-partition overwrite protocol): no other
     # run appends to the ledger while this stream lives, so the
     # snapshot Bloom stays a superset of the prior ledger.
-    prior_bloom: tuple[DataFrame, int] | None = None
+    # Routing: at or under BLOOM_BROADCAST_MAX_BITS the word table is
+    # probed via broadcast equi-join (all-JVM); above it, the words
+    # pack into a driver bitmap shipped ONCE as a broadcast variable
+    # and probed by a shuffle-free Arrow-vectorized gather — the
+    # large-ledger path named in build_bloom_words' docstring.
+    prior_bloom: tuple[str, object, int] | None = None
     led0 = _ledger_before(spark, ledger_dir, run_id, 0)
     if led0 is not None:
         prior0 = led0.where(F.col("run") != run_id).select("fingerprint")
         n_prior = prior0.count()
         if n_prior:
             n_bits = max(1 << 14, 1 << (10 * n_prior).bit_length())
-            words = build_bloom_words(prior0, n_bits).cache()
-            words.count()  # materialize once, before the stream starts
-            prior_bloom = (words, n_bits)
+            words = build_bloom_words(prior0, n_bits)
+            if n_bits <= BLOOM_BROADCAST_MAX_BITS:
+                words = words.cache()
+                words.count()  # materialize once, before the stream starts
+                prior_bloom = ("words", words, n_bits)
+            else:
+                bitmap_bc = spark.sparkContext.broadcast(
+                    build_bloom_bitmap(words, n_bits)
+                )
+                prior_bloom = ("bitmap", bitmap_bc, n_bits)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -405,13 +465,17 @@ def run_stream_ingest(
         extra_caches: list[DataFrame] = []
         if led is not None:
             if prior_bloom is not None:
-                words, n_bits = prior_bloom
+                kind, payload, n_bits = prior_bloom
                 prior_led = led.where(F.col("run") != run_id)
                 this_led = led.where(F.col("run") == run_id)
                 # cache: BOTH union branches reference `flagged` — an
                 # un-cached split re-executes the batch dedup shuffle
                 # and the Bloom probe aggregation once per branch
-                flagged = bloom_maybe_contains(batch, words, n_bits).cache()
+                flagged = (
+                    bloom_maybe_contains(batch, payload, n_bits)
+                    if kind == "words"
+                    else bloom_maybe_contains_bitmap(batch, payload, n_bits)
+                ).cache()
                 extra_caches.append(flagged)
                 fresh = flagged.where(~F.col("_bloom_maybe")).drop(
                     "_bloom_maybe"

@@ -34,6 +34,16 @@ PROBES = [
     "decontaminate",
     "pack_sequences",
     "convert_pipeline",
+    # similarity/quantization family (round-5 ask): the embeddings
+    # table is replicated with per-copy vec_id offsets, so corpus-side
+    # cost terms (assignment scan, ADC scan, tiled GEMM) scale with
+    # the multiplier while query/codebook/centroid sides stay fixed.
+    "ivf_pq_knn",
+    "pq_adc_knn",
+    "knn_sq",
+    "embedding_blocked_nn",
+    "embedding_blocked_nn_tiled",
+    "embedding_blocked_nn_gemm_unsplit",
 ]
 
 
@@ -66,6 +76,21 @@ def main() -> None:
     for r in evs[1:]:
         big_ev = big_ev.unionByName(r)
     big_ev.write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    # Embeddings: replicate with vec_id offsets. vec 0 (the query
+    # vector) and the low-id centroid/codebook rows keep their ids in
+    # copy 0 only, so the query/centroid/codebook sides of every ANN
+    # probe stay FIXED while the scanned corpus grows by `mult` — the
+    # scaling shape of a real index serving a growing corpus.
+    emb = load_table(spark, SRC, "embeddings")
+    ems = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        for i in range(mult)
+    ]
+    big_emb = ems[0]
+    for r in ems[1:]:
+        big_emb = big_emb.unionByName(r)
+    big_emb.write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
 
     for t in TABLES:
         dst = out / f"{t}.parquet"

@@ -1,0 +1,137 @@
+"""CLI driver tests for the round-5 product surface: `ingest` (the
+ledger-gated, optionally near-dup corpus ingestion) and `sessionize`
+(watermark-finalized streaming sessionization) — both wired to the
+library paths the streaming tests cover, invoked through main() the
+way a user would run them. The in-process SparkSession is shared via
+getOrCreate, so these run against the same test session."""
+
+from __future__ import annotations
+
+import json
+
+from bolson_spark.cli import main
+
+
+def _out_line(capsys) -> dict:
+    lines = [
+        ln for ln in capsys.readouterr().out.strip().splitlines() if ln
+    ]
+    return json.loads(lines[-1])
+
+
+def test_cli_ingest_near_dup_across_runs(spark, tmp_path, capsys):
+    """Two `ingest` invocations over a shared out-dir: run 2 re-feeds
+    an exact dup (ledger-rejected via the Bloom-prefiltered gate), a
+    near-dup (MinHash-index-rejected via --near-dup), and one new doc
+    — drain parity via the summary line, exactly-once acceptance via
+    the parquet output."""
+    base = [f"tok{j}" for j in range(40)]
+    near = ["zz0", "zz1"] + base[2:]  # J ~ 0.905 vs base
+    src1 = tmp_path / "src1"
+    src1.mkdir()
+    (src1 / "a.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": " ".join(base)},
+                {"doc_id": 2, "text": "totally different content here"},
+            ]
+        )
+        + "\n"
+    )
+    out = tmp_path / "corpus"
+    rc = main(
+        [
+            "ingest",
+            "--in-dir", str(src1),
+            "--out-dir", str(out),
+            "--checkpoint", str(tmp_path / "ck1"),
+            "--near-dup", "0.9",
+        ]
+    )
+    assert rc == 0
+    assert _out_line(capsys)["accepted_total"] == 2
+
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    (src2 / "b.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 3, "text": " ".join(base)},   # exact dup
+                {"doc_id": 4, "text": " ".join(near)},   # near dup
+                {"doc_id": 5, "text": "brand new fifth document"},
+            ]
+        )
+        + "\n"
+    )
+    rc = main(
+        [
+            "ingest",
+            "--in-dir", str(src2),
+            "--out-dir", str(out),
+            "--checkpoint", str(tmp_path / "ck2"),  # fresh run
+            "--near-dup", "0.9",
+        ]
+    )
+    assert rc == 0
+    assert _out_line(capsys)["accepted_total"] == 3
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(str(out / "accepted")).collect()
+    }
+    assert got == {1, 2, 5}
+
+
+def test_cli_sessionize_closes_on_watermark(spark, tmp_path, capsys):
+    """`sessionize` over two invocations sharing a checkpoint: run 1
+    folds the real events into state; run 2's far-future sentinel
+    advances the watermark and fires the timers, closing both real
+    sessions with exact boundaries."""
+    base_us = 1_700_000_000_000_000
+    m = 60_000_000
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "us": base_us, "value": 1.0},
+                {"user_id": 1, "us": base_us + 10 * m, "value": 2.0},
+                {"user_id": 1, "us": base_us + 300 * m, "value": 4.0},
+            ]
+        )
+        + "\n"
+    )
+    out = tmp_path / "sessions"
+    ck = tmp_path / "sck"
+    args = [
+        "sessionize",
+        "--in-dir", str(src),
+        "--out-dir", str(out),
+        "--checkpoint", str(ck),
+    ]
+    assert main(args) == 0
+    first = _out_line(capsys)["sessions_closed"]
+
+    (src / "b.jsonl").write_text(
+        json.dumps({"user_id": 9, "us": base_us + 100_000 * m, "value": 0.0})
+        + "\n"
+    )
+    (src / "c.jsonl").write_text(
+        json.dumps({"user_id": 9, "us": base_us + 100_001 * m, "value": 0.0})
+        + "\n"
+    )
+    assert main(args) == 0
+    assert _out_line(capsys)["sessions_closed"] >= first
+    rows = sorted(
+        (
+            (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in spark.read.parquet(str(out)).collect()
+            if r.user_id == 1
+        ),
+    )
+    assert rows == [
+        (1, base_us, base_us + 10 * m, 2),
+        (1, base_us + 300 * m, base_us + 300 * m, 1),
+    ]

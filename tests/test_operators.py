@@ -389,3 +389,31 @@ def test_seq_scalable_bounds_modes_identical(spark):
     )
     assert a == b
     assert [s for s, _ in a] == list(range(11))
+
+
+def test_add_seq_scalable_two_key_tiebreak(spark):
+    """Multi-key scalable path: buckets derive from the numeric FIRST
+    key; the second key breaks ties so the assignment is a collision-
+    free total order — must equal the exact global window on the same
+    two keys, including heavy first-key ties landing in one bucket."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bolson_spark.operators.seq import add_seq, add_seq_scalable
+
+    rng = random.Random(11)
+    rows = [(rng.randint(0, 9), i) for i in range(500)]  # many _k ties
+    df = spark.createDataFrame(rows, "k bigint, doc_id bigint")
+    got = add_seq_scalable(df, ["k", "doc_id"], name="seq", num_buckets=8)
+    want = add_seq(df, ["k", "doc_id"], name="seq")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # contiguity + determinism across re-execution
+    seqs = sorted(r.seq for r in got.collect())
+    assert seqs == list(range(500))
+    # non-numeric first key still falls back to the exact window
+    sdf = df.select(F.col("k").cast("string").alias("ks"), "doc_id")
+    fb = add_seq_scalable(sdf, ["ks", "doc_id"], name="seq")
+    assert sorted(r.seq for r in fb.collect()) == list(range(500))

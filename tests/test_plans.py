@@ -421,3 +421,65 @@ def test_ivf_pq_knn_is_take_ordered(spark):
     plan = formatted_plan(QUERIES["ivf_pq_knn"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_edge_join_aqe_splits_skewed_hub(spark):
+    """q_part_pagerank's docstring names a power-law hub part as AQE
+    skew-join territory — prove it on a synthetic hub graph: the
+    contrib-round edge x score equi-join (the exact join shape of the
+    PageRank iteration) must come back from AQE with the hub's shuffle
+    partition SPLIT (SortMergeJoin(skew=true) + AQEShuffleRead skewed)
+    instead of one straggler task owning the whole hub. Thresholds are
+    scaled to the toy fixture; at 100 TB the defaults (256 MB / 5x
+    median) trigger on the same mechanics."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hub = spark.range(200_000).select(
+            F.lit(0).alias("src"),
+            (F.col("id") + 1).alias("dst"),
+            F.lit(200_000).alias("deg"),
+        )
+        cold = spark.range(5_000).select(
+            (F.col("id") % 1000 + 1).alias("src"),
+            ((F.col("id") * 7) % 1000 + 1).alias("dst"),
+            F.lit(5).alias("deg"),
+        )
+        edges = hub.unionByName(cold)
+        scores = spark.range(1001).select(
+            F.col("id").alias("src"),
+            F.lit(1_000_000_000).alias("score_e9"),
+        )
+        contrib = (
+            edges.join(scores, "src")
+            .select("dst", F.expr("score_e9 div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        # execute THIS DataFrame's own QueryExecution (a writer would
+        # clone the plan and leave this one's adaptive plan un-final)
+        assert len(contrib.collect()) == 200_000
+        plan = contrib._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert re.search(r"SortMergeJoin\(skew=true\)", plan), plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

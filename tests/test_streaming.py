@@ -892,6 +892,31 @@ def test_streaming_ingest_index_crash_window_is_lossless(spark, tmp_path):
     # the ledger; near-dup doc 3 slips through the missing index
     assert got == {1, 3}
 
+    # SECOND crash window: between the two index writes (bands landed,
+    # token sets did not). The half-index must not wedge the stream or
+    # mis-gate: the gate requires BOTH halves readable and otherwise
+    # degrades to exact-only for that batch.
+    shutil.rmtree(out / "mh_toks")
+    fresh = [f"y{j}" for j in range(40)]
+    write_batch(
+        "c.jsonl",
+        [
+            {"doc_id": 4, "text": " ".join(base)},   # exact dup again
+            {"doc_id": 5, "text": " ".join(fresh)},  # genuinely new
+        ],
+    )
+    q = start("ck3")  # fresh checkpoint — third run id
+    q.processAllAvailable()
+    q.stop()
+    acc = spark.read.parquet(str(out / "accepted"))
+    assert {r.doc_id for r in acc.collect()} == {1, 3, 5}
+    # exactly-once: every accepted fingerprint appears exactly once
+    # across all three runs and both crash windows
+    dup_fp = (
+        acc.groupBy("fingerprint").count().where("count > 1").count()
+    )
+    assert dup_fp == 0
+
 
 @pytest.mark.parametrize(
     "which,parser",
@@ -999,6 +1024,98 @@ def test_bloom_prefilter_no_false_negatives(spark):
 
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan
+
+
+def test_bloom_bitmap_route_matches_words_and_is_shuffle_free(spark):
+    """The large-ledger Bloom route (driver-packed uint64 bitmap as a
+    broadcast variable, Arrow-vectorized gather): flags must equal the
+    word-table join route bit-for-bit (same JVM-side positions, same
+    bits — no false negatives by construction), and the probe plan
+    must contain ZERO shuffles and ZERO joins — that is the point of
+    the route at multi-billion-item ledgers."""
+    import re
+
+    from bolson_spark.streaming.ingest import (
+        bloom_maybe_contains,
+        bloom_maybe_contains_bitmap,
+        build_bloom_bitmap,
+        build_bloom_words,
+    )
+
+    members = spark.range(400).selectExpr("md5(cast(id as string)) fingerprint")
+    probe = spark.range(300, 1200).selectExpr(
+        "md5(cast(id as string)) fingerprint"
+    )
+    n_bits = 1 << 14
+    words = build_bloom_words(members, n_bits).cache()
+    bc = spark.sparkContext.broadcast(build_bloom_bitmap(words, n_bits))
+
+    via_words = {
+        r.fingerprint: r._bloom_maybe
+        for r in bloom_maybe_contains(probe, words, n_bits).collect()
+    }
+    bm_df = bloom_maybe_contains_bitmap(probe, bc, n_bits)
+    via_bitmap = {
+        r.fingerprint: r._bloom_maybe for r in bm_df.collect()
+    }
+    assert via_bitmap == via_words
+    # members all flagged maybe through the bitmap too (no false negs)
+    assert (
+        bloom_maybe_contains_bitmap(members, bc, n_bits)
+        .where("NOT _bloom_maybe")
+        .count()
+        == 0
+    )
+    plan = bm_df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(
+        r"\b(?:Exchange|ShuffleQueryStage|AQEShuffleRead|Join)\b", plan
+    ), plan
+    words.unpersist()
+
+
+def test_stream_ingest_bitmap_bloom_route_end_to_end(
+    spark, tmp_path, monkeypatch
+):
+    """Force the bitmap route (threshold shrunk below the minimum
+    Bloom size) through a real two-run ingest: run 2's prior-ledger
+    prefilter goes through the broadcast bitmap and must gate exact
+    dups identically to the word-join route."""
+    import bolson_spark.streaming.ingest as ing
+
+    monkeypatch.setattr(ing, "BLOOM_BROADCAST_MAX_BITS", 1 << 10)
+
+    root = tmp_path / "bmroute"
+    src = root / "src"
+    src.mkdir(parents=True)
+
+    def run_once(ck, rows):
+        for f in src.glob("*.jsonl"):
+            f.unlink()
+        (src / f"{ck}.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id bigint, text string")
+            .load(str(src))
+        )
+        q = ing.run_stream_ingest(
+            spark, stream, str(root / "out"), str(root / ck)
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once("ck1", [{"doc_id": i, "text": f"doc number {i}"} for i in range(50)])
+    # fresh checkpoint -> prior ledger -> bitmap-Bloom route
+    run_once(
+        "ck2",
+        [{"doc_id": 100 + i, "text": f"doc number {i}"} for i in range(25)]
+        + [{"doc_id": 200 + i, "text": f"fresh content {i}"} for i in range(5)],
+    )
+    acc = spark.read.parquet(str(root / "out" / "accepted"))
+    got = sorted(r.doc_id for r in acc.collect())
+    # 50 originals + 5 fresh; the 25 re-texted dups rejected via bitmap
+    assert got == list(range(50)) + [200 + i for i in range(5)]
 
 
 def _run_sessionize_batches(spark, tmp_path, name, batches, watermark):
