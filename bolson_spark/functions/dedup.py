@@ -529,6 +529,97 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    containment_threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Asymmetric near-SUBSET detection (Broder containment): for each
+    candidate pair, C = |A∩B| / |inner| where `inner` is the smaller
+    shingle set (ties: lower doc_id). Resemblance (Jaccard) misses the
+    quote/wrapper-page case — a short doc fully embedded in a long one
+    has high containment but low Jaccard, and a dedup pipeline wants
+    BOTH signals (drop the contained copy, keep the superset).
+
+    Same inverted-index shape and skew guard as
+    :func:`ngram_jaccard_pairs` (equi-join on 64-bit shingle hashes,
+    df-capped frequent-shingle anti-join, Theta(sharing pairs) — never
+    all-pairs). Output ratios are FIXED-POINT micro-units (bigint
+    div): rational ratios rounded as doubles can tie at the 6th
+    decimal and diverge 1 ulp between engines.
+    """
+    tok = F.col("_tok")
+    shingles = F.when(
+        F.size(tok) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok) - n),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tok, i + 1, n))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sh = (
+        _spread(df)
+        .select("doc_id", tokens(F.col(text_col)).alias("_tok"))
+        .select("doc_id", shingles.alias("sh"))
+        .where(F.size("sh") > 0)
+        .cache()
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle")).cache()
+    frequent = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .where(F.col("df_count") > max_df)
+    )
+    inv = inv.join(
+        F.broadcast(frequent.select("shingle")), "shingle", "left_anti"
+    )
+    inter = (
+        inv.alias("l")
+        .join(inv.alias("r"), "shingle")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    joined = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.col("sa.n_sh").alias("na"),
+            F.col("sb.n_sh").alias("nb"),
+        )
+    )
+    a_inner = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    out = joined.select(
+        F.when(a_inner, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "inner_doc"
+        ),
+        F.when(a_inner, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "outer_doc"
+        ),
+        F.expr("CAST((1000000 * inter) div least(na, nb) AS BIGINT)").alias(
+            "containment_e6"
+        ),
+        F.expr(
+            "CAST((1000000 * inter) div (na + nb - inter) AS BIGINT)"
+        ).alias("jaccard_e6"),
+    )
+    return out.where(
+        F.col("containment_e6") >= int(containment_threshold * 1_000_000)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -1073,6 +1073,182 @@ FROM occ o JOIN dw d USING (word)
 GROUP BY o.doc_id"""
 
 
+# ---------------------------------------------------------------------------
+# Round-5 widening: character-entropy quality, cross-document passage
+# dedup, and asymmetric containment (near-subset) pairs.
+# ---------------------------------------------------------------------------
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal: Shannon entropy (bits/char)
+    of each document's character distribution — the cheap gibberish /
+    binary-junk / repeated-filler detector every web-corpus pipeline
+    runs (low entropy = repetition; implausibly high = random bytes).
+
+    Shape: a pure NARROW map — per-row higher-order expressions over
+    the char array (distinct chars bounded by the alphabet, so the
+    interpreted-HOF cost is ~|text|·|alphabet| per row), ZERO shuffle.
+    The explode+groupBy formulation would shuffle every character of a
+    100 TB corpus; this never leaves the scan stage. Distinct chars
+    are SORTED before the entropy fold so the float accumulation order
+    is engine-identical; the rounded sum of log2 terms cannot tie at
+    the 6th decimal for real text (irrational unless every count is a
+    power of two)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), "").alias("_ch")
+    )
+    ch = F.col("_ch")
+    n = F.size(ch)
+    counts = F.transform(
+        F.array_sort(F.array_distinct(ch)),
+        lambda c: F.size(F.filter(ch, lambda x: x == c)),
+    )
+    s = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
+    )
+    ent = F.round(F.log2(n.cast("double")) - s / n.cast("double"), 6)
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars_counted"),
+        ent.alias("entropy"),
+        (ent < F.lit(3.0)).alias("low_entropy"),
+    )
+
+
+O_CHAR_ENTROPY = """
+WITH c AS (
+  SELECT doc_id, string_split(text, '') AS ch FROM documents
+),
+e AS (
+  SELECT doc_id, CAST(len(ch) AS BIGINT) AS n_chars_counted,
+         ROUND(
+           log2(CAST(len(ch) AS DOUBLE))
+           - list_aggregate(
+               list_transform(
+                 list_sort(list_distinct(ch)),
+                 d -> CAST(len(list_filter(ch, x -> x = d)) AS DOUBLE)
+                      * log2(CAST(len(list_filter(ch, x -> x = d)) AS DOUBLE))
+               ), 'sum') / CAST(len(ch) AS DOUBLE),
+           6) AS entropy
+  FROM c
+)
+SELECT doc_id, n_chars_counted, entropy, entropy < 3.0 AS low_entropy
+FROM e
+"""
+
+
+PASSAGE_W = 16
+PASSAGE_STRIDE = 8
+
+
+def q_cross_doc_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-PASSAGE detection (the exact-substring
+    dedup of SlimPajama/RefinedWeb-class pipelines, at passage
+    granularity): fixed 16-word windows at stride 8, hashed, grouped —
+    a passage appearing in >= 2 distinct documents is boilerplate or
+    syndicated content a training pipeline wants to strip once, not
+    learn N times. Distinct from `intra_doc_dedup` (within-doc) and
+    `dup_ngram_fraction` (corpus-wide scalar): the output is the
+    passage-level table a removal pass joins against.
+
+    Scale shape: windows are hashed IN THE SCAN (64-bit md5-prefix),
+    so only (doc_id, bigint) pairs ever shuffle — never passage text;
+    one groupBy on a uniform hash key. Stride 8 halves the index size
+    vs stride 1 while any >= 31-word overlap still shares a window."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("_tok")
+    )
+    tok = F.col("_tok")
+    starts = F.sequence(
+        F.lit(0), F.size(tok) - PASSAGE_W, F.lit(PASSAGE_STRIDE)
+    )
+    phash = F.array_distinct(
+        F.transform(
+            starts,
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(tok, i + 1, PASSAGE_W))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+    )
+    per_doc = (
+        docs.where(F.size(tok) >= PASSAGE_W)
+        .select("doc_id", F.explode(phash).alias("passage_hash"))
+    )
+    return (
+        per_doc.groupBy("passage_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+O_CROSS_DOC_PASSAGES = f"""
+WITH p AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+    range(1, len(string_split(text, ' ')) - {PASSAGE_W} + 2, {PASSAGE_STRIDE}),
+    i -> ('0x' || substr(md5(
+           array_to_string(string_split(text, ' ')[i:i+{PASSAGE_W - 1}], ' ')
+         ), 1, 15))::BIGINT))) AS passage_hash
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {PASSAGE_W}
+)
+SELECT passage_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc
+FROM p
+GROUP BY passage_hash
+HAVING COUNT(*) >= 2
+"""
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (see
+    functions/dedup.py::ngram_containment_pairs): near-SUBSET pairs at
+    C >= 0.8 over 3-gram shingles — the quote/wrapper-page case that
+    Jaccard-threshold dedup structurally misses."""
+    from bolson_spark.functions.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, containment_threshold=0.8
+    )
+
+
+O_CONTAINMENT_PAIRS = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, len(string_split(text, ' ')) - 1),
+    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS grams
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+         CAST(len(a.grams) AS BIGINT) AS na,
+         CAST(len(b.grams) AS BIGINT) AS nb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams)) > 0
+)
+SELECT CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+            THEN doc_a ELSE doc_b END AS inner_doc,
+       CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+            THEN doc_b ELSE doc_a END AS outer_doc,
+       (1000000 * inter) // LEAST(na, nb) AS containment_e6,
+       (1000000 * inter) // (na + nb - inter) AS jaccard_e6
+FROM pairs
+WHERE (1000000 * inter) // LEAST(na, nb) >= 800000
+"""
+
+
 TRAIN_QUERIES: dict[str, QuerySpec] = {
     "gopher_quality": QuerySpec(
         q_gopher_quality, O_GOPHER_QUALITY, ("text", "quality")
@@ -1116,5 +1292,14 @@ TRAIN_QUERIES: dict[str, QuerySpec] = {
     ),
     "bpe_encode": QuerySpec(
         q_bpe_encode, _bpe_encode_sql(), ("text", "pipeline")
+    ),
+    "char_entropy": QuerySpec(
+        q_char_entropy, O_CHAR_ENTROPY, ("text", "quality")
+    ),
+    "cross_doc_passages": QuerySpec(
+        q_cross_doc_passages, O_CROSS_DOC_PASSAGES, ("text", "dedup")
+    ),
+    "containment_pairs": QuerySpec(
+        q_containment_pairs, O_CONTAINMENT_PAIRS, ("dedup",)
     ),
 }

@@ -1218,3 +1218,29 @@ def test_bpe_train_auto_guard_routes_distributed(spark):
         corpus, "text", n_merges=5, mode="auto", driver_vocab_cap=2
     )
     assert got == expected
+
+
+def test_ngram_containment_subset_detection(spark):
+    """A short doc fully embedded in a longer one: containment = 1.0
+    (every 3-gram of the inner doc appears in the outer) while Jaccard
+    is well below any near-dup threshold — the case resemblance-based
+    dedup structurally misses. Unrelated docs must not pair."""
+    from bolson_spark.functions.dedup import ngram_containment_pairs
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta"
+    outer = (
+        "prefix words here then " + inner + " and a long suffix tail "
+        "keeps the jaccard low with many extra trailing tokens after"
+    )
+    rows = [
+        (1, inner),
+        (2, outer),
+        (3, "completely unrelated content about something else entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = ngram_containment_pairs(df, containment_threshold=0.8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.inner_doc, r.outer_doc) == (1, 2)
+    assert r.containment_e6 == 1_000_000  # full subset
+    assert r.jaccard_e6 < 500_000  # NOT a near-dup by resemblance
