@@ -915,9 +915,17 @@ def q_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.where(F.col("vec_id") == 0).collect()[0].cluster
     )
     books = _pq_codebooks(spark, sf_dir)
-    cand = pq_encode(emb, books).join(
-        assigned.where(F.col("cluster") == best_cell).select("vec_id"),
-        "vec_id",
+    # Encode ONLY the probed cell's members: the cell filter pushes
+    # BELOW the PQ encode, so the per-subspace interpreted-HOF encode
+    # cost is |cell| ~= N/cells, not N (measured 23.9 s -> cell-bound
+    # at 100x in scripts/scale_probe.py). The coarse assignment scan
+    # stays the one intentionally linear pass.
+    cand = pq_encode(
+        emb.join(
+            assigned.where(F.col("cluster") == best_cell).select("vec_id"),
+            "vec_id",
+        ),
+        books,
     )
     return pq_adc_knn(cand, books, qv, k=10)
 

@@ -14,6 +14,7 @@ should grow roughly linearly.
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
 import time
@@ -50,6 +51,13 @@ PROBES = [
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_scale_probe")
+    # SCALE_PROBES=a,b,c narrows the probe set — at 100x the
+    # quadratic-pair brute-force family is deliberately excluded
+    # (its growth is established at 10x; 100x would be 10^4x pairs).
+    global PROBES
+    sel = os.environ.get("SCALE_PROBES")
+    if sel:
+        PROBES = [p.strip() for p in sel.split(",") if p.strip()]
     spark = get_spark("scale-probe")
     if out.exists():
         shutil.rmtree(out)
