@@ -170,7 +170,10 @@ def cmd_ingest(args) -> int:
     query.stop()
     elapsed = time.time() - t0
     acc_dir = os.path.join(args.out_dir, "accepted")
-    n_accepted = spark.read.parquet(acc_dir).count()
+    try:
+        n_accepted = spark.read.parquet(acc_dir).count()
+    except Exception:  # zero micro-batches ever wrote the dir
+        n_accepted = 0
     print(
         json.dumps(
             {

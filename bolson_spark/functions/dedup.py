@@ -1113,9 +1113,6 @@ def probe_minhash_index(
             "near-dup",
             stacklevel=2,
         )
-    bands = (
-        choose_bands(num_hashes, jaccard_threshold) if bands is None else bands
-    )
     c_bands = spark.table(f"{name}_bands")
     c_toks = spark.table(f"{name}_toks")
     d_toks, d_bands = _minhash_prep(delta, text_col, num_hashes, bands)

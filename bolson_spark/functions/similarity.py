@@ -655,9 +655,11 @@ def _write_cells(
         .repartition(F.col("cluster"))
         .write.mode("overwrite")
         .partitionBy("cluster", "delta")
+        # pin BOTH modes explicitly: a session-level
+        # spark.sql.sources.partitionOverwriteMode=dynamic must not turn
+        # the full rebuild into a partial one that leaves stale deltas
+        .option("partitionOverwriteMode", "dynamic" if dynamic else "static")
     )
-    if dynamic:
-        w = w.option("partitionOverwriteMode", "dynamic")
     w.parquet(f"{path}/cells")
 
 

@@ -827,6 +827,15 @@ FROM word_top JOIN tri_dup USING (doc_id)
 SHUFFLE_SALT = "epoch0"
 
 
+def _md5_prefix60(col) -> F.Column:
+    """First 60 bits of an md5 hex digest as a non-negative bigint —
+    the one definition of the uniform-hash-to-bigint idiom shared by
+    the shuffle-order key (q_training_order) and the passage hash
+    (q_cross_doc_passages); both oracles use the matching
+    substr(md5)::BIGINT form."""
+    return F.conv(F.substring(col, 1, 15), 16, 10).cast("bigint")
+
+
 def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle: every doc gets a
     pseudo-random key md5(doc_id ':' salt) and a CONTIGUOUS global
@@ -855,10 +864,7 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ":", F.col("doc_id").cast("string"), F.lit(SHUFFLE_SALT)
             )
         ).alias("shuffle_key"),
-    ).withColumn(
-        "_k",
-        F.conv(F.substring("shuffle_key", 1, 15), 16, 10).cast("bigint"),
-    )
+    ).withColumn("_k", _md5_prefix60(F.col("shuffle_key")))
     out = add_seq_scalable(keyed, ["_k", "doc_id"], name="seq")
     return out.select("doc_id", "shuffle_key", "seq")
 
@@ -1185,8 +1191,10 @@ def q_cross_doc_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     so only (doc_id, bigint) pairs ever shuffle — never passage text;
     one groupBy on a uniform hash key. Stride 8 halves the index size
     vs stride 1 while any >= 31-word overlap still shares a window."""
+    from bolson_spark.functions.text import tokens
+
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("_tok")
+        "doc_id", tokens(F.col("text")).alias("_tok")
     )
     tok = F.col("_tok")
     starts = F.sequence(
@@ -1195,15 +1203,9 @@ def q_cross_doc_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     phash = F.array_distinct(
         F.transform(
             starts,
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(tok, i + 1, PASSAGE_W))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("bigint"),
+            lambda i: _md5_prefix60(
+                F.md5(F.concat_ws(" ", F.slice(tok, i + 1, PASSAGE_W)))
+            ),
         )
     )
     per_doc = (
@@ -1250,21 +1252,43 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_CONTAINMENT_PAIRS = """
-WITH sh AS (
+def _containment_sql(max_df: int = 1000) -> str:
+    """DuckDB twin of ngram_containment_pairs, INCLUDING its
+    frequent-shingle df cap: shingles occurring in more than `max_df`
+    documents are excluded from the INTERSECTION count (na/nb stay
+    pre-filter sizes) — exactly the Spark side's anti-join semantics.
+    Parameterized so tests can exercise the cap at a tiny max_df where
+    it actually bites (at sf<=0.01 no 3-gram reaches df 1000)."""
+    return f"""
+WITH sh AS MATERIALIZED (
   SELECT doc_id, list_distinct(list_transform(
     range(1, len(string_split(text, ' ')) - 1),
     i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS grams
   FROM documents
   WHERE len(string_split(text, ' ')) >= 3
 ),
-pairs AS (
+inv AS MATERIALIZED (
+  SELECT doc_id, unnest(grams) AS gram FROM sh
+),
+inv_f AS MATERIALIZED (
+  SELECT doc_id, gram FROM inv
+  WHERE gram IN (
+    SELECT gram FROM inv GROUP BY gram HAVING count(*) <= {max_df}
+  )
+),
+inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
-         CAST(len(a.grams) AS BIGINT) AS na,
-         CAST(len(b.grams) AS BIGINT) AS nb
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.grams, b.grams)) > 0
+         CAST(count(*) AS BIGINT) AS inter
+  FROM inv_f a JOIN inv_f b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b, inter,
+         CAST(len(sa.grams) AS BIGINT) AS na,
+         CAST(len(sb.grams) AS BIGINT) AS nb
+  FROM inter
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
 )
 SELECT CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
             THEN doc_a ELSE doc_b END AS inner_doc,
@@ -1275,6 +1299,9 @@ SELECT CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
 FROM pairs
 WHERE (1000000 * inter) // LEAST(na, nb) >= 800000
 """
+
+
+O_CONTAINMENT_PAIRS = _containment_sql()
 
 
 TRAIN_QUERIES: dict[str, QuerySpec] = {

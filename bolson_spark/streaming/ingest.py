@@ -257,8 +257,14 @@ def bloom_maybe_contains(
         .groupBy(fp_col)
         .agg(F.min(F.col("bit_set").cast("int")).alias("_all_set"))
     )
+    # null-safe equality: xxhash64(NULL, seed) is non-null, so a NULL
+    # fingerprint has well-defined probe positions on BOTH routes; a
+    # plain equi-join would silently drop the row here while the bitmap
+    # route keeps it, making the two routes row-set inequivalent
+    bits_r = bits.withColumnRenamed(fp_col, "__bloom_fp")
     return (
-        batch.join(bits, fp_col)
+        batch.join(bits_r, F.col(fp_col).eqNullSafe(F.col("__bloom_fp")))
+        .drop("__bloom_fp")
         .withColumn("_bloom_maybe", F.col("_all_set") == 1)
         .drop("_all_set")
     )

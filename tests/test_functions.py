@@ -1244,3 +1244,56 @@ def test_ngram_containment_subset_detection(spark):
     assert (r.inner_doc, r.outer_doc) == (1, 2)
     assert r.containment_e6 == 1_000_000  # full subset
     assert r.jaccard_e6 < 500_000  # NOT a near-dup by resemblance
+
+
+def test_containment_oracle_models_max_df_cap(spark):
+    """The DuckDB twin must model the Spark side's frequent-shingle df
+    cap (shingles in > max_df docs excluded from the INTERSECTION;
+    na/nb stay pre-filter) — run both at max_df=2 on sf0.001, where
+    the cap actually removes shingles, and require identical rows.
+    The registry's max_df=1000 never fires at test SFs, so without
+    this the cap semantics would be compare-invisible."""
+    from bolson_spark.functions.dedup import ngram_containment_pairs
+    from bolson_spark.oracle import duckdb_connection
+    from bolson_spark.queries import _t
+    from bolson_spark.queries_train import _containment_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        ngram_containment_pairs(
+            _t(spark, sf, "documents"), n=3,
+            containment_threshold=0.8, max_df=2,
+        )
+        .toPandas()
+        .sort_values(["inner_doc", "outer_doc"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb_connection(sf)
+        .execute(_containment_sql(max_df=2))
+        .df()
+        .sort_values(["inner_doc", "outer_doc"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
+    # precondition: the cap is actually reachable at max_df=2 here —
+    # some 3-gram must occur in >2 docs or this test proves nothing
+    from pyspark.sql import functions as F
+    from bolson_spark.functions.text import tokens
+
+    docs = _t(spark, sf, "documents").select(
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tokens(F.col("text"))) - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(tokens(F.col("text")), i + 1, 3)
+                    ),
+                )
+            )
+        ).alias("g")
+    )
+    max_seen = (
+        docs.groupBy("g").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_seen > 2, "fixture too small for the df cap to fire"

@@ -1043,8 +1043,12 @@ def test_bloom_bitmap_route_matches_words_and_is_shuffle_free(spark):
     )
 
     members = spark.range(400).selectExpr("md5(cast(id as string)) fingerprint")
+    # one NULL fingerprint: xxhash64(NULL, seed) is non-null, so both
+    # routes must KEEP the row and compute the same flag for it (the
+    # words route uses a null-safe join for exactly this)
     probe = spark.range(300, 1200).selectExpr(
-        "md5(cast(id as string)) fingerprint"
+        "if(id = 300, cast(NULL as string),"
+        " md5(cast(id as string))) fingerprint"
     )
     n_bits = 1 << 14
     words = build_bloom_words(members, n_bits).cache()
@@ -1054,6 +1058,7 @@ def test_bloom_bitmap_route_matches_words_and_is_shuffle_free(spark):
         r.fingerprint: r._bloom_maybe
         for r in bloom_maybe_contains(probe, words, n_bits).collect()
     }
+    assert len(via_words) == 900 and None in via_words  # NULL row kept
     bm_df = bloom_maybe_contains_bitmap(probe, bc, n_bits)
     via_bitmap = {
         r.fingerprint: r._bloom_maybe for r in bm_df.collect()
