@@ -90,6 +90,136 @@ def kmv_distinct(
     )
 
 
+def kmv_set_overlap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 64,
+    salt_parts: int = 16,
+) -> DataFrame:
+    """Pairwise set-similarity ESTIMATION between groups from merged
+    KMV sketches (Beyer et al., SIGMOD 2007): per group, the k
+    smallest md5 draws over its distinct keys form the sketch; for a
+    pair (A, B), the k smallest values of the sketch UNION estimate
+    |A∪B| by (k-1)/u_(k), and the fraction of those union-sketch
+    values present in BOTH input sketches estimates Jaccard. Sketches
+    of the same draw function are mergeable, which is exactly why this
+    works pairwise without re-scanning anything.
+
+    Scale shape: the corpus is scanned ONCE (distinct keys, then the
+    same two-stage salted bottom-k as `kmv_distinct` — no group ever
+    funnels its full key set through one reducer); the pair stage
+    touches G sketches of k bigints each (a broadcast nested-loop over
+    G rows), never the corpus — the entire point of sketch-based
+    overlap auditing at 100 TB. The EXACT pair overlap rides along for
+    the accuracy report via an inverted-index equi-join on the key; a
+    production caller at scale drops those columns and with them that
+    join.
+
+    Determinism: draws are md5-derived (not engine RNG) and ties are
+    broken by the key itself, so the sketch SET — hence every estimate
+    — is bit-identical across engines, runs, and cluster sizes.
+    Pairs where the union sketch holds fewer than k values degrade to
+    EXACT set arithmetic (the sketches saw everything).
+
+    Output: (group_a, group_b, n_a, n_b, kmv_union_est,
+    kmv_jaccard_e6, exact_jaccard_e6) with group_a < group_b; ratios
+    are fixed-point micro-units (bigint div — rational ratios rounded
+    as doubles can tie at the 6th decimal and diverge 1 ulp between
+    engines).
+    """
+    # consumed 4x (draws, sizes, both sides of the exact join) — left
+    # uncached deliberately: the distinct's shuffle is exchange-reused
+    # across consumers, and an A/B at sf0.1 showed caching the
+    # million-row string table costs more than the reuse saves
+    keys = df.select(group_col, key_col).distinct()
+    drawn = keys.select(
+        group_col,
+        F.col(key_col),
+        md5_draw(F.col(key_col), "kmv").alias("v"),
+    )
+    salt = F.pmod(F.hash(key_col), F.lit(salt_parts))
+    w1 = Window.partitionBy(group_col, salt).orderBy("v", key_col)
+    w2 = Window.partitionBy(group_col).orderBy("v", key_col)
+    sk_rows = (
+        drawn.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k)
+        .withColumn("rn2", F.row_number().over(w2))
+        .where(F.col("rn2") <= k)
+    )
+    # collect_list is bounded at k rows per group by construction
+    sketches = sk_rows.groupBy(group_col).agg(
+        F.sort_array(F.collect_list("v")).alias("sk")
+    )
+    sizes = keys.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_keys"))
+    sk = sketches.join(sizes, group_col)
+    a = sk.select(
+        F.col(group_col).alias("group_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_keys").alias("n_a"),
+    )
+    b = sk.select(
+        F.col(group_col).alias("group_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_keys").alias("n_b"),
+    )
+    # G^2/2 pairs over G sketch rows: broadcast nested-loop by design
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    u = F.array_sort(F.array_distinct(F.concat(F.col("sk_a"), F.col("sk_b"))))
+    merged_k = F.slice(u, 1, k)
+    prepared = pairs.select(
+        "group_a",
+        "group_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.size(u).alias("_ulen"),
+        # try_: when the union holds < k values the exact path is taken
+        # and u_(k) does not exist (strict element_at would raise)
+        F.try_element_at(u, F.lit(k)).alias("_u_k"),
+        F.size(
+            F.array_intersect(
+                F.array_intersect(merged_k, F.col("sk_a")), F.col("sk_b")
+            )
+        ).alias("_shared"),
+    )
+    # exact pair overlap (accuracy report): inverted-index equi-join
+    x = keys.select(
+        F.col(group_col).alias("group_a"), F.col(key_col).alias("_kx")
+    )
+    y = keys.select(
+        F.col(group_col).alias("group_b"), F.col(key_col).alias("_kx")
+    )
+    inter = (
+        x.join(y, "_kx")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    union_est = F.when(
+        F.col("_ulen") < k, F.col("_ulen").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        / (F.col("_u_k").cast("double") / F.lit(HASH_SPACE))
+    )
+    return (
+        prepared.join(inter, ["group_a", "group_b"], "left")
+        .withColumn("_i", F.coalesce(F.col("_i"), F.lit(0)))
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            F.round(union_est, 6).alias("kmv_union_est"),
+            F.expr(
+                f"CAST((1000000 * _shared) div least({k}, _ulen) AS BIGINT)"
+            ).alias("kmv_jaccard_e6"),
+            F.expr(
+                "CAST((1000000 * _i) div (n_a + n_b - _i) AS BIGINT)"
+            ).alias("exact_jaccard_e6"),
+        )
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     stratum_col: str,

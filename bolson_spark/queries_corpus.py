@@ -185,6 +185,93 @@ FROM exact e LEFT JOIN kth k USING (event_type)
 """
 
 
+def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap audit ("is src7 a re-crawl of src3?")
+    over 3-gram shingle SETS, estimated from merged KMV sketches (see
+    functions/sketch.py::kmv_set_overlap): every source pair gets a
+    Jaccard + union-size estimate from G sketches of 64 values — the
+    corpus is scanned once and the pair stage never touches it. The
+    dataset-mixing diagnostic every multi-source pipeline wants before
+    deciding what to dedup across; exact Jaccard rides along for the
+    accuracy report."""
+    from bolson_spark.functions.sketch import kmv_set_overlap
+    from bolson_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    grams = docs.where(F.size(tok) >= 3).select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tok) - 3),
+                    lambda i: F.concat_ws(" ", F.slice(tok, i + 1, 3)),
+                )
+            )
+        ).alias("gram"),
+    )
+    return kmv_set_overlap(grams, "gram", "source", k=64)
+
+
+O_SOURCE_OVERLAP_KMV = f"""
+WITH keys AS MATERIALIZED (
+  SELECT DISTINCT source, g FROM (
+    SELECT source, unnest(list_distinct(list_transform(
+      range(1, len(string_split(text, ' ')) - 1),
+      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS g
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+  )
+),
+drawn AS (
+  SELECT source, g,
+         ('0x' || substr(md5('kmv|' || g), 1, 15))::BIGINT AS v
+  FROM keys
+),
+ranked AS (
+  SELECT source, v,
+         row_number() OVER (PARTITION BY source ORDER BY v, g) AS rn
+  FROM drawn
+),
+sk AS MATERIALIZED (
+  SELECT source, list(v ORDER BY v) AS s
+  FROM ranked WHERE rn <= 64 GROUP BY source
+),
+sz AS MATERIALIZED (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM keys GROUP BY source
+),
+inter AS MATERIALIZED (
+  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS i
+  FROM keys a JOIN keys b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.source AS group_a, b.source AS group_b,
+         x.n AS n_a, y.n AS n_b,
+         list_sort(list_distinct(a.s || b.s)) AS u,
+         a.s AS ska, b.s AS skb
+  FROM sk a JOIN sk b ON a.source < b.source
+  JOIN sz x ON x.source = a.source
+  JOIN sz y ON y.source = b.source
+),
+est AS (
+  SELECT group_a, group_b, n_a, n_b,
+         CAST(len(u) AS BIGINT) AS ulen,
+         CAST(len(list_intersect(list_intersect(u[1:64], ska), skb))
+              AS BIGINT) AS shared,
+         CASE WHEN len(u) < 64 THEN CAST(len(u) AS DOUBLE)
+              ELSE 63.0 / (CAST(u[64] AS DOUBLE) / {_HS!r}) END AS union_est
+  FROM pairs
+)
+SELECT group_a, group_b, n_a, n_b,
+       ROUND(union_est, 6) AS kmv_union_est,
+       (1000000 * shared) // LEAST(64, ulen) AS kmv_jaccard_e6,
+       (1000000 * COALESCE(i, 0)) // (n_a + n_b - COALESCE(i, 0))
+         AS exact_jaccard_e6
+FROM est LEFT JOIN inter ON sa = group_a AND sb = group_b
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sample of 50 documents, weight = n_chars
     (longer documents proportionally likelier — the by-bytes corpus
@@ -1405,6 +1492,9 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "kmv_distinct": QuerySpec(
         q_kmv_distinct, O_KMV_DISTINCT, ("sketch", "aggregation")
+    ),
+    "source_overlap_kmv": QuerySpec(
+        q_source_overlap_kmv, O_SOURCE_OVERLAP_KMV, ("sketch", "dedup")
     ),
     "weighted_sample": QuerySpec(
         q_weighted_sample, O_WEIGHTED_SAMPLE, ("sketch", "pipeline")

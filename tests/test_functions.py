@@ -652,6 +652,48 @@ def test_kmv_estimate_accuracy(spark):
             assert abs(r.kmv_estimate - r.n_exact) <= 0.52 * r.n_exact, r
 
 
+def test_kmv_set_overlap_exact_and_estimated_paths(spark):
+    """kmv_set_overlap on hand-built sets: (a) a k larger than every
+    union degrades every pair to EXACT set arithmetic — the estimates
+    must equal the known Jaccards/union sizes; (b) at small k the
+    estimates stay in the KMV error band around the truth and the
+    exact accuracy columns are exact regardless of k."""
+    from bolson_spark.functions.sketch import kmv_set_overlap
+
+    # A = {0..99}, B = {50..149} (Jaccard 50/150), C = {0..99} (== A)
+    rows = (
+        [("A", f"k{i}") for i in range(100)]
+        + [("B", f"k{i}") for i in range(50, 150)]
+        + [("C", f"k{i}") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, ["grp", "key"])
+
+    exact = {
+        (r.group_a, r.group_b): r
+        for r in kmv_set_overlap(df, "key", "grp", k=1000).collect()
+    }
+    ab, ac, bc = exact[("A", "B")], exact[("A", "C")], exact[("B", "C")]
+    assert (ab.n_a, ab.n_b) == (100, 100)
+    assert ab.kmv_union_est == 150.0 and ab.exact_jaccard_e6 == 333333
+    assert ab.kmv_jaccard_e6 == 333333  # exact path: estimate == truth
+    assert ac.kmv_union_est == 100.0 and ac.kmv_jaccard_e6 == 1_000_000
+    assert ac.exact_jaccard_e6 == 1_000_000
+    assert bc.kmv_jaccard_e6 == 333333
+
+    est = {
+        (r.group_a, r.group_b): r
+        for r in kmv_set_overlap(df, "key", "grp", k=32).collect()
+    }
+    for pair, r in est.items():
+        assert r.exact_jaccard_e6 == exact[pair].exact_jaccard_e6
+        truth = exact[pair].kmv_jaccard_e6
+        # J estimator is Binomial(k, J)/k: 4-sigma band at k=32
+        sigma = (truth / 1e6 * (1 - truth / 1e6) / 32) ** 0.5 * 1e6
+        assert abs(r.kmv_jaccard_e6 - truth) <= 4 * sigma + 1, (pair, r)
+        u_truth = exact[pair].kmv_union_est
+        assert abs(r.kmv_union_est - u_truth) <= 0.75 * u_truth, (pair, r)
+
+
 def test_weighted_sample_prefers_heavy_rows(spark):
     """ES sampling must skew selection toward heavy weights: the mean
     weight of the sample should exceed the corpus mean."""
