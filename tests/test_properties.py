@@ -322,3 +322,134 @@ def test_passage_ops_match_python_reference(spark, docs, w):
         assert got_b[i].n_chunks == len(cs)
         assert got_b[i].n_boilerplate == len(cs) - len(kept)
         assert got_b[i].cleaned_md5 == md5(" ".join(kept))
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization merge function vs naive batch reference
+# ---------------------------------------------------------------------------
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark's GroupState exposing exactly the
+    surface _sessionize_fn touches, so the merge/finalize logic can be
+    property-tested as a pure function (no streaming query needed)."""
+
+    def __init__(self, wm_ms: int, stored, timed_out: bool = False):
+        self._tuple = stored
+        self._wm_ms = wm_ms
+        self.hasTimedOut = timed_out
+        self.timer_ms = None
+
+    @property
+    def exists(self):
+        return self._tuple is not None
+
+    @property
+    def get(self):
+        return self._tuple
+
+    def getCurrentWatermarkMs(self):
+        return self._wm_ms
+
+    def update(self, t):
+        self._tuple = t
+
+    def remove(self):
+        self._tuple = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timer_ms = ms
+
+
+def _batch_sessionize(events, gap_us):
+    """Naive reference: sort by time, split on gaps > gap_us."""
+    out = []
+    for us, v in sorted(events):
+        if out and us - out[-1][1] <= gap_us:
+            s = out[-1]
+            s[1] = us
+            s[2] += 1
+            s[3] += v
+        else:
+            out.append([us, us, 1, float(v)])
+    return sorted(tuple(s) for s in out)
+
+
+# events in a ~5-gap span so merges, bridges, and splits all occur;
+# integer-valued doubles keep float sums order-independent (exact)
+_GAP_US = 60 * 60 * 1_000_000
+_session_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5 * _GAP_US),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=_session_events,
+    cuts=st.lists(st.integers(min_value=0, max_value=40), max_size=4),
+    wm_lags_ms=st.lists(
+        st.integers(min_value=0, max_value=2 * _GAP_US // 1000),
+        min_size=5,
+        max_size=5,
+    ),
+)
+def test_sessionize_fn_matches_batch_under_any_schedule(
+    events, cuts, wm_lags_ms
+):
+    """_sessionize_fn (the applyInPandasWithState worker behind
+    sessionize_stream) replayed over ARBITRARY micro-batch splits and
+    ARBITRARY nondecreasing watermark schedules must (a) emit every
+    session exactly once, and (b) converge to the naive batch
+    sessionization of exactly the events it accepted (those at or
+    ahead of the watermark when their batch arrived) — the r5
+    watermark-finalization contract."""
+    import pandas as pd
+
+    from bolson_spark.streaming.stateful import _sessionize_fn
+
+    # split the event stream (arrival order = generated order) at the
+    # sorted cut points into consecutive micro-batches
+    bounds = sorted({min(c, len(events)) for c in cuts})
+    batches, prev = [], 0
+    for b in bounds + [len(events)]:
+        batches.append(events[prev:b])
+        prev = b
+    # nondecreasing watermark: running max over (max event time seen
+    # so far) - lag, floored at 0, in whole ms — Spark's wm shape
+    wm_us, seen_max, schedule = 0, 0, []
+    for batch, lag_ms in zip(batches, wm_lags_ms):
+        schedule.append((batch, wm_us))  # wm from PRIOR batches, as in Spark
+        if batch:
+            seen_max = max(seen_max, max(us for us, _ in batch))
+        wm_us = max(wm_us, (max(seen_max - lag_ms * 1000, 0) // 1000) * 1000)
+
+    stored, emitted, accepted = None, [], []
+    for batch, wm in schedule:
+        stt = _FakeGroupState(wm // 1000, stored)
+        pdf = pd.DataFrame(
+            {"us": [e[0] for e in batch], "value": [float(e[1]) for e in batch]}
+        )
+        for out in _sessionize_fn((7,), [pdf], stt):
+            emitted += [tuple(r) for r in out.itertuples(index=False)]
+        accepted += [e for e in batch if e[0] >= wm]
+        stored = stt._tuple
+    # drain: timer fires with the watermark past everything
+    stt = _FakeGroupState(10**15, stored, timed_out=True)
+    for out in _sessionize_fn((7,), [], stt):
+        emitted += [tuple(r) for r in out.itertuples(index=False)]
+    assert stt._tuple is None  # state fully cleaned up
+
+    # exact multiset equality with the batch reference: implies every
+    # session emitted exactly once, none revised, none lost
+    got = sorted((s, e, n, v) for (_k, s, e, n, v) in emitted)
+    assert got == _batch_sessionize(accepted, _GAP_US)
