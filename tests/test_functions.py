@@ -1226,6 +1226,53 @@ def test_ivf_append_index_equals_full_build(spark, tmp_path):
     assert cells == full_cells
 
 
+def test_ivf_full_rebuild_clobbers_deltas_under_dynamic_session(
+    spark, tmp_path
+):
+    """A FULL rebuild must remove every previously appended delta even
+    when the session default is partitionOverwriteMode=dynamic (a
+    common production setting): _write_cells pins the mode per-write,
+    so a rebuild cannot silently leave stale cluster=N/delta=crawl-*
+    partitions serving deleted/duplicated vectors to later probes."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.functions.similarity import (
+        ivf_append_index,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    path = str(tmp_path / "ivf_dyn")
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        half = emb.where(F.col("vec_id") % 2 == 0)
+        save_ivf_index(half, centroids, path)
+        ivf_append_index(
+            spark,
+            path,
+            emb.where(F.col("vec_id") % 2 == 1),
+            delta_id="crawl-1",
+        )
+        assert spark.read.parquet(f"{path}/cells").count() == emb.count()
+        # rebuild on the half corpus: crawl-1 must NOT survive
+        save_ivf_index(half, centroids, path)
+        cells = spark.read.parquet(f"{path}/cells")
+        assert cells.count() == half.count()
+        assert cells.where(F.col("delta") == "crawl-1").count() == 0
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prior
+            )
+
+
 def test_bpe_train_distributed_equals_driver(spark):
     """The distributed merge loop (per-round pair groupBy + 1-row
     collect) must produce the IDENTICAL merge table to the driver
