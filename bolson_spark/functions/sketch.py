@@ -114,7 +114,12 @@ def kmv_set_overlap(
     overlap auditing at 100 TB. The EXACT pair overlap rides along for
     the accuracy report via an inverted-index equi-join on the key; a
     production caller at scale drops those columns and with them that
-    join.
+    join (its per-key fanout is (groups containing the key)^2 — at
+    large G, hot keys need the same df-cap treatment as
+    ngram_containment_pairs; the SKETCH estimates have no such term).
+    Pairwise output is Θ(G²) by definition: intended for group counts
+    in the dozens-to-thousands (sources, crawls, shards), not for
+    millions of groups.
 
     Determinism: draws are md5-derived (not engine RNG) and ties are
     broken by the key itself, so the sketch SET — hence every estimate
