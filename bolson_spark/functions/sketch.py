@@ -57,6 +57,44 @@ def kmv_distinct(
     Output: (group_col, n_exact, kmv_estimate).
     """
     keys = df.select(group_col, key_col).distinct()
+    kth = (
+        _bottom_k_rows(keys, key_col, group_col, k, salt_parts)
+        .where(F.col("_rnk") == k)
+        .select(group_col, F.col("v").alias("v_k"))
+    )
+    exact = keys.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    # estimate left UNROUNDED: cast + two divisions are exactly
+    # specified IEEE ops, bit-identical on any engine; a ROUND(x, 6)
+    # would be the one step whose half-up tie handling can differ
+    return exact.join(kth, group_col, "left").select(
+        group_col,
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.coalesce(
+            F.lit(float(k - 1))
+            / (F.col("v_k").cast("double") / F.lit(HASH_SPACE)),
+            F.col("n_exact").cast("double"),
+        ).alias("kmv_estimate"),
+    )
+
+
+def _bottom_k_rows(
+    keys: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int,
+    salt_parts: int,
+) -> DataFrame:
+    """The one definition of the KMV sketch construction — the k
+    smallest md5 draws per group over a distinct (group, key) frame —
+    shared by `kmv_distinct` and `kmv_set_overlap` so the draw seed,
+    salt scheme, and tie-break can never desynchronize between the two
+    engine-parity oracles. Two-stage salted bottom-k: a per-(group,
+    salt) partial window keeps at most k rows per shard, the final
+    window ranks only group × salt_parts × k survivors — no group
+    funnels its full key set through one reducer. Returns (group_col,
+    key_col, v, _rnk) rows with _rnk <= k, ordered draws."""
     drawn = keys.select(
         group_col,
         F.col(key_col),
@@ -64,29 +102,13 @@ def kmv_distinct(
     )
     salt = F.pmod(F.hash(key_col), F.lit(salt_parts))
     w1 = Window.partitionBy(group_col, salt).orderBy("v", key_col)
-    partial = drawn.withColumn("rn", F.row_number().over(w1)).where(
-        F.col("rn") <= k
-    )
     w2 = Window.partitionBy(group_col).orderBy("v", key_col)
-    kth = (
-        partial.withColumn("rn2", F.row_number().over(w2))
-        .where(F.col("rn2") == k)
-        .select(group_col, F.col("v").alias("v_k"))
-    )
-    exact = keys.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
-    return exact.join(kth, group_col, "left").select(
-        group_col,
-        F.col("n_exact").cast("bigint").alias("n_exact"),
-        F.round(
-            F.coalesce(
-                F.lit(float(k - 1))
-                / (F.col("v_k").cast("double") / F.lit(HASH_SPACE)),
-                F.col("n_exact").cast("double"),
-            ),
-            6,
-        ).alias("kmv_estimate"),
+    return (
+        drawn.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .withColumn("_rnk", F.row_number().over(w2))
+        .where(F.col("_rnk") <= k)
+        .drop("_rn")
     )
 
 
@@ -128,30 +150,19 @@ def kmv_set_overlap(
     EXACT set arithmetic (the sketches saw everything).
 
     Output: (group_a, group_b, n_a, n_b, kmv_union_est,
-    kmv_jaccard_e6, exact_jaccard_e6) with group_a < group_b; ratios
-    are fixed-point micro-units (bigint div — rational ratios rounded
-    as doubles can tie at the 6th decimal and diverge 1 ulp between
-    engines).
+    kmv_jaccard_e6, exact_jaccard_e6) with group_a < group_b; Jaccard
+    ratios are fixed-point micro-units (bigint div — rational ratios
+    rounded as doubles can tie at the 6th decimal and diverge 1 ulp
+    between engines), and the union estimate is an UNROUNDED double
+    (cast + divide are exactly specified IEEE ops — bit-identical on
+    any engine; rounding would be the one divergence-capable step).
     """
     # consumed 4x (draws, sizes, both sides of the exact join) — left
     # uncached deliberately: the distinct's shuffle is exchange-reused
     # across consumers, and an A/B at sf0.1 showed caching the
     # million-row string table costs more than the reuse saves
     keys = df.select(group_col, key_col).distinct()
-    drawn = keys.select(
-        group_col,
-        F.col(key_col),
-        md5_draw(F.col(key_col), "kmv").alias("v"),
-    )
-    salt = F.pmod(F.hash(key_col), F.lit(salt_parts))
-    w1 = Window.partitionBy(group_col, salt).orderBy("v", key_col)
-    w2 = Window.partitionBy(group_col).orderBy("v", key_col)
-    sk_rows = (
-        drawn.withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") <= k)
-        .withColumn("rn2", F.row_number().over(w2))
-        .where(F.col("rn2") <= k)
-    )
+    sk_rows = _bottom_k_rows(keys, key_col, group_col, k, salt_parts)
     # collect_list is bounded at k rows per group by construction
     sketches = sk_rows.groupBy(group_col).agg(
         F.sort_array(F.collect_list("v")).alias("sk")
@@ -214,9 +225,14 @@ def kmv_set_overlap(
             "group_b",
             "n_a",
             "n_b",
-            F.round(union_est, 6).alias("kmv_union_est"),
+            # unrounded: pure IEEE cast/divide is bit-identical across
+            # engines; ROUND's half-up tie handling is what can differ
+            union_est.alias("kmv_union_est"),
             F.expr(
-                f"CAST((1000000 * _shared) div least({k}, _ulen) AS BIGINT)"
+                # bigint cast BEFORE the multiply: int32 * 1000000
+                # overflows at _shared >= 2148 (reachable at k >= 2148)
+                f"CAST((1000000 * CAST(_shared AS BIGINT))"
+                f" div least({k}, _ulen) AS BIGINT)"
             ).alias("kmv_jaccard_e6"),
             F.expr(
                 "CAST((1000000 * _i) div (n_a + n_b - _i) AS BIGINT)"

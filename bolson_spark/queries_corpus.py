@@ -179,8 +179,8 @@ exact AS (
 )
 SELECT e.event_type,
        CAST(e.n_exact AS BIGINT) AS n_exact,
-       ROUND(COALESCE(63.0 / (CAST(k.v_k AS DOUBLE) / {_HS!r}),
-                      CAST(e.n_exact AS DOUBLE)), 6) AS kmv_estimate
+       COALESCE(63.0 / (CAST(k.v_k AS DOUBLE) / {_HS!r}),
+                CAST(e.n_exact AS DOUBLE)) AS kmv_estimate
 FROM exact e LEFT JOIN kth k USING (event_type)
 """
 
@@ -264,7 +264,7 @@ est AS (
   FROM pairs
 )
 SELECT group_a, group_b, n_a, n_b,
-       ROUND(union_est, 6) AS kmv_union_est,
+       union_est AS kmv_union_est,
        (1000000 * shared) // LEAST(64, ulen) AS kmv_jaccard_e6,
        (1000000 * COALESCE(i, 0)) // (n_a + n_b - COALESCE(i, 0))
          AS exact_jaccard_e6
