@@ -680,6 +680,16 @@ def test_kmv_set_overlap_exact_and_estimated_paths(spark):
     assert ac.exact_jaccard_e6 == 1_000_000
     assert bc.kmv_jaccard_e6 == 333333
 
+    # overflow regression: shared sketch count > 2147 must not wrap
+    # int32 in the 1e6 fixed-point multiply (bigint cast required)
+    big = spark.createDataFrame(
+        [(g, f"b{i}") for g in ("D", "E") for i in range(2500)],
+        ["grp", "key"],
+    )
+    (de,) = kmv_set_overlap(big, "key", "grp", k=4096).collect()
+    assert (de.group_a, de.group_b) == ("D", "E")
+    assert de.kmv_jaccard_e6 == 1_000_000 and de.exact_jaccard_e6 == 1_000_000
+
     est = {
         (r.group_a, r.group_b): r
         for r in kmv_set_overlap(df, "key", "grp", k=32).collect()
