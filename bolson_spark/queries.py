@@ -16,7 +16,11 @@ Cross-engine determinism rules used throughout (so value hashes match):
   results; content digests are md5/sha256 (identical everywhere).
 - Timestamps in results are formatted to strings.
 - Floating-point similarity scores are rounded to 6 decimals on both
-  engines.
+  engines. For NEW computed doubles prefer the stronger forms: emit
+  UNROUNDED (cast + divide are exactly specified IEEE ops — bit-
+  identical on any engine, while ROUND's half-up tie handling is the
+  one step that can diverge by 1 ulp on a 6th-decimal tie) or
+  fixed-point bigint micro-units for rational ratios.
 - Every computed column is aliased identically on both sides.
 """
 
