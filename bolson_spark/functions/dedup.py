@@ -546,9 +546,14 @@ def ngram_containment_pairs(
     Same inverted-index shape and skew guard as
     :func:`ngram_jaccard_pairs` (equi-join on 64-bit shingle hashes,
     df-capped frequent-shingle anti-join, Theta(sharing pairs) — never
-    all-pairs). Output ratios are FIXED-POINT micro-units (bigint
-    div): rational ratios rounded as doubles can tie at the 6th
-    decimal and diverge 1 ulp between engines.
+    all-pairs). Theta(sharing pairs) is quadratic in duplicate mass
+    (10x exact copies = ~100x co-occurrence pairs; measured 6.4x wall
+    at 10x, SCALING.md): on duplicate-heavy corpora run exact /
+    identical-set canonicalization first (the
+    `q_dedup_minhash_components` move) so containment sees one
+    representative per copy group. Output ratios are FIXED-POINT
+    micro-units (bigint div): rational ratios rounded as doubles can
+    tie at the 6th decimal and diverge 1 ulp between engines.
     """
     tok = F.col("_tok")
     shingles = F.when(
