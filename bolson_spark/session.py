@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime Bloom-filter join pruning (Spark default, pinned as
+        # intent): above the 10 GB fact-scan threshold — the 100 TB
+        # regime — a selective dim predicate prunes the fact shuffle;
+        # proof test: test_plans.py::test_runtime_bloom_filter_prunes_fact_scan
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

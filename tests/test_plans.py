@@ -483,3 +483,52 @@ def test_pagerank_edge_join_aqe_splits_skewed_hub(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Spark's runtime Bloom-filter join pruning (InjectRuntimeFilter,
+    enabled in this session's config) only fires above a 10 GB
+    fact-side scan — the 100 TB regime, never the fixture. Scale the
+    threshold down and machine-prove the engine's dim-filtered fact
+    join shape admits the rewrite: the selective supplier predicate
+    must inject a bloom_filter_agg creation subquery and a
+    might_contain predicate into the lineitem scan stage, so at
+    production scale the fact shuffle only carries rows that can
+    possibly join. Broadcast is forced off — with a broadcastable dim
+    Spark prunes through the broadcast instead, which is why the
+    registry's own plans don't (and shouldn't) show the bloom."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.queries import _t
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1024",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = _t(spark, SF, "lineitem")
+        su = _t(spark, SF, "supplier").where(F.col("s_acctbal") > 9000)
+        j = (
+            li.join(su, li.l_suppkey == su.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        # the probe sits in the FACT branch as a scan-stage filter on
+        # the join key, upstream of the shuffle
+        assert "might_contain" in plan and "l_suppkey" in plan.split(
+            "might_contain", 1
+        )[1][:120], plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
