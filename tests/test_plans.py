@@ -532,3 +532,47 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_date_partitioned_fact(spark, tmp_path):
+    """Dynamic Partition Pruning — the other scan-elimination lever at
+    100 TB (a date-partitioned fact joined to a filtered dim reads
+    ONLY the dim's surviving partitions, at runtime, via the reused
+    broadcast): write events partitioned by day, join on the partition
+    column against an independently-filtered dim, and assert the fact
+    scan's PartitionFilters carry the dynamicpruning subquery. The dim
+    must be a genuinely independent relation — a dim derived from the
+    fact itself is (correctly) not rewritten."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.queries import _t
+
+    d = str(tmp_path / "events_by_day")
+    (
+        _t(spark, SF, "events")
+        .withColumn("day", F.to_date("ts"))
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(d)
+    )
+    fact = spark.read.parquet(d)
+    days = [r.day for r in fact.select("day").distinct().limit(5).collect()]
+    dim = spark.createDataFrame(
+        [(x, i) for i, x in enumerate(days)], ["day", "prio"]
+    )
+    j = (
+        fact.join(dim.where(F.col("prio") <= 1), "day")
+        .groupBy("day")
+        .count()
+    )
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(
+        (
+            ln
+            for ln in plan.splitlines()
+            if "PartitionFilters" in ln and "dynamicpruning" in ln
+        ),
+        None,
+    )
+    assert scan_line is not None, plan[:2000]
