@@ -165,6 +165,7 @@ def cmd_ingest(args) -> int:
         args.out_dir,
         args.checkpoint,
         near_dup_threshold=args.near_dup,
+        in_batch_near_dedup=args.in_batch_near_dedup,
     )
     query.processAllAvailable()
     query.stop()
@@ -427,6 +428,12 @@ def main(argv=None) -> int:
         default=None,
         metavar="JACCARD",
         help="also reject near-duplicates at this Jaccard threshold",
+    )
+    ig.add_argument(
+        "--in-batch-near-dedup",
+        action="store_true",
+        help="with --near-dup: also cross-gate near-dups arriving in"
+        " the same micro-batch (lowest doc id wins)",
     )
     ig.add_argument("--max-files-per-trigger", type=int)
     ig.set_defaults(fn=cmd_ingest)

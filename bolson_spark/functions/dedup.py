@@ -379,29 +379,25 @@ def _banded_verified_pairs(
     # several× cheaper than string-array intersects at any scale
     # (8-byte fixed-width comparisons, no UTF-8 walks). xxhash64
     # collisions are ~V²/2⁶⁵ for vocabulary V — immaterial.
-    sdf = _spread(df)  # probe once, reuse for both branches
-    toksets = sdf.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(tokens(F.col(text_col)), lambda w: F.xxhash64(w))
-        ).alias("toks"),
-    ).select("doc_id", "toks", F.size("toks").alias("n_toks")).cache()
-
     # Band keys computed ONCE per doc in a JVM-side narrow map (one
     # md5 per token + codegen arithmetic — see minhash_signature), then
     # posexploded to (band, band_key) rows for the bucket self-join.
     # Each band row carries the doc's set SIZE so the size-ratio
     # prefilter can run inside the candidate join, before distinct().
-    band_rows = (
-        band_keys_from_signature(
-            minhash_signature(sdf, text_col, num_hashes),
-            num_hashes,
-            bands,
-        )
-        .join(toksets.select("doc_id", "n_toks"), "doc_id")
-        .cache()
-    )
+    toksets, band_rows = _minhash_prep(df, text_col, num_hashes, bands)
+    toksets, band_rows = toksets.cache(), band_rows.cache()
+    return _verified_pairs_prepped(toksets, band_rows, jaccard_threshold)
 
+
+def _verified_pairs_prepped(
+    toksets: DataFrame,
+    band_rows: DataFrame,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """The pair-emitting core over already-prepped `_minhash_prep`
+    frames — shared by `_banded_verified_pairs` and the streaming
+    gate's in-batch pass (which reuses the micro-batch's own prepped
+    frames instead of re-hashing the text)."""
     # Size-ratio prefilter — an EXACT necessary condition, not a
     # heuristic: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so any pair whose
     # size ratio is below the threshold cannot verify. Two integer

@@ -280,11 +280,20 @@ def _near_dup_gate(
     toks_dir: str,
     run_id: str,
     batch_id: int,
+    in_batch: bool = False,
 ) -> tuple[DataFrame, list[tuple[DataFrame, str]], list[DataFrame]]:
     """Probe the batch's exact-gate survivors against the accumulated
     MinHash index of previously accepted docs. Returns (gated batch,
     pending index writes as (frame, out_dir) pairs, cached frames for
     the caller to unpersist after its writes).
+
+    ``in_batch=True`` additionally cross-gates near-dups WITHIN the
+    micro-batch (keep the lowest doc id per near-dup component, using
+    the batch's own already-prepped minhash frames — no re-hashing);
+    off by default, matching the standard streaming compromise where
+    the first ACCEPTED copy gates later batches only. Cost is bounded
+    by the batch: a banded self-join over the survivors plus a
+    connected-components pass on the (small) in-batch pair list.
 
     The index writes are RETURNED, not performed: the caller must land
     them only AFTER the accepted+ledger writes succeed. Writing the
@@ -340,6 +349,25 @@ def _near_dup_gate(
         caches.append(delta_kept)
     else:
         delta_kept = delta
+    if in_batch:
+        from bolson_spark.functions.dedup import (
+            _verified_pairs_prepped,
+            connected_components,
+        )
+
+        kept_now = delta_kept.select("doc_id")
+        pairs = _verified_pairs_prepped(
+            d_toks.join(kept_now, "doc_id", "left_semi"),
+            d_bands.join(kept_now, "doc_id", "left_semi"),
+            threshold,
+        )
+        dupes = (
+            connected_components(pairs)
+            .where(F.col("node") != F.col("representative"))
+            .select(F.col("node").alias("doc_id"))
+        )
+        delta_kept = delta_kept.join(dupes, "doc_id", "left_anti").cache()
+        caches.append(delta_kept)
     kept_ids = delta_kept.select("doc_id")
     pending_index_writes = [
         (
@@ -366,6 +394,7 @@ def run_stream_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     near_dup_threshold: float | None = None,
+    in_batch_near_dedup: bool = False,
 ):
     """Start the ingest stream: accept documents whose content
     fingerprint is new vs. the persistent ledger, write accepted docs
@@ -382,8 +411,10 @@ def run_stream_ingest(
     run. Accepted docs append their own band rows/token sets to the
     index; the per-batch cost is O(batch + matched buckets), never a
     rescan of the accepted corpus. Near-dups WITHIN one micro-batch
-    are not cross-gated (the standard streaming compromise — the first
-    accepted copy gates all later batches)."""
+    are not cross-gated by default (the standard streaming compromise
+    — the first accepted copy gates all later batches); pass
+    ``in_batch_near_dedup=True`` to close that window too (lowest doc
+    id per in-batch near-dup component wins, batch-bounded cost)."""
     _reject_mixed_ledger_layout(out_dir)
     accepted_dir = os.path.join(out_dir, "accepted")
     ledger_dir = os.path.join(out_dir, "ledger")
@@ -515,6 +546,7 @@ def run_stream_ingest(
                 index_toks_dir,
                 run_id,
                 batch_id,
+                in_batch=in_batch_near_dedup,
             )
         batch = (
             batch.withColumn("run", F.lit(run_id))

@@ -1412,3 +1412,82 @@ def test_stream_ingest_null_text_consistent_across_bloom_paths(
     ids = sorted(r.doc_id for r in acc)
     # doc 3 (NULL text) is a dup of doc 1 ("" text) — rejected; doc 4 new
     assert ids == [1, 2, 4], ids
+
+
+def test_streaming_ingest_in_batch_near_dedup(spark, tmp_path):
+    """in_batch_near_dedup=True closes the default gate's one window:
+    two near-dup (non-identical) docs arriving in the SAME micro-batch.
+    The lowest doc id per in-batch near-dup component is kept, the
+    rest are gated; only the keeper enters the index, and a LATER
+    batch's variant is still rejected against it. With the flag off
+    (default), both same-batch docs are accepted — the documented
+    streaming compromise."""
+    import json as _json
+    import os as _os
+
+    from bolson_spark.streaming.ingest import run_stream_ingest
+
+    base = [f"w{j}" for j in range(40)]
+    near = ["x0", "x1"] + base[2:]      # J ~ 0.905 vs base
+    near2 = ["y0", "y1"] + base[2:]     # J ~ 0.905 vs base
+    fresh = [f"z{j}" for j in range(30)]
+    rows = [
+        {"doc_id": 2, "text": " ".join(near)},
+        {"doc_id": 1, "text": " ".join(base)},
+        {"doc_id": 3, "text": " ".join(fresh)},
+    ]
+
+    for flag, want in ((False, {1, 2, 3}), (True, {1, 3})):
+        src = tmp_path / f"src_{flag}"
+        src.mkdir()
+        out = tmp_path / f"out_{flag}"
+        p = src / "a.jsonl"
+        p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+        _os.utime(p, (1_700_000_000, 1_700_000_000))
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id bigint, text string")
+            .load(str(src))
+        )
+        q = run_stream_ingest(
+            spark, stream, str(out), str(tmp_path / f"ck_{flag}"),
+            near_dup_threshold=0.9, in_batch_near_dedup=flag,
+        )
+        q.processAllAvailable()
+        q.stop()
+        acc = {
+            r.doc_id
+            for r in spark.read.parquet(str(out / "accepted")).collect()
+        }
+        assert acc == want, (flag, acc)
+
+    # the gated doc 2 must NOT be in the index: a later near-dup of
+    # base is rejected (matches doc 1's rows), and the index holds
+    # band rows for exactly the accepted ids
+    out = tmp_path / "out_True"
+    idx_ids = {
+        r.doc_id
+        for r in spark.read.parquet(str(out / "mh_bands"))
+        .select("doc_id").distinct().collect()
+    }
+    assert idx_ids == {1, 3}
+    src = tmp_path / "src_True"
+    p2 = src / "b.jsonl"
+    p2.write_text(_json.dumps({"doc_id": 9, "text": " ".join(near2)}) + "\n")
+    _os.utime(p2, (1_700_000_060, 1_700_000_060))
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id bigint, text string")
+        .load(str(src))
+    )
+    q = run_stream_ingest(
+        spark, stream, str(out), str(tmp_path / "ck_True"),
+        near_dup_threshold=0.9, in_batch_near_dedup=True,
+    )
+    q.processAllAvailable()
+    q.stop()
+    acc = {
+        r.doc_id
+        for r in spark.read.parquet(str(out / "accepted")).collect()
+    }
+    assert acc == {1, 3}  # doc 9 near-dups the kept representative
