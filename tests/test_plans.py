@@ -576,3 +576,48 @@ def test_dynamic_partition_pruning_on_date_partitioned_fact(spark, tmp_path):
         None,
     )
     assert scan_line is not None, plan[:2000]
+
+
+def test_aqe_upgrades_smj_to_broadcast_at_runtime(spark):
+    """AQE's runtime join upgrade — the lever that saves mis-estimated
+    joins at 100 TB: planning-time stats can't see a selective filter,
+    so the static plan is a SortMergeJoin, but the runtime shuffle
+    statistics reveal the filtered side is tiny and AQE replans it as
+    a BroadcastHashJoin mid-query. Force the static choice off
+    (threshold -1) and assert the FINAL adaptive plan carries the
+    broadcast join while the initial plan carried the SMJ."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.queries import _t
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10485760",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = _t(spark, SF, "lineitem")
+        orders = _t(spark, SF, "orders").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        final = plan.split("Initial Plan", 1)[0]
+        initial = plan.split("Initial Plan", 1)[1] if "Initial Plan" in plan else ""
+        assert "BroadcastHashJoin" in final, final[:2000]
+        assert "SortMergeJoin" not in final, final[:2000]
+        assert "SortMergeJoin" in initial  # the static plan was SMJ
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
