@@ -2035,6 +2035,93 @@ FROM d
 """
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec roundtrip, fully oracle-checked (the WAV twin
+    of `multimodal_decode`): deterministic int16 signals
+    (sample[i] = ((31*doc_id + 17*i) mod 4001) - 2000, n = 800 +
+    160*(doc_id mod 5) samples at 8 kHz) are encoded to real RIFF/PCM16
+    WAV bytes, decoded back by the pure-struct RIFF parser
+    (multimodal.py::decode_wav — WAV is a container, no codec lib
+    needed), and reduced to integer-exact features; the oracle
+    recomputes every feature analytically from the generator formula.
+    Proves bytes->samples->stats is real end-to-end for audio too."""
+    import numpy as np
+    import pandas as pd
+
+    from bolson_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                n = 800 + 160 * (did % 5)
+                i = np.arange(n, dtype=np.int64)
+                s = ((31 * did + 17 * i) % 4001 - 2000).astype(np.int16)
+                rate, back = decode_wav(encode_wav(s, 8000))
+                b = back.astype(np.int64)
+                rows.append(
+                    (
+                        did,
+                        len(b),
+                        len(b) * 1_000_000 // rate,
+                        int(np.abs(b).max()),
+                        int((b * b).sum()),
+                        int(((b[:-1] < 0) != (b[1:] < 0)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "duration_us",
+                    "peak",
+                    "sum_sq",
+                    "zero_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        "media_id bigint, n_samples bigint, duration_us bigint, "
+        "peak bigint, sum_sq bigint, zero_crossings bigint",
+    )
+
+
+O_MULTIMODAL_AUDIO = """
+WITH ids AS (
+  SELECT doc_id, CAST(800 + 160 * (doc_id % 5) AS BIGINT) AS n
+  FROM documents WHERE doc_id < 200
+),
+s AS (
+  SELECT doc_id, n, unnest(range(0, n)) AS i FROM ids
+),
+v AS (
+  SELECT doc_id, n, i,
+         ((31 * doc_id + 17 * i) % 4001) - 2000 AS x,
+         lag(((31 * doc_id + 17 * i) % 4001) - 2000)
+           OVER (PARTITION BY doc_id ORDER BY i) AS px
+  FROM s
+)
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(count(*) * 125 AS BIGINT) AS duration_us,
+       CAST(max(abs(x)) AS BIGINT) AS peak,
+       CAST(sum(x * x) AS BIGINT) AS sum_sq,
+       CAST(sum(CASE WHEN (x < 0) != (px < 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings
+FROM v
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Additional relational patterns
 # ---------------------------------------------------------------------------
@@ -2891,6 +2978,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "multimodal_decode": QuerySpec(
         q_multimodal_decode, O_MULTIMODAL_DECODE, ("multimodal",)
+    ),
+    "multimodal_audio": QuerySpec(
+        q_multimodal_audio, O_MULTIMODAL_AUDIO, ("multimodal",)
     ),
     "multimodal_frames": QuerySpec(
         q_multimodal_frames, O_MULTIMODAL_FRAMES, ("multimodal",)

@@ -1396,3 +1396,64 @@ def test_containment_oracle_models_max_df_cap(spark):
         docs.groupBy("g").count().agg(F.max("count")).collect()[0][0]
     )
     assert max_seen > 2, "fixture too small for the df cap to fire"
+
+
+def test_wav_codec_roundtrip_and_audio_features(spark):
+    """REAL audio codec: RIFF/PCM16 encode->decode roundtrip, chunk
+    walking past foreign chunks, honest refusal of compressed format
+    tags, truncation detection, and the distributed
+    extract_audio_features path with integer-exact answers."""
+    import struct
+
+    import numpy as np
+
+    from bolson_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+        extract_audio_features,
+    )
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(-30000, 30000, 321, dtype=np.int16)
+    rate, back = decode_wav(encode_wav(s, 16000))
+    assert rate == 16000 and (back == s).all()
+
+    # chunk walking: a LIST chunk (odd-sized, word-aligned) between
+    # fmt and data must be skipped, not break the parse
+    wav = encode_wav(s, 8000)
+    fmt_end = 12 + 8 + 16
+    foreign = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad
+    patched = wav[:fmt_end] + foreign + wav[fmt_end:]
+    patched = patched[:4] + struct.pack(
+        "<I", len(patched) - 8
+    ) + patched[8:]
+    rate2, back2 = decode_wav(patched)
+    assert rate2 == 8000 and (back2 == s).all()
+
+    # refusals: not-RIFF, compressed format tag, stereo, truncated data
+    with pytest.raises(ValueError):
+        decode_wav(b"ID3\x04junkjunkjunk")
+    mp3ish = bytearray(encode_wav(s))
+    struct.pack_into("<H", mp3ish, 20, 85)  # format tag: MPEG layer 3
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(mp3ish))
+    stereo = bytearray(encode_wav(s))
+    struct.pack_into("<H", stereo, 22, 2)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(stereo))
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav(s)[:-10])  # data chunk shorter than size
+
+    # distributed path: features are integer-exact vs numpy
+    tri = np.array([3, -1, 4, -1, -5, 9, 0, -2], dtype=np.int16)
+    media = spark.createDataFrame(
+        [(0, bytearray(encode_wav(tri, 8000)))],
+        "media_id long, payload binary",
+    )
+    (row,) = extract_audio_features(media).collect()
+    assert row.n_samples == 8
+    assert row.duration_us == 8 * 1_000_000 // 8000
+    assert row.peak == 9
+    assert row.sum_sq == int((tri.astype(np.int64) ** 2).sum())
+    # sign changes: 3,-1 | -1,4 | 4,-1 | -5,9 | 9,0? (0 not <0: no) | 0,-2
+    assert row.zero_crossings == 5
