@@ -193,6 +193,10 @@ def cmd_sessionize(args) -> int:
     us epoch-micros, value): sessions are emitted exactly once, when
     the event-time watermark passes session end + gap — the runnable
     product shape of streaming/stateful.py's tested path."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
     from bolson_spark.session import get_spark
     from bolson_spark.streaming import sessionize_stream
 
@@ -209,12 +213,28 @@ def cmd_sessionize(args) -> int:
         "user_id", "timestamp_micros(us) AS ts", "value"
     )
     t0 = time.time()
+    # Idempotent sink (same discipline as run_stream_ingest): writes are
+    # keyed by (run, batch) partitions with dynamic partition overwrite,
+    # so a micro-batch replayed from the checkpoint after a crash
+    # OVERWRITES its own partition instead of double-appending sessions;
+    # the run key keeps a fresh-checkpoint restart (batch_id resets to 0)
+    # from clobbering a previous run's output.
+    run_id = uuid.uuid4().hex[:12]
+
+    def _write_batch(bdf, batch_id: int) -> None:
+        (
+            bdf.withColumn("run", F.lit(run_id))
+            .withColumn("batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("run", "batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(args.out_dir)
+        )
+
     query = (
         sessionize_stream(stream, watermark=args.watermark)
         .writeStream.outputMode("append")
-        .foreachBatch(
-            lambda bdf, _b: bdf.write.mode("append").parquet(args.out_dir)
-        )
+        .foreachBatch(_write_batch)
         .option("checkpointLocation", args.checkpoint)
         .start()
     )

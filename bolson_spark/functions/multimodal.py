@@ -289,6 +289,11 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
         if len(body) < size:
             raise ValueError(f"truncated {cid!r} chunk: {len(body)} < {size}")
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(
+                    f"malformed 'fmt ' chunk: body is {len(body)} bytes, "
+                    "need >= 16 for the PCM format fields"
+                )
             fmt_chunk = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -304,6 +309,10 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
         )
     if channels != 1 or bits != 16:
         raise ValueError(f"only PCM16 mono supported, got {channels}ch/{bits}bit")
+    if len(data) % 2:
+        raise ValueError(
+            f"malformed PCM16 data chunk: odd byte length {len(data)}"
+        )
     return rate, np.frombuffer(data, dtype="<i2")
 
 

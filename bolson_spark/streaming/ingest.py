@@ -154,6 +154,12 @@ def _bloom_positions(fp_col, n_bits: int):
 
 
 BLOOM_BROADCAST_MAX_BITS = 1 << 28  # <= 4M word rows (~64 MB) broadcast
+# Hard cap on the bitmap route's size: 2^33 bits = 1 GiB packed — a safe
+# one-time driver allocation + broadcast. At the designed 10 bits/item
+# this covers ~860M ledger items at ~1% fpp; beyond that the filter
+# saturates GRACEFULLY (fpp rises, so more exact-probe traffic, but
+# never a false negative — routing correctness is untouched).
+BLOOM_MAX_BITS = 1 << 33
 
 
 def build_bloom_words(fps: DataFrame, n_bits: int) -> DataFrame:
@@ -182,14 +188,21 @@ def build_bloom_bitmap(bloom_words: DataFrame, n_bits: int):
     """Pack the (word_idx, word) table into ONE driver-side uint64
     bitmap — the production refinement for ledgers whose word table
     outgrows a broadcast-join (> BLOOM_BROADCAST_MAX_BITS): the
-    collect here is BOUNDED by n_bits/64 rows (the bitmap size chosen
-    up front), never by ledger cardinality, and the packed array
-    ships to executors once as a broadcast variable."""
+    transfer here is BOUNDED by n_bits/64 rows (the bitmap size chosen
+    up front, itself capped at BLOOM_MAX_BITS), never by ledger
+    cardinality, and the packed array ships to executors once as a
+    broadcast variable. The fill is Arrow-vectorized (toPandas +
+    fancy-index scatter) — this route only activates at hundreds of
+    millions of word rows, exactly where a per-row Python loop would
+    pin the driver."""
     import numpy as np
 
     arr = np.zeros((n_bits + 63) // 64, dtype=np.uint64)
-    for r in bloom_words.collect():
-        arr[int(r.word_idx)] = np.uint64(r.word & 0xFFFFFFFFFFFFFFFF)
+    pdf = bloom_words.toPandas()  # Arrow path (arrow.pyspark.enabled)
+    if len(pdf):
+        idx = pdf["word_idx"].to_numpy(dtype=np.int64)
+        # bit_or aggregated int64 words reinterpret bit-exactly as uint64
+        arr[idx] = pdf["word"].to_numpy(dtype=np.int64).view(np.uint64)
     return arr
 
 
@@ -463,7 +476,10 @@ def run_stream_ingest(
         prior0 = led0.where(F.col("run") != run_id).select("fingerprint")
         n_prior = prior0.count()
         if n_prior:
-            n_bits = max(1 << 14, 1 << (10 * n_prior).bit_length())
+            n_bits = min(
+                BLOOM_MAX_BITS,
+                max(1 << 14, 1 << (10 * n_prior).bit_length()),
+            )
             words = build_bloom_words(prior0, n_bits)
             if n_bits <= BLOOM_BROADCAST_MAX_BITS:
                 words = words.cache()

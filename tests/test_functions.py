@@ -1443,6 +1443,16 @@ def test_wav_codec_roundtrip_and_audio_features(spark):
         decode_wav(bytes(stereo))
     with pytest.raises(ValueError):
         decode_wav(encode_wav(s)[:-10])  # data chunk shorter than size
+    # error contract: malformed chunks raise ValueError with a clear
+    # message, never a leaked struct.error / np.frombuffer error
+    short_fmt = bytearray(encode_wav(s))
+    struct.pack_into("<I", short_fmt, 16, 10)  # fmt size 10 < 16
+    with pytest.raises(ValueError, match="fmt"):
+        decode_wav(bytes(short_fmt))
+    odd = bytearray(encode_wav(np.array([1, 2], dtype=np.int16)))
+    struct.pack_into("<I", odd, 40, 3)  # data size 3: odd PCM16 length
+    with pytest.raises(ValueError, match="odd"):
+        decode_wav(bytes(odd))
 
     # distributed path: features are integer-exact vs numpy
     tri = np.array([3, -1, 4, -1, -5, 9, 0, -2], dtype=np.int16)
