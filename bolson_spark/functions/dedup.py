@@ -621,6 +621,45 @@ def ngram_containment_pairs(
     )
 
 
+def canonical_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    containment_threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Canonicalize-then-contain: collapse EXACT-content copy groups to
+    their min-id representative, then run
+    :func:`ngram_containment_pairs` over representatives only.
+
+    This is the executable form of the duplicate-mass guidance in
+    ngram_containment_pairs' docstring: the pair stage is
+    Theta(sharing pairs), so m exact copies of a doc contribute m²
+    co-occurrence pairs (measured ~100x pairs / 6.4x wall at 10x
+    dup-mass, SCALING.md) — all of them containment=1.0 by
+    construction, pure waste. Canonicalizing first makes the pair
+    space a function of DISTINCT content only: duplicate mass adds one
+    groupBy(text) exchange (linear) and nothing downstream. Output
+    rows are representative-id pairs; expanding to member pairs is the
+    same cheap integer join minhash_lsh_pairs(canonicalize=True) uses,
+    deliberately not done here — a dedup pipeline acts on groups, not
+    on m² restatements of the same relation."""
+    # ngram_containment_pairs keys on "doc_id" internally
+    reps = (
+        df.select(id_col, text_col)
+        .groupBy(text_col)
+        .agg(F.min(id_col).alias("doc_id"))
+    )
+    return ngram_containment_pairs(
+        reps,
+        text_col=text_col,
+        n=n,
+        containment_threshold=containment_threshold,
+        max_df=max_df,
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -519,6 +519,127 @@ def ivf_assign(
     )
 
 
+def ivf_assign_gemm(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cent_id: str = "centroid_id",
+    cent_vec: str = "centroid",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """:func:`ivf_assign` for LARGE centroid sets: the expression-based
+    crossJoin materializes N×C rows JVM-side, which is fine at C≈8-64
+    but dominates when the cell count scales with the corpus (the
+    `dedup_embedding_ivf` production rule). Here the centroid matrix
+    ships ONCE per task as a plain closure capture (bounded by C rows
+    — the cell count the caller chose, never corpus size) and each
+    Arrow batch scores against it with one BLAS GEMM; output is one
+    row per input row, zero joins, zero shuffles.
+
+    Result-equal to :func:`ivf_assign` (tested): same ROUND(sim, 6)
+    grain, same tiebreak (max sim, then LOWEST centroid id — argmax's
+    first-max over id-ascending rows). Honest ceiling: the captured
+    matrix is C×dim float64 (~500 MB at C=1e6, dim=64); past that a
+    two-level coarse quantizer (assign to sqrt(C) super-cells, then
+    within the super-cell's members) keeps both sides bounded — that
+    composition is this module's own IVF machinery applied to the
+    centroid set itself.
+
+    ``carry`` names extra input columns passed through unchanged —
+    callers that need (id, vector, cluster) downstream (the dedup
+    blocking) avoid re-joining the assignment back to the corpus,
+    which would be a full N-row shuffle join."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(
+        ((r[cent_id], list(r[cent_vec])) for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+    cids = np.array([c[0] for c in cents], dtype=np.int64)
+    cmat = np.array([c[1] for c in cents], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    cid_t = centroids.schema[cent_id].dataType.simpleString()
+    carry_t = {c: df.schema[c].dataType.simpleString() for c in carry}
+    out_schema = f"{id_col} {id_t}, cluster {cid_t}, cluster_sim double" + "".join(
+        f", {c} {t}" for c, t in carry_t.items()
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xn = np.sqrt((x * x).sum(axis=1))
+            sims = np.round((x @ cmat.T) / np.outer(xn, cnorm), 6)
+            best = sims.argmax(axis=1)  # first max = lowest centroid_id
+            out = {
+                id_col: pdf[id_col],
+                "cluster": cids[best],
+                "cluster_sim": sims[np.arange(len(best)), best],
+            }
+            for c in carry:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    cols = [id_col, vec_col] + [c for c in carry if c != vec_col]
+    return df.select(*cols).mapInPandas(assign, out_schema)
+
+
+def dedup_embedding_ivf(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int | None = None,
+    target_cell: int = 512,
+    max_block: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale-safe IVF-blocked embedding near-dup — the production form
+    of the `dedup_embedding_ivf` registry query, with the cell count a
+    FUNCTION OF CORPUS SIZE instead of a constant.
+
+    ``n_cells=None`` derives ``max(1, N // target_cell)`` from one
+    count() (a bounded driver scalar), holding the EXPECTED CELL SIZE
+    ~constant as the corpus grows: per-cell pair space stays
+    ~target_cell²/2 flat, so total pairwise work is
+    n_cells·target_cell²/2 ≈ N·target_cell/2 — LINEAR in N, where the
+    registry's fixed 8 cells (kept as-is for oracle determinism) is
+    quadratic/8. The trade is the coarse-assignment stage, N×n_cells
+    BLAS flops via :func:`ivf_assign_gemm`; its two-level refinement
+    for extreme cell counts is documented there. Seed centroids are
+    the n_cells lowest-id vectors (deterministic, TakeOrdered);
+    production callers refine them with :func:`kmeans_refine` — the
+    blocking stays approximate either way (cross-cell pairs unseen),
+    exactly like a production IVF probe."""
+    if n_cells is None:
+        n_cells = max(1, df.count() // target_cell)
+    seeds = (
+        df.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+    # the vector rides THROUGH the assign stage (carry) — re-joining
+    # the assignment back to the corpus would be a full N-row shuffle
+    blocked = ivf_assign_gemm(
+        df, seeds, vec_col=vec_col, id_col=id_col, carry=(vec_col,)
+    ).select(id_col, vec_col, "cluster")
+    return embedding_cosine_pairs_tiled(
+        blocked,
+        max_block=max_block,
+        threshold=threshold,
+        block_col="cluster",
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+
+
 def kmeans_refine(
     df: DataFrame,
     centroids: DataFrame,

@@ -2520,6 +2520,53 @@ WHERE ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) >= 0.3
 """
 
 
+def q_dedup_embedding_ivf_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCALABLE-CELLS twin of dedup_embedding_ivf: the cell count is
+    derived from the corpus (n_cells = N // target_cell, target 64 on
+    the fixture), holding expected cell size — and with it the
+    per-cell pair space — ~CONSTANT as the corpus grows. Total
+    pairwise work is then ~N·target_cell/2, linear in N, vs the
+    fixed-8-cell registry twin's N²/8 (the round-5 measured 42× at
+    100×). Assignment runs through ivf_assign_gemm (one BLAS GEMM per
+    Arrow batch against the closure-captured centroid matrix — zero
+    joins/shuffles in the assign stage). The oracle derives the SAME
+    cell count in SQL, so the blocking is deterministic end-to-end."""
+    from bolson_spark.functions.similarity import dedup_embedding_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup_embedding_ivf(emb, threshold=0.3, target_cell=64)
+
+
+O_DEDUP_EMBEDDING_IVF_SCALED = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY vec_id) <= GREATEST(
+    1, CAST(FLOOR((SELECT COUNT(*) FROM embeddings) / 64.0) AS BIGINT))
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         ROUND({_cosine_sql("e.embedding", "c.centroid")}, 6) AS sim
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, centroid_id AS cluster
+  FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1
+)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cluster AS block,
+       ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) AS cosine
+FROM assigned x
+JOIN assigned y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+JOIN embeddings a ON a.vec_id = x.vec_id
+JOIN embeddings b ON b.vec_id = y.vec_id
+WHERE ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) >= 0.3
+"""
+
+
 def q_embedding_blocked_nn_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memory-bounded twin of embedding_blocked_nn: the same per-block
     GEMM executed over chunk-pair tiles (max 64 vectors per task side),
@@ -2957,6 +3004,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_embedding_ivf": QuerySpec(
         q_dedup_embedding_ivf, O_DEDUP_EMBEDDING_IVF, ("dedup", "similarity")
+    ),
+    "dedup_embedding_ivf_scaled": QuerySpec(
+        q_dedup_embedding_ivf_scaled,
+        O_DEDUP_EMBEDDING_IVF_SCALED,
+        ("dedup", "similarity"),
     ),
     "dedup_components": QuerySpec(
         q_dedup_components, O_DEDUP_COMPONENTS, ("dedup",)

@@ -1252,19 +1252,23 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _containment_sql(max_df: int = 1000) -> str:
+def _containment_sql(
+    max_df: int = 1000, source: str = "documents", prelude: str = ""
+) -> str:
     """DuckDB twin of ngram_containment_pairs, INCLUDING its
     frequent-shingle df cap: shingles occurring in more than `max_df`
     documents are excluded from the INTERSECTION count (na/nb stay
     pre-filter sizes) — exactly the Spark side's anti-join semantics.
     Parameterized so tests can exercise the cap at a tiny max_df where
-    it actually bites (at sf<=0.01 no 3-gram reaches df 1000)."""
+    it actually bites (at sf<=0.01 no 3-gram reaches df 1000);
+    `source`/`prelude` let the canonical_containment twin scan a
+    canonicalized CTE instead of the raw table."""
     return f"""
-WITH sh AS MATERIALIZED (
+WITH {prelude}sh AS MATERIALIZED (
   SELECT doc_id, list_distinct(list_transform(
     range(1, len(string_split(text, ' ')) - 1),
     i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS grams
-  FROM documents
+  FROM {source}
   WHERE len(string_split(text, ' ')) >= 3
 ),
 inv AS MATERIALIZED (
@@ -1302,6 +1306,31 @@ WHERE (1000000 * inter) // LEAST(na, nb) >= 800000
 
 
 O_CONTAINMENT_PAIRS = _containment_sql()
+
+
+def q_canonical_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize-THEN-contain (see
+    functions/dedup.py::canonical_containment_pairs): exact-content
+    copy groups collapse to their min-id representative before the
+    inverted-index pair stage, so duplicate mass contributes one
+    linear groupBy instead of a quadratic pair term — the executable
+    form of the duplicate-heavy-corpus rule the round-5 10x probe
+    measured (6.4x wall from ~100x sharing pairs, now flat)."""
+    from bolson_spark.functions.dedup import canonical_containment_pairs
+
+    return canonical_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, containment_threshold=0.8
+    )
+
+
+O_CANONICAL_CONTAINMENT = _containment_sql(
+    source="canon",
+    prelude=(
+        "canon AS MATERIALIZED (\n"
+        "  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text\n"
+        "),\n"
+    ),
+)
 
 
 TRAIN_QUERIES: dict[str, QuerySpec] = {
@@ -1356,5 +1385,8 @@ TRAIN_QUERIES: dict[str, QuerySpec] = {
     ),
     "containment_pairs": QuerySpec(
         q_containment_pairs, O_CONTAINMENT_PAIRS, ("dedup",)
+    ),
+    "canonical_containment": QuerySpec(
+        q_canonical_containment, O_CANONICAL_CONTAINMENT, ("dedup",)
     ),
 }

@@ -45,6 +45,10 @@ PROBES = [
     "embedding_blocked_nn",
     "embedding_blocked_nn_tiled",
     "embedding_blocked_nn_gemm_unsplit",
+    # round-6: scalable-cells IVF dedup — n_cells = N // target_cell
+    # holds per-cell pair space flat, so wall should grow ~linearly
+    # where the fixed-8-cell twin measured 42x at 100x.
+    "dedup_embedding_ivf_scaled",
 ]
 
 

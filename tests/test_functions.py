@@ -128,6 +128,61 @@ def test_ivf_assign_centroid_self(spark):
         assert out[c] == (c, 1.0)  # a centroid's nearest centroid is itself
 
 
+def test_ivf_assign_gemm_matches_expr_assign(spark):
+    """The BLAS-GEMM assignment path (large-centroid-set route behind
+    dedup_embedding_ivf's scalable cells) must be row-for-row equal to
+    the expression-based ivf_assign — same ROUND(sim,6) grain, same
+    (max sim, lowest centroid id) tiebreak."""
+    import random
+
+    from bolson_spark.functions.similarity import ivf_assign_gemm
+
+    rng = random.Random(9)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    cents = df.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    expr = {
+        r.vec_id: (r.cluster, r.cluster_sim)
+        for r in ivf_assign(df, cents).collect()
+    }
+    gemm = {
+        r.vec_id: (r.cluster, r.cluster_sim)
+        for r in ivf_assign_gemm(df, cents).collect()
+    }
+    assert gemm == expr
+    for c in range(6):  # a centroid's nearest centroid is itself
+        assert gemm[c] == (c, 1.0)
+
+
+def test_dedup_embedding_ivf_scalable_cells_equals_fixed_at_8(spark):
+    """dedup_embedding_ivf (scalable-cells API) pinned to n_cells=8
+    reproduces the fixed-8-cell registry query EXACTLY on the fixture:
+    the seed-centroid rule (8 lowest vec_ids == vec_id < 8 on the
+    dense fixture ids), the GEMM assignment, and the tiled pair stage
+    all compose to the same pair set — the determinism bridge between
+    the oracle-pinned registry twin and the production sqrt-N path."""
+    from bolson_spark.functions.similarity import dedup_embedding_ivf
+    from bolson_spark.queries import QUERIES
+    from bolson_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    fixed = {
+        (r.vec_a, r.vec_b, r.block, r.cosine)
+        for r in QUERIES["dedup_embedding_ivf"].fn(spark, sf).collect()
+    }
+    emb = load_table(spark, sf, "embeddings")
+    scaled = {
+        (r.vec_a, r.vec_b, r.block, r.cosine)
+        for r in dedup_embedding_ivf(emb, threshold=0.3, n_cells=8).collect()
+    }
+    assert scaled == fixed and len(fixed) > 0
+
+
 def test_text_stats_shape(spark):
     out = text_stats(_docs(spark)).collect()
     row = {r.doc_id: r for r in out}[0]
@@ -1343,6 +1398,49 @@ def test_ngram_containment_subset_detection(spark):
     assert (r.inner_doc, r.outer_doc) == (1, 2)
     assert r.containment_e6 == 1_000_000  # full subset
     assert r.jaccard_e6 < 500_000  # NOT a near-dup by resemblance
+
+
+def test_canonical_containment_collapses_exact_copies(spark):
+    """canonicalize-then-contain: m exact copies of each doc must
+    yield EXACTLY the pair set of the distinct corpus, keyed by min-id
+    representatives — the duplicate-mass quadratic term is gone by
+    construction, not by luck."""
+    from bolson_spark.functions.dedup import (
+        canonical_containment_pairs,
+        ngram_containment_pairs,
+    )
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta"
+    outer = (
+        "prefix words here then " + inner + " and a long suffix tail "
+        "keeps the jaccard low with many extra trailing tokens after"
+    )
+    uniq = [
+        (1, inner),
+        (2, outer),
+        (3, "completely unrelated content about something else entirely"),
+    ]
+    # 4 exact copies of every doc, shuffled ids; min id per group = 1,2,3
+    rows = [(d + 10 * k, t) for (d, t) in uniq for k in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.inner_doc, r.outer_doc, r.containment_e6, r.jaccard_e6)
+        for r in canonical_containment_pairs(
+            df, containment_threshold=0.8
+        ).collect()
+    }
+    want = {
+        (r.inner_doc, r.outer_doc, r.containment_e6, r.jaccard_e6)
+        for r in ngram_containment_pairs(
+            spark.createDataFrame(uniq, ["doc_id", "text"]),
+            containment_threshold=0.8,
+        ).collect()
+    }
+    assert got == want and len(got) == 1
+    # the raw path on the same duplicated corpus pays the m^2 pair
+    # space: every cross-copy pair of the SAME doc is containment 1.0
+    raw = ngram_containment_pairs(df, containment_threshold=0.8).count()
+    assert raw >= 3 * 6 + 16  # per-group C(4,2) self-pairs + 4x4 (1,2)
 
 
 def test_containment_oracle_models_max_df_cap(spark):
