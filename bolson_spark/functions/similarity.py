@@ -527,6 +527,7 @@ def ivf_assign_gemm(
     cent_id: str = "centroid_id",
     cent_vec: str = "centroid",
     carry: tuple[str, ...] = (),
+    two_level: bool = False,
 ) -> DataFrame:
     """:func:`ivf_assign` for LARGE centroid sets: the expression-based
     crossJoin materializes N×C rows JVM-side, which is fine at C≈8-64
@@ -549,7 +550,19 @@ def ivf_assign_gemm(
     ``carry`` names extra input columns passed through unchanged —
     callers that need (id, vector, cluster) downstream (the dedup
     blocking) avoid re-joining the assignment back to the corpus,
-    which would be a full N-row shuffle join."""
+    which would be a full N-row shuffle join.
+
+    ``two_level=True`` is that documented refinement, built in: the
+    id-sorted centroids chunk into ~sqrt(C) contiguous groups, each
+    summarized by its mean vector; a row scores the ~sqrt(C) group
+    means first, then only the winning group's ~sqrt(C) members —
+    ~2*sqrt(C) similarity scores per row instead of C, turning the
+    flat route's N*C assignment flops into N*2*sqrt(C). APPROXIMATE:
+    a row whose true best centroid lives in a group whose MEAN scores
+    below another group's is mis-assigned — exact when the centroid
+    set is separable (tested), same fidelity trade as every IVF probe
+    with n_probe=1. cluster_sim stays the true ROUND(cos,6) against
+    the chosen centroid."""
     import numpy as np
     import pandas as pd
 
@@ -568,18 +581,44 @@ def ivf_assign_gemm(
         f", {c} {t}" for c, t in carry_t.items()
     )
 
+    if two_level:
+        n_c = len(cids)
+        g = max(1, int(np.ceil(np.sqrt(n_c))))
+        n_super = int(np.ceil(n_c / g))
+        smat = np.stack(
+            [cmat[s * g : (s + 1) * g].mean(axis=0) for s in range(n_super)]
+        )
+        snorm = np.sqrt((smat * smat).sum(axis=1))
+
     def assign(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             xn = np.sqrt((x * x).sum(axis=1))
-            sims = np.round((x @ cmat.T) / np.outer(xn, cnorm), 6)
-            best = sims.argmax(axis=1)  # first max = lowest centroid_id
+            if two_level:
+                sup = ((x @ smat.T) / np.outer(xn, snorm)).argmax(axis=1)
+                best = np.empty(len(x), dtype=np.int64)
+                sim = np.empty(len(x), dtype=np.float64)
+                for s in np.unique(sup):
+                    rows = np.flatnonzero(sup == s)
+                    lo, hi = s * g, min((s + 1) * g, n_c)
+                    sims = np.round(
+                        (x[rows] @ cmat[lo:hi].T)
+                        / np.outer(xn[rows], cnorm[lo:hi]),
+                        6,
+                    )
+                    loc = sims.argmax(axis=1)
+                    best[rows] = lo + loc
+                    sim[rows] = sims[np.arange(len(rows)), loc]
+            else:
+                sims = np.round((x @ cmat.T) / np.outer(xn, cnorm), 6)
+                best = sims.argmax(axis=1)  # first max = lowest cid
+                sim = sims[np.arange(len(best)), best]
             out = {
                 id_col: pdf[id_col],
                 "cluster": cids[best],
-                "cluster_sim": sims[np.arange(len(best)), best],
+                "cluster_sim": sim,
             }
             for c in carry:
                 out[c] = pdf[c]
@@ -597,6 +636,7 @@ def dedup_embedding_ivf(
     max_block: int = 4096,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    two_level: bool = False,
 ) -> DataFrame:
     """Scale-safe IVF-blocked embedding near-dup — the production form
     of the `dedup_embedding_ivf` registry query, with the cell count a
@@ -609,8 +649,9 @@ def dedup_embedding_ivf(
     n_cells·target_cell²/2 ≈ N·target_cell/2 — LINEAR in N, where the
     registry's fixed 8 cells (kept as-is for oracle determinism) is
     quadratic/8. The trade is the coarse-assignment stage, N×n_cells
-    BLAS flops via :func:`ivf_assign_gemm`; its two-level refinement
-    for extreme cell counts is documented there. Seed centroids are
+    BLAS flops via :func:`ivf_assign_gemm`; ``two_level=True`` cuts
+    that to N×2·sqrt(n_cells) via its grouped coarse quantizer
+    (approximate blocking — see there). Seed centroids are
     the n_cells lowest-id vectors (deterministic, TakeOrdered);
     production callers refine them with :func:`kmeans_refine` — the
     blocking stays approximate either way (cross-cell pairs unseen),
@@ -628,7 +669,12 @@ def dedup_embedding_ivf(
     # the vector rides THROUGH the assign stage (carry) — re-joining
     # the assignment back to the corpus would be a full N-row shuffle
     blocked = ivf_assign_gemm(
-        df, seeds, vec_col=vec_col, id_col=id_col, carry=(vec_col,)
+        df,
+        seeds,
+        vec_col=vec_col,
+        id_col=id_col,
+        carry=(vec_col,),
+        two_level=two_level,
     ).select(id_col, vec_col, "cluster")
     return embedding_cosine_pairs_tiled(
         blocked,

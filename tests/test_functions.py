@@ -159,6 +159,47 @@ def test_ivf_assign_gemm_matches_expr_assign(spark):
         assert gemm[c] == (c, 1.0)
 
 
+def test_ivf_assign_gemm_two_level_exact_on_separable_centroids(spark):
+    """The two-level coarse quantizer (N*2*sqrt(C) assignment flops)
+    must agree with the flat argmax EXACTLY when the centroid set is
+    separable: 16 near-one-hot centers in 16-dim, points = center +
+    small noise — each group-of-4 mean keeps a 0.5-vs-~0 cosine margin
+    for its members, so the group stage never mis-routes. Random data
+    would NOT give this guarantee (the documented n_probe=1-style
+    approximation); separable data is the correctness contract."""
+    import random
+
+    from bolson_spark.functions.similarity import ivf_assign_gemm
+
+    rng = random.Random(11)
+    dim, k = 16, 16
+    rows = []
+    for i in range(240):
+        c = i % k
+        v = [0.05 * rng.gauss(0, 1) for _ in range(dim)]
+        v[c] += 1.0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    cents = spark.createDataFrame(
+        [(c, [1.0 if d == c else 0.0 for d in range(dim)]) for c in range(k)],
+        ["centroid_id", "centroid"],
+    ).select(
+        "centroid_id", F.col("centroid").cast("array<float>").alias("centroid")
+    )
+    flat = {
+        r.vec_id: (r.cluster, r.cluster_sim)
+        for r in ivf_assign_gemm(df, cents).collect()
+    }
+    two = {
+        r.vec_id: (r.cluster, r.cluster_sim)
+        for r in ivf_assign_gemm(df, cents, two_level=True).collect()
+    }
+    assert two == flat
+    assert all(cl == i % k for i, (cl, _) in flat.items())
+
+
 def test_dedup_embedding_ivf_scalable_cells_equals_fixed_at_8(spark):
     """dedup_embedding_ivf (scalable-cells API) pinned to n_cells=8
     reproduces the fixed-8-cell registry query EXACTLY on the fixture:

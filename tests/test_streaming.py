@@ -105,6 +105,89 @@ def test_stream_convert_arrow_parser(spark, tmp_path, jsonl_dir):
     )
 
 
+def test_multi_partition_source_seq_semantics(spark, tmp_path):
+    """SURVEY §1.4 partitioned-source contract, end-to-end: one
+    micro-batch whose DataFrame spans FOUR source partitions (one file
+    per partition — maxPartitionBytes pinned so files neither pack nor
+    split). Asserts the documented semantics directly: seqs are
+    globally contiguous 0..N-1, every source partition's rows hold a
+    CONTIGUOUS seq block in intra-partition arrival order, and a
+    consumer re-sort by seq reproduces the batch pipeline's order on
+    the same input (parse -> arrival id -> add_seq) — the Kafka
+    'per-partition contiguous + base, consumers re-sort by seq' shape
+    driven through a real multi-partition source instead of the
+    single-partition sockets the other stream tests use."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.operators.parse import parse_json
+    from bolson_spark.operators.seq import add_seq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    counts = [700, 650, 600, 550]  # distinct sizes: deterministic split order
+    for f, cnt in enumerate(counts):
+        (src / f"file-{f}.jsonl").write_text(
+            "\n".join(
+                json.dumps({"voltage": [f, i]}) for i in range(cnt)
+            )
+            + "\n"
+        )
+    n_total = sum(counts)
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    # ~15 KB files: 120 KB cap means no in-file splits, and the 4 MB
+    # openCostInBytes padding means no two files pack into one partition
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(120 * 1024))
+    try:
+        raw = spark.readStream.format("text").load(str(src))
+        sink = IpcFileSink(str(tmp_path / "topic"))
+        query, metrics = run_stream_convert(
+            raw,
+            BATTERY_SPARK,
+            sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            max_rows=512,
+        )
+        query.awaitTermination(120)
+        assert metrics.num_jsons == n_total
+        back = deserialize_ipc(
+            sink.read(spark), "bolson_seq bigint, voltage array<bigint>"
+        ).collect()
+        assert sorted(r.bolson_seq for r in back) == list(range(n_total))
+        # per-partition contiguity + intra-partition arrival order:
+        # file f's rows, in file order, carry consecutive seqs
+        by_file: dict[int, list[tuple[int, int]]] = {}
+        for r in back:
+            by_file.setdefault(r.voltage[0], []).append(
+                (r.voltage[1], r.bolson_seq)
+            )
+        assert sorted(by_file) == [0, 1, 2, 3]
+        for f, cnt in enumerate(counts):
+            lst = sorted(by_file[f])
+            assert [i for i, _ in lst] == list(range(cnt))
+            base = lst[0][1]
+            assert [s for _, s in lst] == list(range(base, base + cnt))
+        # consumer re-sort parity with the batch pipeline on the same
+        # input: identical (doc -> seq) mapping, not just same blocks
+        twin = add_seq(
+            parse_json(
+                spark.read.format("text").load(str(src)),
+                BATTERY_SPARK,
+                "value",
+            ).withColumn("_arrival", F.monotonically_increasing_id()),
+            "_arrival",
+        ).drop("_arrival")
+        stream_order = [
+            tuple(r.voltage)
+            for r in sorted(back, key=lambda r: r.bolson_seq)
+        ]
+        batch_order = [
+            tuple(r.voltage) for r in twin.orderBy("bolson_seq").collect()
+        ]
+        assert stream_order == batch_order
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+
+
 def test_schema_handshake_rejects_mismatch(tmp_path):
     sink = IpcFileSink(str(tmp_path / "topic"))
     s1 = spark_to_arrow_schema(BATTERY_SPARK)
