@@ -218,8 +218,22 @@ def cmd_sessionize(args) -> int:
     # so a micro-batch replayed from the checkpoint after a crash
     # OVERWRITES its own partition instead of double-appending sessions;
     # the run key keeps a fresh-checkpoint restart (batch_id resets to 0)
-    # from clobbering a previous run's output.
-    run_id = uuid.uuid4().hex[:12]
+    # from clobbering a previous run's output. The run id is minted once
+    # PER CHECKPOINT LINEAGE (same pattern as the convert pipeline's
+    # quarantine run): a restarted invocation sharing the checkpoint
+    # must reuse it, or a replayed batch would land under a new run key
+    # and duplicate instead of overwriting.
+    import os
+
+    os.makedirs(args.checkpoint, exist_ok=True)
+    run_file = os.path.join(args.checkpoint, "bolson_session_run")
+    if os.path.exists(run_file):
+        with open(run_file) as f:
+            run_id = f.read().strip()
+    else:
+        run_id = uuid.uuid4().hex[:12]
+        with open(run_file, "w") as f:
+            f.write(run_id)
 
     def _write_batch(bdf, batch_id: int) -> None:
         (

@@ -904,6 +904,185 @@ def ivf_append_index(
     _write_cells(new_df, assigned, path, id_col, delta_id, dynamic=True)
 
 
+# Retrain rule of thumb: once appended deltas exceed ~25% of the index,
+# the frozen coarse quantizer was trained on <80% of what it now serves
+# — cell balance and probe recall start drifting, and the O(N) retrain
+# amortizes over the growth that forced it. Callers with measured
+# recall curves should tune this (and/or pass recall_floor).
+DELTA_REBUILD_FRACTION = 0.25
+
+
+def ivf_index_stats(spark, path: str) -> dict:
+    """Bounded-size health stats for a saved IVF index: total/base/
+    delta row counts and the delta fraction, from ONE metadata-cheap
+    aggregation over the cells' partition columns (the scan reads no
+    vector data — `delta` and `cluster` are directory keys)."""
+    cells = spark.read.parquet(f"{path}/cells")
+    agg = cells.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("delta") != "base").cast("long")).alias("delta_rows"),
+        F.countDistinct("cluster").alias("n_cells"),
+    ).first()
+    total = agg["total"] or 0
+    delta_rows = int(agg["delta_rows"] or 0)
+    return {
+        "total_rows": total,
+        "base_rows": total - delta_rows,
+        "delta_rows": delta_rows,
+        "delta_fraction": (delta_rows / total) if total else 0.0,
+        "n_cells": agg["n_cells"],
+    }
+
+
+def measure_probe_recall(
+    spark,
+    path: str,
+    k: int = 10,
+    n_probe: int = 1,
+    n_queries: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> float:
+    """Measured recall@k of the saved index's pruned probe against
+    brute-force over the SAME contents, averaged over the n_queries
+    lowest-id vectors (deterministic sample). An offline maintenance
+    check: n_queries full scans, bounded by the sample size — the
+    recall-drift signal ann_recall computes for the registry fixture,
+    pointed at a live index."""
+    cells = spark.read.parquet(f"{path}/cells")
+    qs = [
+        list(r[vec_col])
+        for r in cells.orderBy(id_col).limit(n_queries).collect()
+    ]
+    if not qs:
+        return 1.0
+    hits = 0
+    for qv in qs:
+        exact = {
+            r[id_col]
+            for r in knn_bruteforce(
+                cells, [float(x) for x in qv], k=k,
+                vec_col=vec_col, id_col=id_col,
+            ).collect()
+        }
+        got = {
+            r[id_col]
+            for r in ivf_probe_saved(
+                spark, path, [float(x) for x in qv], k=k, n_probe=n_probe,
+                vec_col=vec_col, id_col=id_col,
+            ).collect()
+        }
+        hits += len(exact & got)
+    return hits / (len(qs) * k)
+
+
+def rebuild_ivf_index(
+    spark,
+    path: str,
+    n_cells: int | None = None,
+    target_cell: int = 512,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Full retrain: re-seed centroids from the index's CURRENT
+    contents (n_cells lowest ids, or N // target_cell of them — the
+    same scalable-cells rule as dedup_embedding_ivf; refine with
+    kmeans_refine before calling for data-adapted centroids), rewrite
+    every vector into the new cell layout, and swap generations.
+
+    The new index is written BESIDE the old one (`<path>__rebuild`)
+    then swapped in — never an in-place overwrite of a directory the
+    rebuild is still reading (self-overwrite is undefined in Spark).
+    The swap is two renames on a local/HDFS filesystem; on object
+    stores the same shape is write-new-generation + pointer flip.
+    Single-writer assumption as everywhere in this index's protocol."""
+    import os
+    import shutil
+
+    src = spark.read.parquet(f"{path}/cells").select(id_col, vec_col)
+    if n_cells is None:
+        n_cells = max(1, src.count() // target_cell)
+    seeds = (
+        src.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+    tmp = f"{path}__rebuild"
+    shutil.rmtree(tmp, ignore_errors=True)
+    save_ivf_index(src, seeds, tmp, vec_col=vec_col, id_col=id_col)
+    old = f"{path}__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+def maybe_rebuild_ivf(
+    spark,
+    path: str,
+    delta_fraction_threshold: float = DELTA_REBUILD_FRACTION,
+    recall_floor: float | None = None,
+    k: int = 10,
+    n_probe: int = 1,
+    n_queries: int = 8,
+    execute: bool = False,
+    rebuild_n_cells: int | None = None,
+    rebuild_target_cell: int = 512,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """The index lifecycle POLICY: decides — and with ``execute=True``
+    performs — the retrain that `ivf_append_index` deliberately defers.
+
+    Appends keep the coarse quantizer frozen (re-assigning the corpus
+    is the O(N) cost appends exist to avoid), so two drift signals
+    accumulate: the DELTA FRACTION (rows assigned to centroids that
+    never saw them at train time) and, optionally, MEASURED PROBE
+    RECALL against brute-force on a bounded query sample. Rebuild
+    fires when delta_fraction > delta_fraction_threshold (default
+    DELTA_REBUILD_FRACTION = 0.25, rationale at its definition) or
+    measured recall < recall_floor. Returns the full decision record
+    so schedulers can log it; with execute=True a fired decision runs
+    :func:`rebuild_ivf_index` (generation swap, deltas folded into the
+    new base — idempotent to re-run: after the rebuild the delta
+    fraction is 0)."""
+    stats = ivf_index_stats(spark, path)
+    reasons = []
+    if stats["delta_fraction"] > delta_fraction_threshold:
+        reasons.append("delta_fraction")
+    recall = None
+    if recall_floor is not None:
+        recall = measure_probe_recall(
+            spark, path, k=k, n_probe=n_probe, n_queries=n_queries,
+            vec_col=vec_col, id_col=id_col,
+        )
+        if recall < recall_floor:
+            reasons.append("recall_drift")
+    decision = {
+        **stats,
+        "threshold": delta_fraction_threshold,
+        "recall": recall,
+        "recall_floor": recall_floor,
+        "rebuild": bool(reasons),
+        "reasons": reasons,
+        "executed": False,
+    }
+    if decision["rebuild"] and execute:
+        rebuild_ivf_index(
+            spark,
+            path,
+            n_cells=rebuild_n_cells,
+            target_cell=rebuild_target_cell,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        decision["executed"] = True
+    return decision
+
+
 # ---------------------------------------------------------------------------
 # Embedding quantization: int8 scalar quantization + product quantization
 # ---------------------------------------------------------------------------

@@ -1332,6 +1332,95 @@ def test_ivf_append_index_equals_full_build(spark, tmp_path):
     assert cells == full_cells
 
 
+def test_maybe_rebuild_ivf_policy(spark, tmp_path):
+    """Index lifecycle policy end-to-end: small deltas don't trigger,
+    crossing the delta-fraction threshold does, execute=True folds all
+    deltas into a fresh base via the generation swap (probe parity
+    with a from-scratch build on the same corpus + same seed rule),
+    and the recall_floor knob adds its reason exactly when measured
+    recall is below it."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.functions.similarity import (
+        ivf_append_index,
+        ivf_index_stats,
+        ivf_probe_saved,
+        maybe_rebuild_ivf,
+        measure_probe_recall,
+        rebuild_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    path = str(tmp_path / "ivf")
+    base = emb.where(F.col("vec_id") < int(n * 0.7))
+    save_ivf_index(base, centroids, path)
+
+    # 1) small delta (~10% of base): below the 25% threshold -> no-op
+    d1 = emb.where(
+        (F.col("vec_id") >= int(n * 0.7)) & (F.col("vec_id") < int(n * 0.77))
+    )
+    ivf_append_index(spark, path, d1, delta_id="crawl-1")
+    dec = maybe_rebuild_ivf(spark, path, execute=True)
+    assert not dec["rebuild"] and not dec["executed"]
+    assert 0 < dec["delta_fraction"] < 0.25
+
+    # 2) second delta pushes past the threshold -> rebuild fires
+    d2 = emb.where(F.col("vec_id") >= int(n * 0.77))
+    ivf_append_index(spark, path, d2, delta_id="crawl-2")
+    frac_before = ivf_index_stats(spark, path)["delta_fraction"]
+    assert frac_before > 0.25
+    dec = maybe_rebuild_ivf(spark, path, execute=True, rebuild_n_cells=8)
+    assert dec["rebuild"] and dec["executed"]
+    assert dec["reasons"] == ["delta_fraction"]
+
+    # post-rebuild: deltas folded into the new base, policy is quiet,
+    # and the swapped index is probe-identical to a from-scratch build
+    # over the same corpus with the same seed rule (8 lowest ids ==
+    # the original vec_id < 8 centroids)
+    stats = ivf_index_stats(spark, path)
+    assert stats["delta_fraction"] == 0.0 and stats["total_rows"] == n
+    assert not maybe_rebuild_ivf(spark, path)["rebuild"]
+    fresh = str(tmp_path / "ivf_fresh")
+    save_ivf_index(emb, centroids, fresh)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first().embedding]
+    for n_probe in (1, 4):
+        got = [
+            (r.vec_id, r.cosine)
+            for r in ivf_probe_saved(spark, path, qv, k=10, n_probe=n_probe).collect()
+        ]
+        want = [
+            (r.vec_id, r.cosine)
+            for r in ivf_probe_saved(spark, fresh, qv, k=10, n_probe=n_probe).collect()
+        ]
+        assert got == want, n_probe
+
+    # 3) recall drift: the floor fires exactly when measured recall
+    # sits below it (mechanism test — drift needs real distribution
+    # shift, which the deterministic fixture can't stage)
+    r = measure_probe_recall(spark, path, k=10, n_probe=1, n_queries=4)
+    assert 0.0 <= r <= 1.0
+    if r < 1.0:
+        dec = maybe_rebuild_ivf(
+            spark, path, recall_floor=min(1.0, r + 0.01), n_queries=4
+        )
+        assert "recall_drift" in dec["reasons"]
+    assert "recall_drift" not in maybe_rebuild_ivf(
+        spark, path, n_queries=4,
+        recall_floor=max(0.0, r - 0.01) if r > 0 else 0.0,
+    )["reasons"]
+
+    # 4) rebuild_ivf_index is safe to run back-to-back (generation
+    # swap leaves no __rebuild/__old debris that a retry trips over)
+    rebuild_ivf_index(spark, path, n_cells=8)
+    assert ivf_index_stats(spark, path)["total_rows"] == n
+
+
 def test_ivf_full_rebuild_clobbers_deltas_under_dynamic_session(
     spark, tmp_path
 ):

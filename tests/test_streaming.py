@@ -1330,6 +1330,157 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
 
 
+def test_sessionize_stream_restart_from_checkpoint_matches_batch(
+    spark, tmp_path
+):
+    """Kill-and-restart parity for sessionize_stream: the query is
+    stopped mid-stream and restarted from the SAME checkpoint with the
+    last committed micro-batch's commit marker deleted — forcing a
+    REPLAY through the crash window between sink write and commit
+    (the state store resumes from the pre-batch version, the sink sees
+    the batch twice). With the (run,batch)-keyed idempotent sink the
+    replay overwrites its own partition, and the final session set
+    must equal the batch fold exactly — no duplicates, no gaps, exact
+    boundaries."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bolson_spark.streaming import sessionize_stream
+
+    gap_us = 60 * 60 * 1_000_000
+    rng = random.Random(17)
+    base = 1_700_000_000_000_000
+    rows = []
+    for uid in range(5):
+        t = base + uid * 7_000_000
+        for _ in range(rng.randint(6, 12)):
+            t += rng.choice([90_000_000, 300_000_000, gap_us + 60_000_000])
+            rows.append(
+                {"user_id": uid, "us": t, "value": round(rng.uniform(0, 9), 2)}
+            )
+    rows.sort(key=lambda r: r["us"])
+    far = rows[-1]["us"] + 30 * 24 * gap_us
+    q3 = (len(rows) + 2) // 3
+    pre = [rows[:q3], rows[q3 : 2 * q3]]  # before the kill
+    post = [rows[2 * q3 :]] + [
+        [{"user_id": 999, "us": far, "value": 0.0}],
+        [{"user_id": 999, "us": far + 1, "value": 0.0}],
+    ]
+
+    src = tmp_path / "rs_src"
+    src.mkdir()
+    out_dir = str(tmp_path / "rs_out")
+    ck = tmp_path / "rs_ck"
+
+    def write_sessions(bdf, batch_id):
+        (
+            bdf.withColumn("run", F.lit("r1"))
+            .withColumn("batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("run", "batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+
+    def start():
+        stream = (
+            spark.readStream.format("json")
+            .schema("user_id bigint, us bigint, value double")
+            .load(str(src))
+            .selectExpr("user_id", "timestamp_micros(us) AS ts", "value")
+        )
+        return (
+            sessionize_stream(stream, watermark="0 seconds")
+            .writeStream.foreachBatch(write_sessions)
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    nb = 0
+    for b in pre:
+        (src / f"b{nb}.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in b) + "\n"
+        )
+        nb += 1
+        q.processAllAvailable()
+    q.stop()  # the kill
+
+    # crash window: the last batch's sink write landed but its commit
+    # marker did not — delete the newest commit so restart REPLAYS it
+    commits = sorted(
+        (f for f in os.listdir(ck / "commits") if not f.startswith(".")),
+        key=int,
+    )
+    os.remove(ck / "commits" / commits[-1])
+    crc = ck / "commits" / f".{commits[-1]}.crc"  # hadoop checksum twin
+    if crc.exists():
+        os.remove(crc)
+
+    q = start()
+    q.processAllAvailable()  # replays the uncommitted batch first
+    for b in post:
+        (src / f"b{nb}.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in b) + "\n"
+        )
+        nb += 1
+        q.processAllAvailable()
+    q.stop()
+
+    got = (
+        spark.read.parquet(out_dir)
+        .where("user_id <> 999")
+        .select(
+            "user_id",
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            "sum_value",
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+
+    ref_rows = []
+    pdf = pd.DataFrame(rows).sort_values(["user_id", "us"])
+    for uid, grp in pdf.groupby("user_id"):
+        cur = None
+        sessions = []
+        for us, value in zip(grp["us"], grp["value"]):
+            if cur is None or us - cur[1] > gap_us:
+                if cur is not None:
+                    sessions.append(cur)
+                cur = [us, us, 0, 0.0]
+            cur[1] = us
+            cur[2] += 1
+            cur[3] += float(value)
+        sessions.append(cur)
+        ref_rows.extend(
+            (uid, s[0], s[1], s[2], round(s[3], 6)) for s in sessions
+        )
+    ref = (
+        pd.DataFrame(
+            ref_rows,
+            columns=[
+                "user_id",
+                "session_start_us",
+                "session_end_us",
+                "n_events",
+                "sum_value",
+            ],
+        )
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref), (len(got), len(ref))
+    got["sum_value"] = got["sum_value"].round(6)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
 def test_sessionize_stream_timeout_closes_idle_session(spark, tmp_path):
     """The event-time timer path: an idle session must close once the
     watermark (advanced by OTHER keys' events) passes last-event + gap
