@@ -407,6 +407,109 @@ def cmd_bench_sink(args) -> int:
     return 0
 
 
+def cmd_bench_stream(args) -> int:
+    """Sustained-load latency bench (the per-batch analog of M2's CSV,
+    units after src/bolson/latency.cpp:24-56): an in-process TCP server
+    plays the reference's JSON producer, pacing N bursts of generated
+    documents through the LITERAL socket source path; every published
+    micro-batch stamps the six reference time points (metrics.py), and
+    the report is p50/p99 of each stage diff plus end-to-end
+    Receive->Publish — the sustained-service latency distribution, not
+    the one-shot average `bench sink` gives."""
+    import socket
+    import tempfile
+    import threading
+
+    import numpy as np
+
+    from bolson_spark.metrics import TIME_POINTS, LatencyTracker
+    from bolson_spark.session import get_spark
+    from bolson_spark.sources import read_socket_stream
+    from bolson_spark.streaming import run_stream_convert
+    from bolson_spark.streaming.sink import IpcFileSink
+
+    spark = get_spark("bolson-bench-stream")
+    docs = _gen_jsons(args.schema, args.num_jsons, args.seed)
+    payload = ("\n".join(docs) + "\n").encode()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    holder: dict = {}
+    ready = threading.Event()
+    done = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        holder["conn"] = conn
+        ready.set()
+        done.wait(600)
+        conn.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    tmp = tempfile.mkdtemp(prefix="bolson_bench_stream_")
+    tracker = LatencyTracker()
+    t0 = time.time()
+    query, metrics = run_stream_convert(
+        read_socket_stream(spark, "127.0.0.1", port),
+        _schema(args.schema),
+        IpcFileSink(f"{tmp}/topic"),
+        max_rows=args.max_rows,
+        checkpoint_dir=f"{tmp}/ckpt",
+        available_now=False,
+        latency=tracker,
+    )
+    try:
+        assert ready.wait(60), "socket source never connected"
+        total = 0
+        for i in range(args.num_batches):
+            holder["conn"].sendall(payload)
+            total += len(docs)
+            deadline = time.time() + 60
+            while metrics.num_jsons < total and time.time() < deadline:
+                time.sleep(0.02)
+        query.stop()
+        query.awaitTermination(30)
+    finally:
+        done.set()
+        srv.close()
+    elapsed = time.time() - t0
+
+    def pcts(vals_ns):
+        a = np.asarray(vals_ns, dtype=np.float64) / 1e6  # -> ms
+        return {
+            "p50_ms": round(float(np.percentile(a, 50)), 3),
+            "p99_ms": round(float(np.percentile(a, 99)), 3),
+        }
+
+    stages = {
+        TIME_POINTS[i].lower(): pcts(
+            [p.diff_ns(i) for p in tracker.points]
+        )
+        for i in range(1, len(TIME_POINTS))
+    }
+    stages["end_to_end"] = pcts(
+        [round((p.time[-1] - p.time[0]) * 1e9) for p in tracker.points]
+    )
+    print(
+        json.dumps(
+            {
+                "num_batches_sent": args.num_batches,
+                "num_batches_published": len(tracker.points),
+                "num_jsons": metrics.num_jsons,
+                "elapsed_sec": round(elapsed, 3),
+                "mjs": round(metrics.num_jsons / 1e6 / elapsed, 6)
+                if elapsed
+                else None,
+                "latency": stages,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="bolson-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -522,6 +625,18 @@ def main(argv=None) -> int:
     bs.add_argument("--message-size", type=int, default=65536)
     bs.add_argument("--partitions", type=int, default=8)
     bs.set_defaults(fn=cmd_bench_sink)
+    bl = bsub.add_parser(
+        "stream",
+        help="sustained-load latency percentiles over the socket path",
+    )
+    bl.add_argument("--schema", choices=SCHEMAS, default="battery")
+    bl.add_argument(
+        "--num-jsons", type=int, default=2048, help="documents per burst"
+    )
+    bl.add_argument("--num-batches", type=int, default=10)
+    bl.add_argument("--seed", type=int, default=0)
+    bl.add_argument("--max-rows", type=int, default=MAX_ROWS_DEFAULT)
+    bl.set_defaults(fn=cmd_bench_stream)
 
     args = p.parse_args(argv)
     return args.fn(args)

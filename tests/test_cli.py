@@ -83,6 +83,32 @@ def test_cli_ingest_near_dup_across_runs(spark, tmp_path, capsys):
     assert got == {1, 2, 5}
 
 
+def test_cli_bench_stream_latency_percentiles(spark, capsys):
+    """`bench stream` drives paced bursts through the live socket path
+    and reports per-stage + end-to-end p50/p99 — every burst must
+    drain (num_jsons == bursts * docs), every published batch must be
+    stamped, and the percentile fields must be coherent (p50 <= p99,
+    end-to-end >= the parse stage median)."""
+    assert (
+        main(
+            [
+                "bench",
+                "stream",
+                "--num-jsons", "300",
+                "--num-batches", "3",
+            ]
+        )
+        == 0
+    )
+    out = _out_line(capsys)
+    assert out["num_jsons"] == 900
+    assert out["num_batches_published"] >= out["num_batches_sent"] == 3
+    lat = out["latency"]
+    for stage in ("parse", "resize", "serialize", "pop", "publish", "end_to_end"):
+        assert lat[stage]["p50_ms"] <= lat[stage]["p99_ms"]
+    assert lat["end_to_end"]["p50_ms"] >= lat["parse"]["p50_ms"]
+
+
 def test_cli_sessionize_closes_on_watermark(spark, tmp_path, capsys):
     """`sessionize` over two invocations sharing a checkpoint: run 1
     folds the real events into state; run 2's far-future sentinel
