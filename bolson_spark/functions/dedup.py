@@ -660,6 +660,99 @@ def canonical_containment_pairs(
     )
 
 
+def strip_repeated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 16,
+    hash_fn=None,
+) -> DataFrame:
+    """The REMOVAL step of exact-substring dedup: hash every w-token
+    window at STRIDE 1 (removal needs the full grid — a stride on both
+    sides misses shifted copies), find windows shared by >= 2 distinct
+    documents, keep the minimum-id document's copy, and drop every
+    token position covered by a removable window from the others.
+    Returns the whole corpus as (doc_id, clean_text, n_removed);
+    untouched docs pass through with n_removed=0 (text rebuilt from
+    tokens, i.e. whitespace-normalized).
+
+    Scale shape: the window table is O(total tokens) rows of
+    (id, start, hash bigint) hashed in the scan — never passage text;
+    one groupBy(hash), one equi-join back, one per-doc start-list agg,
+    then a narrow HOF map rebuilds the text. Same order as the token
+    table itself — the cost any exact-substring dedup pays.
+
+    ``hash_fn`` maps a window-text Column to its hash Column (default:
+    60-bit md5 prefix, the cross_doc_passages convention)."""
+    from bolson_spark.functions.text import tokens
+
+    if hash_fn is None:
+        # 60-bit md5 prefix over the already-md5'd window — the
+        # _md5_prefix60 idiom of queries_train (oracle twin:
+        # ('0x' || substr(md5(...), 1, 15))::BIGINT)
+        def hash_fn(c):
+            return F.conv(F.substring(c, 1, 15), 16, 10).cast("bigint")
+
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tok")
+    )
+    tok = F.col("_tok")
+    starts = F.sequence(F.lit(0), F.size(tok) - w)
+    wins = (
+        docs.where(F.size(tok) >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        hash_fn(
+                            F.md5(F.concat_ws(" ", F.slice(tok, i + 1, w)))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select(
+            "doc_id", F.col("w.start").alias("start"), F.col("w.h").alias("h")
+        )
+    )
+    rep = (
+        wins.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    removable = (
+        wins.join(rep.select("h", "first_doc"), "h")
+        .where(F.col("doc_id") != F.col("first_doc"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("start").alias("_starts"))
+    )
+    out = docs.join(removable, "doc_id", "left")
+    pos = F.sequence(F.lit(0), F.size(tok) - 1)
+    kept = F.when(F.col("_starts").isNull(), pos).otherwise(
+        F.filter(
+            pos,
+            lambda p: ~F.exists(
+                F.col("_starts"), lambda s: (p >= s) & (p < s + w)
+            ),
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform(kept, lambda p: F.element_at(tok, p + 1))
+        ).alias("clean_text"),
+        (F.size(tok) - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -2567,6 +2567,76 @@ WHERE ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) >= 0.3
 """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic curation verdict (the embedding analog
+    of dedup_minhash_components, shaped after the cluster-then-dedup
+    recipe of the SemDeDup paper): IVF-cell-blocked cosine near-dup
+    pairs -> connected components -> EVERY corpus vector tagged with
+    its duplicate-group representative and the keep/drop decision
+    (kept = it IS the min-id representative; singletons keep
+    themselves). This is the full-corpus output a curation pipeline
+    joins against — not a pair list. Composition of existing blocks:
+    the oracle-pinned fixed-8-cell blocking (determinism), hybrid CC,
+    one left join back to the corpus."""
+    from bolson_spark.functions.dedup import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = q_dedup_embedding_ivf(spark, sf_dir).select("vec_a", "vec_b")
+    cc = connected_components(pairs, "vec_a", "vec_b").select(
+        F.col("node").alias("vec_id"), "representative"
+    )
+    rep = F.coalesce(F.col("representative"), F.col("vec_id"))
+    return emb.select("vec_id").join(cc, "vec_id", "left").select(
+        "vec_id",
+        rep.alias("representative"),
+        (rep == F.col("vec_id")).alias("kept"),
+    )
+
+
+O_SEMDEDUP = f"""
+WITH RECURSIVE c AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         ROUND({_cosine_sql("e.embedding", "c.centroid")}, 6) AS sim
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, centroid_id AS cluster
+  FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1
+),
+pairs AS MATERIALIZED (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM assigned x
+  JOIN assigned y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  JOIN embeddings a ON a.vec_id = x.vec_id
+  JOIN embeddings b ON b.vec_id = y.vec_id
+  WHERE ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) >= 0.3
+),
+edges AS (
+  SELECT vec_a AS s, vec_b AS d FROM pairs
+  UNION
+  SELECT vec_b AS s, vec_a AS d FROM pairs
+),
+reach(node, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+),
+comp AS MATERIALIZED (
+  SELECT node, MIN(r) AS rep FROM reach GROUP BY node
+)
+SELECT emb.vec_id AS vec_id,
+       COALESCE(comp.rep, emb.vec_id) AS representative,
+       COALESCE(comp.rep, emb.vec_id) = emb.vec_id AS kept
+FROM embeddings emb LEFT JOIN comp ON comp.node = emb.vec_id
+"""
+
+
 def q_embedding_blocked_nn_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memory-bounded twin of embedding_blocked_nn: the same per-block
     GEMM executed over chunk-pair tiles (max 64 vectors per task side),
@@ -3009,6 +3079,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_embedding_ivf_scaled,
         O_DEDUP_EMBEDDING_IVF_SCALED,
         ("dedup", "similarity"),
+    ),
+    "semdedup": QuerySpec(
+        q_semdedup, O_SEMDEDUP, ("dedup", "similarity")
     ),
     "dedup_components": QuerySpec(
         q_dedup_components, O_DEDUP_COMPONENTS, ("dedup",)

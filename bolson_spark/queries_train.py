@@ -1240,6 +1240,77 @@ HAVING COUNT(*) >= 2
 """
 
 
+def q_strip_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL step of exact-substring dedup (the pass
+    cross_doc_passages only feeds): every 16-token window is hashed at
+    STRIDE 1 (removal needs the full grid — stride>1 on both sides
+    misses shifted copies, fine for the detection REPORT but not for
+    surgery); windows whose hash occurs in >= 2 distinct documents are
+    boilerplate/syndication, the minimum doc_id keeps its copy, and
+    every other document drops ALL token positions covered by its
+    removable windows. Output: the whole corpus as (doc_id,
+    clean_text, n_removed) — keeper docs and short/unique docs pass
+    through with n_removed=0 (text whitespace-normalized by the
+    rebuild, both engines identically).
+
+    Scale shape: see functions/dedup.py::strip_repeated_passages —
+    the window table is O(total tokens) bigint rows, hashed in the
+    scan; the cost every exact-substring dedup (suffix-array ones
+    included) pays."""
+    from bolson_spark.functions.dedup import strip_repeated_passages
+
+    return strip_repeated_passages(
+        _t(spark, sf_dir, "documents"), w=PASSAGE_W
+    )
+
+
+O_STRIP_PASSAGES = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+wins AS MATERIALIZED (
+  SELECT doc_id, UNNEST(list_transform(
+    range(1, len(tok) - {PASSAGE_W} + 2),
+    i -> struct_pack(
+      s := i,
+      h := ('0x' || substr(md5(
+             array_to_string(tok[i:i+{PASSAGE_W - 1}], ' ')
+           ), 1, 15))::BIGINT
+    ))) AS w
+  FROM toks WHERE len(tok) >= {PASSAGE_W}
+),
+rep AS MATERIALIZED (
+  SELECT h, MIN(doc_id) AS first_doc
+  FROM (SELECT DISTINCT doc_id, w.h AS h FROM wins)
+  GROUP BY h HAVING COUNT(*) >= 2
+),
+rem AS MATERIALIZED (
+  SELECT wins.doc_id, list(w.s) AS starts
+  FROM wins JOIN rep ON rep.h = w.h AND wins.doc_id != rep.first_doc
+  GROUP BY wins.doc_id
+),
+kept AS (
+  SELECT t.doc_id,
+         CASE WHEN r.starts IS NULL THEN range(1, len(t.tok)+1)
+              ELSE list_filter(range(1, len(t.tok)+1),
+                     p -> len(list_filter(
+                            r.starts,
+                            s -> p >= s AND p < s + {PASSAGE_W})) = 0)
+         END AS keep_pos,
+         t.tok AS tok
+  FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id
+)
+SELECT doc_id,
+       -- a FULLY stripped doc: DuckDB's array_to_string([]) is NULL,
+       -- Spark's concat_ws over an empty array is '' — pin to ''
+       COALESCE(
+         array_to_string(list_transform(keep_pos, p -> tok[p]), ' '), '')
+         AS clean_text,
+       CAST(len(tok) - len(keep_pos) AS BIGINT) AS n_removed
+FROM kept
+"""
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (see
     functions/dedup.py::ngram_containment_pairs): near-SUBSET pairs at
@@ -1388,5 +1459,8 @@ TRAIN_QUERIES: dict[str, QuerySpec] = {
     ),
     "canonical_containment": QuerySpec(
         q_canonical_containment, O_CANONICAL_CONTAINMENT, ("dedup",)
+    ),
+    "strip_passages": QuerySpec(
+        q_strip_passages, O_STRIP_PASSAGES, ("dedup", "text")
     ),
 }

@@ -1530,7 +1530,31 @@ def test_ngram_containment_subset_detection(spark):
     assert r.jaccard_e6 < 500_000  # NOT a near-dup by resemblance
 
 
-def test_canonical_containment_collapses_exact_copies(spark):
+def test_strip_repeated_passages_removes_shifted_copy(spark):
+    """Exact-substring REMOVAL semantics: a 24-token passage embedded
+    in another doc at a DIFFERENT offset (the case stride-8 detection
+    misses — removal hashes at stride 1) is stripped from the
+    higher-id doc only; the keeper (min doc_id) and unrelated docs
+    pass through with n_removed=0; overlapping removable windows
+    union their coverage (no double counting)."""
+    from bolson_spark.functions.dedup import strip_repeated_passages
+
+    passage = [f"p{i}" for i in range(24)]
+    rows = [
+        (1, " ".join(passage)),
+        # shifted by 2 (off the stride-8 grid) + trailing uniques
+        (2, "z0 z1 " + " ".join(passage) + " y0 y1"),
+        (3, " ".join(f"u{i}" for i in range(20))),
+    ]
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in strip_repeated_passages(
+            spark.createDataFrame(rows, ["doc_id", "text"]), w=16
+        ).collect()
+    }
+    assert got[1] == (" ".join(passage), 0)  # keeper intact
+    assert got[2] == ("z0 z1 y0 y1", 24)  # the shared passage is gone
+    assert got[3][1] == 0  # unrelated doc untouched
     """canonicalize-then-contain: m exact copies of each doc must
     yield EXACTLY the pair set of the distinct corpus, keyed by min-id
     representatives — the duplicate-mass quadratic term is gone by
