@@ -132,6 +132,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def frequency_cap(
+    df: DataFrame, text_col: str = "text", k: int = 2
+) -> DataFrame:
+    """Frequency CAPPING — the soft alternative to exact dedup some
+    pretraining recipes use (duplication carries signal up to a point;
+    unbounded copies are just over-weighting): keep at most `k` copies
+    of each exact-content group, preferring the lowest doc ids.
+    ``exact_dedup`` is the k=1 special case with group stats instead
+    of surviving rows. Returns (doc_id, fingerprint, copy_rank) for
+    the survivors.
+
+    Scale shape: one window partitioned by the content fingerprint —
+    hash-partitioned, no global sort; per-group sort is bounded by
+    group size, the same envelope every exact-dedup groupBy already
+    has."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        df.select(
+            "doc_id", doc_fingerprint(F.col(text_col)).alias("fingerprint")
+        )
+        .withColumn("copy_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("copy_rank") <= k)
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",

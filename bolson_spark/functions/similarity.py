@@ -777,6 +777,90 @@ def ivf_knn(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def ivf_knn_batch(
+    df: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """BATCHED IVF probe — the serving shape: Q query vectors answered
+    in ONE plan instead of Q driver round-trips. Per query: rank
+    centroids by cosine (queries x centroids is Q x C rows, both tiny
+    sides, broadcast), keep the top `n_probe` cells, then score ONLY
+    corpus vectors in some probed cell (cells equi-join) and take the
+    per-query top-k with a window over the probed candidates (the
+    per-query candidate set is |probed cells|, never the corpus).
+    Returns (query_id, rank, vec_id, cosine), rank 1..k.
+
+    Scale shape: the corpus is scanned once (assign) regardless of Q;
+    the only per-query term is the candidate scoring join, sized by
+    the probed cells. With a SAVED index (save_ivf_index) the same
+    composition partition-prunes instead of assigning — this is the
+    in-memory twin, matching ivf_knn exactly at Q=1 (tested)."""
+    from pyspark.sql import Window
+
+    qn = queries.select(
+        F.col(query_id),
+        F.col(query_vec),
+        norm(F.col(query_vec)).alias("_qnorm"),
+    )
+    cn = centroids.select(
+        "centroid_id", "centroid", norm(F.col("centroid")).alias("_cnorm")
+    )
+    best = (
+        qn.crossJoin(F.broadcast(cn))
+        .select(
+            query_id,
+            F.col("centroid_id").alias("cluster"),
+            F.round(
+                dot(F.col(query_vec), F.col("centroid"))
+                / (F.col("_qnorm") * F.col("_cnorm")),
+                6,
+            ).alias("_sim"),
+        )
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(
+                    F.desc("_sim"), F.asc("cluster")
+                )
+            ),
+        )
+        .where(F.col("_r") <= n_probe)
+        .select(query_id, "cluster")
+    )
+    assigned = ivf_assign(
+        df.select(id_col, vec_col), centroids, vec_col, id_col
+    )
+    probe = (
+        df.select(id_col, vec_col)
+        .join(assigned.select(id_col, "cluster"), id_col)
+        .join(F.broadcast(best), "cluster")
+    )
+    scored = probe.join(
+        F.broadcast(qn.select(query_id, query_vec, "_qnorm")), query_id
+    ).select(
+        query_id,
+        F.col(id_col),
+        F.round(
+            dot(F.col(vec_col), F.col(query_vec))
+            / (norm(F.col(vec_col)) * F.col("_qnorm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(query_id, "rank", id_col, "cosine")
+    )
+
+
 def save_ivf_index(
     df: DataFrame,
     centroids: DataFrame,

@@ -1320,6 +1320,27 @@ FROM documents GROUP BY 1
 """
 
 
+def q_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency capping (functions/dedup.py::frequency_cap): keep at
+    most 2 copies per exact-content group, lowest doc ids win — the
+    duplication-carries-signal-up-to-a-point posture between 'dedup
+    everything' (dedup_exact) and 'keep everything'."""
+    from bolson_spark.functions.dedup import frequency_cap
+
+    return frequency_cap(_t(spark, sf_dir, "documents"), k=2)
+
+
+O_FREQUENCY_CAP = """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       CAST(row_number() OVER (
+         PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+         ORDER BY doc_id) AS BIGINT) AS copy_rank
+FROM documents
+QUALIFY copy_rank <= 2
+"""
+
+
 def _minhash_sql(
     num_hashes: int = 16, bands: int | None = None, threshold: float = 0.9
 ) -> str:
@@ -1683,6 +1704,69 @@ JOIN assigned ON e.vec_id = assigned.vec_id
 JOIN best ON assigned.cluster = best.centroid_id, q
 ORDER BY cosine DESC, e.vec_id ASC
 LIMIT 10
+"""
+
+
+def q_ivf_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED IVF probe (functions/similarity.py::ivf_knn_batch) —
+    the serving shape: the 4 lowest-id vectors as query batch, top-10
+    each at n_probe=2, all in ONE plan (one corpus assign scan, one
+    broadcast of the per-query probed-cell set, one windowed top-k) —
+    instead of 4 driver round-trips through q_ivf_knn."""
+    from bolson_spark.functions.similarity import ivf_knn_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_knn_batch(emb, centroids, queries, k=10, n_probe=2)
+
+
+O_IVF_KNN_BATCH = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid
+  FROM embeddings WHERE vec_id < 8
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id < 4
+),
+best AS MATERIALIZED (
+  SELECT query_id, centroid_id AS cluster FROM (
+    SELECT q.query_id, c.centroid_id,
+           ROUND({_cosine_sql("q.qv", "c.centroid")}, 6) AS sim
+    FROM q CROSS JOIN c
+  )
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, centroid_id ASC) <= 2
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, centroid_id AS cluster FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROUND({_cosine_sql("e.embedding", "c.centroid")}, 6) AS sim
+    FROM embeddings e CROSS JOIN c
+  )
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id, cosine FROM (
+  SELECT b.query_id, e.vec_id,
+         ROUND({_cosine_sql("e.embedding", "q.qv")}, 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY b.query_id
+           ORDER BY ROUND({_cosine_sql("e.embedding", "q.qv")}, 6) DESC,
+                    e.vec_id ASC) AS rnk
+  FROM best b
+  JOIN assigned a ON a.cluster = b.cluster
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN q ON q.query_id = b.query_id
+)
+WHERE rnk <= 10
 """
 
 
@@ -3082,6 +3166,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "semdedup": QuerySpec(
         q_semdedup, O_SEMDEDUP, ("dedup", "similarity")
+    ),
+    "frequency_cap": QuerySpec(
+        q_frequency_cap, O_FREQUENCY_CAP, ("dedup",)
+    ),
+    "ivf_knn_batch": QuerySpec(
+        q_ivf_knn_batch, O_IVF_KNN_BATCH, ("similarity",)
     ),
     "dedup_components": QuerySpec(
         q_dedup_components, O_DEDUP_COMPONENTS, ("dedup",)

@@ -1555,6 +1555,71 @@ def test_strip_repeated_passages_removes_shifted_copy(spark):
     assert got[1] == (" ".join(passage), 0)  # keeper intact
     assert got[2] == ("z0 z1 y0 y1", 24)  # the shared passage is gone
     assert got[3][1] == 0  # unrelated doc untouched
+
+
+def test_ivf_knn_batch_matches_single_query_probe(spark):
+    """ivf_knn_batch at Q=1 must reproduce ivf_knn exactly (same
+    centroid ranking, probed cells, scores, and tiebreaks) at both
+    n_probe settings — the batched serving path can't drift from the
+    single-query operator it generalizes."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.functions.similarity import ivf_knn, ivf_knn_batch
+    from bolson_spark.queries import _query_vec
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    qv = _query_vec(spark, sf)
+    for n_probe in (1, 2):
+        single = [
+            (r.vec_id, r.cosine)
+            for r in ivf_knn(
+                emb, centroids, qv, k=10, n_probe=n_probe
+            ).collect()
+        ]
+        batch = [
+            (r.vec_id, r.cosine)
+            for r in ivf_knn_batch(
+                emb, centroids, queries, k=10, n_probe=n_probe
+            )
+            .orderBy("rank")
+            .collect()
+        ]
+        assert batch == single, n_probe
+
+
+def test_frequency_cap_keeps_k_lowest_copies(spark):
+    """frequency_cap at k=2 on a 5-copy group: exactly the two lowest
+    doc_ids survive with ranks 1,2; normalization (case/whitespace)
+    folds variants into one group; singletons pass through rank 1.
+    (The registry fixture has no >2-copy group at test SFs, so the
+    cap-fires path would be compare-invisible without this.)"""
+    from bolson_spark.functions.dedup import frequency_cap
+
+    rows = [
+        (10, "same content here"),
+        (11, "same   content HERE"),  # normalizes into the group
+        (12, "same content here"),
+        (13, "same content here"),
+        (14, "same content here"),
+        (20, "a singleton document"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {
+        r.doc_id: r.copy_rank for r in frequency_cap(df, k=2).collect()
+    }
+    assert capped == {10: 1, 11: 2, 20: 1}
+
+
+def test_canonical_containment_collapses_exact_copies(spark):
     """canonicalize-then-contain: m exact copies of each doc must
     yield EXACTLY the pair set of the distinct corpus, keyed by min-id
     representatives — the duplicate-mass quadratic term is gone by

@@ -324,6 +324,136 @@ def test_passage_ops_match_python_reference(spark, docs, w):
         assert got_b[i].cleaned_md5 == md5(" ".join(kept))
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            # tiny vocab -> w-windows collide across docs
+            st.sampled_from(["a", "b", "c"]),
+            min_size=0,
+            max_size=18,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    w=st.integers(min_value=2, max_value=5),
+)
+def test_strip_repeated_passages_matches_python_reference(spark, docs, w):
+    """strip_repeated_passages agrees with a direct Python reference
+    on arbitrary word streams: stride-1 window extraction, the
+    >=2-distinct-docs rule, min-id keeper, union coverage of
+    overlapping removable windows, and the rebuilt text — including
+    fully-stripped docs ('') and docs shorter than the window."""
+    from bolson_spark.functions.dedup import strip_repeated_passages
+
+    words = {i: ws for i, ws in enumerate(docs)}
+    # reference: windows as token tuples (the 60-bit hash is
+    # collision-free at this scale by construction)
+    owners: dict[tuple, set] = {}
+    for i, ws in words.items():
+        for s in range(len(ws) - w + 1):
+            owners.setdefault(tuple(ws[s : s + w]), set()).add(i)
+    keeper = {win: min(ds) for win, ds in owners.items() if len(ds) >= 2}
+    want = {}
+    for i, ws in words.items():
+        drop = set()
+        for s in range(len(ws) - w + 1):
+            win = tuple(ws[s : s + w])
+            if win in keeper and keeper[win] != i:
+                drop.update(range(s, s + w))
+        kept = [t for p, t in enumerate(ws) if p not in drop]
+        want[i] = (" ".join(kept), len(ws) - len(kept))
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in strip_repeated_passages(
+            spark.createDataFrame(rows, ["doc_id", "text"]), w=w
+        ).collect()
+    }
+    # whitespace-split of "" yields [""] on both engines: a 0-word doc
+    # is a single empty token to the operator — normalize the
+    # reference the same way
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == want[i], (i, docs[i], got[i], want[i])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    max_df=st.integers(min_value=1, max_value=8),
+)
+def test_containment_pairs_match_python_reference(spark, docs, max_df):
+    """ngram_containment_pairs agrees with a direct Python reference
+    on arbitrary word streams: distinct-shingle sets, the df cap
+    (frequent shingles excluded from INTERSECTIONS, sizes pre-filter),
+    inner/outer assignment with the size-then-id tiebreak, and the
+    fixed-point micro-unit ratios — at threshold 0 so EVERY sharing
+    pair is checked, not just near-subsets."""
+    from bolson_spark.functions.dedup import ngram_containment_pairs
+
+    n = 2
+    sets = {
+        i: {
+            " ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)
+        }
+        for i, ws in enumerate(docs)
+        if len(ws) >= n
+    }
+    df_count: dict[str, int] = {}
+    for s in sets.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    frequent = {g for g, d in df_count.items() if d > max_df}
+    want = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len((sets[a] & sets[b]) - frequent)
+            if not inter:
+                continue
+            na, nb = len(sets[a]), len(sets[b])
+            inner, outer = (
+                (a, b) if (na < nb or (na == nb and a < b)) else (b, a)
+            )
+            want[(inner, outer)] = (
+                1_000_000 * inter // min(na, nb),
+                1_000_000 * inter // (na + nb - inter),
+            )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    got = {
+        (r.inner_doc, r.outer_doc): (r.containment_e6, r.jaccard_e6)
+        for r in ngram_containment_pairs(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            n=n,
+            containment_threshold=0.0,
+            max_df=max_df,
+        ).collect()
+    }
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # Streaming sessionization merge function vs naive batch reference
 # ---------------------------------------------------------------------------
