@@ -951,6 +951,91 @@ def ivf_probe_saved(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def ivf_probe_saved_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """BATCHED probe against a saved IVF index — :func:`ivf_knn_batch`
+    pointed at the on-disk layout: the per-query cell ranking runs on
+    the tiny centroid table (Q x C rows, windowed top-n_probe), the
+    UNION of probed cells becomes ONE `cluster IN (...)` partition
+    filter (the scan reads only those directories — plan-asserted in
+    tests), and a broadcast (query_id, cluster) pair table fans each
+    scanned row out to exactly the queries that probed its cell before
+    the per-query windowed top-k. Q queries = one pruned scan, not Q.
+    Returns (query_id, rank, vec_id, cosine)."""
+    from pyspark.sql import Window
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    qn = queries.select(
+        F.col(query_id),
+        F.col(query_vec),
+        norm(F.col(query_vec)).alias("_qnorm"),
+    )
+    cn = cents.select(
+        "centroid_id", "centroid", norm(F.col("centroid")).alias("_cnorm")
+    )
+    best = (
+        qn.crossJoin(F.broadcast(cn))
+        .select(
+            query_id,
+            F.col("centroid_id").alias("cluster"),
+            F.round(
+                dot(F.col(query_vec), F.col("centroid"))
+                / (F.col("_qnorm") * F.col("_cnorm")),
+                6,
+            ).alias("_sim"),
+        )
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(
+                    F.desc("_sim"), F.asc("cluster")
+                )
+            ),
+        )
+        .where(F.col("_r") <= n_probe)
+        .select(query_id, "cluster")
+    )
+    # the probed-cell set is bounded by Q * n_probe — a driver list,
+    # frozen into the partition filter so pruning is static
+    pairs = best.collect()
+    probed = sorted({r.cluster for r in pairs})
+    cells = spark.read.parquet(f"{path}/cells").where(
+        F.col("cluster").isin(probed)
+    )
+    pair_df = spark.createDataFrame(
+        [(r[query_id], r.cluster) for r in pairs], [query_id, "cluster"]
+    )
+    scored = (
+        cells.select(id_col, vec_col, "cluster")
+        .join(F.broadcast(pair_df), "cluster")
+        .join(F.broadcast(qn.select(query_id, query_vec, "_qnorm")), query_id)
+        .select(
+            query_id,
+            F.col(id_col),
+            F.round(
+                dot(F.col(vec_col), F.col(query_vec))
+                / (norm(F.col(vec_col)) * F.col("_qnorm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(query_id, "rank", id_col, "cosine")
+    )
+
+
 def ivf_append_index(
     spark,
     path: str,

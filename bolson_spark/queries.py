@@ -3265,12 +3265,24 @@ def _driver_checked_names() -> frozenset[str]:
             # name unchecked so the next round's window retries it.
             # err='no_oracle' is the driver's NORMAL record for a
             # rows-only query (spark side executed fine) — that IS the
-            # query's full testable coverage, so it counts as checked.
+            # query's full testable coverage, so it counts as checked
+            # UNLESS the spec has since GAINED an oracle (round 5 gave
+            # bpe_train/bpe_encode real DuckDB oracles): then the
+            # rows-only record undersells the current testable surface
+            # and the name must rotate back into the window for a full
+            # rows+schema+hash row.
             for name, row in data.items():
                 if (
                     isinstance(row, dict)
                     and row.get("err")
                     and row["err"] != "no_oracle"
+                ):
+                    continue
+                if (
+                    isinstance(row, dict)
+                    and row.get("err") == "no_oracle"
+                    and name in QUERIES
+                    and QUERIES[name].oracle is not None
                 ):
                     continue
                 names.add(name)

@@ -421,6 +421,58 @@ def test_ivf_index_save_probe_pruned(spark, tmp_path):
     assert len(wide) == 10 and wide[0].vec_id == 0
 
 
+def test_ivf_probe_saved_batch_pruned_and_matches_single(spark, tmp_path):
+    """Batched probe against the SAVED index: Q queries = ONE
+    partition-pruned scan (the plan's PartitionFilters carries the
+    probed-cell union, not a full scan) and each query's top-k equals
+    its single-query ivf_probe_saved answer exactly, at n_probe 1
+    and 2."""
+    import re
+
+    from bolson_spark.functions.similarity import (
+        ivf_probe_saved,
+        ivf_probe_saved_batch,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    path = str(tmp_path / "ivf")
+    save_ivf_index(emb, centroids, path)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    qvs = {
+        r.query_id: [float(x) for x in r.query_vec]
+        for r in queries.collect()
+    }
+    for n_probe in (1, 2):
+        batch = ivf_probe_saved_batch(
+            spark, path, queries, k=10, n_probe=n_probe
+        )
+        plan = batch._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PartitionFilters: \[[^\]]*cluster", plan)
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r.query_id, []).append(
+                (r.rank, r.vec_id, r.cosine)
+            )
+        for qid, qv in qvs.items():
+            want = [
+                (i + 1, r.vec_id, r.cosine)
+                for i, r in enumerate(
+                    ivf_probe_saved(
+                        spark, path, qv, k=10, n_probe=n_probe
+                    ).collect()
+                )
+            ]
+            assert sorted(got[qid]) == want, (qid, n_probe)
+
+
 def test_pnm_codec_roundtrip_and_features(spark):
     """REAL codec: encode->decode roundtrip for P5/P6, header comments,
     histogram features, and the full Spark path (extract_features /
