@@ -741,6 +741,32 @@ def kmeans_refine(
     )
 
 
+def kmeans_centroid_table(
+    df: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`kmeans_refine` reshaped into the (centroid_id, centroid)
+    table every assign/probe/save API takes — the missing glue between
+    'pick seed centroids' and 'use refined centroids'. Empty clusters
+    (seeds that captured no vectors in the final assignment) drop out,
+    exactly as Lloyd's does. Deterministic: refine rounds each
+    dimension to 6 decimals per iteration (see kmeans_refine)."""
+    dims = kmeans_refine(
+        df, seeds, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    return (
+        dims.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c_val"))).alias("pm"))
+        .select(
+            F.col("cluster").alias("centroid_id"),
+            F.transform("pm", lambda s: s["c_val"]).alias("centroid"),
+        )
+    )
+
+
 def ivf_knn(
     df: DataFrame,
     centroids: DataFrame,
@@ -1150,14 +1176,17 @@ def rebuild_ivf_index(
     path: str,
     n_cells: int | None = None,
     target_cell: int = 512,
+    refine_iters: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> None:
     """Full retrain: re-seed centroids from the index's CURRENT
     contents (n_cells lowest ids, or N // target_cell of them — the
-    same scalable-cells rule as dedup_embedding_ivf; refine with
-    kmeans_refine before calling for data-adapted centroids), rewrite
-    every vector into the new cell layout, and swap generations.
+    same scalable-cells rule as dedup_embedding_ivf), optionally run
+    ``refine_iters`` rounds of Lloyd's k-means over the seeds
+    (:func:`kmeans_centroid_table` — data-adapted cells instead of
+    arbitrary seed vectors), rewrite every vector into the new cell
+    layout, and swap generations.
 
     The new index is written BESIDE the old one (`<path>__rebuild`)
     then swapped in — never an in-place overwrite of a directory the
@@ -1179,6 +1208,10 @@ def rebuild_ivf_index(
             F.col(vec_col).alias("centroid"),
         )
     )
+    if refine_iters:
+        seeds = kmeans_centroid_table(
+            src, seeds, iters=refine_iters, vec_col=vec_col, id_col=id_col
+        )
     tmp = f"{path}__rebuild"
     shutil.rmtree(tmp, ignore_errors=True)
     save_ivf_index(src, seeds, tmp, vec_col=vec_col, id_col=id_col)

@@ -2663,17 +2663,46 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle-pinned fixed-8-cell blocking (determinism), hybrid CC,
     one left join back to the corpus."""
     from bolson_spark.functions.dedup import connected_components
+    from bolson_spark.functions.similarity import (
+        embedding_cosine_pairs_tiled,
+        ivf_assign,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = q_dedup_embedding_ivf(spark, sf_dir).select("vec_a", "vec_b")
-    cc = connected_components(pairs, "vec_a", "vec_b").select(
-        F.col("node").alias("vec_id"), "representative"
+    # canonicalize IDENTICAL vectors first (the dedup_minhash_components
+    # move): copies of one vector land in the same cell as their rep
+    # and pair at cosine 1.0 >= threshold by construction, so the
+    # rep-level component graph merges exactly the same groups while
+    # the pair stage sees ONE row per distinct vector — exact-copy mass
+    # (100x at the scale probe) costs a linear groupBy, not a clique.
+    sets = emb.select("vec_id", "embedding")
+    groups = sets.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
+    members = sets.join(groups, "embedding").select("vec_id", "rep_id")
+    rep_vecs = emb.join(
+        groups.select(F.col("rep_id").alias("vec_id")), "vec_id", "left_semi"
     )
-    rep = F.coalesce(F.col("representative"), F.col("vec_id"))
-    return emb.select("vec_id").join(cc, "vec_id", "left").select(
+    # centroid rule unchanged (vec_id < 8 of the FULL corpus — the
+    # oracle pins it); blocking + threshold identical to
+    # q_dedup_embedding_ivf, applied to representatives only
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = ivf_assign(rep_vecs, centroids).select("vec_id", "cluster")
+    blocked = rep_vecs.join(assigned, "vec_id").select(
+        "vec_id", "embedding", "cluster"
+    )
+    rep_pairs = embedding_cosine_pairs_tiled(
+        blocked, threshold=0.3, block_col="cluster"
+    ).select("vec_a", "vec_b")
+    cc = connected_components(rep_pairs, "vec_a", "vec_b").select(
+        F.col("node").alias("rep_id"), "representative"
+    )
+    final = F.coalesce(F.col("representative"), F.col("rep_id"))
+    return members.join(cc, "rep_id", "left").select(
         "vec_id",
-        rep.alias("representative"),
-        (rep == F.col("vec_id")).alias("kept"),
+        final.alias("representative"),
+        (final == F.col("vec_id")).alias("kept"),
     )
 
 

@@ -1472,6 +1472,22 @@ def test_maybe_rebuild_ivf_policy(spark, tmp_path):
     rebuild_ivf_index(spark, path, n_cells=8)
     assert ivf_index_stats(spark, path)["total_rows"] == n
 
+    # 5) refined rebuild: Lloyd's-adapted centroids (kmeans_centroid_
+    # table glue) — every row still lands in exactly one cell, the
+    # centroid table is readable and cell-consistent with the data
+    # partitions, and the pruned probe still answers
+    rebuild_ivf_index(spark, path, n_cells=8, refine_iters=1)
+    stats = ivf_index_stats(spark, path)
+    assert stats["total_rows"] == n and stats["delta_fraction"] == 0.0
+    cents = spark.read.parquet(f"{path}/centroids")
+    cent_ids = {r.centroid_id for r in cents.collect()}
+    assert 1 <= len(cent_ids) <= 8
+    cells = spark.read.parquet(f"{path}/cells")
+    assert {
+        r.cluster for r in cells.select("cluster").distinct().collect()
+    } <= cent_ids
+    assert len(ivf_probe_saved(spark, path, qv, k=10, n_probe=2).collect()) == 10
+
 
 def test_ivf_full_rebuild_clobbers_deltas_under_dynamic_session(
     spark, tmp_path

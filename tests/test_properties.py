@@ -454,6 +454,67 @@ def test_containment_pairs_match_python_reference(spark, docs, max_df):
     assert got == want
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    distributed=st.booleans(),
+)
+def test_connected_components_matches_union_find(spark, edges, distributed):
+    """connected_components on ARBITRARY edge lists (self-loops,
+    duplicate edges, chains, stars) matches a direct union-find
+    reference — on BOTH physical paths (bounded driver union-find and
+    distributed min-label propagation), which must agree with each
+    other by construction."""
+    from bolson_spark.functions.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = {n for e in edges for n in e}
+    for n in nodes:
+        parent[n] = n
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully, then representative = min of component
+    comp: dict[int, list] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    want = {
+        n: min(members)
+        for members in comp.values()
+        for n in members
+    }
+
+    pairs = spark.createDataFrame(list(edges), ["doc_a", "doc_b"])
+    got = {
+        r.node: r.representative
+        for r in connected_components(
+            pairs,
+            driver_finish_threshold=0 if distributed else 2_000_000,
+        ).collect()
+    }
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # Streaming sessionization merge function vs naive batch reference
 # ---------------------------------------------------------------------------
