@@ -193,8 +193,6 @@ def cmd_sessionize(args) -> int:
     us epoch-micros, value): sessions are emitted exactly once, when
     the event-time watermark passes session end + gap — the runnable
     product shape of streaming/stateful.py's tested path."""
-    import uuid
-
     from pyspark.sql import functions as F
 
     from bolson_spark.session import get_spark
@@ -218,22 +216,11 @@ def cmd_sessionize(args) -> int:
     # so a micro-batch replayed from the checkpoint after a crash
     # OVERWRITES its own partition instead of double-appending sessions;
     # the run key keeps a fresh-checkpoint restart (batch_id resets to 0)
-    # from clobbering a previous run's output. The run id is minted once
-    # PER CHECKPOINT LINEAGE (same pattern as the convert pipeline's
-    # quarantine run): a restarted invocation sharing the checkpoint
-    # must reuse it, or a replayed batch would land under a new run key
-    # and duplicate instead of overwriting.
-    import os
+    # from clobbering a previous run's output. Run id semantics (minted
+    # once per checkpoint lineage) live in run_id_for_checkpoint.
+    from bolson_spark.streaming.util import run_id_for_checkpoint
 
-    os.makedirs(args.checkpoint, exist_ok=True)
-    run_file = os.path.join(args.checkpoint, "bolson_session_run")
-    if os.path.exists(run_file):
-        with open(run_file) as f:
-            run_id = f.read().strip()
-    else:
-        run_id = uuid.uuid4().hex[:12]
-        with open(run_file, "w") as f:
-            f.write(run_id)
+    run_id = run_id_for_checkpoint(args.checkpoint, "bolson_session_run")
 
     def _write_batch(bdf, batch_id: int) -> None:
         (
@@ -469,13 +456,25 @@ def cmd_bench_stream(args) -> int:
             total += len(docs)
             deadline = time.time() + 60
             while metrics.num_jsons < total and time.time() < deadline:
+                if query.exception() is not None:
+                    raise query.exception()  # dead query: fail NOW,
+                    # not after num_batches x 60 s of silent waiting
                 time.sleep(0.02)
+            if metrics.num_jsons < total:
+                raise RuntimeError(
+                    f"burst {i}: drained {metrics.num_jsons}/{total} "
+                    "docs within 60 s — stream stalled"
+                )
         query.stop()
         query.awaitTermination(30)
     finally:
         done.set()
         srv.close()
     elapsed = time.time() - t0
+    if not tracker.points:
+        raise RuntimeError(
+            "no micro-batch was published — nothing to report percentiles on"
+        )
 
     def pcts(vals_ns):
         a = np.asarray(vals_ns, dtype=np.float64) / 1e6  # -> ms

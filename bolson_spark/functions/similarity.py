@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -719,18 +720,7 @@ def kmeans_refine(
             .groupBy("cluster", "d")
             .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("c_val"))
         )
-        cents = (
-            dims.groupBy("cluster")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("d", "c_val"))
-                ).alias("pm")
-            )
-            .select(
-                F.col("cluster").alias("centroid_id"),
-                F.transform("pm", lambda s: s["c_val"]).alias("centroid"),
-            )
-        )
+        cents = _centroids_from_dims(dims)
         last_dims = dims
     sizes = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members")
@@ -738,6 +728,20 @@ def kmeans_refine(
     return (
         last_dims.join(sizes, "cluster")
         .select("cluster", "n_members", "d", "c_val")
+    )
+
+
+def _centroids_from_dims(dims: DataFrame) -> DataFrame:
+    """(cluster, d, c_val) per-dimension rows -> the (centroid_id,
+    centroid) table — the ONE definition of the reshape, shared by
+    kmeans_refine's iteration loop and kmeans_centroid_table."""
+    return (
+        dims.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c_val"))).alias("pm"))
+        .select(
+            F.col("cluster").alias("centroid_id"),
+            F.transform("pm", lambda s: s["c_val"]).alias("centroid"),
+        )
     )
 
 
@@ -756,15 +760,8 @@ def kmeans_centroid_table(
     dimension to 6 decimals per iteration (see kmeans_refine)."""
     dims = kmeans_refine(
         df, seeds, iters=iters, vec_col=vec_col, id_col=id_col
-    )
-    return (
-        dims.groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("d", "c_val"))).alias("pm"))
-        .select(
-            F.col("cluster").alias("centroid_id"),
-            F.transform("pm", lambda s: s["c_val"]).alias("centroid"),
-        )
-    )
+    ).select("cluster", "d", "c_val")
+    return _centroids_from_dims(dims)
 
 
 def ivf_knn(
@@ -803,42 +800,29 @@ def ivf_knn(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
-def ivf_knn_batch(
-    df: DataFrame,
-    centroids: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_probe: int = 1,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    query_id: str = "query_id",
-    query_vec: str = "query_vec",
-) -> DataFrame:
-    """BATCHED IVF probe — the serving shape: Q query vectors answered
-    in ONE plan instead of Q driver round-trips. Per query: rank
-    centroids by cosine (queries x centroids is Q x C rows, both tiny
-    sides, broadcast), keep the top `n_probe` cells, then score ONLY
-    corpus vectors in some probed cell (cells equi-join) and take the
-    per-query top-k with a window over the probed candidates (the
-    per-query candidate set is |probed cells|, never the corpus).
-    Returns (query_id, rank, vec_id, cosine), rank 1..k.
-
-    Scale shape: the corpus is scanned once (assign) regardless of Q;
-    the only per-query term is the candidate scoring join, sized by
-    the probed cells. With a SAVED index (save_ivf_index) the same
-    composition partition-prunes instead of assigning — this is the
-    in-memory twin, matching ivf_knn exactly at Q=1 (tested)."""
-    from pyspark.sql import Window
-
-    qn = queries.select(
+def _queries_with_norm(queries: DataFrame, query_id: str, query_vec: str):
+    return queries.select(
         F.col(query_id),
         F.col(query_vec),
         norm(F.col(query_vec)).alias("_qnorm"),
     )
+
+
+def _rank_cells_per_query(
+    qn: DataFrame, centroids: DataFrame, n_probe: int, query_id: str,
+    query_vec: str,
+) -> DataFrame:
+    """Per-query probed-cell set: (query_id, cluster) for each query's
+    `n_probe` max-cosine centroids. Q x C rows, both sides tiny; the
+    ONE definition of the cell-ranking grain/tiebreak (ROUND 6, then
+    lowest centroid id) shared by the in-memory and saved-index batch
+    probes so the twins cannot drift."""
+    from pyspark.sql import Window
+
     cn = centroids.select(
         "centroid_id", "centroid", norm(F.col("centroid")).alias("_cnorm")
     )
-    best = (
+    return (
         qn.crossJoin(F.broadcast(cn))
         .select(
             query_id,
@@ -860,15 +844,24 @@ def ivf_knn_batch(
         .where(F.col("_r") <= n_probe)
         .select(query_id, "cluster")
     )
-    assigned = ivf_assign(
-        df.select(id_col, vec_col), centroids, vec_col, id_col
-    )
-    probe = (
-        df.select(id_col, vec_col)
-        .join(assigned.select(id_col, "cluster"), id_col)
-        .join(F.broadcast(best), "cluster")
-    )
-    scored = probe.join(
+
+
+def _score_and_topk(
+    candidates: DataFrame,
+    qn: DataFrame,
+    k: int,
+    query_id: str,
+    query_vec: str,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Score (query, candidate) rows and keep the per-query top-k —
+    the shared tail of both batch probes: one broadcast of the query
+    vectors, ROUND(cos,6) with the id-ascending tiebreak, windowed
+    rank 1..k."""
+    from pyspark.sql import Window
+
+    scored = candidates.join(
         F.broadcast(qn.select(query_id, query_vec, "_qnorm")), query_id
     ).select(
         query_id,
@@ -884,6 +877,46 @@ def ivf_knn_batch(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select(query_id, "rank", id_col, "cosine")
+    )
+
+
+def ivf_knn_batch(
+    df: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """BATCHED IVF probe — the serving shape: Q query vectors answered
+    in ONE plan instead of Q driver round-trips. Per query: rank
+    centroids by cosine (_rank_cells_per_query — Q x C rows, both tiny
+    sides, broadcast), keep the top `n_probe` cells, then score ONLY
+    corpus vectors in some probed cell and take the per-query top-k
+    (the per-query candidate set is |probed cells|, never the corpus).
+    Returns (query_id, rank, vec_id, cosine), rank 1..k.
+
+    Scale shape: the corpus is scanned ONCE regardless of Q — the
+    assignment runs through ivf_assign_gemm with the vector CARRIED
+    through (zero joins/shuffles in the assign stage; re-joining the
+    assignment to the corpus by id would be the full N-row shuffle
+    dedup_embedding_ivf documents avoiding). With a SAVED index the
+    same composition partition-prunes instead of assigning
+    (:func:`ivf_probe_saved_batch`) — this is the in-memory twin,
+    matching ivf_knn exactly at Q=1 (tested)."""
+    qn = _queries_with_norm(queries, query_id, query_vec)
+    best = _rank_cells_per_query(qn, centroids, n_probe, query_id, query_vec)
+    assigned = ivf_assign_gemm(
+        df, centroids, vec_col=vec_col, id_col=id_col, carry=(vec_col,)
+    )
+    candidates = assigned.select(id_col, vec_col, "cluster").join(
+        F.broadcast(best), "cluster"
+    )
+    return _score_and_topk(
+        candidates, qn, k, query_id, query_vec, vec_col, id_col
     )
 
 
@@ -995,70 +1028,35 @@ def ivf_probe_saved_batch(
     filter (the scan reads only those directories — plan-asserted in
     tests), and a broadcast (query_id, cluster) pair table fans each
     scanned row out to exactly the queries that probed its cell before
-    the per-query windowed top-k. Q queries = one pruned scan, not Q.
-    Returns (query_id, rank, vec_id, cosine)."""
-    from pyspark.sql import Window
-
+    the per-query windowed top-k (_score_and_topk — shared with the
+    in-memory twin so the two cannot drift). Q queries = one pruned
+    scan, not Q. Returns (query_id, rank, vec_id, cosine); an empty
+    query batch returns an empty result, not an error."""
     cents = spark.read.parquet(f"{path}/centroids")
-    qn = queries.select(
-        F.col(query_id),
-        F.col(query_vec),
-        norm(F.col(query_vec)).alias("_qnorm"),
-    )
-    cn = cents.select(
-        "centroid_id", "centroid", norm(F.col("centroid")).alias("_cnorm")
-    )
-    best = (
-        qn.crossJoin(F.broadcast(cn))
-        .select(
-            query_id,
-            F.col("centroid_id").alias("cluster"),
-            F.round(
-                dot(F.col(query_vec), F.col("centroid"))
-                / (F.col("_qnorm") * F.col("_cnorm")),
-                6,
-            ).alias("_sim"),
-        )
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                Window.partitionBy(query_id).orderBy(
-                    F.desc("_sim"), F.asc("cluster")
-                )
-            ),
-        )
-        .where(F.col("_r") <= n_probe)
-        .select(query_id, "cluster")
-    )
+    qn = _queries_with_norm(queries, query_id, query_vec)
+    best = _rank_cells_per_query(qn, cents, n_probe, query_id, query_vec)
     # the probed-cell set is bounded by Q * n_probe — a driver list,
     # frozen into the partition filter so pruning is static
     pairs = best.collect()
     probed = sorted({r.cluster for r in pairs})
+    qid_t = queries.schema[query_id].dataType
+    pair_df = spark.createDataFrame(
+        [(r[query_id], r.cluster) for r in pairs],
+        T.StructType(
+            [
+                T.StructField(query_id, qid_t, False),
+                T.StructField("cluster", cents.schema["centroid_id"].dataType, False),
+            ]
+        ),
+    )
     cells = spark.read.parquet(f"{path}/cells").where(
         F.col("cluster").isin(probed)
     )
-    pair_df = spark.createDataFrame(
-        [(r[query_id], r.cluster) for r in pairs], [query_id, "cluster"]
+    candidates = cells.select(id_col, vec_col, "cluster").join(
+        F.broadcast(pair_df), "cluster"
     )
-    scored = (
-        cells.select(id_col, vec_col, "cluster")
-        .join(F.broadcast(pair_df), "cluster")
-        .join(F.broadcast(qn.select(query_id, query_vec, "_qnorm")), query_id)
-        .select(
-            query_id,
-            F.col(id_col),
-            F.round(
-                dot(F.col(vec_col), F.col(query_vec))
-                / (norm(F.col(vec_col)) * F.col("_qnorm")),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
-        .select(query_id, "rank", id_col, "cosine")
+    return _score_and_topk(
+        candidates, qn, k, query_id, query_vec, vec_col, id_col
     )
 
 
@@ -1151,7 +1149,7 @@ def measure_probe_recall(
     ]
     if not qs:
         return 1.0
-    hits = 0
+    hits = denom = 0
     for qv in qs:
         exact = {
             r[id_col]
@@ -1168,7 +1166,12 @@ def measure_probe_recall(
             ).collect()
         }
         hits += len(exact & got)
-    return hits / (len(qs) * k)
+        # denominator = achievable hits (|exact| = min(k, index size)),
+        # not q*k: an index smaller than k must still be able to reach
+        # recall 1.0, or a recall_floor policy would fire (and rebuild,
+        # uselessly) on every cycle forever
+        denom += len(exact)
+    return hits / denom if denom else 1.0
 
 
 def rebuild_ivf_index(
@@ -1191,9 +1194,16 @@ def rebuild_ivf_index(
     The new index is written BESIDE the old one (`<path>__rebuild`)
     then swapped in — never an in-place overwrite of a directory the
     rebuild is still reading (self-overwrite is undefined in Spark).
-    The swap is two renames on a local/HDFS filesystem; on object
-    stores the same shape is write-new-generation + pointer flip.
-    Single-writer assumption as everywhere in this index's protocol."""
+    The swap here is two LOCAL-filesystem renames (os.rename — it does
+    NOT speak hdfs:// or s3a:// URIs); on a distributed filesystem or
+    object store, deployments keep the write-new-generation step and
+    replace the swap with their own pointer flip (HDFS rename /
+    catalog update). A crash BETWEEN the two renames is recovered
+    automatically: the old generation is restored from `<path>__old`,
+    which is deleted only after the new generation is in place.
+    Single-writer assumption as everywhere in this index's protocol;
+    concurrent READERS of `path` see a brief not-found window during
+    the swap — the pointer-flip variant is how production removes it."""
     import os
     import shutil
 
@@ -1218,7 +1228,11 @@ def rebuild_ivf_index(
     old = f"{path}__old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)  # restore the prior generation
+        raise
     shutil.rmtree(old)
 
 

@@ -2675,11 +2675,35 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rep-level component graph merges exactly the same groups while
     # the pair stage sees ONE row per distinct vector — exact-copy mass
     # (100x at the scale probe) costs a linear groupBy, not a clique.
-    sets = emb.select("vec_id", "embedding")
-    groups = sets.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
-    members = sets.join(groups, "embedding").select("vec_id", "rep_id")
+    # zero-norm vectors are EXCLUDED from canonicalization (each is its
+    # own group): the oracle's pair predicate ROUND(cos,6) >= t is NULL
+    # for a 0/0 cosine, so identical zero vectors share NO edge there —
+    # merging them here would diverge. In the pair stage they score
+    # nan >= t = False on the Spark side, the same no-edge outcome.
+    from bolson_spark.functions.similarity import norm as _vnorm
+
+    sets = emb.select(
+        "vec_id", "embedding", (_vnorm(F.col("embedding")) == 0).alias("_z")
+    )
+    groups = (
+        sets.where(~F.col("_z"))
+        .groupBy("embedding")
+        .agg(F.min("vec_id").alias("rep_id"))
+    )
+    members = (
+        sets.where(~F.col("_z"))
+        .join(groups, "embedding")
+        .select("vec_id", "rep_id")
+        .unionByName(
+            sets.where(F.col("_z")).select(
+                "vec_id", F.col("vec_id").alias("rep_id")
+            )
+        )
+    )
     rep_vecs = emb.join(
-        groups.select(F.col("rep_id").alias("vec_id")), "vec_id", "left_semi"
+        members.where(F.col("vec_id") == F.col("rep_id")).select("vec_id"),
+        "vec_id",
+        "left_semi",
     )
     # centroid rule unchanged (vec_id < 8 of the FULL corpus — the
     # oracle pins it); blocking + threshold identical to

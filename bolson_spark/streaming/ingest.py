@@ -42,7 +42,7 @@ build_bloom_words / bloom_maybe_contains.
 from __future__ import annotations
 
 import os
-import uuid
+
 
 import pandas as pd
 
@@ -443,15 +443,9 @@ def run_stream_ingest(
     # per-call uuid would self-match replayed docs against their own
     # index rows and silently drop them). A fresh checkpoint dir mints
     # a new id, so prior runs' partitions are consulted, not clobbered.
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    run_id_file = os.path.join(checkpoint_dir, "bolson_ingest_run_id")
-    if os.path.exists(run_id_file):
-        with open(run_id_file) as f:
-            run_id = f.read().strip()
-    else:
-        run_id = uuid.uuid4().hex
-        with open(run_id_file, "w") as f:
-            f.write(run_id)
+    from bolson_spark.streaming.util import run_id_for_checkpoint
+
+    run_id = run_id_for_checkpoint(checkpoint_dir, "bolson_ingest_run_id")
 
     # Bloom prefilter over the PRIOR ledger snapshot (every run except
     # this one), built ONCE per stream start — one ledger scan

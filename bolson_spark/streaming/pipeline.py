@@ -147,20 +147,9 @@ def run_stream_convert(
     # same-checkpoint replays overwrite their own (run, batch) partition
     # idempotently, while a fresh checkpoint's batch 0 cannot clobber a
     # prior run's batch-0 dead-letter evidence.
-    import uuid as _uuid
+    from bolson_spark.streaming.util import run_id_for_checkpoint
 
-    if checkpoint_dir:
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        run_id_file = os.path.join(checkpoint_dir, "bolson_run_id")
-        if os.path.exists(run_id_file):
-            with open(run_id_file) as f:
-                quarantine_run = f.read().strip()
-        else:
-            quarantine_run = _uuid.uuid4().hex
-            with open(run_id_file, "w") as f:
-                f.write(quarantine_run)
-    else:
-        quarantine_run = _uuid.uuid4().hex
+    quarantine_run = run_id_for_checkpoint(checkpoint_dir, "bolson_run_id")
     start_base = 0
     if base_file and os.path.exists(base_file):
         with open(base_file) as f:

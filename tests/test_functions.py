@@ -471,6 +471,10 @@ def test_ivf_probe_saved_batch_pruned_and_matches_single(spark, tmp_path):
                 )
             ]
             assert sorted(got[qid]) == want, (qid, n_probe)
+    # an empty query batch is a legal serving input: empty result,
+    # not an inference error from the empty pair DataFrame
+    none = queries.where(F.lit(False))
+    assert ivf_probe_saved_batch(spark, path, none, k=10).count() == 0
 
 
 def test_pnm_codec_roundtrip_and_features(spark):
