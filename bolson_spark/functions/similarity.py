@@ -668,15 +668,25 @@ def dedup_embedding_ivf(
         )
     )
     # the vector rides THROUGH the assign stage (carry) — re-joining
-    # the assignment back to the corpus would be a full N-row shuffle
-    blocked = ivf_assign_gemm(
-        df,
-        seeds,
-        vec_col=vec_col,
-        id_col=id_col,
-        carry=(vec_col,),
-        two_level=two_level,
-    ).select(id_col, vec_col, "cluster")
+    # the assignment back to the corpus would be a full N-row shuffle.
+    # The tiling stage references its input three times (cell sizes +
+    # both tile sides), so the assigned frame is persisted or the GEMM
+    # would recompute per reference (measured 4 MapInPandas nodes in
+    # the un-cached plan); MEMORY_AND_DISK spills rather than OOMs. At
+    # index scale the durable form of this persist is save_ivf_index's
+    # cluster-partitioned layout.
+    blocked = (
+        ivf_assign_gemm(
+            df,
+            seeds,
+            vec_col=vec_col,
+            id_col=id_col,
+            carry=(vec_col,),
+            two_level=two_level,
+        )
+        .select(id_col, vec_col, "cluster")
+        .persist()
+    )
     return embedding_cosine_pairs_tiled(
         blocked,
         max_block=max_block,

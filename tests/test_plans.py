@@ -397,6 +397,35 @@ def test_sessionize_events_one_user_shuffle(spark):
     assert "hashpartitioning(user_id" in plan, plan
 
 
+def test_scaled_ivf_dedup_assign_is_shuffle_free(spark):
+    """dedup_embedding_ivf_scaled's corpus path: the GEMM assignment is
+    a narrow MapInPandas with the vector carried through, the assigned
+    frame is persisted (InMemoryTableScan feeds the tiling references
+    instead of re-running the GEMM), every join is a BROADCAST join
+    (the only full-row exchange is the pair stage's tile grouping),
+    and no sort-merge / shuffled-hash join touches the corpus."""
+    plan = formatted_plan(QUERIES["dedup_embedding_ivf_scaled"].fn(spark, SF))
+    assert "MapInPandas" in plan, plan
+    # every tiling reference reads the CACHED assign frame (the
+    # MapInPandas text recurs only inside InMemoryRelation's embedded
+    # child description — execution-wise the GEMM runs once)
+    assert "InMemoryTableScan" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_ivf_knn_batch_all_joins_broadcast(spark):
+    """ivf_knn_batch (the batched serving probe): one narrow GEMM
+    assign over the corpus, then broadcast-only joins (probed-cell
+    pairs + query vectors) into the per-query top-k window — no
+    shuffle join of the corpus anywhere."""
+    plan = formatted_plan(QUERIES["ivf_knn_batch"].fn(spark, SF))
+    assert "MapInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_scd2_user_state_one_user_shuffle(spark):
     """SCD-2 interval build: lag, the change filter, and lead all ride
     one hashpartitioning(user_id) exchange."""
