@@ -881,6 +881,47 @@ FROM documents
 """
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-CURRICULUM training order (short-to-long — the classic
+    curriculum-learning schedule): docs sort by token count ascending,
+    with a deterministic md5 shuffle breaking ties WITHIN each length
+    tier (same-length docs arrive in pseudo-random, salt-reproducible
+    order, not doc_id order), and the doc_id as the final collision
+    tie-break. The contiguous global position comes from the scalable
+    THREE-key sequence operator (buckets from the numeric first key =
+    n_tokens; length skew only unbalances buckets, never correctness)
+    — the curriculum twin of q_training_order's flat shuffle."""
+    from bolson_spark.operators.seq import add_seq_scalable
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        _md5_prefix60(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.lit(SHUFFLE_SALT)
+                )
+            )
+        ).alias("_k"),
+    )
+    out = add_seq_scalable(keyed, ["n_tokens", "_k", "doc_id"], name="pos")
+    return out.select("doc_id", "n_tokens", "pos")
+
+
+O_CURRICULUM_ORDER = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY len(string_split(text, ' ')),
+           ('0x' || substr(
+              md5(concat(CAST(doc_id AS VARCHAR), ':{SHUFFLE_SALT}')),
+              1, 15))::BIGINT,
+           doc_id) - 1 AS BIGINT) AS pos
+FROM documents
+"""
+
+
 IVF_PQ_CELLS = 8
 
 
@@ -1462,5 +1503,8 @@ TRAIN_QUERIES: dict[str, QuerySpec] = {
     ),
     "strip_passages": QuerySpec(
         q_strip_passages, O_STRIP_PASSAGES, ("dedup", "text")
+    ),
+    "curriculum_order": QuerySpec(
+        q_curriculum_order, O_CURRICULUM_ORDER, ("text", "pipeline")
     ),
 }
