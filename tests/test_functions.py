@@ -1689,6 +1689,16 @@ def test_frequency_cap_keeps_k_lowest_copies(spark):
         r.doc_id: r.copy_rank for r in frequency_cap(df, k=2).collect()
     }
     assert capped == {10: 1, 11: 2, 20: 1}
+    # k=1 degenerates to exact dedup: survivors == the representatives
+    from bolson_spark.functions.dedup import exact_dedup
+
+    k1 = {
+        (r.fingerprint, r.doc_id) for r in frequency_cap(df, k=1).collect()
+    }
+    reps = {
+        (r.fingerprint, r.representative) for r in exact_dedup(df).collect()
+    }
+    assert k1 == reps
 
 
 def test_canonical_containment_collapses_exact_copies(spark):
