@@ -267,6 +267,58 @@ def test_seq_scalable_skewed_keys_property(spark, keys, n_buckets):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
+    rows=st.lists(
+        st.tuples(
+            # first key: heavy ties (the curriculum_order shape — most
+            # docs share a length tier, so buckets are dominated by
+            # tie groups straddling boundaries)
+            st.sampled_from([3, 3, 3, 7, 7, 7, 7, 12]),
+            st.integers(min_value=0, max_value=9),  # tie-break key 2
+        ),
+        min_size=20,
+        max_size=120,
+    ),
+    n_buckets=st.integers(min_value=2, max_value=6),
+)
+def test_seq_scalable_multi_key_total_order_property(spark, rows, n_buckets):
+    """MULTI-key add_seq_scalable under tie-heavy first keys: with a
+    unique final key (row id) the order is TOTAL, so the scalable
+    3-pass numbering must equal the exact global window ROW FOR ROW —
+    not just per-key seq sets — for any bucket count. This is the
+    curriculum_order / training_order composition shape."""
+    from bolson_spark.operators import add_seq
+    from bolson_spark.operators.seq import add_seq_scalable
+
+    data = [(k1, k2, i) for i, (k1, k2) in enumerate(rows)]
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.createDataFrame(
+            data, ["k1", "k2", "rid"]
+        ).repartition(4)
+        keys = ["k1", "k2", "rid"]
+        got = {
+            r.rid: r.bolson_seq
+            for r in add_seq_scalable(
+                df, keys, num_buckets=n_buckets
+            ).collect()
+        }
+        exact = {
+            r.rid: r.bolson_seq for r in add_seq(df, keys).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert got == exact
+    assert sorted(got.values()) == list(range(len(data)))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
     docs=st.lists(
         st.lists(
             # tiny vocab -> chunks repeat within and across docs
