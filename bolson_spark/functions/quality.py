@@ -260,3 +260,85 @@ def unigram_lm_score(
             F.col("logp_sum").cast("double") / F.col("n_tokens"), 6
         ).alias("lm_score"),
     )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style hashed-feature linear classifier INFERENCE as a
+    pure narrow map — the shape of every learned quality/toxicity/
+    language gate in a training-data pipeline (fastText, CCNet's
+    quality filter) once the model is trained.
+
+    The hashing trick (Weinberger et al. 2009): tokens index a fixed
+    2^b weight vector through a hash, so inference needs NO vocabulary
+    — no token explode, no weight-table join, no per-doc shuffle.
+    Here the whole classifier runs inside ONE per-row expression:
+    margin(doc) = sum over tokens of W[h(token) mod n_buckets] via
+    `aggregate(transform(split(text)))` — whole-stage-codegen'd,
+    embarrassingly parallel, zero exchanges. Compare the naive plan
+    (explode -> join weights -> groupBy doc_id): two shuffles of the
+    full token stream.
+
+    The weight vector is a deterministic md5-derived stand-in
+    (integers in [-8, 8], exactly reproducible in any engine — the
+    registry-oracle constraint); a production caller broadcasts real
+    trained weights and maps bucket -> weight inside the same lambda
+    (2^b floats is model-size, not data-size). Integer weights make
+    the margin a BIGINT sum — order-independent, bit-identical across
+    engines/partitionings; the only float op is one exact IEEE
+    division for the length-normalized score.
+
+    Returns (id_col, n_tokens, margin, score, keep) where
+    score = margin / n_tokens and keep = margin > 0.
+    """
+    def w_of(tok: Column) -> Column:
+        bucket = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("feat"), tok)), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint") % F.lit(n_buckets)
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit("hlw"), bucket.cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.lit(17)
+            - F.lit(8)
+        )
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    margin = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + w_of(t)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        margin.alias("margin"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "margin",
+        # explicit empty-doc pin: Spark yields NaN for 0.0/0.0 while
+        # DuckDB yields NULL — divergence-capable, so neither is let out
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("margin").cast("double") / F.col("n_tokens").cast("double")
+        )
+        .alias("score"),
+        (F.col("margin") > 0).alias("keep"),
+    )

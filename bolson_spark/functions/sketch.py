@@ -3,14 +3,17 @@ weighted selection built on md5-derived uniforms instead of engine RNG,
 so every result is bit-reproducible across engines, runs, and cluster
 sizes (the same property `hash_sample` / `stratified_sample` rely on).
 
-Why not HLL: Spark's `approx_count_distinct` (HLL++) and DuckDB's
-`approx_count_distinct` are different sketch implementations — their
-estimates can never hash-match. KMV (k-minimum-values, the classic
-distinct-value sketch from Bar-Yossef et al. 2002) computed over a
-fixed hash IS deterministic: both engines derive the identical k-th
-minimum, hence the identical estimate. The operational properties that
-matter at 100 TB are the same as HLL's: constant memory per group,
-mergeable partials, one pass.
+On HLL determinism: Spark's `approx_count_distinct` (HLL++) and
+DuckDB's `approx_count_distinct` are different sketch implementations —
+their estimates can never hash-match, so the BUILT-IN HLLs are out.
+KMV (k-minimum-values, Bar-Yossef et al. 2002) over a fixed md5 hash
+was round 5's answer; round 6 adds a HAND-ROLLED register HLL over the
+same draw (`hll_distinct` / `hll_union`), which is just as
+deterministic (integer-exact bucket/rho, exact-integer harmonic sum)
+and strictly cheaper to build: MAX over registers is idempotent, so no
+distinct() and no top-k window — one partial-aggregating groupBy.
+KMV stays for set-overlap merging (`kmv_set_overlap`), where the
+sketch VALUES (not just register maxima) are what merges.
 """
 
 from __future__ import annotations
@@ -354,4 +357,209 @@ def weighted_sample(
         keyed.orderBy(F.col("es_key").desc(), F.col(id_col))
         .limit(n)
         .select(id_col, weight_col, "draw")
+    )
+
+
+def _hll_alpha(p: int) -> float:
+    """Standard HyperLogLog bias constant alpha_m (Flajolet et al.
+    2007, Fig. 3) for m = 2^p registers."""
+    m = 1 << p
+    if p == 4:
+        return 0.673
+    if p == 5:
+        return 0.697
+    if p == 6:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_col: str, p: int = 6
+) -> DataFrame:
+    """Per-group HyperLogLog registers over a DETERMINISTIC md5 draw —
+    the sketch construction shared by `hll_distinct` and `hll_union`.
+
+    The module docstring's "why not HLL" applies to the ENGINES'
+    built-in approx_count_distinct sketches (incomparable
+    implementations); a hand-rolled register HLL over `md5_draw` is as
+    deterministic as KMV: bucket = top p bits of the draw, rho =
+    1 + leading-zero count of the remaining (60-p)-bit word, register
+    = MAX(rho) per bucket. Both halves are integer-exact in Spark and
+    DuckDB (bucket via shift, rho via the length of the bin() string,
+    engines agree bin(w) has no leading zeros).
+
+    Scale shape vs KMV: NO distinct() and NO top-k window — MAX is
+    idempotent over duplicate keys, so the whole sketch is ONE
+    partially-aggregating groupBy with at most m=2^p groups per
+    group-value (map-side combine collapses each task's stream to
+    <= m rows before the exchange). This is the cheaper construction
+    at 100 TB; KMV stays for when the sketch VALUES must support
+    set-overlap merging (`kmv_set_overlap`).
+
+    Output: (group_col, bucket, rho) — occupied registers only; absent
+    buckets mean rho=0 and are reconstructed arithmetically by the
+    estimators.
+    """
+    w_bits = HASH_BITS - p
+    v = md5_draw(F.col(key_col), "hll")
+    bucket = F.shiftright(v, w_bits).alias("bucket")
+    w = (v % F.lit(1 << w_bits)).alias("w")
+    drawn = df.select(F.col(group_col), bucket, w)
+    # rho = (w_bits+1) - bit_length(w); bin(w) has no leading zeros in
+    # either engine, and the w=0 case (bit_length 0, rho = w_bits+1)
+    # needs the CASE because bin(0) is the 1-char string "0"
+    rho = F.when(F.col("w") == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.bin(F.col("w")))
+    )
+    return drawn.select(group_col, "bucket", rho.alias("rho")).groupBy(
+        group_col, "bucket"
+    ).agg(F.max("rho").alias("rho"))
+
+
+def _hll_estimate(regs_agg: DataFrame, p: int) -> DataFrame:
+    """Turn (group, occupied, s_int) register aggregates into the raw
+    HLL estimate alpha_m * m^2 / S. The harmonic sum S is carried as
+    the EXACT integer s_int = sum(2^(K - rho)) scaled by K = 61-p
+    (max rho), with the (m - occupied) zero registers contributing
+    2^K each — bigint addition is order-independent, so S is
+    bit-identical across engines/partitionings; the only float ops
+    are one deterministic bigint->double cast and two exact IEEE
+    divisions/multiplies. The small-range linear-counting correction
+    is deliberately NOT applied: ln() is a transcendental whose last
+    ulp is not pinned by IEEE 754 across libm implementations — the
+    raw estimate plus the occupied-register count lets callers apply
+    any correction they trust."""
+    m = 1 << p
+    k = HASH_BITS - p + 1
+    alpha_m2 = _hll_alpha(p) * m * m
+    s_int = F.col("s_int") + (F.lit(m) - F.col("occupied")) * F.lit(1 << k)
+    s = s_int.cast("double") / F.lit(float(1 << k))
+    return regs_agg.withColumn(
+        "hll_estimate", F.lit(alpha_m2) / s
+    ).drop("s_int")
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_col: str, p: int = 6
+) -> DataFrame:
+    """Per-group distinct-count estimate via a deterministic-hash
+    HyperLogLog (Flajolet et al. 2007): constant 2^p-register memory
+    per group, one partial-aggregating pass, no distinct(), no
+    window — see `hll_registers` for why this is the cheapest
+    cardinality sketch at 100 TB. The exact count rides along for the
+    accuracy report (it is the one corpus-scale term; production
+    drops it).
+
+    Output: (group_col, n_exact, occupied, hll_estimate)."""
+    k = HASH_BITS - p + 1
+    regs = hll_registers(df, key_col, group_col, p)
+    agg = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("occupied"),
+        F.sum(F.expr(f"shiftleft(1L, {k} - rho)")).alias("s_int"),
+    )
+    est = _hll_estimate(agg, p)
+    exact = df.select(group_col, key_col).distinct().groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return exact.join(est, group_col).select(
+        group_col,
+        F.col("n_exact").cast("bigint"),
+        F.col("occupied").cast("bigint"),
+        "hll_estimate",
+    )
+
+
+def hll_union(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    p: int = 6,
+    total_label: str = "ALL",
+) -> DataFrame:
+    """Per-group HLL estimates PLUS the union-of-all-groups estimate
+    obtained by MERGING the per-group registers (bucket-wise MAX) —
+    never re-scanning the corpus. Register merge is the algebraic
+    property that makes HLL the sketch for cross-source cardinality
+    audits: per-source sketches computed incrementally (per crawl, per
+    shard) union in O(G * 2^p) work regardless of data size.
+
+    Output: (scope, n_exact, occupied, hll_estimate) — one row per
+    group value plus one `total_label` row; exact counts ride along
+    for the accuracy report."""
+    k = HASH_BITS - p + 1
+    regs = hll_registers(df, key_col, group_col, p).persist()
+    # the shift amount is a COLUMN (varies per register), so the SQL
+    # form — the python F.shiftleft only takes a literal bit count
+    term = F.expr(f"shiftleft(1L, {k} - rho)")
+    per_group = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("occupied"), F.sum(term).alias("s_int")
+    )
+    # union sketch = bucket-wise max over the G*2^p register rows
+    merged = regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    total = merged.agg(
+        F.count(F.lit(1)).alias("occupied"), F.sum(term).alias("s_int")
+    ).select(F.lit(total_label).alias(group_col), "occupied", "s_int")
+    keys = df.select(group_col, key_col).distinct().persist()
+    exact_g = keys.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    exact_t = keys.select(key_col).distinct().agg(
+        F.count(F.lit(1)).alias("n_exact")
+    ).select(F.lit(total_label).alias(group_col), "n_exact")
+    est = _hll_estimate(per_group.unionByName(total), p)
+    exact = exact_g.unionByName(exact_t)
+    return exact.join(est, group_col).select(
+        F.col(group_col).alias("scope"),
+        F.col("n_exact").cast("bigint"),
+        F.col("occupied").cast("bigint"),
+        "hll_estimate",
+    )
+
+
+def cm_sketch_freq(
+    df: DataFrame,
+    probe: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w_cells: int = 256,
+) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005): d hash rows of w_cells counters summarize the FULL key
+    stream in d*w_cells cells — constant memory regardless of corpus
+    size, mergeable by cell-wise addition (the streaming/sharded
+    heavy-hitter monitor). Estimated count of a key = MIN over its d
+    cells; the estimate NEVER undercounts (every cell holds the key's
+    true count plus non-negative collision mass) — `test_functions`
+    asserts cm_estimate >= exact on every probe.
+
+    Scale shape: the sketch build is one partially-aggregating groupBy
+    over (row, cell) with at most d*w_cells groups (map-side combine
+    collapses each task to <= d*w_cells rows before the exchange); the
+    probe side joins the BROADCAST sketch (d*w_cells rows) and reduces
+    d rows per probe key. The exact count (accuracy report) is the one
+    corpus-scale aggregation; production drops it.
+
+    Output: (key_col, exact_count, cm_estimate)."""
+    hashes = [
+        F.pmod(md5_draw(F.col(key_col), f"cm{j}"), F.lit(w_cells))
+        for j in range(d)
+    ]
+    cells = df.select(
+        F.posexplode(F.array(*hashes)).alias("j", "c")
+    ).groupBy("j", "c").agg(F.count(F.lit(1)).alias("cell_count"))
+    probe_cells = probe.select(
+        F.col(key_col), F.posexplode(F.array(*hashes)).alias("j", "c")
+    )
+    est = (
+        probe_cells.join(F.broadcast(cells), ["j", "c"])
+        .groupBy(key_col)
+        .agg(F.min("cell_count").alias("cm_estimate"))
+    )
+    exact = (
+        df.join(probe, key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return exact.join(est, key_col).select(
+        key_col,
+        F.col("exact_count").cast("bigint"),
+        F.col("cm_estimate").cast("bigint"),
     )

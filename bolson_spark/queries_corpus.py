@@ -1695,3 +1695,193 @@ CORPUS_QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 sketch/classifier additions: deterministic register HLL,
+# count-min frequency estimation, hashed-feature linear scoring
+# ---------------------------------------------------------------------------
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, token) stream: whitespace tokens, empties
+    dropped — the one tokenization both sketch queries and their
+    oracles share."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("token"),
+    )
+
+
+# DuckDB fragment mirroring _doc_tokens
+_TOKS = (
+    "SELECT doc_id, source, "
+    "UNNEST(list_filter(string_split(text, ' '), t -> t <> ''))"
+    " AS token FROM documents"
+)
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary size per source + merged-register union estimate —
+    the cross-source cardinality audit a 100 TB pipeline runs per
+    crawl. See functions/sketch.py::hll_union: constant 2^p-register
+    memory, no distinct(), union by bucket-wise MAX without
+    re-scanning. Parity analogue of the reference's stats surface
+    (src/bolson/stream.cpp aggregates counts across converter threads
+    the same merge-partials way)."""
+    from bolson_spark.functions.sketch import hll_union
+
+    return hll_union(
+        _doc_tokens(spark, sf_dir), "token", "source", p=6
+    ).orderBy("scope")
+
+
+def _hll_sql() -> str:
+    from bolson_spark.functions.sketch import _hll_alpha
+
+    p = 6
+    w_bits = 60 - p
+    k = w_bits + 1
+    m = 1 << p
+    alpha_m2 = repr(_hll_alpha(p) * m * m)
+    return f"""
+WITH toks AS ({_TOKS}),
+drawn AS (
+  SELECT source,
+         ('0x' || substr(md5('hll|' || token), 1, 15))::BIGINT AS v
+  FROM toks
+),
+regs AS (
+  SELECT source, v >> {w_bits} AS bucket,
+         MAX(CASE WHEN (v % {1 << w_bits}) = 0 THEN {k}
+             ELSE {k} - length(bin(v % {1 << w_bits})) END) AS rho
+  FROM drawn GROUP BY source, bucket
+),
+allregs AS (
+  SELECT source AS scope, bucket, rho FROM regs
+  UNION ALL
+  SELECT 'ALL', bucket, MAX(rho) FROM regs GROUP BY bucket
+),
+agg AS (
+  SELECT scope, COUNT(*) AS occupied,
+         SUM(1::BIGINT << ({k} - rho)) AS s_int
+  FROM allregs GROUP BY scope
+),
+exact AS (
+  SELECT source AS scope, COUNT(DISTINCT token) AS n_exact
+  FROM toks GROUP BY source
+  UNION ALL
+  SELECT 'ALL', COUNT(DISTINCT token) FROM toks
+)
+SELECT e.scope, CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST(a.occupied AS BIGINT) AS occupied,
+       {alpha_m2} / (CAST(a.s_int + ({m} - a.occupied) * (1::BIGINT << {k})
+                     AS DOUBLE) / {float(1 << k)!r}) AS hll_estimate
+FROM exact e JOIN agg a USING (scope)
+ORDER BY scope
+"""
+
+
+def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for a deterministic probe
+    vocabulary (tokens of every 97th document) against the FULL token
+    stream — heavy-hitter monitoring with a d x w counter grid that
+    never grows with the corpus. See functions/sketch.py::
+    cm_sketch_freq for the merge/broadcast scale shape."""
+    from bolson_spark.functions.sketch import cm_sketch_freq
+
+    toks = _doc_tokens(spark, sf_dir)
+    probe = (
+        toks.where(F.col("doc_id") % 97 == 0).select("token").distinct()
+    )
+    return cm_sketch_freq(
+        toks.select("token"), probe, "token", d=4, w_cells=256
+    )
+
+
+O_CM_FREQUENCY = f"""
+WITH toks AS ({_TOKS}),
+probe AS (
+  SELECT DISTINCT token FROM toks WHERE doc_id % 97 = 0
+),
+rj AS (SELECT UNNEST(range(4)) AS j),
+cells AS (
+  SELECT j,
+         ('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || '|' || token),
+          1, 15))::BIGINT % 256 AS c,
+         COUNT(*) AS cell_count
+  FROM toks CROSS JOIN rj
+  GROUP BY j, c
+),
+pc AS (
+  SELECT token, j,
+         ('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || '|' || token),
+          1, 15))::BIGINT % 256 AS c
+  FROM probe CROSS JOIN rj
+),
+est AS (
+  SELECT token, MIN(cell_count) AS cm_estimate
+  FROM pc JOIN cells USING (j, c) GROUP BY token
+),
+exact AS (
+  SELECT token, COUNT(*) AS exact_count FROM toks
+  WHERE token IN (SELECT token FROM probe) GROUP BY token
+)
+SELECT e.token, CAST(e.exact_count AS BIGINT) AS exact_count,
+       CAST(est.cm_estimate AS BIGINT) AS cm_estimate
+FROM exact e JOIN est USING (token)
+"""
+
+
+def q_hashed_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier over every document as
+    ONE narrow map (no explode, no join, no shuffle) — see
+    functions/quality.py::hashed_linear_score."""
+    from bolson_spark.functions.quality import hashed_linear_score
+
+    return hashed_linear_score(
+        _t(spark, sf_dir, "documents"), n_buckets=4096
+    )
+
+
+O_HASHED_QUALITY_SCORE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform(toks, x ->
+           ('0x' || substr(md5('hlw|' || CAST(
+               ('0x' || substr(md5('feat|' || x), 1, 15))::BIGINT % 4096
+             AS VARCHAR)), 1, 15))::BIGINT % 17 - 8
+         )), 0) AS BIGINT) AS margin
+  FROM t
+)
+SELECT doc_id, n_tokens, margin,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE CAST(margin AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       END AS score,
+       margin > 0 AS keep
+FROM m
+"""
+
+
+CORPUS_QUERIES.update(
+    {
+        "hll_distinct": QuerySpec(
+            q_hll_distinct, _hll_sql(), ("sketch", "aggregation")
+        ),
+        "cm_frequency": QuerySpec(
+            q_cm_frequency, O_CM_FREQUENCY, ("sketch", "text")
+        ),
+        "hashed_quality_score": QuerySpec(
+            q_hashed_quality_score,
+            O_HASHED_QUALITY_SCORE,
+            ("quality", "text"),
+        ),
+    }
+)

@@ -1866,3 +1866,129 @@ def test_wav_codec_roundtrip_and_audio_features(spark):
     assert row.sum_sq == int((tri.astype(np.int64) ** 2).sum())
     # sign changes: 3,-1 | -1,4 | 4,-1 | -5,9 | 9,0? (0 not <0: no) | 0,-2
     assert row.zero_crossings == 5
+
+
+def test_hll_estimate_accuracy_and_exact_small_groups(spark):
+    """Register HLL with m=64 has expected relative error
+    ~ 1.04/sqrt(64) ≈ 13%; assert synthetic groups of known
+    cardinality land within a 4-sigma band. (No small-n linear
+    counting by design — see _hll_estimate — so only n >> m groups
+    get a tight band.)"""
+    from bolson_spark.functions.sketch import hll_distinct
+
+    rows = [("big", f"x{i}") for i in range(5000)] + [
+        ("mid", f"y{i}") for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    got = {r.grp: r for r in hll_distinct(df, "key", "grp", p=6).collect()}
+    assert got["big"].n_exact == 5000 and got["mid"].n_exact == 1500
+    for r in got.values():
+        assert abs(r.hll_estimate - r.n_exact) <= 0.52 * r.n_exact, r
+        assert 0 < r.occupied <= 64
+
+
+def test_hll_union_equals_single_group_sketch(spark):
+    """The algebraic merge property, exactly: bucket-wise MAX over
+    per-group registers must produce the SAME registers (hence the
+    bit-identical estimate) as sketching the whole corpus as one
+    group — this is what lets per-crawl sketches union without a
+    re-scan."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.functions.sketch import hll_distinct, hll_union
+
+    rows = [("a", f"k{i}") for i in range(800)] + [
+        ("b", f"k{i}") for i in range(400, 1400)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    merged = {
+        r.scope: r for r in hll_union(df, "key", "grp", p=6).collect()
+    }
+    (single,) = hll_distinct(
+        df.select(F.lit("one").alias("g"), "key"), "key", "g", p=6
+    ).collect()
+    assert merged["ALL"].n_exact == 1400 == single.n_exact
+    assert merged["ALL"].occupied == single.occupied
+    assert merged["ALL"].hll_estimate == single.hll_estimate  # bit-equal
+    assert set(merged) == {"a", "b", "ALL"}
+
+
+def test_cm_sketch_never_undercounts_and_exact_when_wide(spark):
+    """The count-min one-sided guarantee on the registry query (every
+    estimate >= exact), plus exactness when the grid is wide enough
+    that no probe collides."""
+    from bolson_spark.functions.sketch import cm_sketch_freq
+    from bolson_spark.queries import QUERIES
+
+    rows = QUERIES["cm_frequency"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(r.cm_estimate >= r.exact_count for r in rows)
+    assert any(r.cm_estimate > 0 for r in rows)
+
+    # tiny stream, huge grid: P(any collision among 3 keys x 4 rows in
+    # 2^20 cells) ~ 0 => min over rows is the true count
+    stream = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, ["k"]
+    )
+    probe = stream.select("k").distinct()
+    got = {
+        r.k: r
+        for r in cm_sketch_freq(stream, probe, "k", d=4, w_cells=1 << 20)
+        .collect()
+    }
+    assert (got["a"].exact_count, got["a"].cm_estimate) == (5, 5)
+    assert (got["b"].exact_count, got["b"].cm_estimate) == (3, 3)
+    assert (got["c"].exact_count, got["c"].cm_estimate) == (1, 1)
+
+
+def test_hashed_linear_score_zero_shuffle_and_explode_parity(spark):
+    """The classifier must compile to a single narrow map — NO
+    Exchange, NO Python eval — and its aggregate()-lambda margin must
+    equal the naive explode->sum computation."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.functions.quality import hashed_linear_score
+    from bolson_spark.plans import formatted_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = hashed_linear_score(docs, n_buckets=4096)
+    plan = formatted_plan(scored)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    sample = scored.orderBy("doc_id").limit(50)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit("feat"), F.col("tok"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint") % F.lit(4096)
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("hlw"), bucket.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(17)
+        - F.lit(8)
+    )
+    naive = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            ).alias("tok"),
+        )
+        .select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("margin_naive"))
+    )
+    joined = sample.join(naive, "doc_id").collect()
+    assert len(joined) == 50
+    assert all(r.margin == r.margin_naive for r in joined)
+    assert all(
+        (r.keep is True) == (r.margin > 0) for r in joined
+    )
