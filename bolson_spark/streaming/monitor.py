@@ -1,0 +1,120 @@
+"""Streaming cardinality monitoring: a per-batch HyperLogLog register
+sink whose merged state answers "how many distinct keys has this
+stream ingested, per group and overall" at any moment — without ever
+re-scanning the ingested data.
+
+Why registers are the RIGHT streaming state: bucket-wise MAX is
+idempotent, commutative, and associative, so
+- a REPLAYED micro-batch (foreachBatch's crash contract) merges to
+  the exact same state — idempotent by algebra, with the (run, batch)
+  dynamic-overwrite key kept anyway so the state table stays
+  evidence-grade (no duplicate rows to explain);
+- batches merge in ANY order — reading the state table needs no
+  sequencing, just groupBy(bucket).max(rho);
+- the state is O(runs x batches x groups x 2^p) rows of 3 integers,
+  INDEPENDENT of stream volume — the entire corpus-scale term stays
+  in the per-batch register build (one partial-aggregating groupBy of
+  the batch, <= groups x 2^p rows out per task before the exchange).
+
+This is the streaming twin of functions/sketch.py::hll_union and is
+checked against it bit-for-bit in
+test_streaming.py::test_cardinality_monitor_matches_batch_hll
+(arbitrary micro-batch splits) — the same batch-fold-parity standard
+as the ingest ledger and sessionize tests.
+
+Reference parity: the metrics the reference publishes per stream
+(src/bolson/stream.cpp, counts merged across converter threads) are
+sums; distinct-key monitoring needs mergeable sketch state instead —
+same merge-partials architecture, algebraic MAX instead of +.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bolson_spark.functions.sketch import _hll_estimate
+from bolson_spark.streaming.util import run_id_for_checkpoint
+
+HASH_BITS = 60
+
+
+def _registers_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "hll_registers")
+
+
+def run_stream_cardinality_monitor(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    group_col: str,
+    p: int = 6,
+):
+    """Start the monitor: each micro-batch's (group, bucket, rho)
+    registers land in ``hll_registers/run=<r>/batch=<id>/`` via
+    dynamic partition overwrite (replays overwrite, restarts on the
+    same checkpoint reuse the run id — the util.run_id_for_checkpoint
+    idiom). Returns the StreamingQuery."""
+    from bolson_spark.functions.sketch import hll_registers
+
+    regs_dir = _registers_dir(out_dir)
+    run_id = run_id_for_checkpoint(checkpoint_dir, "bolson_monitor_run_id")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(batch_df, key_col, group_col, p).select(
+            F.col(group_col).alias("grp"), "bucket", "rho"
+        )
+        (
+            regs.withColumn("run", F.lit(run_id))
+            .withColumn("batch", F.lit(batch_id))
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("run", "batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(regs_dir)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cardinality_estimates(
+    spark: SparkSession,
+    out_dir: str,
+    p: int = 6,
+    total_label: str = "ALL",
+) -> DataFrame:
+    """Merge the accumulated register state into per-group + overall
+    distinct-count estimates. Touches ONLY the register table (3-int
+    rows, volume-independent); output schema matches hll_union minus
+    the exact-count accuracy column (there is no cheap exact count
+    over a stream's history — that absence is the sketch's reason to
+    exist). Output: (scope, occupied, hll_estimate)."""
+    k = HASH_BITS - p + 1
+    regs = (
+        spark.read.parquet(_registers_dir(out_dir))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    term = F.expr(f"shiftleft(1L, {k} - rho)")
+    per_group = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("occupied"), F.sum(term).alias("s_int")
+    )
+    merged = regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    total = merged.agg(
+        F.count(F.lit(1)).alias("occupied"), F.sum(term).alias("s_int")
+    ).select(F.lit(total_label).alias("grp"), "occupied", "s_int")
+    est = _hll_estimate(per_group.unionByName(total), p)
+    return est.select(
+        F.col("grp").alias("scope"),
+        F.col("occupied").cast("bigint"),
+        "hll_estimate",
+    )

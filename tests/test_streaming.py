@@ -1725,3 +1725,78 @@ def test_streaming_ingest_in_batch_near_dedup(spark, tmp_path):
         for r in spark.read.parquet(str(out / "accepted")).collect()
     }
     assert acc == {1, 3}  # doc 9 near-dups the kept representative
+
+
+def test_cardinality_monitor_matches_batch_hll(spark, tmp_path):
+    """The streaming HLL register state, merged after N micro-batches
+    of arbitrary composition (including a key appearing in several
+    batches AND a restart continuation on the same checkpoint), must
+    be BIT-IDENTICAL to the batch hll_union over the concatenation —
+    register MAX-merge is exact algebra, not an approximation of an
+    approximation."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from bolson_spark.functions.sketch import hll_union
+    from bolson_spark.streaming.monitor import (
+        cardinality_estimates,
+        run_stream_cardinality_monitor,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [("web", f"tok{i}") for i in range(300)],
+        [("web", f"tok{i}") for i in range(150, 450)]
+        + [("books", f"b{i}") for i in range(200)],
+        [("books", f"b{i}") for i in range(100, 260)]
+        + [("web", "tok0")],
+    ]
+    for bi, rows in enumerate(batches[:2]):
+        (src / f"part{bi}.jsonl").write_text(
+            "\n".join(json.dumps({"src": s, "key": k}) for s, k in rows)
+        )
+    schema = "src string, key string"
+    out = str(tmp_path / "monitor")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        raw = (
+            spark.readStream.format("json")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        return run_stream_cardinality_monitor(
+            spark, raw, out, ckpt, key_col="key", group_col="src", p=6
+        )
+
+    q = start()
+    q.awaitTermination(300)
+    # restart continuation on the SAME checkpoint: only the new file
+    # is processed, its registers land under the same run id
+    (src / "part2.jsonl").write_text(
+        "\n".join(json.dumps({"src": s, "key": k}) for s, k in batches[2])
+    )
+    q2 = start()
+    q2.awaitTermination(300)
+
+    got = {
+        r.scope: r for r in cardinality_estimates(spark, out, p=6).collect()
+    }
+    all_rows = [r for b in batches for r in b]
+    want = {
+        r.scope: r
+        for r in hll_union(
+            spark.createDataFrame(all_rows, ["src", "key"]), "key", "src", p=6
+        ).collect()
+    }
+    assert set(got) == set(want) == {"web", "books", "ALL"}
+    for scope, w in want.items():
+        g = got[scope]
+        assert g.occupied == w.occupied, scope
+        assert g.hll_estimate == w.hll_estimate, scope  # bit-equal
+    # the state table is volume-independent: <= batches x groups x 64
+    state = spark.read.parquet(str(tmp_path / "monitor" / "hll_registers"))
+    assert state.count() <= 3 * 2 * 64
