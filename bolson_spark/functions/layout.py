@@ -228,3 +228,40 @@ def compact_shards(
         max_records_per_file=target_records_per_file,
         partition_by=partition_by,
     )
+
+
+def token_balanced_shards(
+    df: DataFrame,
+    n_shards: int,
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-BALANCED shard assignment: round-robin over documents in
+    weight-descending order — the classic LPT-flavored bound that
+    per-shard totals differ by at most one document's weight, which is
+    what `write_shards`' record-count bound cannot promise when doc
+    lengths are skewed (a 10k-doc shard of books vs one of tweets).
+
+    The global weight-descending position comes from the scalable
+    sequence operator (operators/seq.py::add_seq_scalable: frozen
+    bucket bounds + exact per-bucket counts + intra-bucket window —
+    no global sort, no single reducer), so the assignment is exact at
+    any scale; shard = pos % n_shards is then a narrow map. Consumers
+    write with ``df.repartition(n_shards, "shard")`` or
+    ``partitionBy("shard")``.
+
+    Output: (id_col, weight_col, shard).
+    """
+    from bolson_spark.operators.seq import add_seq_scalable
+
+    keyed = df.select(
+        id_col,
+        F.col(weight_col).cast("bigint").alias(weight_col),
+        (-F.col(weight_col).cast("bigint")).alias("_negw"),
+    )
+    pos = add_seq_scalable(keyed, ["_negw", id_col], name="_pos")
+    return pos.select(
+        id_col,
+        weight_col,
+        F.pmod(F.col("_pos"), F.lit(n_shards)).cast("bigint").alias("shard"),
+    )

@@ -88,6 +88,7 @@ def _bottom_k_rows(
     group_col: str,
     k: int,
     salt_parts: int,
+    seed: str = "kmv",
 ) -> DataFrame:
     """The one definition of the KMV sketch construction — the k
     smallest md5 draws per group over a distinct (group, key) frame —
@@ -101,7 +102,7 @@ def _bottom_k_rows(
     drawn = keys.select(
         group_col,
         F.col(key_col),
-        md5_draw(F.col(key_col), "kmv").alias("v"),
+        md5_draw(F.col(key_col), seed).alias("v"),
     )
     salt = F.pmod(F.hash(key_col), F.lit(salt_parts))
     w1 = Window.partitionBy(group_col, salt).orderBy("v", key_col)
@@ -562,4 +563,38 @@ def cm_sketch_freq(
         key_col,
         F.col("exact_count").cast("bigint"),
         F.col("cm_estimate").cast("bigint"),
+    )
+
+
+def group_sample_exact_n(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: str = "samp",
+) -> DataFrame:
+    """Exactly-n-per-group deterministic sampling — "take 10k docs per
+    language", the quota companion of the FRACTION-based
+    `stratified_sample`. A group with fewer than n rows is kept whole.
+
+    The sample is the n SMALLEST md5 draws per group, i.e. the same
+    two-stage salted bottom-k as the KMV sketch (`_bottom_k_rows`
+    with its own seed): per-(group, salt-shard) partial heaps keep at
+    most n rows each, the final rank sees group x salt_parts x n
+    survivors — no group ever funnels all its rows through one
+    reducer, which is what breaks the naive single window at 100 TB
+    group sizes. Determinism: draws are md5(seed|id), so the selected
+    set is identical across engines, runs, and cluster sizes, and
+    re-running with a larger n EXTENDS the sample (bottom-k sets are
+    nested) — the property that lets a pipeline grow a held-out set
+    without resampling it.
+
+    Output: (id_col, group_col, sample_rank) with sample_rank in
+    1..n by draw order.
+    """
+    rows = _bottom_k_rows(
+        df.select(group_col, id_col), id_col, group_col, n, 16, seed=seed
+    )
+    return rows.select(
+        id_col, group_col, F.col("_rnk").cast("bigint").alias("sample_rank")
     )

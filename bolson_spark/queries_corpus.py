@@ -1885,3 +1885,71 @@ CORPUS_QUERIES.update(
         ),
     }
 )
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-40-per-language held-out sample — the quota companion
+    of the fraction-based `stratified_sample`; see
+    functions/sketch.py::group_sample_exact_n (two-stage salted
+    bottom-k, nested-sample property)."""
+    from bolson_spark.functions.sketch import group_sample_exact_n
+
+    return group_sample_exact_n(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "lang",
+        40,
+    )
+
+
+O_GROUP_SAMPLE = """
+SELECT doc_id, lang, CAST(rnk AS BIGINT) AS sample_rank FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('samp|' || CAST(doc_id AS VARCHAR)),
+                     1, 15))::BIGINT, doc_id
+         ) AS rnk
+  FROM documents
+) t WHERE rnk <= 40
+"""
+
+
+def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced 16-shard assignment over the corpus: round-robin
+    in weight-descending order via the scalable sequence operator —
+    per-shard token totals differ by at most one document. See
+    functions/layout.py::token_balanced_shards."""
+    from bolson_spark.functions.layout import token_balanced_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return token_balanced_shards(docs, 16)
+
+
+O_BALANCED_SHARDS = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS pos
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(pos % 16 AS BIGINT) AS shard FROM s
+"""
+
+
+CORPUS_QUERIES.update(
+    {
+        "group_sample": QuerySpec(
+            q_group_sample, O_GROUP_SAMPLE, ("sketch", "pipeline")
+        ),
+        "balanced_shards": QuerySpec(
+            q_balanced_shards, O_BALANCED_SHARDS, ("layout", "pipeline")
+        ),
+    }
+)

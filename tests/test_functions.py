@@ -1992,3 +1992,50 @@ def test_hashed_linear_score_zero_shuffle_and_explode_parity(spark):
     assert all(
         (r.keep is True) == (r.margin > 0) for r in joined
     )
+
+
+def test_group_sample_exact_n_quota_and_nesting(spark):
+    """Exactly n per group (whole group when smaller), and bottom-k
+    nesting: the n=10 sample must be a strict prefix-set of the n=25
+    sample per group — what lets a held-out set GROW without
+    resampling."""
+    from bolson_spark.functions.sketch import group_sample_exact_n
+
+    rows = [("big", i) for i in range(200)] + [("tiny", 1000 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, ["grp", "doc_id"])
+    s10 = group_sample_exact_n(df, "grp", 10, id_col="doc_id").collect()
+    s25 = group_sample_exact_n(df, "grp", 25, id_col="doc_id").collect()
+    by10 = {}
+    for r in s10:
+        by10.setdefault(r.grp, set()).add(r.doc_id)
+    by25 = {}
+    for r in s25:
+        by25.setdefault(r.grp, set()).add(r.doc_id)
+    assert len(by10["big"]) == 10 and len(by25["big"]) == 25
+    assert by10["big"] < by25["big"]  # nested
+    assert by10["tiny"] == by25["tiny"] == {1000, 1001, 1002, 1003}
+    ranks = sorted(r.sample_rank for r in s25 if r.grp == "big")
+    assert ranks == list(range(1, 26))
+
+
+def test_token_balanced_shards_balance_bound(spark):
+    """Round-robin over weight-descending order: per-shard token
+    totals may differ by at most ONE document's weight (the heaviest),
+    and every shard gets either floor(N/s) or ceil(N/s) docs."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.queries import QUERIES
+
+    out = QUERIES["balanced_shards"].fn(spark, "/root/testdata/sf0.001")
+    per = (
+        out.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok"))
+        .collect()
+    )
+    assert len(per) == 16
+    counts = sorted(r.n for r in per)
+    assert counts[-1] - counts[0] <= 1
+    toks = sorted(r.tok for r in per)
+    max_doc = out.agg(F.max("n_tokens")).first()[0]
+    assert toks[-1] - toks[0] <= max_doc
+    assert out.count() == 500  # every doc assigned exactly once
