@@ -118,3 +118,97 @@ def cardinality_estimates(
         F.col("occupied").cast("bigint"),
         "hll_estimate",
     )
+
+
+def _cm_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "cm_cells")
+
+
+def run_stream_frequency_monitor(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    d: int = 4,
+    w_cells: int = 256,
+):
+    """Streaming count-min: each micro-batch's d x w_cells grid lands
+    in ``cm_cells/run=<r>/batch=<id>/``. The instructive CONTRAST with
+    the HLL monitor: cell-wise SUM is NOT idempotent, so the algebra
+    alone cannot absorb a foreachBatch replay (a double-merged batch
+    double-counts) — exactly-once here comes from the STORAGE key
+    instead: a replayed batch dynamic-overwrites its own (run, batch)
+    partition, and the read-time merge sums each batch's cells exactly
+    once. Same discipline as the ingest ledger; the two monitors
+    document the two idempotency disciplines side by side.
+
+    State size: batches x d x w_cells 3-int rows — volume-independent,
+    like every sketch in this module."""
+    from bolson_spark.functions.sketch import md5_draw
+
+    cells_dir = _cm_dir(out_dir)
+    run_id = run_id_for_checkpoint(checkpoint_dir, "bolson_cm_run_id")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        hashes = [
+            F.pmod(md5_draw(F.col(key_col), f"cm{j}"), F.lit(w_cells))
+            for j in range(d)
+        ]
+        grid = (
+            batch_df.select(F.posexplode(F.array(*hashes)).alias("j", "c"))
+            .groupBy("j", "c")
+            .agg(F.count(F.lit(1)).alias("cell_count"))
+        )
+        (
+            grid.withColumn("run", F.lit(run_id))
+            .withColumn("batch", F.lit(batch_id))
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("run", "batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(cells_dir)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def frequency_estimates(
+    spark: SparkSession,
+    out_dir: str,
+    probe: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w_cells: int = 256,
+) -> DataFrame:
+    """Estimated ingested-so-far counts for the probe keys from the
+    accumulated grid state: merge = cell-wise SUM over the batch
+    partitions (each batch counted exactly once by the storage key),
+    estimate = MIN over a key's d cells. Output: (key_col,
+    cm_estimate); the one-sided >=truth guarantee carries over because
+    the merged grid IS the count-min sketch of the concatenated
+    stream."""
+    from bolson_spark.functions.sketch import md5_draw
+
+    merged = (
+        spark.read.parquet(_cm_dir(out_dir))
+        .groupBy("j", "c")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    hashes = [
+        F.pmod(md5_draw(F.col(key_col), f"cm{j}"), F.lit(w_cells))
+        for j in range(d)
+    ]
+    probe_cells = probe.select(
+        F.col(key_col), F.posexplode(F.array(*hashes)).alias("j", "c")
+    )
+    return (
+        probe_cells.join(F.broadcast(merged), ["j", "c"])
+        .groupBy(key_col)
+        .agg(F.min("cell_count").cast("bigint").alias("cm_estimate"))
+    )

@@ -1800,3 +1800,74 @@ def test_cardinality_monitor_matches_batch_hll(spark, tmp_path):
     # the state table is volume-independent: <= batches x groups x 64
     state = spark.read.parquet(str(tmp_path / "monitor" / "hll_registers"))
     assert state.count() <= 3 * 2 * 64
+
+
+def test_frequency_monitor_matches_batch_cm(spark, tmp_path):
+    """Streaming count-min state after N micro-batches + a restart
+    continuation must equal the batch sketch of the concatenation
+    EXACTLY (cell-wise-sum merge over (run,batch)-keyed partitions —
+    each batch counted once), and keep the one-sided guarantee vs the
+    true stream counts."""
+    import json
+    from collections import Counter
+
+    from bolson_spark.functions.sketch import cm_sketch_freq
+    from bolson_spark.streaming.monitor import (
+        frequency_estimates,
+        run_stream_frequency_monitor,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        ["alpha"] * 40 + ["beta"] * 7 + [f"rare{i}" for i in range(30)],
+        ["alpha"] * 25 + ["gamma"] * 11,
+        ["beta"] * 3 + ["gamma"] * 2 + ["alpha"] * 5,
+    ]
+    for bi, keys in enumerate(batches[:2]):
+        (src / f"p{bi}.jsonl").write_text(
+            "\n".join(json.dumps({"key": k}) for k in keys)
+        )
+    out = str(tmp_path / "monitor")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        raw = (
+            spark.readStream.format("json")
+            .schema("key string")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        return run_stream_frequency_monitor(
+            spark, raw, out, ckpt, key_col="key", d=4, w_cells=64
+        )
+
+    start().awaitTermination(300)
+    (src / "p2.jsonl").write_text(
+        "\n".join(json.dumps({"key": k}) for k in batches[2])
+    )
+    start().awaitTermination(300)
+
+    all_keys = [k for b in batches for k in b]
+    truth = Counter(all_keys)
+    probe = spark.createDataFrame(
+        [(k,) for k in ("alpha", "beta", "gamma", "rare0")], ["key"]
+    )
+    got = {
+        r.key: r.cm_estimate
+        for r in frequency_estimates(
+            spark, out, probe, "key", d=4, w_cells=64
+        ).collect()
+    }
+    # exact parity with the batch sketch of the concatenation
+    stream_df = spark.createDataFrame([(k,) for k in all_keys], ["key"])
+    want = {
+        r.key: r.cm_estimate
+        for r in cm_sketch_freq(
+            stream_df, probe, "key", d=4, w_cells=64
+        ).collect()
+    }
+    assert got == want
+    # one-sided guarantee vs the true counts
+    for k, est in got.items():
+        assert est >= truth[k], (k, est, truth[k])
