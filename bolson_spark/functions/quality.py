@@ -321,7 +321,14 @@ def hashed_linear_score(
             - F.lit(8)
         )
 
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # NULL text is pinned to the empty document (0 tokens, margin 0,
+    # keep=false): F.aggregate over a NULL array yields NULL while the
+    # SQL oracle's COALESCE(list_sum, 0) yields 0 — another
+    # divergence-capable edge that must not leave the operator
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda x: x != "",
+    )
     margin = F.aggregate(
         toks, F.lit(0).cast("bigint"), lambda acc, t: acc + w_of(t)
     )

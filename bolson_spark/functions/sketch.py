@@ -488,7 +488,19 @@ def hll_union(
     group value plus one `total_label` row; exact counts ride along
     for the accuracy report."""
     k = HASH_BITS - p + 1
+    # regs is SKETCH-sized (<= groups x 2^p 3-int rows) — pinning it is
+    # bounded by construction; the corpus-sized distinct frame below is
+    # deliberately NOT cached (the kmv_set_overlap rule: its shuffle is
+    # exchange-reused across the two consumers, and caching a
+    # vocabulary-scale table costs more than the reuse saves).
     regs = hll_registers(df, key_col, group_col, p).persist()
+    # a group literally named like the total row would cross-join with
+    # it in the final scope join and silently corrupt both rows
+    if regs.where(F.col(group_col) == total_label).limit(1).count() > 0:
+        raise ValueError(
+            f"hll_union: group value {total_label!r} collides with "
+            f"total_label — pass a different total_label"
+        )
     # the shift amount is a COLUMN (varies per register), so the SQL
     # form — the python F.shiftleft only takes a literal bit count
     term = F.expr(f"shiftleft(1L, {k} - rho)")
@@ -500,7 +512,7 @@ def hll_union(
     total = merged.agg(
         F.count(F.lit(1)).alias("occupied"), F.sum(term).alias("s_int")
     ).select(F.lit(total_label).alias(group_col), "occupied", "s_int")
-    keys = df.select(group_col, key_col).distinct().persist()
+    keys = df.select(group_col, key_col).distinct()
     exact_g = keys.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_exact"))
     exact_t = keys.select(key_col).distinct().agg(
         F.count(F.lit(1)).alias("n_exact")
@@ -549,19 +561,29 @@ def cm_sketch_freq(
     probe_cells = probe.select(
         F.col(key_col), F.posexplode(F.array(*hashes)).alias("j", "c")
     )
+    # LEFT joins + coalesce-0 keep a probe key that never occurred in
+    # the stream IN the output at (0, 0) — the per-probe output
+    # contract a monitoring caller relies on ("how often did we see
+    # X?" must answer 0, not vanish); an empty (j, c) cell is a
+    # 0-count cell, so min over the d cells is 0 for such keys
     est = (
-        probe_cells.join(F.broadcast(cells), ["j", "c"])
+        probe_cells.join(F.broadcast(cells), ["j", "c"], "left")
         .groupBy(key_col)
-        .agg(F.min("cell_count").alias("cm_estimate"))
+        .agg(
+            F.min(F.coalesce(F.col("cell_count"), F.lit(0)))
+            .alias("cm_estimate")
+        )
     )
     exact = (
         df.join(probe, key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )
-    return exact.join(est, key_col).select(
+    return probe.join(exact, key_col, "left").join(est, key_col).select(
         key_col,
-        F.col("exact_count").cast("bigint"),
+        F.coalesce(F.col("exact_count"), F.lit(0))
+        .cast("bigint")
+        .alias("exact_count"),
         F.col("cm_estimate").cast("bigint"),
     )
 

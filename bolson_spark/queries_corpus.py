@@ -1822,16 +1822,16 @@ pc AS (
   FROM probe CROSS JOIN rj
 ),
 est AS (
-  SELECT token, MIN(cell_count) AS cm_estimate
-  FROM pc JOIN cells USING (j, c) GROUP BY token
+  SELECT pc.token, MIN(COALESCE(cells.cell_count, 0)) AS cm_estimate
+  FROM pc LEFT JOIN cells USING (j, c) GROUP BY pc.token
 ),
 exact AS (
   SELECT token, COUNT(*) AS exact_count FROM toks
   WHERE token IN (SELECT token FROM probe) GROUP BY token
 )
-SELECT e.token, CAST(e.exact_count AS BIGINT) AS exact_count,
+SELECT p.token, CAST(COALESCE(e.exact_count, 0) AS BIGINT) AS exact_count,
        CAST(est.cm_estimate AS BIGINT) AS cm_estimate
-FROM exact e JOIN est USING (token)
+FROM probe p LEFT JOIN exact e USING (token) JOIN est USING (token)
 """
 
 
@@ -1849,7 +1849,8 @@ def q_hashed_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_HASHED_QUALITY_SCORE = """
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')
+           AS toks
   FROM documents
 ),
 m AS (

@@ -35,10 +35,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bolson_spark.functions.sketch import _hll_estimate
+# HASH_BITS must be the register-builder's own constant — a local copy
+# could silently desync the read-time s_int scaling from the rho values
+# hll_registers wrote
+from bolson_spark.functions.sketch import HASH_BITS, _hll_estimate
 from bolson_spark.streaming.util import run_id_for_checkpoint
-
-HASH_BITS = 60
 
 
 def _registers_dir(out_dir: str) -> str:
@@ -46,7 +47,6 @@ def _registers_dir(out_dir: str) -> str:
 
 
 def run_stream_cardinality_monitor(
-    spark: SparkSession,
     stream_df: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
@@ -97,7 +97,11 @@ def cardinality_estimates(
     rows, volume-independent); output schema matches hll_union minus
     the exact-count accuracy column (there is no cheap exact count
     over a stream's history — that absence is the sketch's reason to
-    exist). Output: (scope, occupied, hll_estimate)."""
+    exist). The merge deliberately spans ALL runs: MAX is idempotent,
+    so a fresh-checkpoint restart that re-ingests the same source
+    merges its registers into the old runs' without double-counting —
+    the algebra absorbs what the count-min twin needs a run filter
+    for. Output: (scope, occupied, hll_estimate)."""
     k = HASH_BITS - p + 1
     regs = (
         spark.read.parquet(_registers_dir(out_dir))
@@ -125,7 +129,6 @@ def _cm_dir(out_dir: str) -> str:
 
 
 def run_stream_frequency_monitor(
-    spark: SparkSession,
     stream_df: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
@@ -183,22 +186,41 @@ def frequency_estimates(
     out_dir: str,
     probe: DataFrame,
     key_col: str,
+    checkpoint_dir: str | None = None,
     d: int = 4,
     w_cells: int = 256,
 ) -> DataFrame:
     """Estimated ingested-so-far counts for the probe keys from the
-    accumulated grid state: merge = cell-wise SUM over the batch
+    accumulated grid state: merge = cell-wise SUM over ONE run's batch
     partitions (each batch counted exactly once by the storage key),
-    estimate = MIN over a key's d cells. Output: (key_col,
-    cm_estimate); the one-sided >=truth guarantee carries over because
-    the merged grid IS the count-min sketch of the concatenated
-    stream."""
+    estimate = MIN over a key's d cells. Probe keys never ingested
+    stay in the output at 0 (empty cells are 0-count cells).
+
+    Unlike the HLL twin, SUM is NOT idempotent ACROSS runs either: a
+    fresh-checkpoint restart re-ingests the source under a new run id,
+    and summing old + new runs would double-count everything the
+    restart replayed. So the merge is scoped to one run —
+    ``checkpoint_dir`` resolves it to that checkpoint's run id; with
+    multiple runs on disk and no checkpoint_dir the call refuses
+    rather than silently inflate. Output: (key_col, cm_estimate); the
+    one-sided >=truth guarantee holds because the selected grid IS the
+    count-min sketch of that run's (complete, availableNow) stream."""
     from bolson_spark.functions.sketch import md5_draw
 
-    merged = (
-        spark.read.parquet(_cm_dir(out_dir))
-        .groupBy("j", "c")
-        .agg(F.sum("cell_count").alias("cell_count"))
+    cells = spark.read.parquet(_cm_dir(out_dir))
+    if checkpoint_dir is not None:
+        run_id = run_id_for_checkpoint(checkpoint_dir, "bolson_cm_run_id")
+        cells = cells.where(F.col("run") == run_id)
+    else:
+        runs = [r.run for r in cells.select("run").distinct().collect()]
+        if len(runs) > 1:
+            raise ValueError(
+                f"frequency_estimates: {len(runs)} runs in {out_dir!r}; "
+                "pass checkpoint_dir to select one (summing across runs "
+                "double-counts replayed data)"
+            )
+    merged = cells.groupBy("j", "c").agg(
+        F.sum("cell_count").alias("cell_count")
     )
     hashes = [
         F.pmod(md5_draw(F.col(key_col), f"cm{j}"), F.lit(w_cells))
@@ -208,7 +230,11 @@ def frequency_estimates(
         F.col(key_col), F.posexplode(F.array(*hashes)).alias("j", "c")
     )
     return (
-        probe_cells.join(F.broadcast(merged), ["j", "c"])
+        probe_cells.join(F.broadcast(merged), ["j", "c"], "left")
         .groupBy(key_col)
-        .agg(F.min("cell_count").cast("bigint").alias("cm_estimate"))
+        .agg(
+            F.min(F.coalesce(F.col("cell_count"), F.lit(0)))
+            .cast("bigint")
+            .alias("cm_estimate")
+        )
     )

@@ -1940,6 +1940,52 @@ def test_cm_sketch_never_undercounts_and_exact_when_wide(spark):
     assert (got["b"].exact_count, got["b"].cm_estimate) == (3, 3)
     assert (got["c"].exact_count, got["c"].cm_estimate) == (1, 1)
 
+    # a probe key NEVER seen in the stream must stay in the output at
+    # (0, 0) — "how often did we see X?" answers 0, it doesn't vanish
+    probe2 = spark.createDataFrame([("a",), ("zzz_missing",)], ["k"])
+    got2 = {
+        r.k: r
+        for r in cm_sketch_freq(stream, probe2, "k", d=4, w_cells=1 << 20)
+        .collect()
+    }
+    assert set(got2) == {"a", "zzz_missing"}
+    assert (got2["zzz_missing"].exact_count, got2["zzz_missing"].cm_estimate) == (0, 0)
+
+
+def test_hll_union_rejects_total_label_collision(spark):
+    """A group value equal to total_label would cross-join with the
+    union row in the scope join — the operator must refuse loudly."""
+    import pytest as _pytest
+
+    from bolson_spark.functions.sketch import hll_union
+
+    df = spark.createDataFrame(
+        [("ALL", "k1"), ("web", "k2")], ["grp", "key"]
+    )
+    with _pytest.raises(ValueError, match="total_label"):
+        hll_union(df, "key", "grp", p=6)
+    # and a non-colliding label works on the same data
+    rows = hll_union(df, "key", "grp", p=6, total_label="__total__").collect()
+    assert {r.scope for r in rows} == {"ALL", "web", "__total__"}
+
+
+def test_hashed_linear_score_null_text_pinned_to_empty(spark):
+    """NULL text must score as the empty document (0 tokens, margin 0,
+    keep=false) — the Spark-NULL vs oracle-COALESCE divergence pin."""
+    from bolson_spark.functions.quality import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "hello world")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in hashed_linear_score(df).collect()}
+    assert (got[1].n_tokens, got[1].margin, got[1].score, got[1].keep) == (
+        0,
+        0,
+        0.0,
+        False,
+    )
+    assert got[2].n_tokens == 2
+
 
 def test_hashed_linear_score_zero_shuffle_and_explode_parity(spark):
     """The classifier must compile to a single narrow map — NO

@@ -1769,7 +1769,7 @@ def test_cardinality_monitor_matches_batch_hll(spark, tmp_path):
             .load(str(src))
         )
         return run_stream_cardinality_monitor(
-            spark, raw, out, ckpt, key_col="key", group_col="src", p=6
+            raw, out, ckpt, key_col="key", group_col="src", p=6
         )
 
     q = start()
@@ -1839,7 +1839,7 @@ def test_frequency_monitor_matches_batch_cm(spark, tmp_path):
             .load(str(src))
         )
         return run_stream_frequency_monitor(
-            spark, raw, out, ckpt, key_col="key", d=4, w_cells=64
+            raw, out, ckpt, key_col="key", d=4, w_cells=64
         )
 
     start().awaitTermination(300)
@@ -1871,3 +1871,29 @@ def test_frequency_monitor_matches_batch_cm(spark, tmp_path):
     # one-sided guarantee vs the true counts
     for k, est in got.items():
         assert est >= truth[k], (k, est, truth[k])
+
+    # FRESH-checkpoint restart: the whole source replays under a new
+    # run id. Summing across runs would double-count; the run-scoped
+    # read (checkpoint_dir selects the new run) must return the same
+    # exact estimates, and the unscoped read must refuse.
+    import pytest as _pytest
+
+    ckpt2 = str(tmp_path / "ckpt2")
+    raw2 = (
+        spark.readStream.format("json")
+        .schema("key string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    run_stream_frequency_monitor(
+        raw2, out, ckpt2, key_col="key", d=4, w_cells=64
+    ).awaitTermination(300)
+    got2 = {
+        r.key: r.cm_estimate
+        for r in frequency_estimates(
+            spark, out, probe, "key", checkpoint_dir=ckpt2, d=4, w_cells=64
+        ).collect()
+    }
+    assert got2 == want  # not doubled
+    with _pytest.raises(ValueError, match="runs"):
+        frequency_estimates(spark, out, probe, "key", d=4, w_cells=64)
