@@ -188,6 +188,76 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_monitor(args) -> int:
+    """Streaming ingest monitoring of a jsonl document stream (doc_id,
+    text, source): per-source + overall distinct-token cardinality
+    (HLL registers, replay-safe by MAX algebra) and optional top-token
+    frequency estimates (count-min grid, replay-safe by (run,batch)
+    storage keys) — the runnable product shape of
+    streaming/monitor.py's tested paths."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.session import get_spark
+    from bolson_spark.streaming.monitor import (
+        cardinality_estimates,
+        frequency_estimates,
+        run_stream_cardinality_monitor,
+        run_stream_frequency_monitor,
+    )
+
+    spark = get_spark("bolson-monitor")
+    t0 = time.time()
+
+    def reader():
+        r = spark.readStream.format("json").schema(
+            "doc_id bigint, text string, source string"
+        )
+        if args.max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", args.max_files_per_trigger)
+        toks = r.load(args.in_dir).select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                    lambda x: x != "",
+                )
+            ).alias("token"),
+        )
+        return toks
+
+    q = run_stream_cardinality_monitor(
+        reader(), args.out_dir, args.checkpoint, "token", "source", p=args.p
+    )
+    q.awaitTermination()
+    card = {
+        r.scope: round(r.hll_estimate, 1)
+        for r in cardinality_estimates(spark, args.out_dir, p=args.p)
+        .collect()
+    }
+    result = {
+        "distinct_tokens_est": card,
+        "elapsed_sec": round(time.time() - t0, 3),
+        "out_dir": args.out_dir,
+    }
+    if args.probe_tokens:
+        cm_ckpt = args.checkpoint + "-cm"
+        q2 = run_stream_frequency_monitor(
+            reader().select("token"), args.out_dir, cm_ckpt, "token"
+        )
+        q2.awaitTermination()
+        probe = spark.createDataFrame(
+            [(t,) for t in args.probe_tokens], ["token"]
+        )
+        result["token_freq_est"] = {
+            r.token: r.cm_estimate
+            for r in frequency_estimates(
+                spark, args.out_dir, probe, "token", checkpoint_dir=cm_ckpt
+            ).collect()
+        }
+    print(json.dumps(result, sort_keys=True))
+    return 0
+
+
 def cmd_sessionize(args) -> int:
     """Streaming gap sessionization of a jsonl event stream (user_id,
     us epoch-micros, value): sessions are emitted exactly once, when
@@ -585,6 +655,23 @@ def main(argv=None) -> int:
     sz.add_argument("--watermark", default="0 seconds")
     sz.add_argument("--max-files-per-trigger", type=int)
     sz.set_defaults(fn=cmd_sessionize)
+
+    mo = sub.add_parser(
+        "monitor", help="streaming cardinality/frequency sketch monitor"
+    )
+    mo.add_argument(
+        "--in-dir", required=True, help="jsonl docs (doc_id, text, source)"
+    )
+    mo.add_argument("--out-dir", required=True)
+    mo.add_argument("--checkpoint", required=True)
+    mo.add_argument("--p", type=int, default=6, help="HLL register bits")
+    mo.add_argument(
+        "--probe-tokens",
+        nargs="*",
+        help="tokens to frequency-estimate via the count-min monitor",
+    )
+    mo.add_argument("--max-files-per-trigger", type=int)
+    mo.set_defaults(fn=cmd_monitor)
 
     b = sub.add_parser("bench", help="micro-benchmarks")
     bsub = b.add_subparsers(dest="bench_cmd", required=True)

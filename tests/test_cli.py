@@ -161,3 +161,50 @@ def test_cli_sessionize_closes_on_watermark(spark, tmp_path, capsys):
         (1, base_us, base_us + 10 * m, 2),
         (1, base_us + 300 * m, base_us + 300 * m, 1),
     ]
+
+
+def test_cli_monitor_cardinality_and_frequency(spark, tmp_path, capsys):
+    """`monitor` over a two-source jsonl batch: the summary line must
+    report per-source + ALL distinct-token HLL estimates within the
+    m=64 error band of the truth, and exact count-min estimates for
+    probed tokens (no collisions at this tiny scale beyond the
+    one-sided guarantee)."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    web_toks = [f"w{i}" for i in range(600)]
+    book_toks = [f"b{i}" for i in range(300)]
+    rows = [
+        {"doc_id": 1, "text": " ".join(web_toks[:350]), "source": "web"},
+        {"doc_id": 2, "text": " ".join(web_toks[250:]), "source": "web"},
+        {"doc_id": 3, "text": " ".join(book_toks) + " common", "source": "books"},
+        {"doc_id": 4, "text": "common common w0", "source": "books"},
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    rc = main(
+        [
+            "monitor",
+            "--in-dir", str(src),
+            "--out-dir", str(tmp_path / "mon"),
+            "--checkpoint", str(tmp_path / "ck"),
+            "--probe-tokens", "common", "w0", "neverseen",
+        ]
+    )
+    assert rc == 0
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ][-1]
+    out = json.loads(line)
+    card = out["distinct_tokens_est"]
+    truth = {"web": 600, "books": 302, "ALL": 901}
+    assert set(card) == set(truth)
+    for scope, n in truth.items():
+        assert abs(card[scope] - n) <= 0.52 * n, (scope, card[scope], n)
+    freq = out["token_freq_est"]
+    assert freq["common"] >= 3  # 1 in doc 3 + 2 in doc 4
+    assert freq["w0"] >= 2  # doc 1 + doc 4
+    # never-ingested probe stays in the output; at the default 4x256
+    # grid its cells carry collision mass from ~900 distinct tokens,
+    # so only the one-sided bound holds (exact-zero with a wide grid
+    # is covered in test_functions' cm test)
+    assert 0 <= freq["neverseen"] <= 30
