@@ -620,3 +620,98 @@ def group_sample_exact_n(
     return rows.select(
         id_col, group_col, F.col("_rnk").cast("bigint").alias("sample_rank")
     )
+
+
+def hist_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    percents: tuple[int, ...] = (50, 95, 99),
+    n_bins: int = 256,
+) -> DataFrame:
+    """Deterministic mergeable QUANTILE sketch — the fourth leg of the
+    sketch suite (KMV/HLL for cardinality, count-min for frequency,
+    this for distribution): per-group equal-width histogram over
+    FROZEN global integer bounds, quantile estimate = the upper edge
+    of the first bin whose cumulative count reaches the target rank.
+    Estimate error is bounded by one bin width ((max-min+1)/n_bins);
+    both engines' built-in approx quantiles (GK / t-digest) are
+    implementation-defined and can never hash-match, while this
+    sketch is integer arithmetic end to end — even the rank is the
+    ceiling DIVISION (p*n + 99) // 100, never a float multiply.
+
+    Scale shape: one min/max aggregate freezes the bounds (the
+    add_seq_scalable bounds pattern — a key-only scan); the histogram
+    is one partial-aggregating groupBy emitting <= groups x n_bins
+    rows per task; the cumulative window runs over n_bins rows per
+    group, never data. Bin counts MERGE by cell-wise addition under
+    the same frozen bounds — per-shard histograms combine like
+    count-min grids (freeze bounds per epoch in production). The
+    exact disc quantile (value at the same rank) rides along for the
+    accuracy report: it is the one per-group-sort term; production
+    drops it.
+
+    Output: (group_col, pct, n, est, exact) — est/exact are values
+    from the input domain, bigint.
+    """
+    vals = df.select(group_col, F.col(value_col).cast("bigint").alias("v"))
+    b = vals.agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    ).first()
+    vmin, vmax = int(b.vmin), int(b.vmax)
+    span = vmax - vmin + 1
+    # integer `div` end to end — a double divide-then-cast would match
+    # only while products stay under 2^53
+    bucket = F.expr(f"((v - {vmin}) * {n_bins}) div {span}")
+    hist = vals.groupBy(group_col, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    sizes = vals.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    pcts = df.sparkSession.createDataFrame(
+        [(p,) for p in percents], ["pct"]
+    )
+    targets = sizes.crossJoin(F.broadcast(pcts)).withColumn(
+        "rank", F.expr("(pct * n + 99) div 100")
+    )
+    # first bucket whose cumulative count reaches the rank; its upper
+    # edge is the estimate. min() over qualifying buckets = "first".
+    est = (
+        targets.join(cum, group_col)
+        .where(F.col("cum") >= F.col("rank"))
+        .groupBy(group_col, "pct", "n", "rank")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            group_col,
+            "pct",
+            "n",
+            "rank",
+            # a value v lands in bucket b iff (v-vmin)*n_bins div span
+            # == b, so the bin's true upper edge is the CEILING
+            # division (floor would sit one below the largest member
+            # whenever span % n_bins != 0)
+            F.expr(
+                f"{vmin} + (((bucket + 1) * {span} + {n_bins - 1})"
+                f" div {n_bins}) - 1"
+            ).alias("est"),
+        )
+    )
+    wrank = Window.partitionBy(group_col).orderBy("v")
+    ranked = vals.withColumn("rn", F.row_number().over(wrank))
+    exact = targets.join(
+        ranked,
+        (targets[group_col] == ranked[group_col])
+        & (F.col("rn") == F.col("rank")),
+    ).select(targets[group_col], "pct", F.col("v").alias("exact"))
+    return est.join(exact, [group_col, "pct"]).select(
+        group_col,
+        F.col("pct").cast("bigint"),
+        F.col("n").cast("bigint"),
+        F.col("est").cast("bigint"),
+        F.col("exact").cast("bigint"),
+    )

@@ -1954,3 +1954,75 @@ CORPUS_QUERIES.update(
         ),
     }
 )
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p50/p95/p99 of document token counts via the
+    deterministic histogram quantile sketch (frozen integer bounds,
+    256 equal-width bins, merge = bin-wise add) with the exact disc
+    quantile alongside — length-distribution monitoring a pipeline
+    runs per crawl. See functions/sketch.py::hist_quantiles."""
+    from bolson_spark.functions.sketch import hist_quantiles
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("v"),
+    )
+    return hist_quantiles(docs, "v", "source", percents=(50, 95, 99))
+
+
+O_HIST_QUANTILES = """
+WITH t AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+  FROM documents
+),
+b AS (SELECT MIN(v) AS vmin, MAX(v) - MIN(v) + 1 AS span FROM t),
+h AS (
+  SELECT source,
+         ((v - (SELECT vmin FROM b)) * 256) // (SELECT span FROM b)
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM t GROUP BY source, bucket
+),
+c AS (
+  SELECT source, bucket,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum
+  FROM h
+),
+s AS (SELECT source, COUNT(*) AS n FROM t GROUP BY source),
+p AS (SELECT UNNEST([50, 95, 99]) AS pct),
+tr AS (
+  SELECT source, pct, n, (pct * n + 99) // 100 AS rank
+  FROM s CROSS JOIN p
+),
+e AS (
+  SELECT tr.source, pct, n, rank, MIN(bucket) AS bucket
+  FROM tr JOIN c ON c.source = tr.source AND c.cum >= tr.rank
+  GROUP BY tr.source, pct, n, rank
+),
+r AS (
+  SELECT source, v,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn
+  FROM t
+),
+x AS (
+  SELECT tr.source, pct, v AS exact
+  FROM tr JOIN r ON r.source = tr.source AND r.rn = tr.rank
+)
+SELECT e.source, CAST(e.pct AS BIGINT) AS pct, CAST(e.n AS BIGINT) AS n,
+       CAST((SELECT vmin FROM b)
+            + (((e.bucket + 1) * (SELECT span FROM b) + 255) // 256) - 1
+            AS BIGINT) AS est,
+       CAST(x.exact AS BIGINT) AS exact
+FROM e JOIN x ON x.source = e.source AND x.pct = e.pct
+"""
+
+
+CORPUS_QUERIES.update(
+    {
+        "hist_quantiles": QuerySpec(
+            q_hist_quantiles, O_HIST_QUANTILES, ("sketch", "quality")
+        ),
+    }
+)

@@ -2085,3 +2085,30 @@ def test_token_balanced_shards_balance_bound(spark):
     max_doc = out.agg(F.max("n_tokens")).first()[0]
     assert toks[-1] - toks[0] <= max_doc
     assert out.count() == 500  # every doc assigned exactly once
+
+
+def test_hist_quantiles_error_bound_and_monotone(spark):
+    """The estimate must sit within ONE bin width above the exact disc
+    quantile (upper-edge estimator: never below the exact value, at
+    most ceil(span/n_bins) above), and estimates must be monotone in
+    the percentile."""
+    from bolson_spark.queries import QUERIES
+
+    rows = QUERIES["hist_quantiles"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    vs = [r for r in rows]
+    span = None
+    # recompute the bin width bound from the data
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    v = docs.select(F.size(F.split("text", " ")).alias("v"))
+    mm = v.agg(F.min("v"), F.max("v")).first()
+    width = (mm[1] - mm[0] + 1 + 255) // 256  # ceil(span / n_bins)
+    for r in vs:
+        assert r.exact <= r.est <= r.exact + width, r
+    by_src = {}
+    for r in vs:
+        by_src.setdefault(r.source, {})[r.pct] = r.est
+    for src, d in by_src.items():
+        assert d[50] <= d[95] <= d[99], (src, d)
