@@ -628,6 +628,7 @@ def hist_quantiles(
     group_col: str,
     percents: tuple[int, ...] = (50, 95, 99),
     n_bins: int = 256,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Deterministic mergeable QUANTILE sketch — the fourth leg of the
     sketch suite (KMV/HLL for cardinality, count-min for frequency,
@@ -655,10 +656,22 @@ def hist_quantiles(
     from the input domain, bigint.
     """
     vals = df.select(group_col, F.col(value_col).cast("bigint").alias("v"))
-    b = vals.agg(
-        F.min("v").alias("vmin"), F.max("v").alias("vmax")
-    ).first()
-    vmin, vmax = int(b.vmin), int(b.vmax)
+    if bounds is None:
+        b = vals.agg(
+            F.min("v").alias("vmin"), F.max("v").alias("vmax")
+        ).first()
+        vmin, vmax = int(b.vmin), int(b.vmax)
+    else:
+        # FROZEN caller bounds — the per-epoch production mode and the
+        # streaming monitor's requirement: every shard/batch must bin
+        # against the same edges for the cell-wise merge to be exact.
+        # Out-of-bounds values clamp into the edge bins (the standard
+        # fixed-histogram behavior when an epoch's range drifts).
+        vmin, vmax = bounds
+        vals = vals.withColumn(
+            "v",
+            F.least(F.greatest(F.col("v"), F.lit(vmin)), F.lit(vmax)),
+        )
     span = vmax - vmin + 1
     # integer `div` end to end — a double divide-then-cast would match
     # only while products stay under 2^53
@@ -666,14 +679,45 @@ def hist_quantiles(
     hist = vals.groupBy(group_col, bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    est = _hist_estimate(hist, group_col, percents, vmin, span, n_bins)
+    targets = est.select(group_col, "pct", "rank")
+    wrank = Window.partitionBy(group_col).orderBy("v")
+    ranked = vals.withColumn("rn", F.row_number().over(wrank))
+    exact = targets.join(
+        ranked,
+        (targets[group_col] == ranked[group_col])
+        & (F.col("rn") == F.col("rank")),
+    ).select(targets[group_col], "pct", F.col("v").alias("exact"))
+    return est.join(exact, [group_col, "pct"]).select(
+        group_col,
+        F.col("pct").cast("bigint"),
+        F.col("n").cast("bigint"),
+        F.col("est").cast("bigint"),
+        F.col("exact").cast("bigint"),
+    )
+
+
+def _hist_estimate(
+    hist: DataFrame,
+    group_col: str,
+    percents: tuple[int, ...],
+    vmin: int,
+    span: int,
+    n_bins: int,
+) -> DataFrame:
+    """The ONE definition of quantile estimation from (group, bucket,
+    cnt) histogram rows — shared by `hist_quantiles` and the streaming
+    histogram monitor so the rank rule and bin-edge arithmetic can
+    never drift between the batch oracle twin and the stream state
+    reader. Returns (group_col, pct, n, rank, est)."""
     wcum = (
         Window.partitionBy(group_col)
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
-    sizes = vals.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
-    pcts = df.sparkSession.createDataFrame(
+    sizes = hist.groupBy(group_col).agg(F.sum("cnt").alias("n"))
+    pcts = hist.sparkSession.createDataFrame(
         [(p,) for p in percents], ["pct"]
     )
     targets = sizes.crossJoin(F.broadcast(pcts)).withColumn(
@@ -681,7 +725,7 @@ def hist_quantiles(
     )
     # first bucket whose cumulative count reaches the rank; its upper
     # edge is the estimate. min() over qualifying buckets = "first".
-    est = (
+    return (
         targets.join(cum, group_col)
         .where(F.col("cum") >= F.col("rank"))
         .groupBy(group_col, "pct", "n", "rank")
@@ -700,18 +744,4 @@ def hist_quantiles(
                 f" div {n_bins}) - 1"
             ).alias("est"),
         )
-    )
-    wrank = Window.partitionBy(group_col).orderBy("v")
-    ranked = vals.withColumn("rn", F.row_number().over(wrank))
-    exact = targets.join(
-        ranked,
-        (targets[group_col] == ranked[group_col])
-        & (F.col("rn") == F.col("rank")),
-    ).select(targets[group_col], "pct", F.col("v").alias("exact"))
-    return est.join(exact, [group_col, "pct"]).select(
-        group_col,
-        F.col("pct").cast("bigint"),
-        F.col("n").cast("bigint"),
-        F.col("est").cast("bigint"),
-        F.col("exact").cast("bigint"),
     )

@@ -238,3 +238,101 @@ def frequency_estimates(
             .alias("cm_estimate")
         )
     )
+
+
+def _hist_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "hist_bins")
+
+
+def run_stream_histogram_monitor(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    group_col: str,
+    bounds: tuple[int, int],
+    n_bins: int = 256,
+):
+    """Streaming distribution monitor: each micro-batch's per-group
+    bin counts (equal-width histogram over CALLER-FROZEN integer
+    bounds — every batch must bin against the same edges for the
+    cell-wise merge to be exact; out-of-range values clamp into the
+    edge bins) land in ``hist_bins/run=<r>/batch=<id>/``. Same
+    idempotency discipline as the count-min monitor: SUM is not
+    replay-idempotent, so exactly-once comes from the (run, batch)
+    storage key. State: batches x groups x n_bins 3-int rows."""
+    vmin, vmax = bounds
+    span = vmax - vmin + 1
+    hist_dir = _hist_dir(out_dir)
+    run_id = run_id_for_checkpoint(checkpoint_dir, "bolson_hist_run_id")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        vals = batch_df.select(
+            F.col(group_col).alias("grp"),
+            F.least(
+                F.greatest(F.col(value_col).cast("bigint"), F.lit(vmin)),
+                F.lit(vmax),
+            ).alias("v"),
+        )
+        grid = vals.groupBy(
+            "grp", F.expr(f"((v - {vmin}) * {n_bins}) div {span}").alias(
+                "bucket"
+            )
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        (
+            grid.withColumn("run", F.lit(run_id))
+            .withColumn("batch", F.lit(batch_id))
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("run", "batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(hist_dir)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def quantile_estimates(
+    spark: SparkSession,
+    out_dir: str,
+    bounds: tuple[int, int],
+    checkpoint_dir: str | None = None,
+    percents: tuple[int, ...] = (50, 95, 99),
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-group quantile estimates of everything ingested so far,
+    from ONE run's merged bin counts (the count-min run-scoping rule:
+    SUM double-counts across runs, so checkpoint_dir selects the run
+    and an ambiguous multi-run read refuses). The estimation
+    arithmetic is functions/sketch.py::_hist_estimate — the same code
+    the batch sketch runs, so stream and batch can never disagree on
+    rank or bin-edge rules. Output: (scope, pct, n, est)."""
+    from bolson_spark.functions.sketch import _hist_estimate
+
+    vmin, vmax = bounds
+    bins = spark.read.parquet(_hist_dir(out_dir))
+    if checkpoint_dir is not None:
+        run_id = run_id_for_checkpoint(checkpoint_dir, "bolson_hist_run_id")
+        bins = bins.where(F.col("run") == run_id)
+    else:
+        runs = [r.run for r in bins.select("run").distinct().collect()]
+        if len(runs) > 1:
+            raise ValueError(
+                f"quantile_estimates: {len(runs)} runs in {out_dir!r}; "
+                "pass checkpoint_dir to select one"
+            )
+    merged = bins.groupBy("grp", "bucket").agg(F.sum("cnt").alias("cnt"))
+    est = _hist_estimate(
+        merged, "grp", percents, vmin, vmax - vmin + 1, n_bins
+    )
+    return est.select(
+        F.col("grp").alias("scope"),
+        F.col("pct").cast("bigint"),
+        F.col("n").cast("bigint"),
+        F.col("est").cast("bigint"),
+    )

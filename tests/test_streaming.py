@@ -1897,3 +1897,65 @@ def test_frequency_monitor_matches_batch_cm(spark, tmp_path):
     assert got2 == want  # not doubled
     with _pytest.raises(ValueError, match="runs"):
         frequency_estimates(spark, out, probe, "key", d=4, w_cells=64)
+
+
+def test_histogram_monitor_matches_batch_hist_quantiles(spark, tmp_path):
+    """Streaming per-batch bin counts, merged run-scoped, must yield
+    the SAME quantile estimates as the batch sketch over the
+    concatenation under identical frozen bounds — both paths share
+    _hist_estimate, so this pins the binning arithmetic and the
+    (run,batch) merge discipline."""
+    import json
+
+    from bolson_spark.functions.sketch import hist_quantiles
+    from bolson_spark.streaming.monitor import (
+        quantile_estimates,
+        run_stream_histogram_monitor,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [("web", 10 + i) for i in range(50)],
+        [("web", 200 + 3 * i) for i in range(40)]
+        + [("books", 5 * i) for i in range(30)],
+        [("books", 400 + i) for i in range(20)] + [("web", 999)],
+    ]
+    for bi, rows in enumerate(batches):
+        (src / f"p{bi}.jsonl").write_text(
+            "\n".join(json.dumps({"src": s, "v": v}) for s, v in rows)
+        )
+    out = str(tmp_path / "mon")
+    ckpt = str(tmp_path / "ck")
+    bounds = (0, 999)
+    raw = (
+        spark.readStream.format("json")
+        .schema("src string, v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    run_stream_histogram_monitor(
+        raw, out, ckpt, "v", "src", bounds, n_bins=64
+    ).awaitTermination(300)
+
+    got = {
+        (r.scope, r.pct): (r.n, r.est)
+        for r in quantile_estimates(
+            spark, out, bounds, checkpoint_dir=ckpt, n_bins=64
+        ).collect()
+    }
+    all_rows = [r for b in batches for r in b]
+    want = {
+        (r.src, r.pct): (r.n, r.est)
+        for r in hist_quantiles(
+            spark.createDataFrame(all_rows, ["src", "v"]),
+            "v",
+            "src",
+            n_bins=64,
+            bounds=bounds,
+        ).collect()
+    }
+    assert got == want
+    # state volume-independence: <= batches x groups x n_bins rows
+    state = spark.read.parquet(str(tmp_path / "mon" / "hist_bins"))
+    assert state.count() <= 3 * 2 * 64
