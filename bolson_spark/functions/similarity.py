@@ -1594,3 +1594,83 @@ def semantic_decontaminate(
         "vec_id bigint, best_eval_id bigint, max_cos double, "
         "contaminated boolean",
     )
+
+
+def fit_whitening(
+    df: DataFrame,
+    sample_n: int = 4096,
+    eps: float = 1e-6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Fit a PCA-whitening transform W from a DETERMINISTIC bounded
+    sample — the preprocessing that makes product quantization and
+    cosine blocking behave on anisotropic embedding spaces (the OPQ
+    insight: rotate/scale so per-dimension variance is uniform before
+    quantizing).
+
+    Production shape: the model side is a driver-scale object, exactly
+    like ivf_train's centroids or pq_train's codebooks — the sample is
+    the `sample_n` smallest md5 draws over ids (the `group_sample`
+    machinery: reproducible across engines, runs, cluster sizes, and
+    NESTED as sample_n grows), collected bounded (sample_n x dims
+    floats), then numpy covariance + eigh. The corpus is never
+    shuffled; growing the corpus changes the fit only through the
+    deterministic sample.
+
+    Returns (mean: np.ndarray[d], W: np.ndarray[d, d]) with
+    W = V diag(1/sqrt(lam + eps)) V^T (symmetric ZCA whitening — keeps
+    whitened axes aligned with the input space, the variant that
+    composes with downstream sub-vector PQ splits).
+    """
+    import numpy as np
+
+    from bolson_spark.functions.sketch import md5_draw
+
+    drawn = df.select(
+        F.col(vec_col), md5_draw(F.col(id_col), "whiten").alias("_v")
+    )
+    rows = (
+        drawn.orderBy("_v").limit(sample_n).select(vec_col).collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    mean = x.mean(axis=0)
+    cov = np.cov(x - mean, rowvar=False, bias=True)
+    lam, vecs = np.linalg.eigh(cov)
+    w = vecs @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps)) @ vecs.T
+    return mean, w
+
+
+def apply_whitening(
+    df: DataFrame,
+    mean,
+    w,
+    vec_col: str = "embedding",
+    out_col: str = "whitened",
+) -> DataFrame:
+    """Apply a fitted whitening transform as a NARROW Arrow-batched
+    map: y = W (x - mean). The model (dims + dims^2 floats) ships in
+    the task closure like every centroid/codebook in this module —
+    zero joins, zero shuffles, linear scan. Output keeps all input
+    columns and appends `out_col` (array<double>)."""
+    import numpy as np
+    import pandas as pd
+
+    mean = np.asarray(mean, dtype=np.float64)
+    wt = np.asarray(w, dtype=np.float64).T  # (x - mean) @ W^T row-wise
+    fields = df.schema.fields
+    out_schema = T.StructType(
+        list(fields) + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+
+    def fn(it):
+        for pdf in it:
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(x):
+                y = (x - mean) @ wt
+                pdf[out_col] = [row.tolist() for row in y]
+            else:
+                pdf[out_col] = pd.Series([], dtype=object)
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)

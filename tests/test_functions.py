@@ -2112,3 +2112,37 @@ def test_hist_quantiles_error_bound_and_monotone(spark):
         by_src.setdefault(r.source, {})[r.pct] = r.est
     for src, d in by_src.items():
         assert d[50] <= d[95] <= d[99], (src, d)
+
+
+def test_whitening_fit_apply_identity_covariance(spark):
+    """ZCA whitening on the embeddings fixture: whitened sample
+    covariance must be ~identity (diag ~1, off-diag ~0), the transform
+    must be deterministic (same md5 sample -> bit-identical W), and
+    apply must be a pure narrow map (no Exchange)."""
+    import numpy as np
+
+    from bolson_spark.functions.similarity import (
+        apply_whitening,
+        fit_whitening,
+    )
+    from bolson_spark.plans import formatted_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mean1, w1 = fit_whitening(emb, sample_n=512)
+    mean2, w2 = fit_whitening(emb, sample_n=512)
+    assert np.array_equal(mean1, mean2) and np.array_equal(w1, w2)
+
+    out = apply_whitening(emb, mean1, w1)
+    assert "Exchange" not in formatted_plan(out)
+    y = np.array(
+        [r.whitened for r in out.limit(512).collect()], dtype=np.float64
+    )
+    cov = np.cov(y, rowvar=False, bias=True)
+    d = cov.shape[0]
+    # drawn from the same distribution the fit sampled: near-identity
+    assert np.allclose(np.diag(cov), 1.0, atol=0.05)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 0.05, np.abs(off).max()
+    # row count and carried columns preserved
+    assert out.count() == emb.count()
+    assert set(out.columns) == set(emb.columns) | {"whitened"}
