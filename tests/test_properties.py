@@ -696,3 +696,118 @@ def test_sessionize_fn_matches_batch_under_any_schedule(
     # session emitted exactly once, none revised, none lost
     got = sorted((s, e, n, v) for (_k, s, e, n, v) in emitted)
     assert got == _batch_sessionize(accepted, _GAP_US)
+
+
+# --------------------------------------------------------------------------
+# Round-6 sketch suite properties
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    keys=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=400),
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_hll_union_merge_property_arbitrary_groups(spark, keys):
+    """For ANY multiset of (group, key) rows: merging the per-group
+    registers must give the bit-identical estimate to sketching the
+    whole multiset as one group — the algebraic property every
+    incremental/cross-source use depends on. Also: occupied registers
+    never exceed min(m, distinct keys)."""
+    from bolson_spark.functions.sketch import hll_distinct, hll_union
+
+    df = spark.createDataFrame(
+        [(g, f"k{v}") for g, v in keys], ["grp", "key"]
+    )
+    merged = {r.scope: r for r in hll_union(df, "key", "grp", p=4).collect()}
+    (single,) = hll_distinct(
+        df.select(F.lit("one").alias("g"), "key"), "key", "g", p=4
+    ).collect()
+    assert merged["ALL"].occupied == single.occupied
+    assert merged["ALL"].hll_estimate == single.hll_estimate
+    n_distinct = len({v for _, v in keys})
+    assert merged["ALL"].occupied <= min(16, n_distinct)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=10_000), min_size=1, max_size=250
+    ),
+    n_bins=st.sampled_from([1, 7, 64, 256]),
+)
+def test_hist_quantiles_matches_python_reference(spark, vals, n_bins):
+    """hist_quantiles vs a naive Python reference on arbitrary integer
+    multisets and bin counts: the exact column must equal the sorted
+    rank element, and the estimate must be the true upper edge of the
+    rank element's bin — i.e. within one bin width above the exact
+    value, never below."""
+    from bolson_spark.functions.sketch import hist_quantiles
+
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "v"])
+    rows = hist_quantiles(
+        df, "v", "grp", percents=(50, 95, 99), n_bins=n_bins
+    ).collect()
+    svals = sorted(vals)
+    n = len(svals)
+    vmin, vmax = svals[0], svals[-1]
+    span = vmax - vmin + 1
+    width = -(-span // n_bins)  # ceil
+    assert len(rows) == 3
+    for r in rows:
+        rank = (r.pct * n + 99) // 100
+        exact = svals[rank - 1]
+        assert r.exact == exact, (r, exact)
+        b = ((exact - vmin) * n_bins) // span
+        edge = vmin + -(-((b + 1) * span) // n_bins) - 1
+        assert r.est == edge, (r, edge)
+        assert exact <= r.est <= exact + width
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    stream=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=300
+    ),
+    w_cells=st.sampled_from([2, 16, 256]),
+)
+def test_cm_sketch_one_sided_property(spark, stream, w_cells):
+    """Count-min on arbitrary multisets and grid widths: every probe
+    estimate >= its true count (one-sided, even at w_cells=2 where
+    collisions are guaranteed), and the total overestimate mass per
+    hash row is bounded by the stream size."""
+    from collections import Counter
+
+    from bolson_spark.functions.sketch import cm_sketch_freq
+
+    truth = Counter(stream)
+    df = spark.createDataFrame([(f"k{v}",) for v in stream], ["k"])
+    probe = df.select("k").distinct()
+    rows = cm_sketch_freq(df, probe, "k", d=3, w_cells=w_cells).collect()
+    assert len(rows) == len(truth)
+    for r in rows:
+        t = truth[int(r.k[1:])]
+        assert r.exact_count == t
+        assert r.cm_estimate >= t
+        assert r.cm_estimate <= len(stream)  # a cell can't exceed N
