@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 # 60-bit hash space: 15 lowercase-hex digits fit a signed 64-bit int in
@@ -745,3 +746,65 @@ def _hist_estimate(
             ).alias("est"),
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    num: int = 1,
+    denom: int = 500,
+) -> DataFrame:
+    """EXACT frequency-threshold heavy hitters (all keys with global
+    count >= (num/denom) * N) in two passes where the Zipf TAIL never
+    shuffles — the 100 TB alternative to groupBy(key).count() over a
+    trillion-token vocabulary whose long tail dominates the exchange.
+
+    Pass 1 (candidates, shuffle-free): per PARTITION, count locally
+    and emit keys with local_count >= theta * local_rows. Averaging
+    argument: if a key's global count is >= theta*N, it cannot be
+    below theta*n_p in EVERY partition (else summing gives < theta*N)
+    — so the union of local heavy hitters is a GUARANTEED SUPERSET of
+    the global ones, at most denom/num keys per partition, regardless
+    of how the data is partitioned. No hashing tricks, no error: the
+    superset property is exact.
+
+    Pass 2 (verify): broadcast the candidate set, semi-join the stream
+    (the tail rows drop BEFORE the exchange), aggregate only candidate
+    keys, keep count * denom >= num * N — pure integer arithmetic, no
+    float threshold. The output is exact and partitioning-independent
+    (pass 1's partitioning affects only which non-hitters sneak into
+    the candidate superset to be verified away).
+
+    Output: (key_col, cnt, n_total), count-descending ties by key.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    theta_num, theta_den = num, denom
+
+    def local_candidates(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            counts = pdf[key_col].value_counts()
+            thresh = theta_num * len(pdf) / theta_den
+            keep = counts[counts >= thresh]
+            if len(keep):
+                yield pd.DataFrame({key_col: keep.index})
+
+    cand_schema = T.StructType([df.schema[key_col]])
+    cands = df.select(key_col).mapInPandas(
+        local_candidates, cand_schema
+    ).distinct()
+    n_total = df.count()
+    verified = (
+        df.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * theta_den >= theta_num * F.lit(n_total))
+    )
+    return verified.select(
+        key_col,
+        F.col("cnt").cast("bigint"),
+        F.lit(n_total).cast("bigint").alias("n_total"),
+    ).orderBy(F.col("cnt").desc(), key_col)

@@ -2026,3 +2026,36 @@ CORPUS_QUERIES.update(
         ),
     }
 )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All tokens covering >= 1/500 of the corpus token stream —
+    EXACT, via the two-pass local-candidates algorithm where the Zipf
+    tail never shuffles (functions/sketch.py::heavy_hitters: per-
+    partition local counting emits a guaranteed candidate SUPERSET by
+    the averaging argument, then a broadcast semi-join + aggregation
+    over candidates only)."""
+    from bolson_spark.functions.sketch import heavy_hitters
+
+    toks = _doc_tokens(spark, sf_dir).select("token")
+    return heavy_hitters(toks, "token", num=1, denom=500)
+
+
+O_HEAVY_HITTERS = f"""
+WITH toks AS ({_TOKS}),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST((SELECT n FROM tot) AS BIGINT) AS n_total
+FROM toks GROUP BY token
+HAVING COUNT(*) * 500 >= (SELECT n FROM tot)
+ORDER BY cnt DESC, token
+"""
+
+
+CORPUS_QUERIES.update(
+    {
+        "heavy_hitters": QuerySpec(
+            q_heavy_hitters, O_HEAVY_HITTERS, ("sketch", "text")
+        ),
+    }
+)

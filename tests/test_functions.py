@@ -2146,3 +2146,37 @@ def test_whitening_fit_apply_identity_covariance(spark):
     # row count and carried columns preserved
     assert out.count() == emb.count()
     assert set(out.columns) == set(emb.columns) | {"whitened"}
+
+
+def test_heavy_hitters_exact_and_partitioning_independent(spark):
+    """heavy_hitters must return exactly the keys with global count >=
+    theta*N with exact counts, for ANY partitioning of the input — the
+    candidate superset comes from per-partition local counts, but the
+    verify pass makes the output partitioning-independent."""
+    from collections import Counter
+
+    from bolson_spark.functions.sketch import heavy_hitters
+
+    # zipf-ish stream: 'hot' 40%, 'warm' 10%, tail of singletons
+    stream = (
+        ["hot"] * 400 + ["warm"] * 100 + [f"tail{i}" for i in range(500)]
+    )
+    truth = Counter(stream)
+    n = len(stream)
+    expected = sorted(
+        [(k, c) for k, c in truth.items() if c * 20 >= n],
+        key=lambda t: (-t[1], t[0]),
+    )
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(
+            [(k,) for k in stream], ["k"]
+        ).repartition(parts)
+        got = [
+            (r.k, r.cnt)
+            for r in heavy_hitters(df, "k", num=1, denom=20).collect()
+        ]
+        assert got == expected, (parts, got)
+        assert all(
+            r.n_total == n
+            for r in heavy_hitters(df, "k", num=1, denom=20).collect()
+        )
