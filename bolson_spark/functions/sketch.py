@@ -661,25 +661,25 @@ def hist_quantiles(
         b = vals.agg(
             F.min("v").alias("vmin"), F.max("v").alias("vmax")
         ).first()
+        if b.vmin is None:
+            raise ValueError(
+                "hist_quantiles: empty input and no frozen bounds — "
+                "nothing to derive bin edges from"
+            )
         vmin, vmax = int(b.vmin), int(b.vmax)
     else:
         # FROZEN caller bounds — the per-epoch production mode and the
         # streaming monitor's requirement: every shard/batch must bin
         # against the same edges for the cell-wise merge to be exact.
-        # Out-of-bounds values clamp into the edge bins (the standard
-        # fixed-histogram behavior when an epoch's range drifts).
         vmin, vmax = bounds
-        vals = vals.withColumn(
-            "v",
-            F.least(F.greatest(F.col("v"), F.lit(vmin)), F.lit(vmax)),
-        )
     span = vmax - vmin + 1
-    # integer `div` end to end — a double divide-then-cast would match
-    # only while products stay under 2^53
-    bucket = F.expr(f"((v - {vmin}) * {n_bins}) div {span}")
-    hist = vals.groupBy(group_col, bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    # bin on the (clamped) value; the EXACT accuracy column stays on
+    # the RAW value — under drifted frozen bounds the report must show
+    # the estimate diverging from the truth, not a clamped "truth"
+    binned = vals.withColumn("_vb", _hist_clamped(vmin, vmax))
+    hist = binned.groupBy(
+        group_col, _hist_bucket(vmin, span, n_bins).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
     est = _hist_estimate(hist, group_col, percents, vmin, span, n_bins)
     targets = est.select(group_col, "pct", "rank")
     wrank = Window.partitionBy(group_col).orderBy("v")
@@ -696,6 +696,31 @@ def hist_quantiles(
         F.col("est").cast("bigint"),
         F.col("exact").cast("bigint"),
     )
+
+
+def _hist_clamped(vmin: int, vmax: int) -> Column:
+    """Clamp the working column `v` into the frozen bounds —
+    out-of-range values land in the edge bins (the standard
+    fixed-histogram behavior when an epoch's range drifts). Shared by
+    the batch sketch and the streaming histogram monitor so the two
+    can never bin differently."""
+    return F.least(F.greatest(F.col("v"), F.lit(vmin)), F.lit(vmax))
+
+
+def _hist_bucket(vmin: int, span: int, n_bins: int) -> Column:
+    """Bucket id of the clamped column `_vb`: ((v-vmin)*n_bins) div
+    span — integer `div` end to end (a double divide-then-cast would
+    match only while products stay under 2^53). The ONE definition of
+    the binning rule, shared batch/stream. Guards the bigint product:
+    past 2^62 the multiply would WRAP silently (non-ANSI mode) and
+    produce garbage buckets."""
+    if span > (1 << 62) // n_bins:
+        raise ValueError(
+            f"hist bucket overflow: span {span} * n_bins {n_bins} "
+            "exceeds the bigint guard — reduce n_bins or rescale the "
+            "value column (e.g. nanoseconds -> seconds)"
+        )
+    return F.expr(f"((_vb - {vmin}) * {n_bins}) div {span}")
 
 
 def _hist_estimate(
@@ -775,6 +800,12 @@ def heavy_hitters(
     (pass 1's partitioning affects only which non-hitters sneak into
     the candidate superset to be verified away).
 
+    NULL keys are excluded everywhere (stream, candidates, and the
+    n_total denominator) — a null "key" is not a countable item, and
+    half-excluding it would skew every threshold. The total N comes
+    out of pass 1 (per-batch `_n` rows summed on the tiny stats
+    frame), so the algorithm really is two data scans.
+
     Output: (key_col, cnt, n_total), count-descending ties by key.
     """
     import pandas as pd
@@ -782,23 +813,48 @@ def heavy_hitters(
     spark = df.sparkSession
     theta_num, theta_den = num, denom
 
-    def local_candidates(it):
+    # NULL keys are excluded from BOTH the stream and the denominator
+    # (pandas value_counts drops NaN/None and the semi-join would too;
+    # silently keeping them only in n_total would skew every threshold)
+    stream = df.select(key_col).where(F.col(key_col).isNotNull())
+
+    def local_stats(it):
+        # per Arrow batch (a finer split than a partition only ENLARGES
+        # the guaranteed candidate superset): local heavy hitters plus
+        # one `_n`-row carrying the batch's row count, so the total N
+        # comes out of THIS pass — a genuine two-scan algorithm, not
+        # two passes plus a count job
         for pdf in it:
             if len(pdf) == 0:
                 continue
             counts = pdf[key_col].value_counts()
             thresh = theta_num * len(pdf) / theta_den
             keep = counts[counts >= thresh]
-            if len(keep):
-                yield pd.DataFrame({key_col: keep.index})
+            yield pd.DataFrame(
+                {
+                    key_col: list(keep.index) + [None],
+                    "_n": [None] * len(keep) + [len(pdf)],
+                }
+            )
 
-    cand_schema = T.StructType([df.schema[key_col]])
-    cands = df.select(key_col).mapInPandas(
-        local_candidates, cand_schema
-    ).distinct()
-    n_total = df.count()
+    # the key field must be NULLABLE here regardless of the input
+    # schema: the per-batch `_n` rows carry a null key by design
+    stats_schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType, True),
+            T.StructField("_n", T.LongType()),
+        ]
+    )
+    # bounded by construction: <= (denom/num + 1) rows per Arrow batch
+    stats = stream.mapInPandas(local_stats, stats_schema).persist()
+    n_total = int(
+        stats.agg(F.sum("_n").alias("n")).first().n or 0
+    )
+    cands = (
+        stats.where(F.col("_n").isNull()).select(key_col).distinct()
+    )
     verified = (
-        df.join(F.broadcast(cands), key_col, "left_semi")
+        stream.join(F.broadcast(cands), key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") * theta_den >= theta_num * F.lit(n_total))

@@ -181,6 +181,33 @@ def run_stream_frequency_monitor(
     )
 
 
+def _run_scoped_state(
+    spark: SparkSession,
+    state_dir: str,
+    checkpoint_dir: str | None,
+    run_file: str,
+    what: str,
+) -> DataFrame:
+    """The ONE definition of SUM-merge run scoping, shared by every
+    reader whose merge is NOT replay-idempotent (count-min cells,
+    histogram bins): ``checkpoint_dir`` resolves that checkpoint
+    lineage's run id and filters the state to it; with multiple runs
+    on disk and no checkpoint_dir the read REFUSES rather than
+    silently double-count data a fresh-checkpoint restart replayed."""
+    state = spark.read.parquet(state_dir)
+    if checkpoint_dir is not None:
+        run_id = run_id_for_checkpoint(checkpoint_dir, run_file)
+        return state.where(F.col("run") == run_id)
+    runs = [r.run for r in state.select("run").distinct().collect()]
+    if len(runs) > 1:
+        raise ValueError(
+            f"{what}: {len(runs)} runs in {state_dir!r}; pass "
+            "checkpoint_dir to select one (summing across runs "
+            "double-counts replayed data)"
+        )
+    return state
+
+
 def frequency_estimates(
     spark: SparkSession,
     out_dir: str,
@@ -207,18 +234,13 @@ def frequency_estimates(
     count-min sketch of that run's (complete, availableNow) stream."""
     from bolson_spark.functions.sketch import md5_draw
 
-    cells = spark.read.parquet(_cm_dir(out_dir))
-    if checkpoint_dir is not None:
-        run_id = run_id_for_checkpoint(checkpoint_dir, "bolson_cm_run_id")
-        cells = cells.where(F.col("run") == run_id)
-    else:
-        runs = [r.run for r in cells.select("run").distinct().collect()]
-        if len(runs) > 1:
-            raise ValueError(
-                f"frequency_estimates: {len(runs)} runs in {out_dir!r}; "
-                "pass checkpoint_dir to select one (summing across runs "
-                "double-counts replayed data)"
-            )
+    cells = _run_scoped_state(
+        spark,
+        _cm_dir(out_dir),
+        checkpoint_dir,
+        "bolson_cm_run_id",
+        "frequency_estimates",
+    )
     merged = cells.groupBy("j", "c").agg(
         F.sum("cell_count").alias("cell_count")
     )
@@ -261,24 +283,26 @@ def run_stream_histogram_monitor(
     idempotency discipline as the count-min monitor: SUM is not
     replay-idempotent, so exactly-once comes from the (run, batch)
     storage key. State: batches x groups x n_bins 3-int rows."""
+    # the clamp and bucket rules are sketch.py's own (_hist_clamped /
+    # _hist_bucket, incl. its bigint-overflow guard) — a local copy of
+    # the binning arithmetic could drift from the batch sketch and
+    # silently break the bin-wise merge parity
+    from bolson_spark.functions.sketch import _hist_bucket, _hist_clamped
+
     vmin, vmax = bounds
     span = vmax - vmin + 1
+    bucket = _hist_bucket(vmin, span, n_bins)  # validates overflow NOW
     hist_dir = _hist_dir(out_dir)
     run_id = run_id_for_checkpoint(checkpoint_dir, "bolson_hist_run_id")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         vals = batch_df.select(
             F.col(group_col).alias("grp"),
-            F.least(
-                F.greatest(F.col(value_col).cast("bigint"), F.lit(vmin)),
-                F.lit(vmax),
-            ).alias("v"),
+            F.col(value_col).cast("bigint").alias("v"),
+        ).withColumn("_vb", _hist_clamped(vmin, vmax))
+        grid = vals.groupBy("grp", bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("cnt")
         )
-        grid = vals.groupBy(
-            "grp", F.expr(f"((v - {vmin}) * {n_bins}) div {span}").alias(
-                "bucket"
-            )
-        ).agg(F.count(F.lit(1)).alias("cnt"))
         (
             grid.withColumn("run", F.lit(run_id))
             .withColumn("batch", F.lit(batch_id))
@@ -315,17 +339,13 @@ def quantile_estimates(
     from bolson_spark.functions.sketch import _hist_estimate
 
     vmin, vmax = bounds
-    bins = spark.read.parquet(_hist_dir(out_dir))
-    if checkpoint_dir is not None:
-        run_id = run_id_for_checkpoint(checkpoint_dir, "bolson_hist_run_id")
-        bins = bins.where(F.col("run") == run_id)
-    else:
-        runs = [r.run for r in bins.select("run").distinct().collect()]
-        if len(runs) > 1:
-            raise ValueError(
-                f"quantile_estimates: {len(runs)} runs in {out_dir!r}; "
-                "pass checkpoint_dir to select one"
-            )
+    bins = _run_scoped_state(
+        spark,
+        _hist_dir(out_dir),
+        checkpoint_dir,
+        "bolson_hist_run_id",
+        "quantile_estimates",
+    )
     merged = bins.groupBy("grp", "bucket").agg(F.sum("cnt").alias("cnt"))
     est = _hist_estimate(
         merged, "grp", percents, vmin, vmax - vmin + 1, n_bins

@@ -2096,8 +2096,7 @@ def test_hist_quantiles_error_bound_and_monotone(spark):
 
     rows = QUERIES["hist_quantiles"].fn(spark, "/root/testdata/sf0.001").collect()
     assert rows
-    vs = [r for r in rows]
-    span = None
+    vs = list(rows)
     # recompute the bin width bound from the data
     import pyspark.sql.functions as F
 
@@ -2138,7 +2137,6 @@ def test_whitening_fit_apply_identity_covariance(spark):
         [r.whitened for r in out.limit(512).collect()], dtype=np.float64
     )
     cov = np.cov(y, rowvar=False, bias=True)
-    d = cov.shape[0]
     # drawn from the same distribution the fit sampled: near-identity
     assert np.allclose(np.diag(cov), 1.0, atol=0.05)
     off = cov - np.diag(np.diag(cov))
@@ -2180,3 +2178,51 @@ def test_heavy_hitters_exact_and_partitioning_independent(spark):
             r.n_total == n
             for r in heavy_hitters(df, "k", num=1, denom=20).collect()
         )
+
+
+def test_hist_quantiles_frozen_bounds_edge_cases(spark):
+    """Review-fix pins: (a) under drifted frozen bounds the EXACT
+    column reports the raw truth while the estimate clamps — the
+    accuracy report must EXPOSE drift, not hide it; (b) a span x
+    n_bins product past the bigint guard refuses loudly; (c) empty
+    input without bounds raises a clear error."""
+    import pytest as _pytest
+
+    from bolson_spark.functions.sketch import hist_quantiles
+
+    # (a) drifted distribution: 90% of values sit above the frozen
+    # bounds, so the true p50 is 10_000 while the binned estimate
+    # clamps — the report must show that gap
+    vals = list(range(10)) + [10_000] * 90
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "v"])
+    rows = {
+        r.pct: r
+        for r in hist_quantiles(
+            df, "v", "grp", percents=(50, 99), bounds=(0, 100), n_bins=64
+        ).collect()
+    }
+    assert rows[50].exact == 10_000  # raw truth, not the clamp
+    assert rows[50].est <= 100  # the estimate IS clamped
+    assert rows[99].exact == 10_000
+
+    # (b) overflow guard
+    with _pytest.raises(ValueError, match="overflow"):
+        hist_quantiles(df, "v", "grp", bounds=(0, 1 << 60), n_bins=256)
+
+    # (c) empty input, no bounds
+    with _pytest.raises(ValueError, match="empty input"):
+        hist_quantiles(df.where(F.lit(False)), "v", "grp")
+
+
+def test_heavy_hitters_excludes_null_keys_consistently(spark):
+    """NULL keys are excluded from the stream AND the denominator: a
+    90%-null input must still report the real keys against the
+    non-null total, and nulls never appear in the output."""
+    from bolson_spark.functions.sketch import heavy_hitters
+
+    rows = [(None,)] * 90 + [("a",)] * 8 + [("b",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.k: r for r in heavy_hitters(df, "k", num=1, denom=2).collect()}
+    # non-null total is 10; only 'a' (8/10) clears theta=1/2
+    assert set(got) == {"a"}
+    assert got["a"].cnt == 8 and got["a"].n_total == 10
