@@ -191,10 +191,11 @@ def cmd_ingest(args) -> int:
 def cmd_monitor(args) -> int:
     """Streaming ingest monitoring of a jsonl document stream (doc_id,
     text, source): per-source + overall distinct-token cardinality
-    (HLL registers, replay-safe by MAX algebra) and optional top-token
+    (HLL registers, replay-safe by MAX algebra), optional top-token
     frequency estimates (count-min grid, replay-safe by (run,batch)
-    storage keys) — the runnable product shape of
-    streaming/monitor.py's tested paths."""
+    storage keys), and optional per-source doc-length quantiles
+    (histogram bins under frozen --length-bounds) — the runnable
+    product shape of streaming/monitor.py's tested paths."""
     from pyspark.sql import functions as F
 
     from bolson_spark.session import get_spark
@@ -252,6 +253,42 @@ def cmd_monitor(args) -> int:
             r.token: r.cm_estimate
             for r in frequency_estimates(
                 spark, args.out_dir, probe, "token", checkpoint_dir=cm_ckpt
+            ).collect()
+        }
+    if args.length_bounds:
+        from bolson_spark.streaming.monitor import (
+            quantile_estimates,
+            run_stream_histogram_monitor,
+        )
+
+        vmin, vmax = args.length_bounds
+        h_ckpt = args.checkpoint + "-hist"
+        r = spark.readStream.format("json").schema(
+            "doc_id bigint, text string, source string"
+        )
+        if args.max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", args.max_files_per_trigger)
+        lengths = r.load(args.in_dir).select(
+            "source",
+            F.size(
+                F.filter(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                    lambda x: x != "",
+                )
+            ).alias("n_tokens"),
+        )
+        run_stream_histogram_monitor(
+            lengths,
+            args.out_dir,
+            h_ckpt,
+            "n_tokens",
+            "source",
+            (vmin, vmax),
+        ).awaitTermination()
+        result["doc_length_quantiles"] = {
+            f"{r.scope}:p{r.pct}": r.est
+            for r in quantile_estimates(
+                spark, args.out_dir, (vmin, vmax), checkpoint_dir=h_ckpt
             ).collect()
         }
     print(json.dumps(result, sort_keys=True))
@@ -669,6 +706,14 @@ def main(argv=None) -> int:
         "--probe-tokens",
         nargs="*",
         help="tokens to frequency-estimate via the count-min monitor",
+    )
+    mo.add_argument(
+        "--length-bounds",
+        nargs=2,
+        type=int,
+        metavar=("VMIN", "VMAX"),
+        help="frozen doc-token-count bounds: enables the per-source "
+        "p50/p95/p99 length quantile monitor",
     )
     mo.add_argument("--max-files-per-trigger", type=int)
     mo.set_defaults(fn=cmd_monitor)

@@ -187,6 +187,7 @@ def test_cli_monitor_cardinality_and_frequency(spark, tmp_path, capsys):
             "--out-dir", str(tmp_path / "mon"),
             "--checkpoint", str(tmp_path / "ck"),
             "--probe-tokens", "common", "w0", "neverseen",
+            "--length-bounds", "0", "1024",
         ]
     )
     assert rc == 0
@@ -208,3 +209,12 @@ def test_cli_monitor_cardinality_and_frequency(spark, tmp_path, capsys):
     # so only the one-sided bound holds (exact-zero with a wide grid
     # is covered in test_functions' cm test)
     assert 0 <= freq["neverseen"] <= 30
+    # per-source doc-length quantiles: web docs are 350-token docs,
+    # books docs are 301 and 3 tokens — p50/p95/p99 within one 4-token
+    # bin width (span 1025 / 256 bins) of the known disc quantiles
+    ql = out["doc_length_quantiles"]
+    for key, truth in (
+        ("web:p50", 350), ("web:p99", 350),
+        ("books:p50", 3), ("books:p99", 301),
+    ):
+        assert truth <= ql[key] <= truth + 5, (key, ql[key], truth)
