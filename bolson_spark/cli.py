@@ -194,103 +194,117 @@ def cmd_monitor(args) -> int:
     (HLL registers, replay-safe by MAX algebra), optional top-token
     frequency estimates (count-min grid, replay-safe by (run,batch)
     storage keys), and optional per-source doc-length quantiles
-    (histogram bins under frozen --length-bounds) — the runnable
-    product shape of streaming/monitor.py's tested paths."""
+    (histogram bins under frozen --length-bounds). All enabled
+    monitors share ONE streaming pass — a single foreachBatch fans the
+    micro-batch into each state writer, so adding a monitor never adds
+    a scan of the backlog."""
     from pyspark.sql import functions as F
 
-    from bolson_spark.session import get_spark
     from bolson_spark.streaming.monitor import (
+        _pin_hist_bounds,
         cardinality_estimates,
         frequency_estimates,
-        run_stream_cardinality_monitor,
-        run_stream_frequency_monitor,
+        quantile_estimates,
+        write_cm_batch,
+        write_hist_batch,
+        write_hll_batch,
     )
+    from bolson_spark.session import get_spark
+    from bolson_spark.streaming.util import run_id_for_checkpoint
 
     spark = get_spark("bolson-monitor")
     t0 = time.time()
 
-    def reader():
-        r = spark.readStream.format("json").schema(
-            "doc_id bigint, text string, source string"
-        )
-        if args.max_files_per_trigger:
-            r = r.option("maxFilesPerTrigger", args.max_files_per_trigger)
-        toks = r.load(args.in_dir).select(
-            "source",
-            F.explode(
-                F.filter(
-                    F.split(F.coalesce(F.col("text"), F.lit("")), " "),
-                    lambda x: x != "",
-                )
-            ).alias("token"),
-        )
-        return toks
+    bounds = tuple(args.length_bounds) if args.length_bounds else None
+    # one run id per state kind, all tied to the SAME checkpoint
+    # lineage — the readers resolve them from the same files
+    hll_run = run_id_for_checkpoint(args.checkpoint, "bolson_monitor_run_id")
+    cm_run = run_id_for_checkpoint(args.checkpoint, "bolson_cm_run_id")
+    hist_run = run_id_for_checkpoint(args.checkpoint, "bolson_hist_run_id")
+    if bounds:
+        _pin_hist_bounds(args.checkpoint, bounds, 256)
 
-    q = run_stream_cardinality_monitor(
-        reader(), args.out_dir, args.checkpoint, "token", "source", p=args.p
+    token_arr = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: x != "",
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        # the token array is computed ONCE per batch; the three
+        # monitors consume explode/size views of it
+        base = batch_df.select(
+            "source", token_arr.alias("_toks")
+        ).persist()
+        toks = base.select(
+            "source", F.explode("_toks").alias("token")
+        )
+        write_hll_batch(
+            toks, args.out_dir, hll_run, batch_id, "token", "source",
+            p=args.p,
+        )
+        if args.probe_tokens:
+            write_cm_batch(
+                toks.select("token"), args.out_dir, cm_run, batch_id,
+                "token",
+            )
+        if bounds:
+            write_hist_batch(
+                base.select(
+                    "source", F.size("_toks").alias("n_tokens")
+                ),
+                args.out_dir,
+                hist_run,
+                batch_id,
+                "n_tokens",
+                "source",
+                bounds,
+            )
+        base.unpersist()
+
+    r = spark.readStream.format("json").schema(
+        "doc_id bigint, text string, source string"
+    )
+    if args.max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", args.max_files_per_trigger)
+    q = (
+        r.load(args.in_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", args.checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
     q.awaitTermination()
-    card = {
-        r.scope: round(r.hll_estimate, 1)
-        for r in cardinality_estimates(spark, args.out_dir, p=args.p)
-        .collect()
-    }
+
     result = {
-        "distinct_tokens_est": card,
-        "elapsed_sec": round(time.time() - t0, 3),
+        "distinct_tokens_est": {
+            row.scope: round(row.hll_estimate, 1)
+            for row in cardinality_estimates(
+                spark, args.out_dir, p=args.p
+            ).collect()
+        },
         "out_dir": args.out_dir,
     }
     if args.probe_tokens:
-        cm_ckpt = args.checkpoint + "-cm"
-        q2 = run_stream_frequency_monitor(
-            reader().select("token"), args.out_dir, cm_ckpt, "token"
-        )
-        q2.awaitTermination()
         probe = spark.createDataFrame(
             [(t,) for t in args.probe_tokens], ["token"]
         )
         result["token_freq_est"] = {
-            r.token: r.cm_estimate
-            for r in frequency_estimates(
-                spark, args.out_dir, probe, "token", checkpoint_dir=cm_ckpt
+            row.token: row.cm_estimate
+            for row in frequency_estimates(
+                spark, args.out_dir, probe, "token",
+                checkpoint_dir=args.checkpoint,
             ).collect()
         }
-    if args.length_bounds:
-        from bolson_spark.streaming.monitor import (
-            quantile_estimates,
-            run_stream_histogram_monitor,
-        )
-
-        vmin, vmax = args.length_bounds
-        h_ckpt = args.checkpoint + "-hist"
-        r = spark.readStream.format("json").schema(
-            "doc_id bigint, text string, source string"
-        )
-        if args.max_files_per_trigger:
-            r = r.option("maxFilesPerTrigger", args.max_files_per_trigger)
-        lengths = r.load(args.in_dir).select(
-            "source",
-            F.size(
-                F.filter(
-                    F.split(F.coalesce(F.col("text"), F.lit("")), " "),
-                    lambda x: x != "",
-                )
-            ).alias("n_tokens"),
-        )
-        run_stream_histogram_monitor(
-            lengths,
-            args.out_dir,
-            h_ckpt,
-            "n_tokens",
-            "source",
-            (vmin, vmax),
-        ).awaitTermination()
+    if bounds:
         result["doc_length_quantiles"] = {
-            f"{r.scope}:p{r.pct}": r.est
-            for r in quantile_estimates(
-                spark, args.out_dir, (vmin, vmax), checkpoint_dir=h_ckpt
+            f"{row.scope}:p{row.pct}": row.est
+            for row in quantile_estimates(
+                spark, args.out_dir, bounds,
+                checkpoint_dir=args.checkpoint,
             ).collect()
         }
+    # stamped LAST so the report covers every pass and readback
+    result["elapsed_sec"] = round(time.time() - t0, 3)
     print(json.dumps(result, sort_keys=True))
     return 0
 

@@ -714,6 +714,10 @@ def _hist_bucket(vmin: int, span: int, n_bins: int) -> Column:
     the binning rule, shared batch/stream. Guards the bigint product:
     past 2^62 the multiply would WRAP silently (non-ANSI mode) and
     produce garbage buckets."""
+    if span <= 0:
+        raise ValueError(
+            f"hist bounds invalid: vmin must be <= vmax (span {span})"
+        )
     if span > (1 << 62) // n_bins:
         raise ValueError(
             f"hist bucket overflow: span {span} * n_bins {n_bins} "

@@ -46,6 +46,124 @@ def _registers_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "hll_registers")
 
 
+def _write_state_batch(
+    state: DataFrame, state_dir: str, run_id: str, batch_id: int
+) -> None:
+    """The ONE definition of the idempotent state write shared by all
+    three monitors: sketch-sized rows land under (run, batch) via
+    dynamic partition overwrite, so a replayed batch rewrites its own
+    partition. repartition(1): every state frame here is bounded by
+    construction (registers/cells/bins), one file per batch."""
+    (
+        state.withColumn("run", F.lit(run_id))
+        .withColumn("batch", F.lit(batch_id))
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("run", "batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(state_dir)
+    )
+
+
+def write_hll_batch(
+    batch_df: DataFrame,
+    out_dir: str,
+    run_id: str,
+    batch_id: int,
+    key_col: str,
+    group_col: str,
+    p: int = 6,
+) -> None:
+    """One micro-batch's HLL registers -> state. Exposed so a caller
+    composing several monitors over ONE stream (cli.py monitor) can
+    fan the same foreachBatch into all of them — one scan, not one
+    scan per monitor."""
+    from bolson_spark.functions.sketch import hll_registers
+
+    regs = hll_registers(batch_df, key_col, group_col, p).select(
+        F.col(group_col).alias("grp"), "bucket", "rho"
+    )
+    _write_state_batch(regs, _registers_dir(out_dir), run_id, batch_id)
+
+
+def write_cm_batch(
+    batch_df: DataFrame,
+    out_dir: str,
+    run_id: str,
+    batch_id: int,
+    key_col: str,
+    d: int = 4,
+    w_cells: int = 256,
+) -> None:
+    """One micro-batch's count-min grid -> state (see write_hll_batch
+    for why this is exposed)."""
+    from bolson_spark.functions.sketch import md5_draw
+
+    hashes = [
+        F.pmod(md5_draw(F.col(key_col), f"cm{j}"), F.lit(w_cells))
+        for j in range(d)
+    ]
+    grid = (
+        batch_df.select(F.posexplode(F.array(*hashes)).alias("j", "c"))
+        .groupBy("j", "c")
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+    _write_state_batch(grid, _cm_dir(out_dir), run_id, batch_id)
+
+
+def write_hist_batch(
+    batch_df: DataFrame,
+    out_dir: str,
+    run_id: str,
+    batch_id: int,
+    value_col: str,
+    group_col: str,
+    bounds: tuple[int, int],
+    n_bins: int = 256,
+) -> None:
+    """One micro-batch's histogram bins -> state (see write_hll_batch
+    for why this is exposed). Callers must pin the bounds per
+    checkpoint lineage via _pin_hist_bounds first."""
+    from bolson_spark.functions.sketch import _hist_bucket, _hist_clamped
+
+    vmin, vmax = bounds
+    bucket = _hist_bucket(vmin, vmax - vmin + 1, n_bins)
+    vals = batch_df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("bigint").alias("v"),
+    ).withColumn("_vb", _hist_clamped(vmin, vmax))
+    grid = vals.groupBy("grp", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    _write_state_batch(grid, _hist_dir(out_dir), run_id, batch_id)
+
+
+def _pin_hist_bounds(
+    checkpoint_dir: str, bounds: tuple[int, int], n_bins: int
+) -> None:
+    """Persist (vmin, vmax, n_bins) beside the checkpoint's run id and
+    REFUSE a restart that changes them: bins computed under different
+    edges mean different value ranges, and the cell-wise SUM merge
+    would combine them into plausible-looking but wrong quantiles —
+    the run-id file makes the replayed batches land in the same run,
+    so edge consistency within the lineage is load-bearing."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    want = f"{bounds[0]}:{bounds[1]}:{n_bins}"
+    path = os.path.join(checkpoint_dir, "bolson_hist_bounds")
+    if os.path.exists(path):
+        with open(path) as f:
+            have = f.read().strip()
+        if have != want:
+            raise ValueError(
+                f"histogram monitor bounds changed across restarts of "
+                f"checkpoint {checkpoint_dir!r}: pinned {have!r}, got "
+                f"{want!r} — use a fresh checkpoint+state dir to rebin"
+            )
+        return
+    with open(path, "w") as f:
+        f.write(want)
+
+
 def run_stream_cardinality_monitor(
     stream_df: DataFrame,
     out_dir: str,
@@ -59,23 +177,11 @@ def run_stream_cardinality_monitor(
     dynamic partition overwrite (replays overwrite, restarts on the
     same checkpoint reuse the run id — the util.run_id_for_checkpoint
     idiom). Returns the StreamingQuery."""
-    from bolson_spark.functions.sketch import hll_registers
-
-    regs_dir = _registers_dir(out_dir)
     run_id = run_id_for_checkpoint(checkpoint_dir, "bolson_monitor_run_id")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        regs = hll_registers(batch_df, key_col, group_col, p).select(
-            F.col(group_col).alias("grp"), "bucket", "rho"
-        )
-        (
-            regs.withColumn("run", F.lit(run_id))
-            .withColumn("batch", F.lit(batch_id))
-            .repartition(1)
-            .write.mode("overwrite")
-            .partitionBy("run", "batch")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(regs_dir)
+        write_hll_batch(
+            batch_df, out_dir, run_id, batch_id, key_col, group_col, p
         )
 
     return (
@@ -148,29 +254,11 @@ def run_stream_frequency_monitor(
 
     State size: batches x d x w_cells 3-int rows — volume-independent,
     like every sketch in this module."""
-    from bolson_spark.functions.sketch import md5_draw
-
-    cells_dir = _cm_dir(out_dir)
     run_id = run_id_for_checkpoint(checkpoint_dir, "bolson_cm_run_id")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        hashes = [
-            F.pmod(md5_draw(F.col(key_col), f"cm{j}"), F.lit(w_cells))
-            for j in range(d)
-        ]
-        grid = (
-            batch_df.select(F.posexplode(F.array(*hashes)).alias("j", "c"))
-            .groupBy("j", "c")
-            .agg(F.count(F.lit(1)).alias("cell_count"))
-        )
-        (
-            grid.withColumn("run", F.lit(run_id))
-            .withColumn("batch", F.lit(batch_id))
-            .repartition(1)
-            .write.mode("overwrite")
-            .partitionBy("run", "batch")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(cells_dir)
+        write_cm_batch(
+            batch_df, out_dir, run_id, batch_id, key_col, d, w_cells
         )
 
     return (
@@ -284,33 +372,28 @@ def run_stream_histogram_monitor(
     replay-idempotent, so exactly-once comes from the (run, batch)
     storage key. State: batches x groups x n_bins 3-int rows."""
     # the clamp and bucket rules are sketch.py's own (_hist_clamped /
-    # _hist_bucket, incl. its bigint-overflow guard) — a local copy of
-    # the binning arithmetic could drift from the batch sketch and
-    # silently break the bin-wise merge parity
-    from bolson_spark.functions.sketch import _hist_bucket, _hist_clamped
+    # _hist_bucket, incl. its span/overflow guards, applied inside
+    # write_hist_batch) — a local copy of the binning arithmetic could
+    # drift from the batch sketch and silently break merge parity.
+    # Bounds are PINNED per checkpoint lineage: a restart that changes
+    # them would SUM-merge bins cut at different edges.
+    from bolson_spark.functions.sketch import _hist_bucket
 
     vmin, vmax = bounds
-    span = vmax - vmin + 1
-    bucket = _hist_bucket(vmin, span, n_bins)  # validates overflow NOW
-    hist_dir = _hist_dir(out_dir)
+    _hist_bucket(vmin, vmax - vmin + 1, n_bins)  # validate NOW
+    _pin_hist_bounds(checkpoint_dir, bounds, n_bins)
     run_id = run_id_for_checkpoint(checkpoint_dir, "bolson_hist_run_id")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        vals = batch_df.select(
-            F.col(group_col).alias("grp"),
-            F.col(value_col).cast("bigint").alias("v"),
-        ).withColumn("_vb", _hist_clamped(vmin, vmax))
-        grid = vals.groupBy("grp", bucket.alias("bucket")).agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        (
-            grid.withColumn("run", F.lit(run_id))
-            .withColumn("batch", F.lit(batch_id))
-            .repartition(1)
-            .write.mode("overwrite")
-            .partitionBy("run", "batch")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(hist_dir)
+        write_hist_batch(
+            batch_df,
+            out_dir,
+            run_id,
+            batch_id,
+            value_col,
+            group_col,
+            bounds,
+            n_bins,
         )
 
     return (

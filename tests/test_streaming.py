@@ -1959,3 +1959,55 @@ def test_histogram_monitor_matches_batch_hist_quantiles(spark, tmp_path):
     # state volume-independence: <= batches x groups x n_bins rows
     state = spark.read.parquet(str(tmp_path / "mon" / "hist_bins"))
     assert state.count() <= 3 * 2 * 64
+
+
+def test_histogram_monitor_refuses_changed_bounds_on_restart(
+    spark, tmp_path
+):
+    """Bins computed under different edges must never SUM-merge: a
+    restart of the same checkpoint lineage with different bounds (or
+    bin count) refuses loudly instead of producing plausible-looking
+    wrong quantiles."""
+    import json
+
+    import pytest as _pytest
+
+    from bolson_spark.streaming.monitor import run_stream_histogram_monitor
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        "\n".join(json.dumps({"src": "w", "v": i}) for i in range(50))
+    )
+    out = str(tmp_path / "mon")
+    ckpt = str(tmp_path / "ck")
+
+    def start(bounds, n_bins=64):
+        raw = (
+            spark.readStream.format("json")
+            .schema("src string, v bigint")
+            .load(str(src))
+        )
+        return run_stream_histogram_monitor(
+            raw, out, ckpt, "v", "src", bounds, n_bins=n_bins
+        )
+
+    start((0, 100)).awaitTermination(300)
+    with _pytest.raises(ValueError, match="bounds changed"):
+        start((0, 200))
+    with _pytest.raises(ValueError, match="bounds changed"):
+        start((0, 100), n_bins=32)
+    # unchanged bounds restart fine
+    start((0, 100)).awaitTermination(300)
+    # and invalid bounds refuse up front
+    with _pytest.raises(ValueError, match="vmin must be <= vmax"):
+        run_stream_histogram_monitor(
+            spark.readStream.format("json")
+            .schema("src string, v bigint")
+            .load(str(src)),
+            out,
+            str(tmp_path / "ck2"),
+            "v",
+            "src",
+            (10, 5),
+        )
