@@ -2011,3 +2011,74 @@ def test_histogram_monitor_refuses_changed_bounds_on_restart(
             "src",
             (10, 5),
         )
+
+
+def test_frequency_monitor_crash_replay_does_not_double_count(
+    spark, tmp_path
+):
+    """The CM monitor's exactly-once claim under the REAL crash window:
+    a batch whose state write landed but whose commit marker did not is
+    REPLAYED on restart — the (run,batch) dynamic overwrite must make
+    the replay rewrite its own partition, leaving estimates equal to
+    the batch sketch (a blind append would double-count that batch)."""
+    import json
+    import os
+
+    from bolson_spark.functions.sketch import cm_sketch_freq
+    from bolson_spark.streaming.monitor import (
+        frequency_estimates,
+        run_stream_frequency_monitor,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [["x"] * 30 + ["y"] * 5, ["x"] * 10 + ["z"] * 20]
+    for bi, keys in enumerate(batches):
+        (src / f"p{bi}.jsonl").write_text(
+            "\n".join(json.dumps({"key": k}) for k in keys)
+        )
+    out = str(tmp_path / "mon")
+    ck = tmp_path / "ck"
+
+    def start():
+        raw = (
+            spark.readStream.format("json")
+            .schema("key string")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        return run_stream_frequency_monitor(
+            raw, out, str(ck), key_col="key", d=4, w_cells=64
+        )
+
+    start().awaitTermination(300)
+    # crash window: state written, newest commit marker lost
+    commits = sorted(
+        (f for f in os.listdir(ck / "commits") if not f.startswith(".")),
+        key=int,
+    )
+    os.remove(ck / "commits" / commits[-1])
+    crc = ck / "commits" / f".{commits[-1]}.crc"
+    if crc.exists():
+        os.remove(crc)
+    start().awaitTermination(300)  # replays the uncommitted batch
+
+    all_keys = [k for b in batches for k in b]
+    probe = spark.createDataFrame([("x",), ("y",), ("z",)], ["key"])
+    got = {
+        r.key: r.cm_estimate
+        for r in frequency_estimates(
+            spark, out, probe, "key", checkpoint_dir=str(ck), d=4, w_cells=64
+        ).collect()
+    }
+    want = {
+        r.key: r.cm_estimate
+        for r in cm_sketch_freq(
+            spark.createDataFrame([(k,) for k in all_keys], ["key"]),
+            probe,
+            "key",
+            d=4,
+            w_cells=64,
+        ).collect()
+    }
+    assert got == want  # replay overwrote, never double-appended
