@@ -7,6 +7,14 @@ from bolson_spark.streaming.sink import (
     SchemaMismatchError,
     make_sink,
 )
+from bolson_spark.streaming.monitor import (
+    cardinality_estimates,
+    frequency_estimates,
+    quantile_estimates,
+    run_stream_cardinality_monitor,
+    run_stream_frequency_monitor,
+    run_stream_histogram_monitor,
+)
 from bolson_spark.streaming.pipeline import run_stream_convert
 from bolson_spark.streaming.stateful import (
     running_stats,
@@ -15,6 +23,12 @@ from bolson_spark.streaming.stateful import (
 )
 
 __all__ = [
+    "cardinality_estimates",
+    "frequency_estimates",
+    "quantile_estimates",
+    "run_stream_cardinality_monitor",
+    "run_stream_frequency_monitor",
+    "run_stream_histogram_monitor",
     "BatchingOptions",
     "IpcFileSink",
     "KafkaSink",
