@@ -275,13 +275,22 @@ def cmd_monitor(args) -> int:
     )
     q.awaitTermination()
 
+    # an empty --in-dir processes zero micro-batches, so NO state dirs
+    # exist — report empty estimate sets instead of throwing
+    # PATH_NOT_FOUND at the readback (the run is legitimate, the
+    # answer is "nothing ingested yet")
+    import os
+
+    have_state = os.path.isdir(os.path.join(args.out_dir, "hll_registers"))
     result = {
         "distinct_tokens_est": {
             row.scope: round(row.hll_estimate, 1)
             for row in cardinality_estimates(
                 spark, args.out_dir, p=args.p
             ).collect()
-        },
+        }
+        if have_state
+        else {},
         "out_dir": args.out_dir,
     }
     if args.probe_tokens:
@@ -294,7 +303,7 @@ def cmd_monitor(args) -> int:
                 spark, args.out_dir, probe, "token",
                 checkpoint_dir=args.checkpoint,
             ).collect()
-        }
+        } if have_state else {}
     if bounds:
         result["doc_length_quantiles"] = {
             f"{row.scope}:p{row.pct}": row.est
@@ -302,7 +311,7 @@ def cmd_monitor(args) -> int:
                 spark, args.out_dir, bounds,
                 checkpoint_dir=args.checkpoint,
             ).collect()
-        }
+        } if have_state else {}
     # stamped LAST so the report covers every pass and readback
     result["elapsed_sec"] = round(time.time() - t0, 3)
     print(json.dumps(result, sort_keys=True))

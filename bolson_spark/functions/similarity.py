@@ -1628,10 +1628,15 @@ def fit_whitening(
     from bolson_spark.functions.sketch import md5_draw
 
     drawn = df.select(
-        F.col(vec_col), md5_draw(F.col(id_col), "whiten").alias("_v")
+        F.col(vec_col),
+        F.col(id_col).alias("_id"),
+        md5_draw(F.col(id_col), "whiten").alias("_v"),
     )
+    # (_v, id) ordering — equal draws at the sample_n cutoff resolve
+    # deterministically (the _bottom_k_rows convention); a bare
+    # orderBy("_v") would make the selected set depend on scan order
     rows = (
-        drawn.orderBy("_v").limit(sample_n).select(vec_col).collect()
+        drawn.orderBy("_v", "_id").limit(sample_n).select(vec_col).collect()
     )
     x = np.array([r[0] for r in rows], dtype=np.float64)
     mean = x.mean(axis=0)

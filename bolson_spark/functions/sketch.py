@@ -495,30 +495,42 @@ def hll_union(
     # exchange-reused across the two consumers, and caching a
     # vocabulary-scale table costs more than the reuse saves).
     regs = hll_registers(df, key_col, group_col, p).persist()
-    # a group literally named like the total row would cross-join with
-    # it in the final scope join and silently corrupt both rows
-    if regs.where(F.col(group_col) == total_label).limit(1).count() > 0:
-        raise ValueError(
-            f"hll_union: group value {total_label!r} collides with "
-            f"total_label — pass a different total_label"
+    try:
+        # a group literally named like the total row would cross-join
+        # with it in the final scope join and silently corrupt both rows
+        if regs.where(F.col(group_col) == total_label).limit(1).count() > 0:
+            raise ValueError(
+                f"hll_union: group value {total_label!r} collides with "
+                f"total_label — pass a different total_label"
+            )
+        # the shift amount is a COLUMN (varies per register), so the SQL
+        # form — the python F.shiftleft only takes a literal bit count
+        term = F.expr(f"shiftleft(1L, {k} - rho)")
+        per_group = regs.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("occupied"), F.sum(term).alias("s_int")
         )
-    # the shift amount is a COLUMN (varies per register), so the SQL
-    # form — the python F.shiftleft only takes a literal bit count
-    term = F.expr(f"shiftleft(1L, {k} - rho)")
-    per_group = regs.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("occupied"), F.sum(term).alias("s_int")
-    )
-    # union sketch = bucket-wise max over the G*2^p register rows
-    merged = regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
-    total = merged.agg(
-        F.count(F.lit(1)).alias("occupied"), F.sum(term).alias("s_int")
-    ).select(F.lit(total_label).alias(group_col), "occupied", "s_int")
+        # union sketch = bucket-wise max over the G*2^p register rows
+        merged = regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
+        total = merged.agg(
+            F.count(F.lit(1)).alias("occupied"), F.sum(term).alias("s_int")
+        ).select(F.lit(total_label).alias(group_col), "occupied", "s_int")
+        agg = per_group.unionByName(total)
+        # materialize the G+1 aggregate rows (3 ints each — bounded by
+        # construction) so the persisted register frame can be RELEASED
+        # here instead of leaking until session end: the returned frame
+        # must not lazily reference regs (a long-lived monitoring
+        # session calling this per tick would pin a frame per call)
+        agg_rows, agg_schema = agg.collect(), agg.schema
+    finally:
+        regs.unpersist()
     keys = df.select(group_col, key_col).distinct()
     exact_g = keys.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_exact"))
     exact_t = keys.select(key_col).distinct().agg(
         F.count(F.lit(1)).alias("n_exact")
     ).select(F.lit(total_label).alias(group_col), "n_exact")
-    est = _hll_estimate(per_group.unionByName(total), p)
+    est = _hll_estimate(
+        df.sparkSession.createDataFrame(agg_rows, agg_schema), p
+    )
     exact = exact_g.unionByName(exact_t)
     return exact.join(est, group_col).select(
         F.col(group_col).alias("scope"),
@@ -656,7 +668,14 @@ def hist_quantiles(
     Output: (group_col, pct, n, est, exact) — est/exact are values
     from the input domain, bigint.
     """
-    vals = df.select(group_col, F.col(value_col).cast("bigint").alias("v"))
+    # NULL values carry no rank information: unfiltered, a null v would
+    # clamp/bin to a NULL bucket that sorts FIRST in _hist_estimate's
+    # cumulative window and still count toward n — silently skewing
+    # every quantile (and yielding a null est when the rank lands in
+    # the null bucket). The clamp only handles OUT-OF-RANGE, not null.
+    vals = df.select(
+        group_col, F.col(value_col).cast("bigint").alias("v")
+    ).where(F.col("v").isNotNull())
     if bounds is None:
         b = vals.agg(
             F.min("v").alias("vmin"), F.max("v").alias("vmax")
@@ -777,11 +796,52 @@ def _hist_estimate(
     )
 
 
+# Above this many ESTIMATED distinct keys, heavy_hitters(mode="auto")
+# routes to the two-pass candidate plan: the naive groupBy exchanges
+# the entire distinct-key tail, and past a few million keys those
+# shuffle bytes dominate the extra scan the candidate pass costs. The
+# honest local A/B (SCALING.md "heavy_hitters vs naive groupBy",
+# 13M tokens): naive 1.4 s vs two-pass 3.9 s — locally naive WINS,
+# because a 13M-row loopback shuffle is cheap; the crossover is the
+# network-bound cluster regime. Same auto-guard pattern as
+# bpe.py::DRIVER_VOCAB_CAP.
+NAIVE_DISTINCT_CAP = 4_000_000
+
+
+def _hh_route(
+    stream: DataFrame,
+    key_col: str,
+    cap: int,
+    sample_mod: int = 256,
+) -> str:
+    """Route on the quantity that actually differs between the plans —
+    the distinct-key count the naive groupBy would exchange — estimated
+    from a KEY-HASH sample: keys whose md5 draw lands in a 1/sample_mod
+    bucket are a uniform sample of the DISTINCT key population (every
+    occurrence of a key agrees on membership), so
+    distinct(sampled) * sample_mod is an unbiased estimate at
+    1/sample_mod of the exchange cost. One cheap extra scan; the
+    decision never affects the RESULT (both routes are exact and
+    identical — tested)."""
+    sampled = (
+        stream.where(
+            F.pmod(md5_draw(F.col(key_col), "hhroute"), F.lit(sample_mod))
+            == 0
+        )
+        .select(key_col)
+        .distinct()
+        .count()
+    )
+    return "naive" if sampled * sample_mod <= cap else "twopass"
+
+
 def heavy_hitters(
     df: DataFrame,
     key_col: str,
     num: int = 1,
     denom: int = 500,
+    mode: str = "auto",
+    naive_distinct_cap: int = NAIVE_DISTINCT_CAP,
 ) -> DataFrame:
     """EXACT frequency-threshold heavy hitters (all keys with global
     count >= (num/denom) * N) in two passes where the Zipf TAIL never
@@ -810,6 +870,15 @@ def heavy_hitters(
     out of pass 1 (per-batch `_n` rows summed on the tiny stats
     frame), so the algorithm really is two data scans.
 
+    ``mode``: "twopass" forces the candidate plan above; "naive" is
+    the plain groupBy(key).count() filter (2 scans too: a count(*)
+    for N, then the aggregate) whose exchange carries the FULL
+    distinct-key tail — the faster plan on a single box or a small
+    vocabulary, the losing one when tail shuffle bytes dominate
+    (measured A/B in SCALING.md); "auto" (default) picks by a
+    sampled distinct-count estimate vs `naive_distinct_cap`. All
+    routes return the identical exact result (tested).
+
     Output: (key_col, cnt, n_total), count-descending ties by key.
     """
     import pandas as pd
@@ -821,6 +890,23 @@ def heavy_hitters(
     # (pandas value_counts drops NaN/None and the semi-join would too;
     # silently keeping them only in n_total would skew every threshold)
     stream = df.select(key_col).where(F.col(key_col).isNotNull())
+
+    if mode not in ("auto", "naive", "twopass"):
+        raise ValueError(f"heavy_hitters: unknown mode {mode!r}")
+    if mode == "auto":
+        mode = _hh_route(stream, key_col, naive_distinct_cap)
+    if mode == "naive":
+        n_total = stream.count()
+        verified = (
+            stream.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") * theta_den >= theta_num * F.lit(n_total))
+        )
+        return verified.select(
+            key_col,
+            F.col("cnt").cast("bigint"),
+            F.lit(n_total).cast("bigint").alias("n_total"),
+        ).orderBy(F.col("cnt").desc(), key_col)
 
     def local_stats(it):
         # per Arrow batch (a finer split than a partition only ENLARGES
@@ -851,11 +937,25 @@ def heavy_hitters(
     )
     # bounded by construction: <= (denom/num + 1) rows per Arrow batch
     stats = stream.mapInPandas(local_stats, stats_schema).persist()
-    n_total = int(
-        stats.agg(F.sum("_n").alias("n")).first().n or 0
-    )
-    cands = (
-        stats.where(F.col("_n").isNull()).select(key_col).distinct()
+    try:
+        n_total = int(
+            stats.agg(F.sum("_n").alias("n")).first().n or 0
+        )
+        # materialize the candidate superset NOW (driver-bounded: the
+        # broadcast below would collect it to the driver anyway) so the
+        # persisted stats frame can be RELEASED here instead of leaking
+        # until session end — the returned frame must not lazily
+        # reference stats
+        cand_rows = (
+            stats.where(F.col("_n").isNull())
+            .select(key_col)
+            .distinct()
+            .collect()
+        )
+    finally:
+        stats.unpersist()
+    cands = spark.createDataFrame(
+        cand_rows, T.StructType([stats_schema[key_col]])
     )
     verified = (
         stream.join(F.broadcast(cands), key_col, "left_semi")

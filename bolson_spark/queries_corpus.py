@@ -1976,6 +1976,7 @@ WITH t AS (
   SELECT source,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS v
   FROM documents
+  WHERE len(string_split(text, ' ')) IS NOT NULL
 ),
 b AS (SELECT MIN(v) AS vmin, MAX(v) - MIN(v) + 1 AS span FROM t),
 h AS (

@@ -39,11 +39,54 @@ from pyspark.sql import functions as F
 # could silently desync the read-time s_int scaling from the rho values
 # hll_registers wrote
 from bolson_spark.functions.sketch import HASH_BITS, _hll_estimate
-from bolson_spark.streaming.util import run_id_for_checkpoint
+from bolson_spark.streaming.util import read_run_id, run_id_for_checkpoint
 
 
 def _registers_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "hll_registers")
+
+
+def _pin_state_params(state_dir: str, want: str, what: str) -> None:
+    """Pin the sketch parameters BESIDE the state they shaped (the
+    `_pin_hist_bounds` idiom, generalized): the first write records
+    them, every later write AND read verifies. Registers built under
+    p=6 merged as p=7, or a w_cells=64 grid probed with w_cells=256
+    hashes, produce plausible-looking but wrong — possibly
+    UNDER-counting — estimates; the pin makes the mismatch loud
+    instead. The filename is underscore-prefixed so Spark's file index
+    ignores it inside the parquet dir."""
+    os.makedirs(state_dir, exist_ok=True)
+    path = os.path.join(state_dir, "_bolson_params")
+    if os.path.exists(path):
+        with open(path) as f:
+            have = f.read().strip()
+        if have != want:
+            raise ValueError(
+                f"{what}: sketch params {want!r} do not match the "
+                f"{have!r} this state was built under ({state_dir!r}) "
+                "— estimates merged/probed across mismatched params "
+                "are silently wrong; use a fresh state dir to change "
+                "them"
+            )
+        return
+    with open(path, "w") as f:
+        f.write(want)
+
+
+def _verify_state_params(state_dir: str, want: str, what: str) -> None:
+    """Read-side param check: verify against the pin when one exists
+    (states written before pinning existed are accepted as-is —
+    verification can't conjure the provenance they never recorded)."""
+    path = os.path.join(state_dir, "_bolson_params")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        have = f.read().strip()
+    if have != want:
+        raise ValueError(
+            f"{what}: requested sketch params {want!r} do not match "
+            f"the {have!r} this state was built under ({state_dir!r})"
+        )
 
 
 def _write_state_batch(
@@ -80,6 +123,7 @@ def write_hll_batch(
     scan per monitor."""
     from bolson_spark.functions.sketch import hll_registers
 
+    _pin_state_params(_registers_dir(out_dir), f"p={p}", "write_hll_batch")
     regs = hll_registers(batch_df, key_col, group_col, p).select(
         F.col(group_col).alias("grp"), "bucket", "rho"
     )
@@ -99,6 +143,9 @@ def write_cm_batch(
     for why this is exposed)."""
     from bolson_spark.functions.sketch import md5_draw
 
+    _pin_state_params(
+        _cm_dir(out_dir), f"d={d}:w={w_cells}", "write_cm_batch"
+    )
     hashes = [
         F.pmod(md5_draw(F.col(key_col), f"cm{j}"), F.lit(w_cells))
         for j in range(d)
@@ -127,11 +174,22 @@ def write_hist_batch(
     from bolson_spark.functions.sketch import _hist_bucket, _hist_clamped
 
     vmin, vmax = bounds
+    _pin_state_params(
+        _hist_dir(out_dir), f"{vmin}:{vmax}:{n_bins}", "write_hist_batch"
+    )
     bucket = _hist_bucket(vmin, vmax - vmin + 1, n_bins)
-    vals = batch_df.select(
-        F.col(group_col).alias("grp"),
-        F.col(value_col).cast("bigint").alias("v"),
-    ).withColumn("_vb", _hist_clamped(vmin, vmax))
+    # NULL values carry no rank information: unfiltered they'd bin to a
+    # NULL bucket that sorts FIRST in the cumulative merge and still
+    # counts toward n — silently skewing every quantile (same rule as
+    # the batch sketch, hist_quantiles)
+    vals = (
+        batch_df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("bigint").alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .withColumn("_vb", _hist_clamped(vmin, vmax))
+    )
     grid = vals.groupBy("grp", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -208,6 +266,9 @@ def cardinality_estimates(
     merges its registers into the old runs' without double-counting —
     the algebra absorbs what the count-min twin needs a run filter
     for. Output: (scope, occupied, hll_estimate)."""
+    _verify_state_params(
+        _registers_dir(out_dir), f"p={p}", "cardinality_estimates"
+    )
     k = HASH_BITS - p + 1
     regs = (
         spark.read.parquet(_registers_dir(out_dir))
@@ -283,10 +344,23 @@ def _run_scoped_state(
     on disk and no checkpoint_dir the read REFUSES rather than
     silently double-count data a fresh-checkpoint restart replayed."""
     state = spark.read.parquet(state_dir)
-    if checkpoint_dir is not None:
-        run_id = run_id_for_checkpoint(checkpoint_dir, run_file)
-        return state.where(F.col("run") == run_id)
+    # the distinct-runs list is bounded (one value per stream lineage
+    # ever pointed at this state dir) and doubles as the membership
+    # check below — collecting it costs one scan of sketch-sized rows
     runs = [r.run for r in state.select("run").distinct().collect()]
+    if checkpoint_dir is not None:
+        # READ-ONLY resolve: minting here would both mutate the
+        # checkpoint dir during a read and filter to a run that never
+        # wrote state — silently answering 0/empty for every probe
+        run_id = read_run_id(checkpoint_dir, run_file)
+        if runs and run_id not in runs:
+            raise ValueError(
+                f"{what}: run id {run_id!r} from checkpoint "
+                f"{checkpoint_dir!r} wrote no state under {state_dir!r} "
+                f"(runs present: {sorted(runs)}) — wrong checkpoint/"
+                "state pairing, or the stream produced no batches"
+            )
+        return state.where(F.col("run") == run_id)
     if len(runs) > 1:
         raise ValueError(
             f"{what}: {len(runs)} runs in {state_dir!r}; pass "
@@ -322,6 +396,9 @@ def frequency_estimates(
     count-min sketch of that run's (complete, availableNow) stream."""
     from bolson_spark.functions.sketch import md5_draw
 
+    _verify_state_params(
+        _cm_dir(out_dir), f"d={d}:w={w_cells}", "frequency_estimates"
+    )
     cells = _run_scoped_state(
         spark,
         _cm_dir(out_dir),
@@ -422,6 +499,9 @@ def quantile_estimates(
     from bolson_spark.functions.sketch import _hist_estimate
 
     vmin, vmax = bounds
+    _verify_state_params(
+        _hist_dir(out_dir), f"{vmin}:{vmax}:{n_bins}", "quantile_estimates"
+    )
     bins = _run_scoped_state(
         spark,
         _hist_dir(out_dir),

@@ -218,3 +218,31 @@ def test_cli_monitor_cardinality_and_frequency(spark, tmp_path, capsys):
         ("books:p50", 3), ("books:p99", 301),
     ):
         assert truth <= ql[key] <= truth + 5, (key, ql[key], truth)
+
+
+def test_cli_monitor_empty_in_dir(spark, tmp_path, capsys):
+    """`monitor` over an empty --in-dir processes zero micro-batches,
+    so no state dirs exist — the readback must report empty estimate
+    sets (a legitimate "nothing ingested yet" answer), not throw
+    PATH_NOT_FOUND."""
+    src = tmp_path / "docs"
+    src.mkdir()  # exists, but holds no files
+    rc = main(
+        [
+            "monitor",
+            "--in-dir", str(src),
+            "--out-dir", str(tmp_path / "mon"),
+            "--checkpoint", str(tmp_path / "ck"),
+            "--probe-tokens", "common",
+            "--length-bounds", "0", "1024",
+        ]
+    )
+    assert rc == 0
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ][-1]
+    out = json.loads(line)
+    assert out["distinct_tokens_est"] == {}
+    assert out["token_freq_est"] == {}
+    assert out["doc_length_quantiles"] == {}

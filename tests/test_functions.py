@@ -2226,3 +2226,91 @@ def test_heavy_hitters_excludes_null_keys_consistently(spark):
     # non-null total is 10; only 'a' (8/10) clears theta=1/2
     assert set(got) == {"a"}
     assert got["a"].cnt == 8 and got["a"].n_total == 10
+
+
+def _n_persisted(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_heavy_hitters_modes_identical_and_no_cache_leak(spark):
+    """All three routes (naive groupBy, two-pass candidate, auto) must
+    return the identical exact result — the route is a SHUFFLE-BYTES
+    decision, never a semantics one — and neither route may leave a
+    persisted frame behind (the CLI/monitor usage shape is a
+    long-lived session calling this per tick; a leaked persist per
+    call pins memory forever)."""
+    from bolson_spark.functions.sketch import heavy_hitters
+
+    stream = (
+        ["hot"] * 400 + ["warm"] * 100 + [f"tail{i}" for i in range(500)]
+    )
+    df = spark.createDataFrame([(k,) for k in stream], ["k"]).repartition(7)
+    results = {}
+    for mode in ("naive", "twopass", "auto"):
+        before = _n_persisted(spark)
+        results[mode] = [
+            (r.k, r.cnt, r.n_total)
+            for r in heavy_hitters(df, "k", num=1, denom=20, mode=mode)
+            .collect()
+        ]
+        assert _n_persisted(spark) == before, mode
+    assert results["naive"] == results["twopass"] == results["auto"]
+    assert len(results["naive"]) == 2  # hot + warm
+
+
+def test_heavy_hitters_route_decision(spark):
+    """mode="auto" routes on the sampled distinct-count estimate: a
+    tiny vocabulary stays under any reasonable cap (naive), and a cap
+    of 0 forces the two-pass plan regardless."""
+    from bolson_spark.functions.sketch import _hh_route, heavy_hitters
+
+    # enough distinct keys that the 1/256 hash-sample is non-empty —
+    # the estimate must clear cap=0 to force the two-pass route
+    df = spark.createDataFrame([(f"k{i}",) for i in range(2000)], ["k"])
+    stream = df.where(F.col("k").isNotNull())
+    assert _hh_route(stream, "k", cap=4_000_000) == "naive"
+    assert _hh_route(stream, "k", cap=0) == "twopass"
+    # and an unknown mode refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown mode"):
+        heavy_hitters(df, "k", mode="fastest")
+
+
+def test_hll_union_releases_cache(spark):
+    """hll_union pins its register frame only for the duration of the
+    call: the returned frame must not lazily reference it, and no
+    persisted RDD may remain after the result is collected."""
+    from bolson_spark.functions.sketch import hll_union
+
+    df = spark.createDataFrame(
+        [(f"k{i % 40}", "g" + str(i % 3)) for i in range(200)],
+        ["key", "grp"],
+    )
+    before = _n_persisted(spark)
+    rows = hll_union(df, "key", "grp", p=6).collect()
+    assert _n_persisted(spark) == before
+    assert {r.scope for r in rows} == {"g0", "g1", "g2", "ALL"}
+
+
+def test_hist_quantiles_ignores_null_values(spark):
+    """NULL values carry no rank information: a mixed null/value input
+    must produce exactly the quantiles of the non-null subset — an
+    unfiltered null would bin to a NULL bucket that sorts first in the
+    cumulative merge and count toward n, skewing every estimate."""
+    from bolson_spark.functions.sketch import hist_quantiles
+
+    vals = [(("g"), v) for v in range(100)]
+    with_nulls = vals + [("g", None)] * 50
+    clean = spark.createDataFrame(vals, "grp string, v int")
+    dirty = spark.createDataFrame(with_nulls, "grp string, v int")
+    a = sorted(
+        (r.pct, r.n, r.est, r.exact)
+        for r in hist_quantiles(clean, "v", "grp").collect()
+    )
+    b = sorted(
+        (r.pct, r.n, r.est, r.exact)
+        for r in hist_quantiles(dirty, "v", "grp").collect()
+    )
+    assert a == b
+    assert a[0][1] == 100  # n counts non-null rows only

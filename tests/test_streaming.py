@@ -2082,3 +2082,134 @@ def test_frequency_monitor_crash_replay_does_not_double_count(
         ).collect()
     }
     assert got == want  # replay overwrote, never double-appended
+
+
+def test_monitor_readers_refuse_missing_run_id(spark, tmp_path):
+    """Read paths must never MINT a run id: frequency_estimates over a
+    checkpoint dir that has no run-id file (typo'd path, cleaned
+    checkpoint) refuses loudly instead of filtering to a freshly
+    minted id that matches zero state rows — which would silently
+    return 0 for every probe, violating the one-sided >=truth
+    guarantee — and the read must not mutate the checkpoint dir."""
+    import os
+
+    import pytest
+
+    from bolson_spark.streaming.monitor import (
+        frequency_estimates,
+        write_cm_batch,
+    )
+
+    out = str(tmp_path / "state")
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["key"])
+    write_cm_batch(df, out, "run1", 0, "key", d=4, w_cells=64)
+
+    empty_ck = tmp_path / "not_a_checkpoint"
+    empty_ck.mkdir()
+    probe = spark.createDataFrame([("a",)], ["key"])
+    with pytest.raises(ValueError, match="no run id file"):
+        frequency_estimates(
+            spark, out, probe, "key",
+            checkpoint_dir=str(empty_ck), d=4, w_cells=64,
+        ).collect()
+    # read-only: the failed read minted nothing
+    assert os.listdir(empty_ck) == []
+
+
+def test_monitor_reader_refuses_foreign_checkpoint_run(spark, tmp_path):
+    """A checkpoint whose run id wrote no state (wrong checkpoint/state
+    pairing) must refuse, not silently answer 0 for every probe."""
+    import pytest
+
+    from bolson_spark.streaming.monitor import (
+        frequency_estimates,
+        write_cm_batch,
+    )
+    from bolson_spark.streaming.util import run_id_for_checkpoint
+
+    out = str(tmp_path / "state")
+    df = spark.createDataFrame([("a",), ("b",)], ["key"])
+    write_cm_batch(df, out, "run1", 0, "key", d=4, w_cells=64)
+
+    other_ck = str(tmp_path / "other_ck")
+    run_id_for_checkpoint(other_ck, "bolson_cm_run_id")  # mints a new id
+    probe = spark.createDataFrame([("a",)], ["key"])
+    with pytest.raises(ValueError, match="wrote no state"):
+        frequency_estimates(
+            spark, out, probe, "key",
+            checkpoint_dir=other_ck, d=4, w_cells=64,
+        ).collect()
+
+
+def test_monitor_param_pins_refuse_mismatch(spark, tmp_path):
+    """Sketch params are pinned BESIDE the state on first write; a
+    writer restarting with different params, or a reader probing with
+    them, refuses — an HLL state merged under the wrong p, or a
+    count-min grid probed with the wrong (d, w_cells), silently
+    UNDER-counts (the exact failure class the histogram-bounds pin
+    already prevents)."""
+    import pytest
+
+    from bolson_spark.streaming.monitor import (
+        cardinality_estimates,
+        frequency_estimates,
+        quantile_estimates,
+        write_cm_batch,
+        write_hist_batch,
+        write_hll_batch,
+    )
+
+    out = str(tmp_path / "state")
+    df = spark.createDataFrame(
+        [("web", "a", 5), ("web", "b", 9)], ["grp", "key", "v"]
+    )
+    write_hll_batch(df, out, "r1", 0, "key", "grp", p=6)
+    write_cm_batch(df, out, "r1", 0, "key", d=4, w_cells=64)
+    write_hist_batch(df, out, "r1", 0, "v", "grp", (0, 100), n_bins=64)
+
+    # writer restarts with changed params
+    with pytest.raises(ValueError, match="sketch params"):
+        write_hll_batch(df, out, "r1", 1, "key", "grp", p=7)
+    with pytest.raises(ValueError, match="sketch params"):
+        write_cm_batch(df, out, "r1", 1, "key", d=3, w_cells=64)
+    with pytest.raises(ValueError, match="sketch params"):
+        write_hist_batch(df, out, "r1", 1, "v", "grp", (0, 100), n_bins=32)
+
+    # readers with mismatched params
+    with pytest.raises(ValueError, match="sketch params"):
+        cardinality_estimates(spark, out, p=7).collect()
+    probe = spark.createDataFrame([("a",)], ["key"])
+    with pytest.raises(ValueError, match="sketch params"):
+        frequency_estimates(
+            spark, out, probe, "key", d=4, w_cells=256
+        ).collect()
+    with pytest.raises(ValueError, match="sketch params"):
+        quantile_estimates(spark, out, (0, 100), n_bins=256).collect()
+
+    # matching params still read fine
+    assert cardinality_estimates(spark, out, p=6).count() == 2
+    got = frequency_estimates(
+        spark, out, probe, "key", d=4, w_cells=64
+    ).collect()
+    assert got[0].cm_estimate >= 1
+
+
+def test_hist_monitor_skips_null_values(spark, tmp_path):
+    """write_hist_batch must ignore NULL values — same rule as the
+    batch sketch: a null would bin to a NULL bucket that sorts first
+    in the cumulative merge and count toward n."""
+    from bolson_spark.streaming.monitor import (
+        quantile_estimates,
+        write_hist_batch,
+    )
+
+    out = str(tmp_path / "state")
+    rows = [("g", v) for v in range(100)] + [("g", None)] * 40
+    df = spark.createDataFrame(rows, "grp string, v int")
+    write_hist_batch(df, out, "r1", 0, "v", "grp", (0, 99), n_bins=64)
+    got = {
+        r.pct: r
+        for r in quantile_estimates(spark, out, (0, 99), n_bins=64).collect()
+    }
+    assert got[50].n == 100  # nulls never counted
+    assert 49 <= got[50].est <= 52
