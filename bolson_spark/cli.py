@@ -318,6 +318,54 @@ def cmd_monitor(args) -> int:
     return 0
 
 
+def cmd_monitor_compact(args) -> int:
+    """Maintenance step for long-lived monitor state: collapse each
+    state kind's accumulated (run, batch) partitions into one merged
+    partition — estimates bit-identical, crash-safe at every window,
+    idempotent when re-run (streaming/monitor.py compaction
+    protocol)."""
+    from bolson_spark.session import get_spark
+    from bolson_spark.streaming.monitor import compact_monitor_state
+
+    spark = get_spark("bolson-monitor-compact")
+    t0 = time.time()
+    report = compact_monitor_state(
+        spark, args.out_dir, checkpoint_dir=args.checkpoint
+    )
+    report["elapsed_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(report, sort_keys=True))
+    return 0
+
+
+def cmd_monitor_union(args) -> int:
+    """Cross-stream cardinality audit: merge several monitor states'
+    HLL registers (bucket-wise MAX — associative across state dirs
+    exactly as across micro-batches) into one per-group + overall
+    distinct-key estimate set, without re-scanning any stream."""
+    from bolson_spark.session import get_spark
+    from bolson_spark.streaming.monitor import cardinality_estimates_union
+
+    spark = get_spark("bolson-monitor-union")
+    t0 = time.time()
+    est = {
+        row.scope: round(row.hll_estimate, 1)
+        for row in cardinality_estimates_union(
+            spark, args.state_dirs, p=args.p
+        ).collect()
+    }
+    print(
+        json.dumps(
+            {
+                "distinct_tokens_est": est,
+                "n_states": len(args.state_dirs),
+                "elapsed_sec": round(time.time() - t0, 3),
+            },
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
 def cmd_sessionize(args) -> int:
     """Streaming gap sessionization of a jsonl event stream (user_id,
     us epoch-micros, value): sessions are emitted exactly once, when
@@ -740,6 +788,32 @@ def main(argv=None) -> int:
     )
     mo.add_argument("--max-files-per-trigger", type=int)
     mo.set_defaults(fn=cmd_monitor)
+
+    mc = sub.add_parser(
+        "monitor-compact",
+        help="collapse a monitor run's (run,batch) sketch partitions "
+        "into one merged partition per state kind (crash-safe, "
+        "estimate-preserving)",
+    )
+    mc.add_argument("--out-dir", required=True, help="monitor state dir")
+    mc.add_argument(
+        "--checkpoint",
+        help="checkpoint lineage selecting the run (required when the "
+        "state holds several runs)",
+    )
+    mc.set_defaults(fn=cmd_monitor_compact)
+
+    mu = sub.add_parser(
+        "monitor-union",
+        help="distinct-key estimates over the UNION of several monitor "
+        "states (register MAX merge — no stream is re-scanned)",
+    )
+    mu.add_argument(
+        "--state-dirs", nargs="+", required=True,
+        help="monitor out-dirs to merge",
+    )
+    mu.add_argument("--p", type=int, default=6, help="HLL register bits")
+    mu.set_defaults(fn=cmd_monitor_union)
 
     b = sub.add_parser("bench", help="micro-benchmarks")
     bsub = b.add_subparsers(dest="bench_cmd", required=True)

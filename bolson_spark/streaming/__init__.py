@@ -9,6 +9,8 @@ from bolson_spark.streaming.sink import (
 )
 from bolson_spark.streaming.monitor import (
     cardinality_estimates,
+    cardinality_estimates_union,
+    compact_monitor_state,
     frequency_estimates,
     quantile_estimates,
     run_stream_cardinality_monitor,
@@ -24,6 +26,8 @@ from bolson_spark.streaming.stateful import (
 
 __all__ = [
     "cardinality_estimates",
+    "cardinality_estimates_union",
+    "compact_monitor_state",
     "frequency_estimates",
     "quantile_estimates",
     "run_stream_cardinality_monitor",

@@ -30,9 +30,11 @@ same merge-partials architecture, algebraic MAX instead of +.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # HASH_BITS must be the register-builder's own constant — a local copy
@@ -44,6 +46,42 @@ from bolson_spark.streaming.util import read_run_id, run_id_for_checkpoint
 
 def _registers_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "hll_registers")
+
+
+# The (run, batch)-partitioned sketch layout is load-bearing across
+# restarts and compactions: stamp its format version beside the state
+# so a FUTURE layout change can't silently misread old state (the
+# sink.py:67 schema-handshake discipline applied to monitor state).
+STATE_FORMAT_VERSION = "1"
+
+
+def _stamp_state_version(state_dir: str) -> None:
+    """Writer side: record the layout version on first write, refuse to
+    keep writing a layout this code no longer produces."""
+    os.makedirs(state_dir, exist_ok=True)
+    path = os.path.join(state_dir, "_bolson_state_version")
+    if os.path.exists(path):
+        _verify_state_version(state_dir)
+        return
+    with open(path, "w") as f:
+        f.write(STATE_FORMAT_VERSION)
+
+
+def _verify_state_version(state_dir: str) -> None:
+    """Reader/compactor side: refuse a mismatched layout version. A
+    missing stamp (state written before versioning existed) is
+    accepted — it IS version-1 layout by construction."""
+    path = os.path.join(state_dir, "_bolson_state_version")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        have = f.read().strip()
+    if have != STATE_FORMAT_VERSION:
+        raise ValueError(
+            f"monitor state {state_dir!r} is layout version {have!r}; "
+            f"this code reads/writes version {STATE_FORMAT_VERSION!r} — "
+            "migrate or use a matching reader instead of misreading it"
+        )
 
 
 def _pin_state_params(state_dir: str, want: str, what: str) -> None:
@@ -97,6 +135,7 @@ def _write_state_batch(
     dynamic partition overwrite, so a replayed batch rewrites its own
     partition. repartition(1): every state frame here is bounded by
     construction (registers/cells/bins), one file per batch."""
+    _stamp_state_version(state_dir)
     (
         state.withColumn("run", F.lit(run_id))
         .withColumn("batch", F.lit(batch_id))
@@ -266,15 +305,46 @@ def cardinality_estimates(
     merges its registers into the old runs' without double-counting —
     the algebra absorbs what the count-min twin needs a run filter
     for. Output: (scope, occupied, hll_estimate)."""
-    _verify_state_params(
-        _registers_dir(out_dir), f"p={p}", "cardinality_estimates"
+    return cardinality_estimates_union(
+        spark, [out_dir], p=p, total_label=total_label
     )
+
+
+def cardinality_estimates_union(
+    spark: SparkSession,
+    out_dirs: list[str],
+    p: int = 6,
+    total_label: str = "ALL",
+) -> DataFrame:
+    """Distinct-count estimates over the UNION of several monitor
+    states — the cross-source/cross-stream cardinality audit ("how
+    many distinct tokens across ALL crawls"), answered without ever
+    re-scanning any stream: register MAX is associative across state
+    dirs exactly as it is across micro-batches, so merging N monitors'
+    registers is bit-identical to one monitor having ingested the
+    concatenation (tested). Every state must have been built under the
+    SAME p (the pins refuse otherwise — mixed-p registers merge into
+    garbage). Output: (scope, occupied, hll_estimate)."""
+    if not out_dirs:
+        raise ValueError("cardinality_estimates_union: no state dirs")
+    dirs = [_registers_dir(d) for d in out_dirs]
+    for sd in dirs:
+        _verify_state_version(sd)
+        _verify_state_params(sd, f"p={p}", "cardinality_estimates_union")
     k = HASH_BITS - p + 1
-    regs = (
-        spark.read.parquet(_registers_dir(out_dir))
-        .groupBy("grp", "bucket")
-        .agg(F.max("rho").alias("rho"))
+    # one read per state dir (a single multi-path read would try to
+    # reconcile each dir's independent run=/batch= partition discovery
+    # and refuse); the union is register rows only, never data
+    from functools import reduce
+
+    src = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(sd).select("grp", "bucket", "rho")
+            for sd in dirs
+        ],
     )
+    regs = src.groupBy("grp", "bucket").agg(F.max("rho").alias("rho"))
     term = F.expr(f"shiftleft(1L, {k} - rho)")
     per_group = regs.groupBy("grp").agg(
         F.count(F.lit(1)).alias("occupied"), F.sum(term).alias("s_int")
@@ -342,7 +412,14 @@ def _run_scoped_state(
     histogram bins): ``checkpoint_dir`` resolves that checkpoint
     lineage's run id and filters the state to it; with multiple runs
     on disk and no checkpoint_dir the read REFUSES rather than
-    silently double-count data a fresh-checkpoint restart replayed."""
+    silently double-count data a fresh-checkpoint restart replayed.
+
+    The returned frame is also COMPACTION-AWARE: it sees exactly one
+    copy of every ingested batch — the run's committed compacted
+    partition (batch = -gen, per the atomic marker) plus the batches
+    newer than the compaction horizon, or all non-negative batches
+    when the run was never compacted (see compact_monitor_state)."""
+    _verify_state_version(state_dir)
     state = spark.read.parquet(state_dir)
     # the distinct-runs list is bounded (one value per stream lineage
     # ever pointed at this state dir) and doubles as the membership
@@ -360,13 +437,17 @@ def _run_scoped_state(
                 f"(runs present: {sorted(runs)}) — wrong checkpoint/"
                 "state pairing, or the stream produced no batches"
             )
-        return state.where(F.col("run") == run_id)
+        return state.where(F.col("run") == run_id).where(
+            _visible_batches(state_dir, run_id)
+        )
     if len(runs) > 1:
         raise ValueError(
             f"{what}: {len(runs)} runs in {state_dir!r}; pass "
             "checkpoint_dir to select one (summing across runs "
             "double-counts replayed data)"
         )
+    if runs:
+        return state.where(_visible_batches(state_dir, runs[0]))
     return state
 
 
@@ -519,3 +600,259 @@ def quantile_estimates(
         F.col("n").cast("bigint"),
         F.col("est").cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# State compaction
+# ---------------------------------------------------------------------------
+#
+# The (run, batch) layout is exactly-once by construction, but it grows
+# one parquet partition per micro-batch FOREVER: read-time merge cost
+# and small-file count scale with stream lifetime even though the
+# merged sketch is constant-size. Compaction collapses one run's batch
+# partitions into a single merged partition, under the same two
+# idempotency disciplines the monitors already document:
+#
+# - HLL registers (MAX algebra): write-merged-THEN-delete. A crash at
+#   ANY point leaves a state whose bucket-wise MAX is unchanged —
+#   duplicates between the merged partition and the originals are
+#   absorbed by the algebra, so no commit protocol is needed.
+# - count-min / histogram (SUM): a duplicate batch double-counts, so
+#   visibility is switched ATOMICALLY by a marker file
+#   (_bolson_compact_<run>, written via os.replace): readers see the
+#   committed compacted partition (batch = -gen) plus batches NEWER
+#   than the compaction horizon (batch > upto), never both copies of
+#   the same batch. An uncommitted compacted partition (crash before
+#   the marker) is INVISIBLE; originals are deleted only after the
+#   marker commits (crash mid-GC leaves invisible garbage the next
+#   compaction sweeps).
+#
+# Control-plane note: like the run-id and pin files, the marker/GC
+# steps are driver-side filesystem operations on the state dir — the
+# pattern requires only atomic rename, which every DFS the state
+# would live on (HDFS, local, NFS) provides; the data-plane merge is
+# a Spark job over sketch-sized rows.
+
+
+def _marker_path(state_dir: str, run_id: str) -> str:
+    return os.path.join(state_dir, f"_bolson_compact_{run_id}")
+
+
+def _read_marker(state_dir: str, run_id: str) -> tuple[int, int] | None:
+    """(gen, upto) of the last COMMITTED compaction, or None."""
+    path = _marker_path(state_dir, run_id)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        m = json.load(f)
+    return int(m["gen"]), int(m["upto"])
+
+
+def _write_marker(state_dir: str, run_id: str, gen: int, upto: int) -> None:
+    """Atomically commit a compaction: tmp write + os.replace, so a
+    reader never observes a torn marker and a crash leaves either the
+    old visibility rule or the new one — never neither."""
+    path = _marker_path(state_dir, run_id)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"gen": gen, "upto": upto}, f)
+    os.replace(tmp, path)
+
+
+def _visible_batches(state_dir: str, run_id: str) -> Column:
+    """Predicate selecting exactly-one-copy-per-batch for a SUM-merged
+    reader: the committed compacted partition plus post-horizon
+    batches, or all non-negative batches if never compacted."""
+    marker = _read_marker(state_dir, run_id)
+    if marker is None:
+        return F.col("batch") >= 0
+    gen, upto = marker
+    return (F.col("batch") == -gen) | (F.col("batch") > upto)
+
+
+def _batch_ids(state_dir: str, run_id: str) -> list[int]:
+    run_dir = os.path.join(state_dir, f"run={run_id}")
+    if not os.path.isdir(run_dir):
+        return []
+    out = []
+    for name in os.listdir(run_dir):
+        if name.startswith("batch="):
+            try:
+                out.append(int(name[len("batch="):]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _rm_batch(state_dir: str, run_id: str, batch: int) -> None:
+    shutil.rmtree(
+        os.path.join(state_dir, f"run={run_id}", f"batch={batch}"),
+        ignore_errors=True,
+    )
+
+
+def _compact_sum_state(
+    spark: SparkSession,
+    state_dir: str,
+    run_id: str,
+    group_cols: list[str],
+    val_col: str,
+) -> dict:
+    """Marker-committed compaction for SUM-merged state (count-min
+    cells, histogram bins). Idempotent and crash-safe at every window;
+    see the module comment for the protocol."""
+    _verify_state_version(state_dir)
+    marker = _read_marker(state_dir, run_id)
+    gen = marker[0] if marker else 0
+    upto = marker[1] if marker else -1
+    batches = _batch_ids(state_dir, run_id)
+    visible = [
+        b
+        for b in batches
+        if (b == -gen and marker is not None) or (b >= 0 and b > upto)
+    ]
+    if len(visible) <= 1:
+        # nothing to collapse — also sweep invisible garbage a crashed
+        # GC left behind (negative partitions other than the committed
+        # one, and pre-horizon originals)
+        removed = 0
+        for b in batches:
+            if b not in visible:
+                _rm_batch(state_dir, run_id, b)
+                removed += 1
+        return {"compacted": False, "visible": len(visible), "gc": removed}
+    new_upto = max((b for b in visible if b >= 0), default=upto)
+    merged = (
+        spark.read.parquet(state_dir)
+        .where(F.col("run") == run_id)
+        .where(F.col("batch").isin(visible))
+        .groupBy(*group_cols)
+        .agg(F.sum(val_col).alias(val_col))
+    )
+    _write_state_batch(merged, state_dir, run_id, -(gen + 1))
+    _write_marker(state_dir, run_id, gen + 1, new_upto)  # the commit point
+    removed = 0
+    for b in _batch_ids(state_dir, run_id):
+        if b == -(gen + 1) or b > new_upto:
+            continue
+        _rm_batch(state_dir, run_id, b)
+        removed += 1
+    return {
+        "compacted": True,
+        "merged_batches": len(visible),
+        "gen": gen + 1,
+        "upto": new_upto,
+        "gc": removed,
+    }
+
+
+def _compact_max_state(
+    spark: SparkSession, state_dir: str, run_id: str
+) -> dict:
+    """Write-then-delete compaction for the HLL register state: MAX is
+    idempotent, so the merged partition may coexist with the originals
+    (or with a partial write from a crashed attempt) without changing
+    any estimate — no marker needed. The merged partition gets a fresh
+    negative id each attempt so a partially-written previous target is
+    merged as INPUT rather than overwritten after its originals are
+    gone."""
+    _verify_state_version(state_dir)
+    batches = _batch_ids(state_dir, run_id)
+    if len(batches) <= 1:
+        return {"compacted": False, "visible": len(batches), "gc": 0}
+    gen = max((-b for b in batches if b < 0), default=0)
+    merged = (
+        spark.read.parquet(state_dir)
+        .where(F.col("run") == run_id)
+        .where(F.col("batch").isin(batches))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    _write_state_batch(merged, state_dir, run_id, -(gen + 1))
+    removed = 0
+    for b in batches:  # the pre-write listing: never a concurrent new batch
+        _rm_batch(state_dir, run_id, b)
+        removed += 1
+    return {
+        "compacted": True,
+        "merged_batches": len(batches),
+        "gen": gen + 1,
+        "gc": removed,
+    }
+
+
+_KIND_RUN_FILES = {
+    "hll": "bolson_monitor_run_id",
+    "cm": "bolson_cm_run_id",
+    "hist": "bolson_hist_run_id",
+}
+
+
+def _resolve_compact_run(
+    state_dir: str, checkpoint_dir: str | None, run_file: str, what: str
+) -> str | None:
+    """Run selection for compaction: the checkpoint lineage's id
+    (read-only — compaction must not mint), or the single run present;
+    None if the state dir doesn't exist yet."""
+    if not os.path.isdir(state_dir):
+        return None
+    if checkpoint_dir is not None:
+        return read_run_id(checkpoint_dir, run_file)
+    runs = [
+        n[len("run="):]
+        for n in os.listdir(state_dir)
+        if n.startswith("run=")
+    ]
+    if len(runs) > 1:
+        raise ValueError(
+            f"{what}: {len(runs)} runs in {state_dir!r}; pass "
+            "checkpoint_dir to select one"
+        )
+    return runs[0] if runs else None
+
+
+def compact_monitor_state(
+    spark: SparkSession,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    kinds: tuple[str, ...] = ("hll", "cm", "hist"),
+) -> dict:
+    """Collapse one run's accumulated (run, batch) sketch partitions
+    into a single merged partition per state kind — the periodic
+    maintenance step that keeps read cost and file count CONSTANT over
+    stream lifetime (the merged sketch already was). Estimates are
+    bit-identical before and after (tested), every crash window is
+    lossless (tested), and re-running is an idempotent no-op.
+
+    Returns a per-kind report dict. Kinds whose state dir doesn't
+    exist (monitor not enabled) are skipped."""
+    report: dict[str, dict] = {}
+    dirs = {
+        "hll": _registers_dir(out_dir),
+        "cm": _cm_dir(out_dir),
+        "hist": _hist_dir(out_dir),
+    }
+    for kind in kinds:
+        if kind not in dirs:
+            raise ValueError(f"compact_monitor_state: unknown kind {kind!r}")
+        state_dir = dirs[kind]
+        run_id = _resolve_compact_run(
+            state_dir,
+            checkpoint_dir,
+            _KIND_RUN_FILES[kind],
+            f"compact_monitor_state[{kind}]",
+        )
+        if run_id is None:
+            report[kind] = {"compacted": False, "visible": 0, "gc": 0}
+            continue
+        if kind == "hll":
+            report[kind] = _compact_max_state(spark, state_dir, run_id)
+        elif kind == "cm":
+            report[kind] = _compact_sum_state(
+                spark, state_dir, run_id, ["j", "c"], "cell_count"
+            )
+        else:
+            report[kind] = _compact_sum_state(
+                spark, state_dir, run_id, ["grp", "bucket"], "cnt"
+            )
+    return report

@@ -246,3 +246,80 @@ def test_cli_monitor_empty_in_dir(spark, tmp_path, capsys):
     assert out["distinct_tokens_est"] == {}
     assert out["token_freq_est"] == {}
     assert out["doc_length_quantiles"] == {}
+
+
+def test_cli_monitor_union_and_compact(spark, tmp_path, capsys):
+    """e2e: two independent `monitor` runs (two crawls), then
+    `monitor-union` must report estimates BIT-matching a single
+    monitor over the concatenation, before AND after `monitor-compact`
+    collapses each state to one partition per kind."""
+    import os
+
+    crawls = {
+        "c1": [
+            {"doc_id": 1, "text": " ".join(f"w{i}" for i in range(300)),
+             "source": "web"},
+        ],
+        "c2": [
+            {"doc_id": 2, "text": " ".join(f"w{i}" for i in range(150, 450)),
+             "source": "web"},
+            {"doc_id": 3, "text": " ".join(f"b{i}" for i in range(100)),
+             "source": "books"},
+        ],
+    }
+    state_dirs = []
+    for name, rows in crawls.items():
+        src = tmp_path / f"docs_{name}"
+        src.mkdir()
+        (src / "a.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+        out = str(tmp_path / f"mon_{name}")
+        assert main([
+            "monitor", "--in-dir", str(src), "--out-dir", out,
+            "--checkpoint", str(tmp_path / f"ck_{name}"),
+        ]) == 0
+        state_dirs.append(out)
+
+    # the oracle: ONE monitor over the concatenation
+    src_all = tmp_path / "docs_all"
+    src_all.mkdir()
+    (src_all / "a.jsonl").write_text(
+        "\n".join(json.dumps(r) for rows in crawls.values() for r in rows)
+    )
+    out_all = str(tmp_path / "mon_all")
+    assert main([
+        "monitor", "--in-dir", str(src_all), "--out-dir", out_all,
+        "--checkpoint", str(tmp_path / "ck_all"),
+    ]) == 0
+    capsys.readouterr()
+
+    def union_est():
+        assert main(["monitor-union", "--state-dirs", *state_dirs]) == 0
+        line = [
+            ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")
+        ][-1]
+        return json.loads(line)["distinct_tokens_est"]
+
+    assert main(["monitor-union", "--state-dirs", out_all]) == 0
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ][-1]
+    want = json.loads(line)["distinct_tokens_est"]
+    assert union_est() == want
+
+    # compact each state, then the union must be unchanged
+    for out in state_dirs:
+        assert main(["monitor-compact", "--out-dir", out]) == 0
+        run_dirs = [
+            d for d in os.listdir(os.path.join(out, "hll_registers"))
+            if d.startswith("run=")
+        ]
+        parts = os.listdir(
+            os.path.join(out, "hll_registers", run_dirs[0])
+        )
+        assert len([d for d in parts if d.startswith("batch=")]) == 1
+    capsys.readouterr()
+    assert union_est() == want

@@ -2213,3 +2213,264 @@ def test_hist_monitor_skips_null_values(spark, tmp_path):
     }
     assert got[50].n == 100  # nulls never counted
     assert 49 <= got[50].est <= 52
+
+
+def _cm_truth(spark, keys, probe_keys, w=64):
+    from bolson_spark.functions.sketch import cm_sketch_freq
+
+    probe = spark.createDataFrame([(k,) for k in probe_keys], ["key"])
+    return {
+        r.key: r.cm_estimate
+        for r in cm_sketch_freq(
+            spark.createDataFrame([(k,) for k in keys], ["key"]),
+            probe, "key", d=4, w_cells=w,
+        ).collect()
+    }
+
+
+def test_compact_monitor_state_bit_identical_and_collapses(spark, tmp_path):
+    """compact_monitor_state collapses a run's (run,batch) partitions
+    into one merged partition per state kind with BIT-IDENTICAL
+    estimates, is an idempotent no-op when re-run, and keeps absorbing
+    post-compaction batches (including a second-generation compact)."""
+    import os
+
+    from bolson_spark.streaming.monitor import (
+        cardinality_estimates,
+        compact_monitor_state,
+        frequency_estimates,
+        quantile_estimates,
+        write_cm_batch,
+        write_hist_batch,
+        write_hll_batch,
+    )
+
+    out = str(tmp_path / "state")
+    batches = [
+        [("web", f"w{i}", i) for i in range(b * 40, b * 40 + 60)]
+        + [("books", f"b{i}", i % 50) for i in range(b * 20, b * 20 + 30)]
+        for b in range(4)
+    ]
+    for bi, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, ["grp", "key", "v"])
+        write_hll_batch(df, out, "r1", bi, "key", "grp", p=6)
+        write_cm_batch(df, out, "r1", bi, "key", d=4, w_cells=64)
+        write_hist_batch(df, out, "r1", bi, "v", "grp", (0, 200), n_bins=64)
+
+    probe = spark.createDataFrame([("w0",), ("b5",), ("nope",)], ["key"])
+
+    def snapshot():
+        return (
+            sorted(
+                (r.scope, r.occupied, r.hll_estimate)
+                for r in cardinality_estimates(spark, out, p=6).collect()
+            ),
+            sorted(
+                (r.key, r.cm_estimate)
+                for r in frequency_estimates(
+                    spark, out, probe, "key", d=4, w_cells=64
+                ).collect()
+            ),
+            sorted(
+                (r.scope, r.pct, r.n, r.est)
+                for r in quantile_estimates(
+                    spark, out, (0, 200), n_bins=64
+                ).collect()
+            ),
+        )
+
+    def n_parts(kind):
+        run_dir = os.path.join(out, kind, "run=r1")
+        return len([d for d in os.listdir(run_dir) if d.startswith("batch=")])
+
+    before = snapshot()
+    rep = compact_monitor_state(spark, out)
+    assert all(rep[k]["compacted"] for k in ("hll", "cm", "hist")), rep
+    assert snapshot() == before  # bit-identical estimates
+    for kind in ("hll_registers", "cm_cells", "hist_bins"):
+        assert n_parts(kind) == 1, kind  # 4 partitions -> 1
+
+    # idempotent no-op
+    rep2 = compact_monitor_state(spark, out)
+    assert not any(rep2[k]["compacted"] for k in ("hll", "cm", "hist")), rep2
+    assert snapshot() == before
+
+    # post-compaction batches keep merging; a second-generation compact
+    # collapses (compacted + new) into one partition again
+    extra = [("web", "wX", 150), ("web", "w0", 150), ("books", "bY", 7)]
+    df = spark.createDataFrame(extra, ["grp", "key", "v"])
+    write_hll_batch(df, out, "r1", 4, "key", "grp", p=6)
+    write_cm_batch(df, out, "r1", 4, "key", d=4, w_cells=64)
+    write_hist_batch(df, out, "r1", 4, "v", "grp", (0, 200), n_bins=64)
+    with_extra = snapshot()
+    assert with_extra != before
+    all_keys = [k for b in batches for (_, k, _) in b] + [
+        k for (_, k, _) in extra
+    ]
+    want_freq = _cm_truth(spark, all_keys, ["w0", "b5", "nope"])
+    assert dict(with_extra[1]) == want_freq
+    rep3 = compact_monitor_state(spark, out)
+    assert all(rep3[k]["compacted"] for k in ("hll", "cm", "hist"))
+    assert rep3["cm"]["gen"] == 2
+    assert snapshot() == with_extra
+    for kind in ("hll_registers", "cm_cells", "hist_bins"):
+        assert n_parts(kind) == 1, kind
+
+
+def test_compact_crash_windows_lossless(spark, tmp_path, monkeypatch):
+    """The two compaction crash windows: (A) merged partition written
+    but the marker commit lost — the uncommitted partition is
+    INVISIBLE, estimates unchanged, and a re-run completes; (B) marker
+    committed but GC lost — the pre-horizon originals are invisible
+    (no double count) and the next compaction sweeps them."""
+    import os
+
+    import bolson_spark.streaming.monitor as mon
+
+    out = str(tmp_path / "state")
+    batches = [[f"k{i}" for i in range(b * 5, b * 5 + 20)] for b in range(3)]
+    for bi, keys in enumerate(batches):
+        df = spark.createDataFrame([(k,) for k in keys], ["key"])
+        mon.write_cm_batch(df, out, "r1", bi, "key", d=4, w_cells=64)
+
+    all_keys = [k for b in batches for k in b]
+    probe_keys = ["k0", "k7", "zzz"]
+    probe = spark.createDataFrame([(k,) for k in probe_keys], ["key"])
+    truth = _cm_truth(spark, all_keys, probe_keys)
+
+    def freq():
+        return {
+            r.key: r.cm_estimate
+            for r in mon.frequency_estimates(
+                spark, out, probe, "key", d=4, w_cells=64
+            ).collect()
+        }
+
+    assert freq() == truth
+
+    # (A) crash BEFORE the marker commit
+    def boom(*a, **kw):
+        raise OSError("simulated crash before marker commit")
+
+    monkeypatch.setattr(mon, "_write_marker", boom)
+    import pytest
+
+    with pytest.raises(OSError, match="simulated crash"):
+        mon.compact_monitor_state(spark, out, kinds=("cm",))
+    monkeypatch.undo()
+    cm_dir = os.path.join(out, "cm_cells", "run=r1")
+    assert os.path.isdir(os.path.join(cm_dir, "batch=-1"))  # orphan exists
+    assert freq() == truth  # ...but is invisible
+    rep = mon.compact_monitor_state(spark, out, kinds=("cm",))
+    assert rep["cm"]["compacted"] and rep["cm"]["gen"] == 1
+    assert freq() == truth
+
+    # (B) crash AFTER the marker, before GC: add a batch, compact with
+    # GC disabled — originals remain on disk but must not double-count
+    df = spark.createDataFrame([("k0",), ("new1",)], ["key"])
+    mon.write_cm_batch(df, out, "r1", 3, "key", d=4, w_cells=64)
+    truth2 = _cm_truth(spark, all_keys + ["k0", "new1"], probe_keys)
+    monkeypatch.setattr(mon, "_rm_batch", lambda *a, **kw: None)
+    rep = mon.compact_monitor_state(spark, out, kinds=("cm",))
+    assert rep["cm"]["compacted"] and rep["cm"]["gen"] == 2
+    monkeypatch.undo()
+    leftover = {
+        d for d in os.listdir(cm_dir) if d.startswith("batch=")
+    }
+    assert {"batch=-1", "batch=3"} <= leftover  # GC never ran
+    assert freq() == truth2  # exactly-once anyway
+    # next compaction sweeps the garbage without changing estimates
+    rep = mon.compact_monitor_state(spark, out, kinds=("cm",))
+    assert not rep["cm"]["compacted"] and rep["cm"]["gc"] >= 2
+    assert freq() == truth2
+    assert {
+        d for d in os.listdir(cm_dir) if d.startswith("batch=")
+    } == {"batch=-2"}
+
+
+def test_monitor_state_version_refusal(spark, tmp_path):
+    """A state dir stamped with a future layout version refuses both
+    readers and the compactor — a layout change can't silently misread
+    old state (the sink schema-handshake discipline)."""
+    import os
+
+    import pytest
+
+    from bolson_spark.streaming.monitor import (
+        cardinality_estimates,
+        compact_monitor_state,
+        frequency_estimates,
+        write_cm_batch,
+        write_hll_batch,
+    )
+
+    out = str(tmp_path / "state")
+    df = spark.createDataFrame([("g", "a")], ["grp", "key"])
+    write_hll_batch(df, out, "r1", 0, "key", "grp", p=6)
+    write_cm_batch(df.select("key"), out, "r1", 0, "key", d=4, w_cells=64)
+    for kind in ("hll_registers", "cm_cells"):
+        with open(os.path.join(out, kind, "_bolson_state_version"), "w") as f:
+            f.write("2")
+    with pytest.raises(ValueError, match="layout version"):
+        cardinality_estimates(spark, out, p=6).collect()
+    probe = spark.createDataFrame([("a",)], ["key"])
+    with pytest.raises(ValueError, match="layout version"):
+        frequency_estimates(
+            spark, out, probe, "key", d=4, w_cells=64
+        ).collect()
+    with pytest.raises(ValueError, match="layout version"):
+        compact_monitor_state(spark, out, kinds=("hll",))
+    # and a writer restarting onto the future-version state refuses too
+    with pytest.raises(ValueError, match="layout version"):
+        write_hll_batch(df, out, "r1", 1, "key", "grp", p=6)
+
+
+def test_cardinality_union_across_state_dirs(spark, tmp_path):
+    """cardinality_estimates_union over N independent monitor states is
+    BIT-IDENTICAL to one monitor having ingested the concatenation —
+    register MAX is associative across state dirs exactly as across
+    batches — and refuses mixed-p states."""
+    import pytest
+
+    from bolson_spark.streaming.monitor import (
+        cardinality_estimates,
+        cardinality_estimates_union,
+        write_hll_batch,
+    )
+
+    crawls = {
+        "c1": [("web", f"w{i}") for i in range(400)],
+        "c2": [("web", f"w{i}") for i in range(200, 500)]
+        + [("books", f"b{i}") for i in range(150)],
+    }
+    dirs = []
+    for name, rows in crawls.items():
+        out = str(tmp_path / name)
+        df = spark.createDataFrame(rows, ["grp", "key"])
+        write_hll_batch(df, out, f"run_{name}", 0, "key", "grp", p=6)
+        dirs.append(out)
+
+    combined = str(tmp_path / "combined")
+    all_rows = [r for rows in crawls.values() for r in rows]
+    write_hll_batch(
+        spark.createDataFrame(all_rows, ["grp", "key"]),
+        combined, "runc", 0, "key", "grp", p=6,
+    )
+    got = sorted(
+        (r.scope, r.occupied, r.hll_estimate)
+        for r in cardinality_estimates_union(spark, dirs, p=6).collect()
+    )
+    want = sorted(
+        (r.scope, r.occupied, r.hll_estimate)
+        for r in cardinality_estimates(spark, combined, p=6).collect()
+    )
+    assert got == want  # bit-equal
+
+    # mixed-p refusal: a state built under p=7 cannot join a p=6 union
+    other = str(tmp_path / "c3")
+    write_hll_batch(
+        spark.createDataFrame([("web", "x")], ["grp", "key"]),
+        other, "run3", 0, "key", "grp", p=7,
+    )
+    with pytest.raises(ValueError, match="sketch params"):
+        cardinality_estimates_union(spark, dirs + [other], p=6).collect()
