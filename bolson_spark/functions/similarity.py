@@ -1602,6 +1602,7 @@ def fit_whitening(
     eps: float = 1e-6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    diagonal: bool = False,
 ):
     """Fit a PCA-whitening transform W from a DETERMINISTIC bounded
     sample — the preprocessing that makes product quantization and
@@ -1622,6 +1623,16 @@ def fit_whitening(
     W = V diag(1/sqrt(lam + eps)) V^T (symmetric ZCA whitening — keeps
     whitened axes aligned with the input space, the variant that
     composes with downstream sub-vector PQ splits).
+
+    ``diagonal=True`` fits per-dimension STANDARDIZATION instead
+    (W = diag(1/sqrt(var_d + eps)) — no rotation, no eigh), with the
+    fit arithmetic pinned to exact integer fixed-point (floor(x*1e6)
+    sums in int64, then a FIXED sequence of IEEE float ops) so the
+    fitted (mean, W) are bit-reproducible by any engine from the same
+    sample — the property that gives the whitening surface a
+    cross-engine CORRECTNESS oracle (`whitening_stats`). The full ZCA
+    path keeps numpy eigh (an eigendecomposition is not
+    SQL-expressible; it is pytest-verified instead).
     """
     import numpy as np
 
@@ -1639,6 +1650,20 @@ def fit_whitening(
         drawn.orderBy("_v", "_id").limit(sample_n).select(vec_col).collect()
     )
     x = np.array([r[0] for r in rows], dtype=np.float64)
+    if diagonal:
+        # exact integer fixed-point sums, then a PINNED float sequence:
+        # every step below is either exact int64 arithmetic or a single
+        # correctly-rounded IEEE op, so an oracle repeating the same
+        # steps (floor/sum in SQL) lands on bit-identical (mean, w).
+        # Magnitude guards: |x| <= ~1e3 and sample_n <= 4096 keep both
+        # sums far inside int64 (xi <= 1e9, xi^2 <= 1e18/4096).
+        n = len(x)
+        xi = np.floor(x * 1e6).astype(np.int64)
+        sd = xi.sum(axis=0)
+        sq = (xi * xi).sum(axis=0)
+        mean = sd.astype(np.float64) / (float(n) * 1e6)
+        var = sq.astype(np.float64) / (float(n) * 1e12) - mean * mean
+        return mean, np.diag(1.0 / np.sqrt(var + eps))
     mean = x.mean(axis=0)
     cov = np.cov(x - mean, rowvar=False, bias=True)
     lam, vecs = np.linalg.eigh(cov)

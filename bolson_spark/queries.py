@@ -1850,6 +1850,105 @@ FROM exact JOIN approx USING (vec_id)
 """
 
 
+def q_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening fit + apply with a full cross-engine oracle: fit a
+    DIAGONAL whitening model (per-dim standardization) from the
+    deterministic md5-bottom-k sample, apply it through the REAL
+    apply_whitening mapInPandas path, and report per-dimension the
+    fitted model plus exact fixed-point sums of the whitened corpus.
+
+    Determinism contract (what makes floats hash-matchable here): the
+    fit sums floor(x*1e6) in exact int64, then runs a PINNED sequence
+    of single-rounded IEEE ops (fit_whitening(diagonal=True)); the
+    oracle repeats the identical steps in SQL, so mean/w are
+    bit-identical doubles, hence y=(x-mean)*w is bit-identical, hence
+    floor(y*1e4) integer sums are exactly equal. The corpus-side sums
+    stay exact in int64 at any SF here (|y| small); a 100 TB run
+    would widen them to decimal. The full-ZCA (eigh) fit path has no
+    SQL twin and is pytest-verified (test_functions whitening tests).
+
+    Output: (dim, n_vectors, mean_fit, w_fit, sum_y_e4, sumsq_y_e4).
+    """
+    from bolson_spark.functions.similarity import (
+        apply_whitening,
+        fit_whitening,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, w = fit_whitening(emb, sample_n=256, eps=1e-6, diagonal=True)
+    wd = apply_whitening(emb, mean, w)
+    yi = F.floor(F.col("y") * F.lit(10000.0)).cast("bigint").alias("yi")
+    agg = (
+        wd.select(F.posexplode("whitened").alias("dim", "y"))
+        .select(F.col("dim").cast("bigint").alias("dim"), yi)
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("yi").alias("sum_y_e4"),
+            F.sum(F.col("yi") * F.col("yi")).alias("sumsq_y_e4"),
+        )
+    )
+    model = spark.createDataFrame(
+        [(d, float(mean[d]), float(w[d, d])) for d in range(len(mean))],
+        "dim bigint, mean_fit double, w_fit double",
+    )
+    return agg.join(F.broadcast(model), "dim").select(
+        "dim", "n_vectors", "mean_fit", "w_fit", "sum_y_e4", "sumsq_y_e4"
+    )
+
+
+def _whitening_stats_sql(sample_n: int = 256, dim: int = EMB_DIM) -> str:
+    """DuckDB twin of q_whitening_stats: same sample selection (md5
+    bottom-k with id tiebreak), same exact int64 fixed-point fit, same
+    pinned float sequence, same floor(y*1e4) corpus sums."""
+    xi = "CAST(FLOOR(CAST(list_extract(embedding, dim + 1) AS DOUBLE)" \
+         " * 1000000.0) AS BIGINT)"
+    return f"""
+WITH draws AS (
+  SELECT vec_id, embedding,
+         CAST(('0x' || substr(md5('whiten|' || CAST(vec_id AS VARCHAR)),
+               1, 15)) AS BIGINT) AS _v
+  FROM embeddings
+),
+samp AS (
+  SELECT embedding FROM draws ORDER BY _v, vec_id LIMIT {sample_n}
+),
+dims AS (SELECT UNNEST(range({dim})) AS dim),
+fit AS (
+  SELECT dim, COUNT(*) AS sn,
+         CAST(SUM({xi}) AS BIGINT) AS sd,
+         CAST(SUM({xi} * {xi}) AS BIGINT) AS sq
+  FROM samp CROSS JOIN dims GROUP BY dim
+),
+model AS (
+  SELECT dim,
+         CAST(sd AS DOUBLE) / (CAST(sn AS DOUBLE) * 1000000.0) AS mean_fit,
+         1.0 / sqrt(
+           CAST(sq AS DOUBLE) / (CAST(sn AS DOUBLE) * 1000000000000.0)
+           - (CAST(sd AS DOUBLE) / (CAST(sn AS DOUBLE) * 1000000.0))
+             * (CAST(sd AS DOUBLE) / (CAST(sn AS DOUBLE) * 1000000.0))
+           + 0.000001) AS w_fit
+  FROM fit
+),
+wht AS (
+  SELECT d.dim, m.mean_fit, m.w_fit,
+         CAST(FLOOR(
+           (CAST(list_extract(e.embedding, d.dim + 1) AS DOUBLE)
+            - m.mean_fit) * m.w_fit * 10000.0) AS BIGINT) AS yi
+  FROM embeddings e
+  CROSS JOIN dims d
+  JOIN model m ON m.dim = d.dim
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ANY_VALUE(mean_fit) AS mean_fit,
+       ANY_VALUE(w_fit) AS w_fit,
+       CAST(SUM(yi) AS BIGINT) AS sum_y_e4,
+       CAST(SUM(yi * yi) AS BIGINT) AS sumsq_y_e4
+FROM wht GROUP BY dim
+"""
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector stats with decimal-exact dim-0 mean."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -3186,6 +3285,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_ann_recall_probe2, O_ANN_RECALL_PROBE2, ("similarity", "eval")
     ),
     "embedding_stats": QuerySpec(q_embedding_stats, O_EMBEDDING_STATS, ("similarity",)),
+    "whitening_stats": QuerySpec(
+        q_whitening_stats, _whitening_stats_sql(), ("similarity",)
+    ),
     "embedding_outliers": QuerySpec(
         q_embedding_outliers, O_EMBEDDING_OUTLIERS, ("similarity", "pipeline")
     ),

@@ -2146,6 +2146,34 @@ def test_whitening_fit_apply_identity_covariance(spark):
     assert set(out.columns) == set(emb.columns) | {"whitened"}
 
 
+def test_whitening_diagonal_standardizes_per_dim(spark):
+    """diagonal=True fits per-dim standardization with exact
+    fixed-point arithmetic: W is diagonal, whitened per-dim variance
+    is ~1 over the fit sample's distribution, and the fit is
+    bit-deterministic across calls."""
+    import numpy as np
+
+    from bolson_spark.functions.similarity import (
+        apply_whitening,
+        fit_whitening,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mean1, w1 = fit_whitening(emb, sample_n=256, diagonal=True)
+    mean2, w2 = fit_whitening(emb, sample_n=256, diagonal=True)
+    assert np.array_equal(mean1, mean2) and np.array_equal(w1, w2)
+    # strictly diagonal: no rotation
+    assert np.count_nonzero(w1 - np.diag(np.diag(w1))) == 0
+    assert (np.diag(w1) > 0).all()
+
+    y = np.array(
+        [r.whitened for r in apply_whitening(emb, mean1, w1).collect()],
+        dtype=np.float64,
+    )
+    var = y.var(axis=0)
+    assert np.allclose(var, 1.0, atol=0.2), (var.min(), var.max())
+
+
 def test_heavy_hitters_exact_and_partitioning_independent(spark):
     """heavy_hitters must return exactly the keys with global count >=
     theta*N with exact counts, for ANY partitioning of the input — the
