@@ -1279,3 +1279,69 @@ def probe_minhash_index(
     return _minhash_probe_gate(
         c_toks, c_bands, d_toks, d_bands, delta, jaccard_threshold
     )
+
+
+def neardup_components(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int | None = None,
+    jaccard_threshold: float = 0.9,
+) -> DataFrame:
+    """(id, representative) for every document in a near-duplicate
+    group — the mapping a 100 TB dedup stage ships (one keeper per
+    group). Factored out of the `dedup_minhash_components` registry
+    query so pipeline compositions (training_corpus_neardup) run the
+    SAME rep-level optimization: exact-copy groups (identical token
+    sets) contribute MEMBERSHIP, not clique edges, so the banded LSH
+    join and the iterative component propagation run on the
+    exact-group REPRESENTATIVE graph only; group members expand back
+    with integer joins afterwards. Component representative = min id
+    (equals min rep id because every group rep IS its group's min).
+
+    Docs in no group (no exact twin, no verified near-dup pair) are
+    absent from the output — they represent themselves.
+
+    The rep-level `members` frame is persisted for its two consumers
+    (component expansion + isolated-multi groups); callers composing
+    this into a larger plan should treat the returned frame as one
+    stage boundary. Reference anchor: the reference dedups exact
+    payloads only (seq-keyed publish, src/bolson/convert/converter.cpp);
+    near-dup grouping is the LLM-pipeline extension over it."""
+    from pyspark.sql import functions as F
+
+    sets = docs.select(
+        id_col, _set_fingerprint(F.col(text_col)).alias("set_fp")
+    )
+    groups = sets.groupBy("set_fp").agg(
+        F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("m")
+    )
+    # two consumers (component expansion + isolated-multi groups) —
+    # cached exactly as the original registry query did
+    members = sets.join(groups, "set_fp").select(id_col, "rep_id").cache()
+    rep_docs = docs.join(
+        groups.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
+    )
+    rep_pairs = _banded_verified_pairs(
+        rep_docs,
+        text_col,
+        num_hashes,
+        bands if bands is not None else choose_bands(
+            num_hashes, jaccard_threshold
+        ),
+        jaccard_threshold,
+    )
+    cc = connected_components(rep_pairs, "doc_a", "doc_b")
+    part1 = members.join(cc, members.rep_id == cc.node).select(
+        id_col, "representative"
+    )
+    iso_multi = (
+        groups.where(F.col("m") >= 2)
+        .join(cc, groups.rep_id == cc.node, "left_anti")
+        .select("rep_id")
+    )
+    part2 = members.join(iso_multi, "rep_id").select(
+        id_col, F.col("rep_id").alias("representative")
+    )
+    return part1.unionByName(part2)

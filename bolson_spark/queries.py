@@ -1342,13 +1342,18 @@ QUALIFY copy_rank <= 2
 
 
 def _minhash_sql(
-    num_hashes: int = 16, bands: int | None = None, threshold: float = 0.9
+    num_hashes: int = 16,
+    bands: int | None = None,
+    threshold: float = 0.9,
+    source: str = "documents",
 ) -> str:
     """DuckDB oracle mirroring minhash_lsh_pairs (same Carter-Wegman
     family: one md5 per token, permutation i = min (hi + i*lo) mod
     2^32 over 32-bit halves of the digest). bands=None uses the SAME
     choose_bands selection as the Spark side — generator and operator
-    stay in lock-step by construction."""
+    stay in lock-step by construction. ``source`` lets a composed
+    oracle (training_corpus_neardup) run the pair generator over a
+    filtered CTE instead of the raw table."""
     from bolson_spark.functions.dedup import choose_bands
 
     bands = choose_bands(num_hashes, threshold) if bands is None else bands
@@ -1371,7 +1376,7 @@ def _minhash_sql(
     )
     return f"""
 WITH toksets AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM {source}
 ),
 halved AS (
   SELECT doc_id, toks,
@@ -3068,39 +3073,12 @@ def q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative = min doc id, which equals min rep id because every
     group rep IS its group's min. Correctness is checked externally:
     the oracle runs the recursive-CTE components over the FULL
-    document pair list."""
-    from bolson_spark.functions.dedup import (
-        _banded_verified_pairs,
-        _set_fingerprint,
-        choose_bands,
-        connected_components,
-    )
+    document pair list. The construction itself lives in
+    functions/dedup.py::neardup_components so pipeline compositions
+    (training_corpus_neardup) run the identical stage."""
+    from bolson_spark.functions.dedup import neardup_components
 
-    docs = _t(spark, sf_dir, "documents")
-    sets = docs.select("doc_id", _set_fingerprint(F.col("text")).alias("set_fp"))
-    groups = sets.groupBy("set_fp").agg(
-        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("m")
-    )
-    members = sets.join(groups, "set_fp").select("doc_id", "rep_id").cache()
-    rep_docs = docs.join(
-        groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
-    )
-    rep_pairs = _banded_verified_pairs(
-        rep_docs, "text", 16, choose_bands(), 0.9
-    )
-    cc = connected_components(rep_pairs, "doc_a", "doc_b")
-    part1 = members.join(
-        cc, members.rep_id == cc.node
-    ).select("doc_id", "representative")
-    iso_multi = (
-        groups.where(F.col("m") >= 2)
-        .join(cc, groups.rep_id == cc.node, "left_anti")
-        .select("rep_id")
-    )
-    part2 = members.join(iso_multi, "rep_id").select(
-        "doc_id", F.col("rep_id").alias("representative")
-    )
-    return part1.unionByName(part2)
+    return neardup_components(_t(spark, sf_dir, "documents"))
 
 
 def _minhash_components_sql() -> str:

@@ -1420,6 +1420,136 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """training_corpus with the dedup stage upgraded from exact
+    (md5-text representative) to NEAR-duplicate survivors: quality ->
+    decontaminate -> minhash-LSH connected-component dedup -> mixture
+    -> packing. The near-dup stage is
+    functions/dedup.py::neardup_components (the dedup_minhash_components
+    machinery — rep-level LSH join, hybrid CC) run over the
+    quality+decontaminated corpus; survivors are the docs that are not
+    a non-representative member of any duplicate component (docs in no
+    component represent themselves).
+
+    Scale shape: identical to training_corpus except the survivor
+    stage — the semi-join chain stays one Catalyst plan; the component
+    mapping is the one extra stage boundary (pair graph + iterative
+    propagation), exactly the boundary a production near-dup job
+    materializes anyway.
+
+    Output: (doc_id, source, lang, n_tokens, start_offset, bin_id).
+    """
+    from bolson_spark.functions.corpus import (
+        decontaminate as _dec,
+        pack_sequences as _pack,
+    )
+    from bolson_spark.functions.dedup import neardup_components
+    from bolson_spark.functions.quality import quality_metrics
+    from bolson_spark.functions.sketch import temperature_mix as _tmix
+
+    docs = _t(spark, sf_dir, "documents")
+    kept_q = quality_metrics(docs).where("keep").select("doc_id")
+    s1 = docs.join(kept_q, "doc_id", "left_semi")
+    eval_docs = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = s1.filter(F.col("doc_id") % 17 != 0)
+    clean = (
+        _dec(corpus, eval_docs, n=8)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    s2 = corpus.join(clean, "doc_id", "left_semi")
+    non_reps = (
+        neardup_components(s2)
+        .where(F.col("doc_id") != F.col("representative"))
+        .select("doc_id")
+    )
+    # same persisted stage boundary as training_corpus: the mixture
+    # reads survivors three ways
+    s3 = s2.join(non_reps, "doc_id", "left_anti").cache()
+    mixed = _tmix(s3, "lang", alpha=0.5, target_frac=0.5).select("doc_id")
+    s4 = s3.join(mixed, "doc_id", "left_semi")
+    packed = _pack(s4, budget=2048)
+    return packed.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "doc_id", "source", "lang", "n_tokens", "start_offset", "bin_id"
+    )
+
+
+def _training_corpus_neardup_sql() -> str:
+    from bolson_spark.queries import _minhash_sql
+    from bolson_spark.queries_train import O_GOPHER_QUALITY
+
+    return f"""
+WITH RECURSIVE kept_q AS (
+  SELECT doc_id FROM ({O_GOPHER_QUALITY}) WHERE keep
+),
+dec AS (
+  SELECT doc_id FROM ({O_DECONTAMINATE}) WHERE NOT contaminated
+),
+s2 AS (
+  SELECT d.* FROM documents d
+  JOIN kept_q USING (doc_id)
+  JOIN dec USING (doc_id)
+  WHERE d.doc_id % 17 <> 0
+),
+mh AS (
+  SELECT doc_a, doc_b FROM ({_minhash_sql(source="s2")})
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM mh
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM mh
+),
+reach(node, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(r) AS representative FROM reach GROUP BY node
+),
+s3 AS (
+  SELECT s2.* FROM s2
+  WHERE doc_id NOT IN (
+    SELECT doc_id FROM comp WHERE doc_id <> representative
+  )
+),
+counts AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_s FROM s3 GROUP BY lang
+),
+fracs AS (
+  SELECT lang,
+         LEAST(1.0,
+               0.5 * SUM(n_s) OVER () * pow(n_s, -0.5)
+               / SUM(pow(n_s, 0.5)) OVER ()) AS keep_frac
+  FROM counts
+),
+s4 AS (
+  SELECT s3.* FROM s3 JOIN fracs USING (lang)
+  WHERE keep_frac >= 1.0
+     OR substr(md5('tmix|' || CAST(s3.doc_id AS VARCHAR)), 1, 8)
+        < printf('%08x', LEAST(CAST(FLOOR(keep_frac * 4294967296.0) AS BIGINT), 4294967295))
+),
+toks AS (
+  SELECT doc_id, source, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM s4
+),
+packed AS (
+  SELECT doc_id, source, lang, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks
+)
+SELECT doc_id, source, lang, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+FROM packed
+"""
+
+
 def _training_corpus_sql() -> str:
     from bolson_spark.queries_train import O_GOPHER_QUALITY
 
@@ -1519,6 +1649,11 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "training_corpus": QuerySpec(
         q_training_corpus, _training_corpus_sql(), ("text", "pipeline")
+    ),
+    "training_corpus_neardup": QuerySpec(
+        q_training_corpus_neardup,
+        _training_corpus_neardup_sql(),
+        ("text", "pipeline", "dedup"),
     ),
     "bpe_train": QuerySpec(
         q_bpe_train, _bpe_train_sql(), ("text", "pipeline")

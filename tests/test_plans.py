@@ -286,6 +286,31 @@ def test_training_corpus_is_one_jvm_plan(spark):
     assert "hashpartitioning(source" in plan
 
 
+def test_training_corpus_neardup_shuffle_budget(spark):
+    """The near-dup composition must add ONLY the dedup stage's own
+    exchanges to the flagship pipeline: no Python stages, no cartesian
+    joins, the packing window still partitioned by source, and the
+    near-dup pair generation visible as equi-joins (band-key hash
+    partitioning), never an all-pairs shape."""
+    plan = formatted_plan(QUERIES["training_corpus_neardup"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(source" in plan
+    # the near-dup stage runs at the exact-group REPRESENTATIVE level:
+    # the set-fingerprint canonicalization partitions on set_fp, and
+    # survivors are an anti-join — never a row-level rewrite
+    assert "hashpartitioning(set_fp" in plan
+    assert "LeftAnti" in plan
+    # shuffle-budget: the composition adds NO new single-partition
+    # funnels beyond the documented temperature_mix global window the
+    # exact-dedup flagship already carries (raw Exchange counts are
+    # not comparable here — connected_components' iterations unroll
+    # into the formatted plan)
+    base = formatted_plan(QUERIES["training_corpus"].fn(spark, SF))
+    assert plan.count("SinglePartition") <= base.count("SinglePartition")
+
+
 # Queries where an Exchange SinglePartition is CORRECT: 1-row scalar
 # aggregates (stats rows, funnel counts, layout bounds, TPC-H scalar
 # subqueries), the documented exact-seq parity twins, and global-window
@@ -300,7 +325,7 @@ SINGLE_PARTITION_OK = {
     # integrity_audit: five 1-row count aggregates unioned
     "integrity_audit",
     "bm25_search", "conversion_funnel", "temperature_mix",
-    "training_corpus", "zorder_layout",
+    "training_corpus", "training_corpus_neardup", "zorder_layout",
     "convert_ipc_messages", "convert_ipc_roundtrip",
     "convert_pipeline_exact", "convert_pipeline_arrow",
     "convert_rebatch", "convert_seq",
