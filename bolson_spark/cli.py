@@ -337,6 +337,23 @@ def cmd_monitor_compact(args) -> int:
     return 0
 
 
+def cmd_ingest_compact(args) -> int:
+    """Maintenance step for a long-lived ingest: fold the run's
+    COMMITTED ledger + near-dup index batch partitions into one merged
+    partition each (streaming/ingest.py::compact_ingest_state — gate
+    decisions unchanged, crash-safe, uncommitted batch untouched).
+    Run between streams, same single-writer rule as the stream."""
+    from bolson_spark.session import get_spark
+    from bolson_spark.streaming.ingest import compact_ingest_state
+
+    spark = get_spark("bolson-ingest-compact")
+    t0 = time.time()
+    report = compact_ingest_state(spark, args.out_dir, args.checkpoint)
+    report["elapsed_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(report, sort_keys=True))
+    return 0
+
+
 def cmd_monitor_union(args) -> int:
     """Cross-stream cardinality audit: merge several monitor states'
     HLL registers (bucket-wise MAX — associative across state dirs
@@ -814,6 +831,20 @@ def main(argv=None) -> int:
     )
     mu.add_argument("--p", type=int, default=6, help="HLL register bits")
     mu.set_defaults(fn=cmd_monitor_union)
+
+    ic = sub.add_parser(
+        "ingest-compact",
+        help="fold the ingest run's committed ledger + near-dup index "
+        "partitions into one merged partition each (crash-safe, "
+        "gate-preserving)",
+    )
+    ic.add_argument("--out-dir", required=True, help="ingest output dir")
+    ic.add_argument(
+        "--checkpoint", required=True,
+        help="the ingest checkpoint (selects the run and its commit "
+        "horizon)",
+    )
+    ic.set_defaults(fn=cmd_ingest_compact)
 
     b = sub.add_parser("bench", help="micro-benchmarks")
     bsub = b.add_subparsers(dest="bench_cmd", required=True)

@@ -600,3 +600,88 @@ def run_stream_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def compact_ingest_state(
+    spark: SparkSession, out_dir: str, checkpoint_dir: str
+) -> dict:
+    """Collapse the ingest run's COMMITTED (run, batch) ledger and
+    near-dup index partitions into one merged partition each — the
+    maintenance step that keeps the per-batch anti-join/probe read
+    cost O(state size), not O(batches), over a long-lived ingest
+    (the monitor-state compaction discipline applied to the ledger).
+
+    Safety argument, in the ledger's own terms:
+
+    - The consultation rule is `run != r OR batch < b`, and every
+      consumer treats the rows as a SET (anti-join on fingerprint;
+      distinct banded candidates + row_number best-match in the
+      near-dup gate) — duplicate rows change no decision. So
+      compaction is write-merged-THEN-delete, crash-safe at every
+      window exactly like the HLL register compactor: a partial
+      merged partition coexisting with the originals is just
+      duplicates.
+    - The merged partition lands under a fresh NEGATIVE batch id:
+      always strictly before any real batch (so every future batch
+      consults it), never the overwrite target of a replay (stream
+      batch ids are >= 0), and never reused across attempts (a
+      partially-written previous target is folded as INPUT, not
+      overwritten after its originals are gone).
+    - Only batches in the checkpoint's COMMIT LOG are folded: the one
+      possibly-replayable batch (written, commit lost) must keep its
+      own partition — folding it would make its replay (a) consult
+      its own rows via `batch < b` and reject every doc as a
+      duplicate, then (b) dynamic-overwrite its accepted/ partition
+      with that empty result. Committed batches can never replay.
+
+    Accepted payload partitions are deliberately NOT touched — they
+    are output data, not consultation state (compact them with the
+    layout tools if small files matter there). Same single-writer
+    rule as the stream itself: run this between streams on the same
+    checkpoint lineage, not concurrently with one.
+
+    Returns a per-table report dict."""
+    from bolson_spark.streaming.util import (
+        batch_partition_ids,
+        committed_batches,
+        read_run_id,
+        remove_batch_partition,
+    )
+
+    run_id = read_run_id(checkpoint_dir, "bolson_ingest_run_id")
+    committed = committed_batches(checkpoint_dir)
+    report: dict[str, dict] = {}
+    for sub in ("ledger", "mh_bands", "mh_toks"):
+        state_dir = os.path.join(out_dir, sub)
+        if not os.path.isdir(state_dir):
+            report[sub] = {"compacted": False, "folded": 0}
+            continue
+        batches = batch_partition_ids(state_dir, run_id)
+        # fold = committed real batches + any previous compactions
+        fold = [b for b in batches if b < 0 or b in committed]
+        if len(fold) <= 1:
+            report[sub] = {"compacted": False, "folded": len(fold)}
+            continue
+        gen = max((-b for b in batches if b < 0), default=0)
+        merged = (
+            spark.read.parquet(state_dir)
+            .where(F.col("run") == run_id)
+            .where(F.col("batch").isin(fold))
+            .drop("run", "batch")
+            .withColumn("run", F.lit(run_id))
+            .withColumn("batch", F.lit(-(gen + 1)))
+        )
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("run", "batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(state_dir)
+        )
+        for b in fold:
+            remove_batch_partition(state_dir, run_id, b)
+        report[sub] = {
+            "compacted": True,
+            "folded": len(fold),
+            "gen": gen + 1,
+        }
+    return report

@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,7 +40,12 @@ from pyspark.sql import functions as F
 # could silently desync the read-time s_int scaling from the rho values
 # hll_registers wrote
 from bolson_spark.functions.sketch import HASH_BITS, _hll_estimate
-from bolson_spark.streaming.util import read_run_id, run_id_for_checkpoint
+from bolson_spark.streaming.util import (
+    batch_partition_ids,
+    read_run_id,
+    remove_batch_partition,
+    run_id_for_checkpoint,
+)
 
 
 def _registers_dir(out_dir: str) -> str:
@@ -670,25 +674,9 @@ def _visible_batches(state_dir: str, run_id: str) -> Column:
     return (F.col("batch") == -gen) | (F.col("batch") > upto)
 
 
-def _batch_ids(state_dir: str, run_id: str) -> list[int]:
-    run_dir = os.path.join(state_dir, f"run={run_id}")
-    if not os.path.isdir(run_dir):
-        return []
-    out = []
-    for name in os.listdir(run_dir):
-        if name.startswith("batch="):
-            try:
-                out.append(int(name[len("batch="):]))
-            except ValueError:
-                continue
-    return sorted(out)
-
-
-def _rm_batch(state_dir: str, run_id: str, batch: int) -> None:
-    shutil.rmtree(
-        os.path.join(state_dir, f"run={run_id}", f"batch={batch}"),
-        ignore_errors=True,
-    )
+# control-plane listing/GC shared with the ingest-state compactor
+_batch_ids = batch_partition_ids
+_rm_batch = remove_batch_partition
 
 
 def _compact_sum_state(

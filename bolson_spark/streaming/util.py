@@ -46,3 +46,53 @@ def read_run_id(checkpoint_dir: str, filename: str) -> str:
         )
     with open(path) as f:
         return f.read().strip()
+
+
+def batch_partition_ids(state_dir: str, run_id: str) -> list[int]:
+    """Batch ids present on disk for one run of a (run, batch)-
+    partitioned state table — the compactors' control-plane listing
+    (driver-side; needs only directory listing, which every DFS the
+    state would live on provides)."""
+    run_dir = os.path.join(state_dir, f"run={run_id}")
+    if not os.path.isdir(run_dir):
+        return []
+    out = []
+    for name in os.listdir(run_dir):
+        if name.startswith("batch="):
+            try:
+                out.append(int(name[len("batch="):]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def remove_batch_partition(state_dir: str, run_id: str, batch: int) -> None:
+    """GC one (run, batch) partition dir; missing is fine (a crashed
+    or concurrent GC already removed it)."""
+    import shutil
+
+    shutil.rmtree(
+        os.path.join(state_dir, f"run={run_id}", f"batch={batch}"),
+        ignore_errors=True,
+    )
+
+
+def committed_batches(checkpoint_dir: str) -> set[int]:
+    """Batch ids the checkpoint's commit log has COMMITTED — the set
+    that can never replay. The one possibly-replayable batch is the
+    newest offsets entry without a commit (the foreachBatch crash
+    window); compactors must leave it untouched, because a replay
+    both dynamic-overwrites its own partitions and consults only
+    batches strictly before itself."""
+    d = os.path.join(checkpoint_dir, "commits")
+    if not os.path.isdir(d):
+        return set()
+    out: set[int] = set()
+    for name in os.listdir(d):
+        if name.startswith("."):
+            continue
+        try:
+            out.add(int(name))
+        except ValueError:
+            continue
+    return out

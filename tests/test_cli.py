@@ -323,3 +323,46 @@ def test_cli_monitor_union_and_compact(spark, tmp_path, capsys):
         assert len([d for d in parts if d.startswith("batch=")]) == 1
     capsys.readouterr()
     assert union_est() == want
+
+
+def test_cli_ingest_compact(spark, tmp_path, capsys):
+    """e2e: ingest two batches, `ingest-compact` folds the committed
+    ledger partitions, and a follow-up ingest on the same checkpoint
+    still rejects previously accepted content."""
+    import os
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    mtime = 1_700_000_000
+    for i, rows in enumerate([
+        [{"doc_id": 1, "text": "alpha"}],
+        [{"doc_id": 2, "text": "beta"}],
+    ]):
+        p = src / f"{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        mtime += 60
+        os.utime(p, (mtime, mtime))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    assert main(["ingest", "--in-dir", str(src), "--out-dir", out,
+                 "--checkpoint", ck, "--max-files-per-trigger", "1"]) == 0
+    capsys.readouterr()
+    assert main(["ingest-compact", "--out-dir", out,
+                 "--checkpoint", ck]) == 0
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ][-1]
+    rep = json.loads(line)
+    assert rep["ledger"]["compacted"] and rep["ledger"]["folded"] == 2
+
+    p = src / "2.jsonl"
+    p.write_text(json.dumps({"doc_id": 3, "text": "alpha"}) + "\n"
+                 + json.dumps({"doc_id": 4, "text": "gamma"}))
+    os.utime(p, (mtime + 60, mtime + 60))
+    assert main(["ingest", "--in-dir", str(src), "--out-dir", out,
+                 "--checkpoint", ck, "--max-files-per-trigger", "1"]) == 0
+    got = {
+        r.text: r.doc_id
+        for r in spark.read.parquet(out + "/accepted").collect()
+    }
+    assert got == {"alpha": 1, "beta": 2, "gamma": 4}

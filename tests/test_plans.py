@@ -686,12 +686,23 @@ def test_hll_register_build_is_partial_aggregating(spark):
     partial_max over (group, bucket) BEFORE the exchange, so each task
     emits at most groups x 2^p rows regardless of input size — the
     property that makes the sketch cheaper than distinct()+top-k.
-    There must be no distinct() (its extra exchange) anywhere."""
-    plan = formatted_plan(QUERIES["hll_distinct"].fn(spark, SF))
+    There must be no distinct() (its extra exchange) anywhere.
+
+    Asserted on the register-build construction itself
+    (hll_registers): the hll_distinct registry query consumes it
+    through hll_union, which since round 7 materializes the G+1
+    register aggregates EAGERLY so its persist can be released inside
+    the call (leak fix) — the corpus-scale register job therefore no
+    longer appears in the returned frame's plan, but its shape is
+    exactly this one."""
+    from bolson_spark.functions.sketch import hll_registers
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "source", "explode(split(text, ' ')) AS token"
+    )
+    plan = formatted_plan(hll_registers(docs, "token", "source", p=6))
     assert "partial_max" in plan, plan
-    # one exact-count accuracy join rides along (HashAggregate of the
-    # distinct), so we assert the REGISTER path's shape, not a global
-    # exchange count; the production caller drops the exact column.
+    assert "Deduplicate" not in plan and "distinct" not in plan.lower()
 
 
 def test_cm_frequency_probe_joins_broadcast_grid(spark):

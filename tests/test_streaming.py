@@ -2474,3 +2474,201 @@ def test_cardinality_union_across_state_dirs(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="sketch params"):
         cardinality_estimates_union(spark, dirs + [other], p=6).collect()
+
+
+def _ingest_env(tmp_path, sub="src"):
+    src = tmp_path / sub
+    src.mkdir()
+    mtime = [1_700_000_000]
+
+    def write_batch(fname, rows):
+        path = src / fname
+        path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        mtime[0] += 60
+        os.utime(path, (mtime[0], mtime[0]))
+
+    return src, write_batch
+
+
+def test_compact_ingest_state_preserves_dedup(spark, tmp_path):
+    """compact_ingest_state folds committed ledger batches into one
+    negative partition: the gate decisions are unchanged across
+    same-checkpoint restarts AND fresh-checkpoint runs (the negative
+    partition is always 'strictly before' every real batch), a second
+    compaction folds generation 1 + new batches, and a no-op re-run
+    changes nothing."""
+    from bolson_spark.streaming.ingest import (
+        compact_ingest_state,
+        run_stream_ingest,
+    )
+
+    src, write_batch = _ingest_env(tmp_path)
+    out, ck = tmp_path / "out", tmp_path / "ck"
+
+    def start(ckpt=None):
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        return run_stream_ingest(spark, stream, str(out), str(ckpt or ck))
+
+    write_batch("a.jsonl", [{"doc_id": 1, "text": "alpha"}])
+    write_batch("b.jsonl", [{"doc_id": 2, "text": "beta"}])
+    write_batch("c.jsonl", [{"doc_id": 3, "text": "gamma"}])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    rep = compact_ingest_state(spark, str(out), str(ck))
+    assert rep["ledger"]["compacted"] and rep["ledger"]["folded"] == 3
+    run_dirs = os.listdir(out / "ledger")
+    run_dir = [d for d in run_dirs if d.startswith("run=")][0]
+    assert sorted(os.listdir(out / "ledger" / run_dir)) == ["batch=-1"]
+
+    # idempotent no-op (single partition left, nothing new)
+    rep2 = compact_ingest_state(spark, str(out), str(ck))
+    assert not rep2["ledger"]["compacted"]
+
+    # same-checkpoint restart: old content rejected via the compacted
+    # partition, new content accepted
+    write_batch("d.jsonl", [{"doc_id": 4, "text": "alpha"},
+                            {"doc_id": 5, "text": "delta"}])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.text: r.doc_id
+        for r in spark.read.parquet(str(out / "accepted")).collect()
+    }
+    assert got == {"alpha": 1, "beta": 2, "gamma": 3, "delta": 5}
+
+    # second-generation compaction folds gen-1 + the new batch
+    rep3 = compact_ingest_state(spark, str(out), str(ck))
+    assert rep3["ledger"] == {"compacted": True, "folded": 2, "gen": 2}
+    assert sorted(os.listdir(out / "ledger" / run_dir)) == ["batch=-2"]
+
+    # fresh-checkpoint run: prior runs' compacted partitions are still
+    # consulted wholesale (run != r)
+    write_batch("e.jsonl", [{"doc_id": 6, "text": "beta"},
+                            {"doc_id": 7, "text": "epsilon"}])
+    q = start(ckpt=tmp_path / "ck2")
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.text: r.doc_id
+        for r in spark.read.parquet(str(out / "accepted")).collect()
+    }
+    assert got == {"alpha": 1, "beta": 2, "gamma": 3, "delta": 5,
+                   "epsilon": 7}
+
+
+def test_compact_ingest_skips_uncommitted_batch(spark, tmp_path):
+    """The foreachBatch crash window: the newest batch's state is
+    written but its commit marker is lost — compaction must NOT fold
+    it (a folded replay would consult its own rows, reject everything,
+    and overwrite its accepted partition with the empty result). The
+    uncommitted partition keeps its own (run,batch) slot; the replay
+    overwrites it idempotently and the final corpus is exact."""
+    from bolson_spark.streaming.ingest import (
+        compact_ingest_state,
+        run_stream_ingest,
+    )
+
+    src, write_batch = _ingest_env(tmp_path)
+    out, ck = tmp_path / "out", tmp_path / "ck"
+
+    def start():
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        return run_stream_ingest(spark, stream, str(out), str(ck))
+
+    write_batch("a.jsonl", [{"doc_id": 1, "text": "alpha"}])
+    write_batch("b.jsonl", [{"doc_id": 2, "text": "beta"}])
+    write_batch("c.jsonl", [{"doc_id": 3, "text": "gamma"}])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    # crash simulation: newest commit lost, state already written
+    commits = sorted(
+        (f for f in os.listdir(ck / "commits") if not f.startswith(".")),
+        key=int,
+    )
+    os.remove(ck / "commits" / commits[-1])
+    crc = ck / "commits" / f".{commits[-1]}.crc"
+    if crc.exists():
+        os.remove(crc)
+
+    rep = compact_ingest_state(spark, str(out), str(ck))
+    assert rep["ledger"]["compacted"] and rep["ledger"]["folded"] == 2
+    run_dir = [
+        d for d in os.listdir(out / "ledger") if d.startswith("run=")
+    ][0]
+    parts = sorted(os.listdir(out / "ledger" / run_dir))
+    assert parts == ["batch=-1", f"batch={commits[-1]}"]  # gamma's slot
+
+    # restart replays the uncommitted batch; result must be exact —
+    # nothing lost, nothing double-accepted
+    start().processAllAvailable()
+    got = {
+        r.text: r.doc_id
+        for r in spark.read.parquet(str(out / "accepted")).collect()
+    }
+    assert got == {"alpha": 1, "beta": 2, "gamma": 3}
+    led = spark.read.parquet(str(out / "ledger"))
+    assert led.count() == led.select("fingerprint").distinct().count() == 3
+
+
+def test_compact_ingest_near_dup_index(spark, tmp_path):
+    """The near-dup index tables fold under the same rule: after
+    compaction a re-arriving near-duplicate (J >= threshold vs an
+    accepted doc) is still rejected via the compacted index, and a
+    genuinely new doc is accepted."""
+    from bolson_spark.streaming.ingest import (
+        compact_ingest_state,
+        run_stream_ingest,
+    )
+
+    src, write_batch = _ingest_env(tmp_path)
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    base = " ".join(f"tok{i}" for i in range(40))
+
+    def start():
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        return run_stream_ingest(
+            spark, stream, str(out), str(ck), near_dup_threshold=0.8
+        )
+
+    write_batch("a.jsonl", [{"doc_id": 1, "text": base}])
+    write_batch("b.jsonl", [{"doc_id": 2, "text": "completely different"}])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    rep = compact_ingest_state(spark, str(out), str(ck))
+    assert rep["mh_bands"]["compacted"] and rep["mh_toks"]["compacted"]
+
+    # near-dup of doc 1 (39/41 shared tokens ~ J=0.95) + a new doc
+    write_batch("c.jsonl", [
+        {"doc_id": 3, "text": base + " tok_extra"},
+        {"doc_id": 4, "text": "another unrelated document entirely"},
+    ])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(str(out / "accepted")).collect()
+    }
+    assert got == {1, 2, 4}  # 3 rejected by the compacted index
