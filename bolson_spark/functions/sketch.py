@@ -496,13 +496,6 @@ def hll_union(
     # vocabulary-scale table costs more than the reuse saves).
     regs = hll_registers(df, key_col, group_col, p).persist()
     try:
-        # a group literally named like the total row would cross-join
-        # with it in the final scope join and silently corrupt both rows
-        if regs.where(F.col(group_col) == total_label).limit(1).count() > 0:
-            raise ValueError(
-                f"hll_union: group value {total_label!r} collides with "
-                f"total_label — pass a different total_label"
-            )
         # the shift amount is a COLUMN (varies per register), so the SQL
         # form — the python F.shiftleft only takes a literal bit count
         term = F.expr(f"shiftleft(1L, {k} - rho)")
@@ -514,13 +507,24 @@ def hll_union(
         total = merged.agg(
             F.count(F.lit(1)).alias("occupied"), F.sum(term).alias("s_int")
         ).select(F.lit(total_label).alias(group_col), "occupied", "s_int")
-        agg = per_group.unionByName(total)
         # materialize the G+1 aggregate rows (3 ints each — bounded by
         # construction) so the persisted register frame can be RELEASED
         # here instead of leaking until session end: the returned frame
         # must not lazily reference regs (a long-lived monitoring
-        # session calling this per tick would pin a frame per call)
-        agg_rows, agg_schema = agg.collect(), agg.schema
+        # session calling this per tick would pin a frame per call).
+        # The first collect is also the one register materialization —
+        # the total collect reuses the cache.
+        agg_schema = per_group.schema
+        pg_rows = per_group.collect()
+        # a group literally named like the total row would cross-join
+        # with it in the final scope join and silently corrupt both
+        # rows — checked on the collected rows, no extra job
+        if any(r[group_col] == total_label for r in pg_rows):
+            raise ValueError(
+                f"hll_union: group value {total_label!r} collides with "
+                f"total_label — pass a different total_label"
+            )
+        agg_rows = pg_rows + total.collect()
     finally:
         regs.unpersist()
     keys = df.select(group_col, key_col).distinct()

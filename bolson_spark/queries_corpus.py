@@ -1457,7 +1457,14 @@ def q_training_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(~F.col("contaminated"))
         .select("doc_id")
     )
-    s2 = corpus.join(clean, "doc_id", "left_semi")
+    # Persist the pre-dedup stage boundary: unlike the exact variant
+    # (where s2 feeds one groupBy + one semi-join), the near-dup stage
+    # reads s2 FOUR ways (set fingerprints, rep-doc pair generation,
+    # membership join-back, and the survivor anti-join's left side) —
+    # uncached, each re-runs the quality+decontaminate GEMM upstream
+    # (measured 34.4 s -> ~8 s at sf0.1). A production near-dup job
+    # materializes exactly this boundary.
+    s2 = corpus.join(clean, "doc_id", "left_semi").cache()
     non_reps = (
         neardup_components(s2)
         .where(F.col("doc_id") != F.col("representative"))

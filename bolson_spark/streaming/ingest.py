@@ -627,12 +627,15 @@ def compact_ingest_state(
       batch ids are >= 0), and never reused across attempts (a
       partially-written previous target is folded as INPUT, not
       overwritten after its originals are gone).
-    - Only batches in the checkpoint's COMMIT LOG are folded: the one
-      possibly-replayable batch (written, commit lost) must keep its
-      own partition — folding it would make its replay (a) consult
-      its own rows via `batch < b` and reject every doc as a
-      duplicate, then (b) dynamic-overwrite its accepted/ partition
-      with that empty result. Committed batches can never replay.
+    - Only batches at or below the checkpoint's COMMIT HORIZON are
+      folded (batches commit sequentially, so the newest commit-log
+      id bounds the committed set even after Spark purges old log
+      entries): the one possibly-replayable batch (written, commit
+      lost) sits above the horizon and must keep its own partition —
+      folding it would make its replay (a) consult its own rows via
+      `batch < b` and reject every doc as a duplicate, then
+      (b) dynamic-overwrite its accepted/ partition with that empty
+      result. Committed batches can never replay.
 
     Accepted payload partitions are deliberately NOT touched — they
     are output data, not consultation state (compact them with the
@@ -643,13 +646,15 @@ def compact_ingest_state(
     Returns a per-table report dict."""
     from bolson_spark.streaming.util import (
         batch_partition_ids,
-        committed_batches,
+        commit_horizon,
         read_run_id,
         remove_batch_partition,
     )
 
     run_id = read_run_id(checkpoint_dir, "bolson_ingest_run_id")
-    committed = committed_batches(checkpoint_dir)
+    # the HORIZON, not a membership set: Spark purges old commit-log
+    # entries, and batches commit sequentially — see commit_horizon
+    horizon = commit_horizon(checkpoint_dir)
     report: dict[str, dict] = {}
     for sub in ("ledger", "mh_bands", "mh_toks"):
         state_dir = os.path.join(out_dir, sub)
@@ -658,7 +663,7 @@ def compact_ingest_state(
             continue
         batches = batch_partition_ids(state_dir, run_id)
         # fold = committed real batches + any previous compactions
-        fold = [b for b in batches if b < 0 or b in committed]
+        fold = [b for b in batches if b <= horizon]
         if len(fold) <= 1:
             report[sub] = {"compacted": False, "folded": len(fold)}
             continue

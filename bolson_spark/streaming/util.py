@@ -41,8 +41,8 @@ def read_run_id(checkpoint_dir: str, filename: str) -> str:
     if not os.path.exists(path):
         raise ValueError(
             f"no run id file {filename!r} under checkpoint "
-            f"{checkpoint_dir!r} — this checkpoint never ran a monitor "
-            "(typo'd path, or a cleaned checkpoint dir?)"
+            f"{checkpoint_dir!r} — no stream of this kind ever ran on "
+            "this checkpoint (typo'd path, or a cleaned checkpoint dir?)"
         )
     with open(path) as f:
         return f.read().strip()
@@ -77,22 +77,28 @@ def remove_batch_partition(state_dir: str, run_id: str, batch: int) -> None:
     )
 
 
-def committed_batches(checkpoint_dir: str) -> set[int]:
-    """Batch ids the checkpoint's commit log has COMMITTED — the set
-    that can never replay. The one possibly-replayable batch is the
-    newest offsets entry without a commit (the foreachBatch crash
-    window); compactors must leave it untouched, because a replay
-    both dynamic-overwrites its own partitions and consults only
-    batches strictly before itself."""
+def commit_horizon(checkpoint_dir: str) -> int:
+    """The newest batch id the checkpoint's commit log has COMMITTED,
+    or -1 if none. Batches execute and commit SEQUENTIALLY, so every
+    batch at or below the horizon is committed and can never replay —
+    the horizon form matters because Spark PURGES old commit-log
+    entries (spark.sql.streaming.minBatchesToRetain, default 100): a
+    membership set built from the surviving files would silently and
+    permanently exclude every purged-but-committed old batch from
+    compaction. The one possibly-replayable batch is the newest
+    offsets entry ABOVE the horizon (the foreachBatch crash window);
+    compactors must leave it untouched, because a replay both
+    dynamic-overwrites its own partitions and consults only batches
+    strictly before itself."""
     d = os.path.join(checkpoint_dir, "commits")
     if not os.path.isdir(d):
-        return set()
-    out: set[int] = set()
+        return -1
+    horizon = -1
     for name in os.listdir(d):
         if name.startswith("."):
             continue
         try:
-            out.add(int(name))
+            horizon = max(horizon, int(name))
         except ValueError:
             continue
-    return out
+    return horizon

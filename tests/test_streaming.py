@@ -2521,6 +2521,15 @@ def test_compact_ingest_state_preserves_dedup(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
 
+    # simulate Spark's commit-log retention purge (old entries are
+    # deleted, only the newest survive): the fold must use the commit
+    # HORIZON — batches commit sequentially — not log membership, or
+    # purged-but-committed old batches could never fold
+    os.remove(ck / "commits" / "0")
+    crc = ck / "commits" / ".0.crc"
+    if crc.exists():
+        os.remove(crc)
+
     rep = compact_ingest_state(spark, str(out), str(ck))
     assert rep["ledger"]["compacted"] and rep["ledger"]["folded"] == 3
     run_dirs = os.listdir(out / "ledger")
