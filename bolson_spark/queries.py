@@ -1902,14 +1902,17 @@ def q_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _whitening_stats_sql(sample_n: int = 256, dim: int = EMB_DIM) -> str:
-    """DuckDB twin of q_whitening_stats: same sample selection (md5
-    bottom-k with id tiebreak), same exact int64 fixed-point fit, same
-    pinned float sequence, same floor(y*1e4) corpus sums."""
+def _whitening_model_cte(sample_n: int = 256, dim: int = EMB_DIM) -> str:
+    """The shared CTE block reproducing fit_whitening(diagonal=True)
+    in DuckDB — same sample selection (md5 bottom-k with id tiebreak),
+    same exact int64 fixed-point sums, same pinned float sequence —
+    yielding a `model` CTE of (dim, mean_fit, w_fit) rows that is
+    bit-identical to the Spark-side fit. Shared by the
+    whitening_stats and knn_sq_whitened oracles."""
     xi = "CAST(FLOOR(CAST(list_extract(embedding, dim + 1) AS DOUBLE)" \
          " * 1000000.0) AS BIGINT)"
     return f"""
-WITH draws AS (
+draws AS (
   SELECT vec_id, embedding,
          CAST(('0x' || substr(md5('whiten|' || CAST(vec_id AS VARCHAR)),
                1, 15)) AS BIGINT) AS _v
@@ -1934,7 +1937,14 @@ model AS (
              * (CAST(sd AS DOUBLE) / (CAST(sn AS DOUBLE) * 1000000.0))
            + 0.000001) AS w_fit
   FROM fit
-),
+)"""
+
+
+def _whitening_stats_sql(sample_n: int = 256, dim: int = EMB_DIM) -> str:
+    """DuckDB twin of q_whitening_stats: the shared model CTE plus
+    floor(y*1e4) corpus sums."""
+    return f"""
+WITH {_whitening_model_cte(sample_n, dim)},
 wht AS (
   SELECT d.dim, m.mean_fit, m.w_fit,
          CAST(FLOOR(
@@ -1951,6 +1961,99 @@ SELECT CAST(dim AS BIGINT) AS dim,
        CAST(SUM(yi) AS BIGINT) AS sum_y_e4,
        CAST(SUM(yi * yi) AS BIGINT) AS sumsq_y_e4
 FROM wht GROUP BY dim
+"""
+
+
+def q_knn_sq_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitened scalar-quantized kNN — the preprocessing composition a
+    production ANN index actually ships (the OPQ insight: standardize
+    per-dim variance BEFORE quantizing, so the int8 grid spends its
+    range evenly): fit diagonal whitening on the deterministic sample,
+    apply as a narrow Arrow map, int8-quantize the WHITENED vectors,
+    top-10 by quantized dot against whitened query vec_id 0.
+
+    Every link of the chain is bit-reproducible cross-engine: the fit
+    is fixed-point-pinned (see whitening_stats), y = (x-mean)*w is a
+    fixed IEEE sequence, the sq scale/codes use the knn_sq
+    floor(x/scale + 0.5) rule, and the code dot product is exact
+    integer arithmetic. Output: (vec_id, qdot), same shape as knn_sq —
+    the unwhitened twin this composes over."""
+    from bolson_spark.functions.similarity import (
+        apply_whitening,
+        fit_whitening,
+        sq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, w = fit_whitening(emb, sample_n=256, eps=1e-6, diagonal=True)
+    codes = sq_encode(
+        apply_whitening(emb, mean, w), vec_col="whitened"
+    )
+    q = codes.where(F.col("vec_id") == 0).select(
+        F.col("sq_scale").alias("q_scale"),
+        F.col("sq_codes").alias("q_codes"),
+    )
+    dot = F.aggregate(
+        F.zip_with("sq_codes", "q_codes", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                F.col("sq_scale") * F.col("q_scale") * dot.cast("double"), 6
+            ).alias("qdot"),
+        )
+        .orderBy(F.col("qdot").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def _knn_sq_whitened_sql(sample_n: int = 256, dim: int = EMB_DIM) -> str:
+    """DuckDB twin: the shared whitening model CTE, the whitened list
+    via an indexed lambda (i is 1-based, matching the dim-ordered
+    model lists), then the knn_sq scoring verbatim over y."""
+    return f"""
+WITH {_whitening_model_cte(sample_n, dim)},
+mlist AS (
+  SELECT list(mean_fit ORDER BY dim) AS means,
+         list(w_fit ORDER BY dim) AS ws
+  FROM model
+),
+wht AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        (x, i) -> (CAST(x AS DOUBLE) - means[i]) * ws[i])
+           AS y
+  FROM embeddings, mlist
+),
+s AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(y, v -> abs(v)), 'max') / 127.0
+           AS scale,
+         y
+  FROM wht
+),
+c AS (
+  SELECT vec_id, ROUND(scale, 6) AS sq_scale,
+         list_transform(y, v -> CAST(floor(v / scale + 0.5) AS BIGINT))
+           AS codes
+  FROM s
+),
+q AS (SELECT sq_scale AS q_scale, codes AS q_codes FROM c WHERE vec_id = 0)
+SELECT c.vec_id,
+       ROUND(c.sq_scale * q.q_scale
+             * CAST(list_aggregate(
+                 list_transform(list_zip(c.codes, q.q_codes),
+                                p -> p[1] * p[2]), 'sum') AS DOUBLE), 6)
+         AS qdot
+FROM c, q
+WHERE c.vec_id <> 0
+ORDER BY qdot DESC, vec_id ASC
+LIMIT 10
 """
 
 
@@ -3265,6 +3368,9 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_stats": QuerySpec(q_embedding_stats, O_EMBEDDING_STATS, ("similarity",)),
     "whitening_stats": QuerySpec(
         q_whitening_stats, _whitening_stats_sql(), ("similarity",)
+    ),
+    "knn_sq_whitened": QuerySpec(
+        q_knn_sq_whitened, _knn_sq_whitened_sql(), ("similarity",)
     ),
     "embedding_outliers": QuerySpec(
         q_embedding_outliers, O_EMBEDDING_OUTLIERS, ("similarity", "pipeline")
