@@ -312,6 +312,16 @@ def cmd_monitor(args) -> int:
                 checkpoint_dir=args.checkpoint,
             ).collect()
         } if have_state else {}
+    # optional in-line maintenance: collapse this run's accumulated
+    # (run,batch) partitions once the drain finished — the estimates
+    # above came from the pre-compaction state, and the compactor's
+    # own tests pin bit-identity, so the report needs no re-read
+    if getattr(args, "compact", False) and have_state:
+        from bolson_spark.streaming.monitor import compact_monitor_state
+
+        result["compaction"] = compact_monitor_state(
+            spark, args.out_dir, checkpoint_dir=args.checkpoint
+        )
     # stamped LAST so the report covers every pass and readback
     result["elapsed_sec"] = round(time.time() - t0, 3)
     print(json.dumps(result, sort_keys=True))
@@ -804,6 +814,12 @@ def main(argv=None) -> int:
         "p50/p95/p99 length quantile monitor",
     )
     mo.add_argument("--max-files-per-trigger", type=int)
+    mo.add_argument(
+        "--compact",
+        action="store_true",
+        help="collapse this run's sketch-state partitions after the "
+        "drain (same effect as a follow-up monitor-compact)",
+    )
     mo.set_defaults(fn=cmd_monitor)
 
     mc = sub.add_parser(

@@ -1304,9 +1304,13 @@ def neardup_components(
     absent from the output — they represent themselves.
 
     The rep-level `members` frame is persisted for its two consumers
-    (component expansion + isolated-multi groups); callers composing
-    this into a larger plan should treat the returned frame as one
-    stage boundary. Reference anchor: the reference dedups exact
+    (component expansion + isolated-multi groups) and stays pinned for
+    the life of the returned frame — a DELIBERATE stage-boundary cache
+    (the training_corpus s3 convention), not releasable inside the
+    call because the corpus-sized result must keep referencing it
+    (contrast hll_union/heavy_hitters, whose bounded aggregates could
+    be materialized to release theirs). Reference anchor: the
+    reference dedups exact
     payloads only (seq-keyed publish, src/bolson/convert/converter.cpp);
     near-dup grouping is the LLM-pipeline extension over it."""
     from pyspark.sql import functions as F

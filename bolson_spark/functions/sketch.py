@@ -485,6 +485,13 @@ def hll_union(
     audits: per-source sketches computed incrementally (per crawl, per
     shard) union in O(G * 2^p) work regardless of data size.
 
+    EAGER at the register stage (since round 7): the call runs the
+    register job and materializes the G+1 bounded aggregates so its
+    persist is released before returning — a long-lived session
+    calling this per tick pins nothing. The total_label collision
+    check therefore also raises at CALL time. The returned frame's
+    remaining lazy work is the exact-count accuracy scan only.
+
     Output: (scope, n_exact, occupied, hll_estimate) — one row per
     group value plus one `total_label` row; exact counts ride along
     for the accuracy report."""

@@ -366,3 +366,49 @@ def test_cli_ingest_compact(spark, tmp_path, capsys):
         for r in spark.read.parquet(out + "/accepted").collect()
     }
     assert got == {"alpha": 1, "beta": 2, "gamma": 4}
+
+
+def test_cli_monitor_compact_flag(spark, tmp_path, capsys):
+    """`monitor --compact` compacts the state in the same invocation:
+    the summary carries the compaction report and a follow-up read
+    returns the same estimates."""
+    import os
+
+    from bolson_spark.streaming.monitor import cardinality_estimates
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        {"doc_id": i, "text": " ".join(f"w{j}" for j in range(i * 5, i * 5 + 30)),
+         "source": "web"}
+        for i in range(3)
+    ]
+    for i, r in enumerate(rows):
+        p = src / f"{i}.jsonl"
+        p.write_text(json.dumps(r))
+        os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+    out = str(tmp_path / "mon")
+    rc = main([
+        "monitor", "--in-dir", str(src), "--out-dir", out,
+        "--checkpoint", str(tmp_path / "ck"),
+        "--max-files-per-trigger", "1", "--compact",
+    ])
+    assert rc == 0
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ][-1]
+    rep = json.loads(line)
+    assert rep["compaction"]["hll"]["compacted"]
+    run_dir = [
+        d for d in os.listdir(os.path.join(out, "hll_registers"))
+        if d.startswith("run=")
+    ][0]
+    parts = os.listdir(os.path.join(out, "hll_registers", run_dir))
+    assert [d for d in parts if d.startswith("batch=")] == ["batch=-1"]
+    # post-compaction read matches the in-run report
+    got = {
+        r.scope: round(r.hll_estimate, 1)
+        for r in cardinality_estimates(spark, out, p=6).collect()
+    }
+    assert got == rep["distinct_tokens_est"]
