@@ -315,17 +315,24 @@ def cmd_monitor(args) -> int:
     # optional in-line maintenance: collapse this run's accumulated
     # (run,batch) partitions once the drain finished — the estimates
     # above came from the pre-compaction state, and the compactor's
-    # own tests pin bit-identity, so the report needs no re-read
+    # own tests pin bit-identity, so the report needs no re-read. A
+    # compaction failure must NOT discard the successful drain's
+    # report: the error is embedded and the exit code flags it.
+    rc = 0
     if getattr(args, "compact", False) and have_state:
         from bolson_spark.streaming.monitor import compact_monitor_state
 
-        result["compaction"] = compact_monitor_state(
-            spark, args.out_dir, checkpoint_dir=args.checkpoint
-        )
+        try:
+            result["compaction"] = compact_monitor_state(
+                spark, args.out_dir, checkpoint_dir=args.checkpoint
+            )
+        except Exception as e:  # noqa: BLE001 — maintenance, not drain
+            result["compaction"] = {"error": f"{e!r:.500}"}
+            rc = 1
     # stamped LAST so the report covers every pass and readback
     result["elapsed_sec"] = round(time.time() - t0, 3)
     print(json.dumps(result, sort_keys=True))
-    return 0
+    return rc
 
 
 def cmd_monitor_compact(args) -> int:

@@ -1964,6 +1964,64 @@ FROM wht GROUP BY dim
 """
 
 
+def _sq_topk(codes: DataFrame, q: DataFrame, k: int = 10) -> DataFrame:
+    """The ONE definition of quantized-dot top-k scoring shared by
+    knn_sq and knn_sq_whitened (Spark side): similarity = sq_scale *
+    q_scale * <codes, q_codes> with the integer dot exact
+    (order-independent), TakeOrdered top-k, (qdot desc, vec_id)
+    tiebreak. `codes` = corpus (vec_id, sq_scale, sq_codes); `q` =
+    one broadcastable row (q_scale, q_codes)."""
+    dot = F.aggregate(
+        F.zip_with("sq_codes", "q_codes", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                F.col("sq_scale") * F.col("q_scale") * dot.cast("double"), 6
+            ).alias("qdot"),
+        )
+        .orderBy(F.col("qdot").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def _sq_scoring_sql(src_cte: str, val_expr: str, k: int = 10) -> str:
+    """The ONE definition of the quantized-dot scoring tail (DuckDB
+    side), shared by the knn_sq and knn_sq_whitened oracles so the
+    scale/code/rounding/tiebreak rules can never drift between them:
+    ``src_cte`` provides (vec_id, <vector>) rows; ``val_expr`` is the
+    per-element DOUBLE expression over lambda var ``x``."""
+    return f"""s AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(vec, x -> abs({val_expr})), 'max')
+           / 127.0 AS scale,
+         vec
+  FROM {src_cte}
+),
+c AS (
+  SELECT vec_id, ROUND(scale, 6) AS sq_scale,
+         list_transform(vec,
+                        x -> CAST(floor({val_expr} / scale + 0.5) AS BIGINT))
+           AS codes
+  FROM s
+),
+q AS (SELECT sq_scale AS q_scale, codes AS q_codes FROM c WHERE vec_id = 0)
+SELECT c.vec_id,
+       ROUND(c.sq_scale * q.q_scale
+             * CAST(list_aggregate(
+                 list_transform(list_zip(c.codes, q.q_codes),
+                                p -> p[1] * p[2]), 'sum') AS DOUBLE), 6)
+         AS qdot
+FROM c, q
+WHERE c.vec_id <> 0
+ORDER BY qdot DESC, vec_id ASC
+LIMIT {k}"""
+
+
 def q_knn_sq_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitened scalar-quantized kNN — the preprocessing composition a
     production ANN index actually ships (the OPQ insight: standardize
@@ -1986,30 +2044,23 @@ def q_knn_sq_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     mean, w = fit_whitening(emb, sample_n=256, eps=1e-6, diagonal=True)
+    # whiten the QUERY row from a pre-filtered frame: a vec_id filter
+    # cannot push through the MapInPandas whitening node (the UDF may
+    # change row count), so filtering AFTER apply_whitening would
+    # silently whiten the whole corpus a second time just to keep one
+    # row — whitening is row-wise, the filter commutes
     codes = sq_encode(
-        apply_whitening(emb, mean, w), vec_col="whitened"
+        apply_whitening(emb.where(F.col("vec_id") != 0), mean, w),
+        vec_col="whitened",
     )
-    q = codes.where(F.col("vec_id") == 0).select(
+    q = sq_encode(
+        apply_whitening(emb.where(F.col("vec_id") == 0), mean, w),
+        vec_col="whitened",
+    ).select(
         F.col("sq_scale").alias("q_scale"),
         F.col("sq_codes").alias("q_codes"),
     )
-    dot = F.aggregate(
-        F.zip_with("sq_codes", "q_codes", lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    return (
-        codes.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(
-                F.col("sq_scale") * F.col("q_scale") * dot.cast("double"), 6
-            ).alias("qdot"),
-        )
-        .orderBy(F.col("qdot").desc(), "vec_id")
-        .limit(10)
-    )
+    return _sq_topk(codes, q)
 
 
 def _knn_sq_whitened_sql(sample_n: int = 256, dim: int = EMB_DIM) -> str:
@@ -2027,33 +2078,10 @@ wht AS (
   SELECT vec_id,
          list_transform(embedding,
                         (x, i) -> (CAST(x AS DOUBLE) - means[i]) * ws[i])
-           AS y
+           AS vec
   FROM embeddings, mlist
 ),
-s AS (
-  SELECT vec_id,
-         list_aggregate(list_transform(y, v -> abs(v)), 'max') / 127.0
-           AS scale,
-         y
-  FROM wht
-),
-c AS (
-  SELECT vec_id, ROUND(scale, 6) AS sq_scale,
-         list_transform(y, v -> CAST(floor(v / scale + 0.5) AS BIGINT))
-           AS codes
-  FROM s
-),
-q AS (SELECT sq_scale AS q_scale, codes AS q_codes FROM c WHERE vec_id = 0)
-SELECT c.vec_id,
-       ROUND(c.sq_scale * q.q_scale
-             * CAST(list_aggregate(
-                 list_transform(list_zip(c.codes, q.q_codes),
-                                p -> p[1] * p[2]), 'sum') AS DOUBLE), 6)
-         AS qdot
-FROM c, q
-WHERE c.vec_id <> 0
-ORDER BY qdot DESC, vec_id ASC
-LIMIT 10
+{_sq_scoring_sql("wht", "x")}
 """
 
 

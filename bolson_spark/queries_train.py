@@ -21,7 +21,7 @@ from bolson_spark.functions.quality import (
     quality_metrics,
     stratified_sample,
 )
-from bolson_spark.queries import QuerySpec, _t
+from bolson_spark.queries import QuerySpec, _sq_scoring_sql, _sq_topk, _t
 
 # ---------------------------------------------------------------------------
 # Gopher-style quality filter
@@ -594,50 +594,12 @@ def q_knn_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sq_scale").alias("q_scale"),
         F.col("sq_codes").alias("q_codes"),
     )
-    dot = F.aggregate(
-        F.zip_with("sq_codes", "q_codes", lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        codes.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(
-                F.col("sq_scale") * F.col("q_scale") * dot.cast("double"), 6
-            ).alias("qdot"),
-        )
-    )
-    return scored.orderBy(F.col("qdot").desc(), "vec_id").limit(10)
+    return _sq_topk(codes.where(F.col("vec_id") != 0), q)
 
 
-O_KNN_SQ = """
-WITH s AS (
-  SELECT vec_id,
-         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
-           / 127.0 AS scale,
-         embedding
-  FROM embeddings
-),
-c AS (
-  SELECT vec_id, ROUND(scale, 6) AS sq_scale,
-         list_transform(embedding,
-                        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
-           AS codes
-  FROM s
-),
-q AS (SELECT sq_scale AS q_scale, codes AS q_codes FROM c WHERE vec_id = 0)
-SELECT c.vec_id,
-       ROUND(c.sq_scale * q.q_scale
-             * CAST(list_aggregate(
-                 list_transform(list_zip(c.codes, q.q_codes),
-                                p -> p[1] * p[2]), 'sum') AS DOUBLE), 6)
-         AS qdot
-FROM c, q
-WHERE c.vec_id <> 0
-ORDER BY qdot DESC, vec_id ASC
-LIMIT 10
+O_KNN_SQ = f"""
+WITH src AS (SELECT vec_id, embedding AS vec FROM embeddings),
+{_sq_scoring_sql("src", "CAST(x AS DOUBLE)")}
 """
 
 

@@ -394,11 +394,7 @@ def test_cli_monitor_compact_flag(spark, tmp_path, capsys):
         "--max-files-per-trigger", "1", "--compact",
     ])
     assert rc == 0
-    line = [
-        ln for ln in capsys.readouterr().out.splitlines()
-        if ln.startswith("{")
-    ][-1]
-    rep = json.loads(line)
+    rep = _out_line(capsys)
     assert rep["compaction"]["hll"]["compacted"]
     run_dir = [
         d for d in os.listdir(os.path.join(out, "hll_registers"))
@@ -412,3 +408,39 @@ def test_cli_monitor_compact_flag(spark, tmp_path, capsys):
         for r in cardinality_estimates(spark, out, p=6).collect()
     }
     assert got == rep["distinct_tokens_est"]
+
+
+def test_cli_monitor_compact_failure_keeps_report(spark, tmp_path, capsys):
+    """A failing --compact must not discard the successful drain's
+    report: the JSON summary still prints (estimates intact) with the
+    error embedded, and the exit code flags the maintenance failure."""
+    import os
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": "alpha beta", "source": "web"})
+    )
+    out = str(tmp_path / "mon")
+    ck = str(tmp_path / "ck")
+    # first run WITH probe tokens so count-min state exists
+    assert main(["monitor", "--in-dir", str(src), "--out-dir", out,
+                 "--checkpoint", ck, "--probe-tokens", "alpha"]) == 0
+    capsys.readouterr()
+    # poison ONLY the cm state's layout version, then drain a new file
+    # WITHOUT probe tokens (the drain writes hll state only, so it
+    # succeeds) — the compactor still sweeps the poisoned cm dir and
+    # must refuse there
+    with open(os.path.join(out, "cm_cells", "_bolson_state_version"),
+              "w") as f:
+        f.write("99")
+    (src / "b.jsonl").write_text(
+        json.dumps({"doc_id": 2, "text": "gamma", "source": "web"})
+    )
+    rc = main(["monitor", "--in-dir", str(src), "--out-dir", out,
+               "--checkpoint", ck, "--compact"])
+    rep = _out_line(capsys)
+    assert rc == 1
+    assert rep["distinct_tokens_est"]  # the drain's report survived
+    assert "error" in rep["compaction"]
+    assert "layout version" in rep["compaction"]["error"]
