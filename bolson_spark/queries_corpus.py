@@ -2173,15 +2173,30 @@ CORPUS_QUERIES.update(
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All tokens covering >= 1/500 of the corpus token stream —
-    EXACT, via the two-pass local-candidates algorithm where the Zipf
-    tail never shuffles (functions/sketch.py::heavy_hitters: per-
-    partition local counting emits a guaranteed candidate SUPERSET by
-    the averaging argument, then a broadcast semi-join + aggregation
-    over candidates only)."""
+    EXACT. mode="auto" (round 7) routes by a sampled distinct-count
+    estimate: at testdata scale that is the naive groupBy plan; the
+    two-pass candidate plan (per-partition local counting emits a
+    guaranteed candidate SUPERSET by the averaging argument, then a
+    broadcast semi-join + aggregation over candidates only — the Zipf
+    tail never shuffles) is driver-checked by the forced
+    `heavy_hitters_twopass` twin against the SAME oracle."""
     from bolson_spark.functions.sketch import heavy_hitters
 
     toks = _doc_tokens(spark, sf_dir).select("token")
     return heavy_hitters(toks, "token", num=1, denom=500)
+
+
+def q_heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forced two-pass route of `heavy_hitters` — kept as a
+    registry twin so the candidate-superset plan (the 100 TB path the
+    auto-route would pick on a trillion-token vocabulary) retains its
+    own driver CORRECTNESS row now that mode="auto" picks naive at
+    testdata scale. Same oracle; both routes are exact by
+    construction (cross-mode equality also pytest-asserted)."""
+    from bolson_spark.functions.sketch import heavy_hitters
+
+    toks = _doc_tokens(spark, sf_dir).select("token")
+    return heavy_hitters(toks, "token", num=1, denom=500, mode="twopass")
 
 
 O_HEAVY_HITTERS = f"""
@@ -2199,6 +2214,9 @@ CORPUS_QUERIES.update(
     {
         "heavy_hitters": QuerySpec(
             q_heavy_hitters, O_HEAVY_HITTERS, ("sketch", "text")
+        ),
+        "heavy_hitters_twopass": QuerySpec(
+            q_heavy_hitters_twopass, O_HEAVY_HITTERS, ("sketch", "text")
         ),
     }
 )
