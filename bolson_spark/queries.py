@@ -1824,6 +1824,39 @@ FROM exact JOIN approx USING (vec_id)
 """
 
 
+def q_ann_recall_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the whitened-int8 kNN (knn_sq_whitened) against
+    the exact float-cosine top-10 — the QUANTIZATION leg of the
+    recall-eval trio (IVF probes, LSH, now whitened SQ): the
+    accept/reject metric for shipping the 4x-smaller int8 index in
+    place of the float scan. Same one-semi-join shape as ann_recall;
+    both rankings are deterministic, so the metric is oracle-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    exact = knn_bruteforce(emb, qv, k=10).select("vec_id")
+    approx = q_knn_sq_whitened(spark, sf_dir).select("vec_id")
+    return (
+        exact.join(approx, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(10).cast("bigint").alias("k"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(10.0), 6).alias("recall"),
+        )
+    )
+
+
+def _ann_recall_whitened_sql() -> str:
+    return f"""
+WITH exact AS (SELECT vec_id FROM ({O_KNN_BRUTEFORCE})),
+approx AS (SELECT vec_id FROM ({_knn_sq_whitened_sql()}))
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       ROUND(COUNT(*) / 10.0, 6) AS recall
+FROM exact JOIN approx USING (vec_id)
+"""
+
+
 def q_ann_recall_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 at n_probe=2 — read together with ann_recall (n_probe
     =1), this pair is the recall-vs-cost curve an IVF deployment tunes."""
@@ -3399,6 +3432,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "knn_sq_whitened": QuerySpec(
         q_knn_sq_whitened, _knn_sq_whitened_sql(), ("similarity",)
+    ),
+    "ann_recall_whitened": QuerySpec(
+        q_ann_recall_whitened, _ann_recall_whitened_sql(),
+        ("similarity", "eval"),
     ),
     "embedding_outliers": QuerySpec(
         q_embedding_outliers, O_EMBEDDING_OUTLIERS, ("similarity", "pipeline")
