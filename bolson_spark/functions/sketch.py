@@ -846,6 +846,45 @@ def _hh_route(
     return "naive" if sampled * sample_mod <= cap else "twopass"
 
 
+def _hh_local_stats(
+    stream: DataFrame, key_col: str, num: int, denom: int
+) -> DataFrame:
+    """Pass 1 of the two-pass plan, as a LAZY frame (exposed so plan
+    evidence can show it — heavy_hitters itself materializes it): per
+    Arrow batch (a finer split than a partition only ENLARGES the
+    guaranteed candidate superset), local heavy hitters plus one
+    `_n`-row carrying the batch's row count, so the total N comes out
+    of THIS pass — a genuine two-scan algorithm, not two passes plus
+    a count job."""
+    import pandas as pd
+
+    theta_num, theta_den = num, denom
+
+    def local_stats(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            counts = pdf[key_col].value_counts()
+            thresh = theta_num * len(pdf) / theta_den
+            keep = counts[counts >= thresh]
+            yield pd.DataFrame(
+                {
+                    key_col: list(keep.index) + [None],
+                    "_n": [None] * len(keep) + [len(pdf)],
+                }
+            )
+
+    # the key field must be NULLABLE here regardless of the input
+    # schema: the per-batch `_n` rows carry a null key by design
+    stats_schema = T.StructType(
+        [
+            T.StructField(key_col, stream.schema[key_col].dataType, True),
+            T.StructField("_n", T.LongType()),
+        ]
+    )
+    return stream.mapInPandas(local_stats, stats_schema)
+
+
 def heavy_hitters(
     df: DataFrame,
     key_col: str,
@@ -919,35 +958,8 @@ def heavy_hitters(
             F.lit(n_total).cast("bigint").alias("n_total"),
         ).orderBy(F.col("cnt").desc(), key_col)
 
-    def local_stats(it):
-        # per Arrow batch (a finer split than a partition only ENLARGES
-        # the guaranteed candidate superset): local heavy hitters plus
-        # one `_n`-row carrying the batch's row count, so the total N
-        # comes out of THIS pass — a genuine two-scan algorithm, not
-        # two passes plus a count job
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            counts = pdf[key_col].value_counts()
-            thresh = theta_num * len(pdf) / theta_den
-            keep = counts[counts >= thresh]
-            yield pd.DataFrame(
-                {
-                    key_col: list(keep.index) + [None],
-                    "_n": [None] * len(keep) + [len(pdf)],
-                }
-            )
-
-    # the key field must be NULLABLE here regardless of the input
-    # schema: the per-batch `_n` rows carry a null key by design
-    stats_schema = T.StructType(
-        [
-            T.StructField(key_col, df.schema[key_col].dataType, True),
-            T.StructField("_n", T.LongType()),
-        ]
-    )
     # bounded by construction: <= (denom/num + 1) rows per Arrow batch
-    stats = stream.mapInPandas(local_stats, stats_schema).persist()
+    stats = _hh_local_stats(stream, key_col, num, denom).persist()
     try:
         n_total = int(
             stats.agg(F.sum("_n").alias("n")).first().n or 0
@@ -966,7 +978,7 @@ def heavy_hitters(
     finally:
         stats.unpersist()
     cands = spark.createDataFrame(
-        cand_rows, T.StructType([stats_schema[key_col]])
+        cand_rows, T.StructType([stats.schema[key_col]])
     )
     verified = (
         stream.join(F.broadcast(cands), key_col, "left_semi")

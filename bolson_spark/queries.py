@@ -1596,14 +1596,25 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, _query_vec(spark, sf_dir), k=10)
 
 
-O_KNN_BRUTEFORCE = f"""
+def _knn_bruteforce_sql(exclude_query: bool = False) -> str:
+    """Exact float-cosine top-10 oracle. ``exclude_query=True`` drops
+    the query row vec_id 0 BEFORE ranking — the variant the
+    whitened-SQ recall leg needs, because its approx side excludes
+    vec_id 0 by contract (a guaranteed self-match in only one leg
+    would cap the metric at 0.9 structurally)."""
+    where = "WHERE e.vec_id <> 0" if exclude_query else ""
+    return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
        ROUND({_cosine_sql("e.embedding", "q.qv")}, 6) AS cosine
 FROM embeddings e, q
+{where}
 ORDER BY cosine DESC, vec_id ASC
 LIMIT 10
 """
+
+
+O_KNN_BRUTEFORCE = _knn_bruteforce_sql()
 
 
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1790,6 +1801,35 @@ O_IVF_KNN_PROBE2 = O_IVF_KNN.replace("centroid_id ASC\n  LIMIT 1", "centroid_id 
 assert "LIMIT 2" in O_IVF_KNN_PROBE2
 
 
+def _recall_frame(exact: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
+    """The ONE definition of the recall@k metric frame shared by every
+    recall-eval query (IVF n_probe curve, LSH, whitened SQ): one
+    semi-join of two k-row vec_id sets, exact integer hit count,
+    round(n/k, 6)."""
+    return (
+        exact.join(approx, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
+        )
+    )
+
+
+def _recall_sql(exact_sql: str, approx_sql: str, k: int = 10) -> str:
+    """The ONE definition of the recall@k SQL template (DuckDB side of
+    _recall_frame)."""
+    return f"""
+WITH exact AS (SELECT vec_id FROM ({exact_sql})),
+approx AS (SELECT vec_id FROM ({approx_sql}))
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       ROUND(COUNT(*) / {float(k)}, 6) AS recall
+FROM exact JOIN approx USING (vec_id)
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation: recall@10 of the IVF probe (n_probe=1)
     against the exact brute-force top-10 — the accept/reject metric for
@@ -1803,25 +1843,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = knn_bruteforce(emb, qv, k=10).select("vec_id")
     approx = ivf_knn(emb, centroids, qv, k=10).select("vec_id")
-    return (
-        exact.join(approx, "vec_id", "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .select(
-            F.lit(10).cast("bigint").alias("k"),
-            F.col("n_hits").cast("bigint").alias("n_hits"),
-            F.round(F.col("n_hits") / F.lit(10.0), 6).alias("recall"),
-        )
-    )
+    return _recall_frame(exact, approx)
 
 
-O_ANN_RECALL = f"""
-WITH exact AS (SELECT vec_id FROM ({O_KNN_BRUTEFORCE})),
-approx AS (SELECT vec_id FROM ({O_IVF_KNN}))
-SELECT CAST(10 AS BIGINT) AS k,
-       CAST(COUNT(*) AS BIGINT) AS n_hits,
-       ROUND(COUNT(*) / 10.0, 6) AS recall
-FROM exact JOIN approx USING (vec_id)
-"""
+O_ANN_RECALL = _recall_sql(O_KNN_BRUTEFORCE, O_IVF_KNN)
 
 
 def q_ann_recall_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1829,32 +1854,28 @@ def q_ann_recall_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact float-cosine top-10 — the QUANTIZATION leg of the
     recall-eval trio (IVF probes, LSH, now whitened SQ): the
     accept/reject metric for shipping the 4x-smaller int8 index in
-    place of the float scan. Same one-semi-join shape as ann_recall;
-    both rankings are deterministic, so the metric is oracle-exact."""
+    place of the float scan. Same one-semi-join shape as ann_recall.
+
+    Both legs EXCLUDE the query row vec_id 0: knn_sq_whitened excludes
+    it by contract (query vs corpus), and leaving the guaranteed
+    self-match in only the exact leg would cap the metric at 0.9
+    structurally — the recall here is over the 10 genuinely
+    retrievable neighbors (the IVF/LSH legs include vec_id 0 in BOTH
+    legs, so all three metrics are honest; this one just retrieves
+    from a corpus that excludes the query)."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
-    exact = knn_bruteforce(emb, qv, k=10).select("vec_id")
+    exact = knn_bruteforce(
+        emb.where(F.col("vec_id") != 0), qv, k=10
+    ).select("vec_id")
     approx = q_knn_sq_whitened(spark, sf_dir).select("vec_id")
-    return (
-        exact.join(approx, "vec_id", "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .select(
-            F.lit(10).cast("bigint").alias("k"),
-            F.col("n_hits").cast("bigint").alias("n_hits"),
-            F.round(F.col("n_hits") / F.lit(10.0), 6).alias("recall"),
-        )
-    )
+    return _recall_frame(exact, approx)
 
 
 def _ann_recall_whitened_sql() -> str:
-    return f"""
-WITH exact AS (SELECT vec_id FROM ({O_KNN_BRUTEFORCE})),
-approx AS (SELECT vec_id FROM ({_knn_sq_whitened_sql()}))
-SELECT CAST(10 AS BIGINT) AS k,
-       CAST(COUNT(*) AS BIGINT) AS n_hits,
-       ROUND(COUNT(*) / 10.0, 6) AS recall
-FROM exact JOIN approx USING (vec_id)
-"""
+    return _recall_sql(
+        _knn_bruteforce_sql(exclude_query=True), _knn_sq_whitened_sql()
+    )
 
 
 def q_ann_recall_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1867,25 +1888,10 @@ def q_ann_recall_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = knn_bruteforce(emb, qv, k=10).select("vec_id")
     approx = ivf_knn(emb, centroids, qv, k=10, n_probe=2).select("vec_id")
-    return (
-        exact.join(approx, "vec_id", "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .select(
-            F.lit(10).cast("bigint").alias("k"),
-            F.col("n_hits").cast("bigint").alias("n_hits"),
-            F.round(F.col("n_hits") / F.lit(10.0), 6).alias("recall"),
-        )
-    )
+    return _recall_frame(exact, approx)
 
 
-O_ANN_RECALL_PROBE2 = f"""
-WITH exact AS (SELECT vec_id FROM ({O_KNN_BRUTEFORCE})),
-approx AS (SELECT vec_id FROM ({O_IVF_KNN_PROBE2}))
-SELECT CAST(10 AS BIGINT) AS k,
-       CAST(COUNT(*) AS BIGINT) AS n_hits,
-       ROUND(COUNT(*) / 10.0, 6) AS recall
-FROM exact JOIN approx USING (vec_id)
-"""
+O_ANN_RECALL_PROBE2 = _recall_sql(O_KNN_BRUTEFORCE, O_IVF_KNN_PROBE2)
 
 
 def q_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3121,25 +3127,10 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir)
     exact = knn_bruteforce(emb, qv, k=10).select("vec_id")
     approx = ann_lsh(emb, qv, k=10, num_planes=6).select("vec_id")
-    return (
-        exact.join(approx, "vec_id", "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .select(
-            F.lit(10).cast("bigint").alias("k"),
-            F.col("n_hits").cast("bigint").alias("n_hits"),
-            F.round(F.col("n_hits") / F.lit(10.0), 6).alias("recall"),
-        )
-    )
+    return _recall_frame(exact, approx)
 
 
-O_ANN_LSH_RECALL = f"""
-WITH exact AS (SELECT vec_id FROM ({O_KNN_BRUTEFORCE})),
-approx AS (SELECT vec_id FROM ({O_ANN_LSH}))
-SELECT CAST(10 AS BIGINT) AS k,
-       CAST(COUNT(*) AS BIGINT) AS n_hits,
-       ROUND(COUNT(*) / 10.0, 6) AS recall
-FROM exact JOIN approx USING (vec_id)
-"""
+O_ANN_LSH_RECALL = _recall_sql(O_KNN_BRUTEFORCE, O_ANN_LSH)
 
 
 def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
