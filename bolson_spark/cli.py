@@ -275,13 +275,25 @@ def cmd_monitor(args) -> int:
     )
     q.awaitTermination()
 
-    # an empty --in-dir processes zero micro-batches, so NO state dirs
-    # exist — report empty estimate sets instead of throwing
-    # PATH_NOT_FOUND at the readback (the run is legitimate, the
-    # answer is "nothing ingested yet")
+    # a drain can legitimately leave any SUBSET of the state kinds
+    # missing (empty --in-dir writes nothing at all; a --probe-tokens
+    # probe against a backlog an earlier invocation already drained
+    # never creates cm_cells), so each readback is gated on ITS OWN
+    # state — gating all three on hll_registers would throw
+    # PATH_NOT_FOUND at the cm/hist reads and lose the successful hll
+    # estimates with them. The cm/hist gates check that THIS
+    # checkpoint's run actually wrote partitions (run_partition_ids,
+    # one dir listing): their readers are run-scoped and refuse a run
+    # that wrote nothing, but for the CLI that case is a legitimate
+    # "nothing ingested yet", answered with an empty estimate set.
+    # The hll reader spans all runs by MAX algebra, so dir existence
+    # is the right gate there.
     import os
 
-    have_state = os.path.isdir(os.path.join(args.out_dir, "hll_registers"))
+    from bolson_spark.streaming.monitor import _cm_dir, _hist_dir
+    from bolson_spark.streaming.util import run_partition_ids
+
+    have_hll = os.path.isdir(os.path.join(args.out_dir, "hll_registers"))
     result = {
         "distinct_tokens_est": {
             row.scope: round(row.hll_estimate, 1)
@@ -289,7 +301,7 @@ def cmd_monitor(args) -> int:
                 spark, args.out_dir, p=args.p
             ).collect()
         }
-        if have_state
+        if have_hll
         else {},
         "out_dir": args.out_dir,
     }
@@ -297,21 +309,23 @@ def cmd_monitor(args) -> int:
         probe = spark.createDataFrame(
             [(t,) for t in args.probe_tokens], ["token"]
         )
+        have_cm = cm_run in run_partition_ids(_cm_dir(args.out_dir))
         result["token_freq_est"] = {
             row.token: row.cm_estimate
             for row in frequency_estimates(
                 spark, args.out_dir, probe, "token",
                 checkpoint_dir=args.checkpoint,
             ).collect()
-        } if have_state else {}
+        } if have_cm else {}
     if bounds:
+        have_hist = hist_run in run_partition_ids(_hist_dir(args.out_dir))
         result["doc_length_quantiles"] = {
             f"{row.scope}:p{row.pct}": row.est
             for row in quantile_estimates(
                 spark, args.out_dir, bounds,
                 checkpoint_dir=args.checkpoint,
             ).collect()
-        } if have_state else {}
+        } if have_hist else {}
     # optional in-line maintenance: collapse this run's accumulated
     # (run,batch) partitions once the drain finished — the estimates
     # above came from the pre-compaction state, and the compactor's
@@ -319,7 +333,9 @@ def cmd_monitor(args) -> int:
     # compaction failure must NOT discard the successful drain's
     # report: the error is embedded and the exit code flags it.
     rc = 0
-    if getattr(args, "compact", False) and have_state:
+    if getattr(args, "compact", False):
+        # no state-existence gate: the compactor itself skips kinds
+        # whose dir was never created (reports compacted=False)
         from bolson_spark.streaming.monitor import compact_monitor_state
 
         try:

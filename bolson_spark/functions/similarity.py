@@ -20,6 +20,8 @@ rounded to 6 decimals on both engines before comparison.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1655,10 +1657,26 @@ def fit_whitening(
         # every step below is either exact int64 arithmetic or a single
         # correctly-rounded IEEE op, so an oracle repeating the same
         # steps (floor/sum in SQL) lands on bit-identical (mean, w).
-        # Magnitude guards: |x| <= ~1e3 and sample_n <= 4096 keep both
-        # sums far inside int64 (xi <= 1e9, xi^2 <= 1e18/4096).
         n = len(x)
         xi = np.floor(x * 1e6).astype(np.int64)
+        # int64 proof obligation for the squared sum: n terms of xi^2
+        # must stay under 2^63, i.e. |xi| <= sqrt((2^63-1)/n) — about
+        # |x| <= 47 at n=4096, |x| <= 190 at n=256. numpy wraps
+        # silently past that (negative var -> NaN W -> garbage
+        # whitened vectors with no error, while the DuckDB twin's
+        # HUGEINT sum raises instead of matching), so refuse loudly
+        # at the exact bound. |sum(xi)| <= n*|xi|max = sqrt(n*(2^63-1))
+        # is then automatically safe.
+        bound = math.isqrt((2**63 - 1) // max(n, 1))
+        amax = int(np.abs(xi).max()) if n else 0
+        if amax > bound:
+            raise ValueError(
+                f"fit_whitening(diagonal=True): |floor(x*1e6)| up to "
+                f"{amax} in the {n}-row sample exceeds the int64-exact "
+                f"fixed-point bound {bound} (|x| <~ {bound / 1e6:.1f}) "
+                "— rescale the embeddings or reduce sample_n; the "
+                "exact-integer contract cannot hold past it"
+            )
         sd = xi.sum(axis=0)
         sq = (xi * xi).sum(axis=0)
         mean = sd.astype(np.float64) / (float(n) * 1e6)

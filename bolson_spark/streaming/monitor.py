@@ -45,6 +45,7 @@ from bolson_spark.streaming.util import (
     read_run_id,
     remove_batch_partition,
     run_id_for_checkpoint,
+    run_partition_ids,
 )
 
 
@@ -425,10 +426,13 @@ def _run_scoped_state(
     when the run was never compacted (see compact_monitor_state)."""
     _verify_state_version(state_dir)
     state = spark.read.parquet(state_dir)
-    # the distinct-runs list is bounded (one value per stream lineage
-    # ever pointed at this state dir) and doubles as the membership
-    # check below — collecting it costs one scan of sketch-sized rows
-    runs = [r.run for r in state.select("run").distinct().collect()]
+    # runs-that-wrote-state comes from the run=/batch= partition dir
+    # listing (one driver-side directory read), NOT a
+    # SELECT DISTINCT run job — the distinct would scan the whole
+    # state table once for the membership check and then again for
+    # the actual estimate, doubling state I/O on every probe of a
+    # long-lived monitoring session
+    runs = run_partition_ids(state_dir)
     if checkpoint_dir is not None:
         # READ-ONLY resolve: minting here would both mutate the
         # checkpoint dir during a read and filter to a run that never
@@ -786,11 +790,7 @@ def _resolve_compact_run(
         return None
     if checkpoint_dir is not None:
         return read_run_id(checkpoint_dir, run_file)
-    runs = [
-        n[len("run="):]
-        for n in os.listdir(state_dir)
-        if n.startswith("run=")
-    ]
+    runs = run_partition_ids(state_dir)
     if len(runs) > 1:
         raise ValueError(
             f"{what}: {len(runs)} runs in {state_dir!r}; pass "

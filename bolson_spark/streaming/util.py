@@ -66,6 +66,27 @@ def batch_partition_ids(state_dir: str, run_id: str) -> list[int]:
     return sorted(out)
 
 
+def run_partition_ids(state_dir: str) -> list[str]:
+    """Run ids that WROTE state under a (run, batch)-partitioned state
+    table — driver-side directory listing, the control-plane twin of
+    `batch_partition_ids`. Runs whose dir has no ``batch=`` child are
+    skipped: they hold no rows, and a membership check that admitted
+    them would let a reader silently filter to zero state — the exact
+    failure the check exists to refuse. Readers use this instead of a
+    ``SELECT DISTINCT run`` Spark job: the listing is one directory
+    read, while the distinct is a full scan of the state table run
+    BEFORE the state is scanned again for the actual estimate."""
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for name in os.listdir(state_dir):
+        if name.startswith("run=") and batch_partition_ids(
+            state_dir, name[len("run="):]
+        ):
+            out.append(name[len("run="):])
+    return sorted(out)
+
+
 def remove_batch_partition(state_dir: str, run_id: str, batch: int) -> None:
     """GC one (run, batch) partition dir; missing is fine (a crashed
     or concurrent GC already removed it)."""

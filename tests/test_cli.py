@@ -248,6 +248,43 @@ def test_cli_monitor_empty_in_dir(spark, tmp_path, capsys):
     assert out["doc_length_quantiles"] == {}
 
 
+def test_cli_monitor_probe_after_drain_missing_cm_state(
+    spark, tmp_path, capsys
+):
+    """Per-kind readback gating: drain a backlog WITHOUT
+    --probe-tokens (creates hll state only), then probe the same
+    checkpoint WITH --probe-tokens and no new input. The second
+    invocation processes zero micro-batches, so cm_cells never
+    exists — the report must still carry the hll estimates and answer
+    the probe with an empty set, not crash on the missing cm dir
+    (gating every readback on hll_registers did exactly that)."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": "a b c", "source": "web"})
+    )
+    args = [
+        "monitor",
+        "--in-dir", str(src),
+        "--out-dir", str(tmp_path / "mon"),
+        "--checkpoint", str(tmp_path / "ck"),
+    ]
+    assert main(args) == 0
+    capsys.readouterr()
+    rc = main(args + ["--probe-tokens", "a", "--length-bounds", "0", "64"])
+    assert rc == 0
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ][-1]
+    out = json.loads(line)
+    # hll state accumulated under the same run — estimates survive
+    assert out["distinct_tokens_est"]["web"] > 0
+    # cm/hist state was never written for this run — empty, not a crash
+    assert out["token_freq_est"] == {}
+    assert out["doc_length_quantiles"] == {}
+
+
 def test_cli_monitor_union_and_compact(spark, tmp_path, capsys):
     """e2e: two independent `monitor` runs (two crawls), then
     `monitor-union` must report estimates BIT-matching a single

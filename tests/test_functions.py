@@ -2174,6 +2174,35 @@ def test_whitening_diagonal_standardizes_per_dim(spark):
     assert np.allclose(var, 1.0, atol=0.2), (var.min(), var.max())
 
 
+def test_whitening_diagonal_refuses_int64_overflow_magnitudes(spark):
+    """The diagonal fit's exact-int64 contract has a provable input
+    domain: n terms of floor(x*1e6)^2 must stay under 2^63, i.e.
+    |x| <~ sqrt((2^63-1)/n)/1e6 (~190 at n=256). Past it numpy wraps
+    SILENTLY (negative variance -> NaN W -> garbage whitened vectors
+    with no error, while the DuckDB oracle's HUGEINT sum diverges
+    instead of matching) — the fit must refuse loudly at the bound,
+    and keep working just inside it."""
+    import numpy as np
+    import pytest
+
+    from bolson_spark.functions.similarity import fit_whitening
+
+    def frame(mag):
+        rows = [(i, [float(mag) * (1 if i % 2 else -1), 0.5]) for i in
+                range(32)]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+
+    # |xi| = 1e9 -> xi^2 = 1e18; 32 terms sum to 3.2e19 > 2^63-1
+    with pytest.raises(ValueError, match="int64-exact fixed-point"):
+        fit_whitening(frame(1000.0), sample_n=32, diagonal=True)
+    # just inside the bound for n=32: |x| <= ~536 is safe
+    mean, w = fit_whitening(frame(500.0), sample_n=32, diagonal=True)
+    assert np.isfinite(mean).all() and np.isfinite(np.diag(w)).all()
+    assert (np.diag(w) > 0).all()
+
+
 def test_heavy_hitters_exact_and_partitioning_independent(spark):
     """heavy_hitters must return exactly the keys with global count >=
     theta*N with exact counts, for ANY partitioning of the input — the

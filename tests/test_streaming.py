@@ -2141,6 +2141,34 @@ def test_monitor_reader_refuses_foreign_checkpoint_run(spark, tmp_path):
         ).collect()
 
 
+def test_run_partition_ids_lists_only_runs_that_wrote_state(
+    spark, tmp_path
+):
+    """run_partition_ids is the readers' membership source (one
+    directory listing instead of a SELECT DISTINCT scan of the whole
+    state table): it must list exactly the runs with >=1 batch
+    partition — a run dir emptied by GC holds no rows, and admitting
+    it would let a reader silently filter to zero state."""
+    from bolson_spark.streaming.monitor import write_cm_batch
+    from bolson_spark.streaming.util import run_partition_ids
+
+    out = str(tmp_path / "state")
+    assert run_partition_ids(out) == []  # missing dir
+
+    df = spark.createDataFrame([("a",), ("b",)], ["key"])
+    write_cm_batch(df, out, "run1", 0, "key", d=4, w_cells=64)
+    write_cm_batch(df, out, "run2", 0, "key", d=4, w_cells=64)
+    cm = os.path.join(out, "cm_cells")
+    assert run_partition_ids(cm) == ["run1", "run2"]
+
+    # an empty run dir (all batch partitions GC'd) is NOT a run that
+    # wrote state
+    import shutil
+
+    shutil.rmtree(os.path.join(cm, "run=run2", "batch=0"))
+    assert run_partition_ids(cm) == ["run1"]
+
+
 def test_monitor_param_pins_refuse_mismatch(spark, tmp_path):
     """Sketch params are pinned BESIDE the state on first write; a
     writer restarting with different params, or a reader probing with
