@@ -1723,6 +1723,36 @@ LIMIT 10
 """
 
 
+def q_ivf_knn_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ON-DISK IVF serving path, cross-engine verified: build the
+    same 8-centroid index q_ivf_knn uses in memory, materialize it in
+    the production layout (save_ivf_index: cells/cluster=<id>/
+    partition dirs + a centroid table), then answer the query through
+    ivf_probe_saved — the partition-pruned scan that reads ONLY the
+    probed cell directory, the access pattern a 100 TB index lives on
+    (pruning is plan-asserted in test_functions; THIS query pins the
+    results). Same ranking semantics as the in-memory probe, so the
+    oracle is O_IVF_KNN verbatim — saved and in-memory paths can never
+    drift apart without a driver CORRECTNESS failure."""
+    import tempfile
+
+    from bolson_spark.functions.similarity import (
+        ivf_probe_saved,
+        save_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    path = tempfile.mkdtemp(prefix="bolson_ivf_saved_")
+    save_ivf_index(emb, centroids, path)
+    return ivf_probe_saved(
+        spark, path, _query_vec(spark, sf_dir), k=10, n_probe=1
+    )
+
+
 def q_ivf_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCHED IVF probe (functions/similarity.py::ivf_knn_batch) —
     the serving shape: the 4 lowest-id vectors as query batch, top-10
@@ -3412,6 +3442,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ivf_assign": QuerySpec(q_ivf_assign, O_IVF_ASSIGN, ("similarity",)),
     "ivf_knn": QuerySpec(q_ivf_knn, O_IVF_KNN, ("similarity",)),
+    "ivf_knn_saved": QuerySpec(q_ivf_knn_saved, O_IVF_KNN, ("similarity",)),
     "ann_recall": QuerySpec(q_ann_recall, O_ANN_RECALL, ("similarity", "eval")),
     "ivf_knn_probe2": QuerySpec(q_ivf_knn_probe2, O_IVF_KNN_PROBE2, ("similarity",)),
     "ann_recall_probe2": QuerySpec(

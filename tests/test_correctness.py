@@ -44,3 +44,15 @@ def test_registry_rotation_invariants():
     # fresh queries lead while they are unchecked
     lead = [n for n in _NEW_R3_FIRST if n not in _CHECKED]
     assert names[: len(lead)] == lead
+
+
+def test_compare_all_harness_smoke(spark):
+    """compare_all is the verify harness the driver-gate mirror runs
+    over the whole registry: it must return one result per requested
+    name, report oracle matches as ok, and convert a query exception
+    into a failed CompareResult instead of aborting the sweep."""
+    from bolson_spark.oracle import compare_all
+
+    rs = compare_all(spark, SF_DIR, names=["pricing_summary", "ivf_knn"])
+    assert [r.name for r in rs] == ["pricing_summary", "ivf_knn"]
+    assert all(r.ok for r in rs), [(r.name, r.detail) for r in rs]

@@ -74,3 +74,45 @@ def test_kafka_source_option_mapping_and_env_missing(spark):
 
     with pytest.raises(RuntimeError, match="kafka source unavailable"):
         read_kafka_stream(spark, "b1:9092", "bolson")
+
+
+def test_load_tables_loads_every_registered_table(spark):
+    """session.load_tables is the one-call fixture loader (every table
+    name -> DataFrame, with the events nanos->timestamp normalization
+    applied): each registered table must come back non-empty with the
+    same normalized schema load_table gives."""
+    from pyspark.sql import types as T
+
+    from bolson_spark.session import TABLES, load_tables
+
+    tables = load_tables(spark, "/root/testdata/sf0.001")
+    assert set(tables) == set(TABLES)
+    for name, df in tables.items():
+        assert df.limit(1).count() == 1, name
+    # the nanos normalization applied through this path too: ts is a
+    # timestamp type (NTZ when parquet carries TIMESTAMP directly,
+    # TimestampType after the nanosAsLong long->timestamp rewrite),
+    # never the raw int64
+    assert isinstance(
+        tables["events"].schema["ts"].dataType,
+        (T.TimestampType, T.TimestampNTZType),
+    )
+
+
+def test_schema_save_load_roundtrip(tmp_path):
+    """Arrow schema file roundtrip — the reference's generate-schema
+    step (usage.md:14-26): a schema serialized with save_schema must
+    read back equal via load_schema, for both reference schemas."""
+    from bolson_spark.schemas import (
+        BATTERY_SPARK,
+        TRIP_SPARK,
+        load_schema,
+        save_schema,
+        spark_to_arrow_schema,
+    )
+
+    for i, spark_schema in enumerate((BATTERY_SPARK, TRIP_SPARK)):
+        path = str(tmp_path / f"schema_{i}.arrow")
+        arrow = spark_to_arrow_schema(spark_schema)
+        save_schema(arrow, path)
+        assert load_schema(path).equals(arrow)
