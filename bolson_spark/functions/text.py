@@ -180,3 +180,115 @@ def redact_pii(col: Column) -> Column:
     for pat, tag in PII_PATTERNS:
         out = F.regexp_replace(out, pat, tag)
     return out
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_pair: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k adjacent-token collocations ranked by the PMI RATIO
+    p(w1,w2) / (p(w1) p(w2)) — the corpus-analysis pass that surfaces
+    multi-word expressions ("new york", "machine learning") before
+    tokenizer training or phrase-aware dedup. The ratio form (not
+    log-PMI) is deliberate: every term is an integer count, so the
+    score is a pinned sequence of correctly-rounded IEEE ops that a
+    SQL oracle reproduces bit-for-bit — ln() is a transcendental whose
+    last ulp differs across libm implementations (the same reason
+    _hll_estimate skips the linear-counting correction), and
+    monotonically it ranks identically anyway.
+
+    Scale shape at 100 TB: the bigram groupBy is THE shuffle (partial
+    map-side combine; key space = distinct adjacent pairs), and the
+    ``min_pair`` filter runs BEFORE the unigram joins, so the Zipf
+    tail of hapax bigrams — the overwhelming majority of the key
+    space — never enters an exchange again. Unigram counts join on
+    token (equi-join; AQE broadcasts the vocabulary side when it
+    fits); totals ride in as a 1-row broadcast. Everything else is a
+    narrow transform inside codegen — no UDFs, no corpus re-scan.
+
+    Output: (w1, w2, n_pair, pmi_ratio), ordered by
+    (pmi_ratio DESC, w1, w2), exactly k rows (fewer if the corpus has
+    fewer qualifying pairs)."""
+    ws = tokens(F.col(text_col))
+    base = docs.select(ws.alias("ws"))
+    uni = (
+        base.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_uni"))
+    )
+    # adjacent pairs via a 1->(n-1) narrow transform; sequence(1, n-1)
+    # would DESCEND for 1-token docs (Spark fills in step -1), so the
+    # short docs are filtered out first rather than special-cased
+    pairs_all = (
+        base.where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    pairs = pairs_all.where(F.col("n_pair") >= min_pair)
+    # the normalizers are DERIVED, not re-scanned: N = sum of the
+    # unigram counts (its exchange is reused — plan-verified), and
+    # M = total adjacent pairs = N - n_docs, exact because a
+    # single-space split always yields >= 1 token per doc (empty text
+    # -> [""]), so sum(len-1) telescopes. n_docs is a column-less
+    # row-count scan (parquet footer counts). Net: the corpus is
+    # tokenized exactly twice (unigram pass + bigram pass) — the
+    # honest minimum without caching a corpus-sized tokenized frame —
+    # and nothing else touches it.
+    totals = (
+        uni.agg(F.sum("n_uni").alias("_n"))
+        .crossJoin(base.agg(F.count(F.lit(1)).alias("_d")))
+        .select(
+            F.col("_n").cast("double").alias("n_total"),
+            (F.col("_n") - F.col("_d")).cast("double").alias("m_total"),
+        )
+    )
+    scored = (
+        pairs.join(
+            uni.select(
+                F.col("w").alias("w1"), F.col("n_uni").alias("n_w1")
+            ),
+            "w1",
+        )
+        .join(
+            uni.select(
+                F.col("w").alias("w2"), F.col("n_uni").alias("n_w2")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    # pinned left-to-right op order — the oracle repeats it verbatim:
+    # ((((n_pair * N) / M) / n_w1) * N) / n_w2
+    ratio = F.round(
+        F.col("n_pair").cast("double")
+        * F.col("n_total")
+        / F.col("m_total")
+        / F.col("n_w1").cast("double")
+        * F.col("n_total")
+        / F.col("n_w2").cast("double"),
+        6,
+    )
+    return (
+        scored.select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            ratio.alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), "w1", "w2")
+        .limit(k)
+    )

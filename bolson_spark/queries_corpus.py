@@ -2220,3 +2220,62 @@ CORPUS_QUERIES.update(
         ),
     }
 )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token collocations by PMI ratio
+    (functions/text.py::pmi_collocations): the multi-word-expression
+    miner run before tokenizer training. The ratio form keeps every
+    score a pinned sequence of IEEE ops over integer counts (no ln()),
+    so the oracle hash-matches bit-for-bit; min_pair=5 prunes the
+    hapax-bigram Zipf tail before any join."""
+    from bolson_spark.functions.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
+O_PMI_COLLOCATIONS = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+),
+uni AS (
+  SELECT w, COUNT(*) AS n_uni
+  FROM (SELECT UNNEST(ws) AS w FROM toks) GROUP BY w
+),
+pairs_all AS (
+  SELECT p.w1, p.w2, COUNT(*) AS n_pair FROM (
+    SELECT UNNEST(list_transform(
+             range(1, len(ws)),
+             i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+    FROM toks
+  )
+  GROUP BY p.w1, p.w2
+),
+pairs AS (
+  SELECT * FROM pairs_all WHERE n_pair >= 5
+),
+totals AS (
+  SELECT CAST((SELECT SUM(n_uni) FROM uni) AS DOUBLE) AS n_total,
+         CAST((SELECT SUM(n_uni) FROM uni)
+              - (SELECT COUNT(*) FROM documents) AS DOUBLE) AS m_total
+)
+SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
+       ROUND(CAST(p.n_pair AS DOUBLE) * t.n_total / t.m_total
+             / CAST(u1.n_uni AS DOUBLE) * t.n_total
+             / CAST(u2.n_uni AS DOUBLE), 6) AS pmi_ratio
+FROM pairs p
+JOIN uni u1 ON u1.w = p.w1
+JOIN uni u2 ON u2.w = p.w2
+CROSS JOIN totals t
+ORDER BY pmi_ratio DESC, p.w1, p.w2
+LIMIT 20
+"""
+
+
+CORPUS_QUERIES.update(
+    {
+        "pmi_collocations": QuerySpec(
+            q_pmi_collocations, O_PMI_COLLOCATIONS, ("text",)
+        ),
+    }
+)

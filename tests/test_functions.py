@@ -2371,3 +2371,44 @@ def test_hist_quantiles_ignores_null_values(spark):
     )
     assert a == b
     assert a[0][1] == 100  # n counts non-null rows only
+
+
+def test_pmi_collocations_ranks_known_pairs(spark):
+    """pmi_collocations on a hand-built corpus: a token pair that
+    always co-occurs ('new york') must outrank one whose parts also
+    appear apart, scores must equal the from-first-principles PMI
+    ratio n_pair*N^2/(M*n_w1*n_w2) (rounded 6), and min_pair must
+    drop rare pairs."""
+    from collections import Counter
+
+    from bolson_spark.functions.text import pmi_collocations
+
+    docs = [
+        "new york is big",
+        "new york is old",
+        "big is not old",
+        "york was here",   # 'york' without 'new' dilutes its PMI
+        "rare pair",        # below min_pair=2 -> must not appear
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], ["text"])
+    out = {
+        (r.w1, r.w2): (r.n_pair, r.pmi_ratio)
+        for r in pmi_collocations(df, min_pair=2, k=50).collect()
+    }
+
+    toks = [d.split(" ") for d in docs]
+    uni = Counter(w for t in toks for w in t)
+    pairs = Counter((t[i], t[i + 1]) for t in toks for i in range(len(t) - 1))
+    n = sum(uni.values())
+    m = sum(pairs.values())
+    expected = {
+        p: (c, round(c * n / m / uni[p[0]] * n / uni[p[1]], 6))
+        for p, c in pairs.items()
+        if c >= 2
+    }
+    assert out == expected
+    assert ("rare", "pair") not in out
+    # both surviving pairs co-occur twice, but 'new york' is the
+    # tighter collocation: 'new' never appears without 'york' (2x3 in
+    # the denominator), while both 'york' and 'is' occur apart (3x3)
+    assert out[("new", "york")][1] > out[("york", "is")][1]

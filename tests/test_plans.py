@@ -339,6 +339,10 @@ SINGLE_PARTITION_OK = {
     "token_budget_mix",
     # bigram_nll: 1-row vocabulary-size aggregate (broadcast V)
     "bigram_nll",
+    # pmi_collocations: the N/M normalizers are 1-row aggregates
+    # DERIVED from the unigram counts (exchange-reused) and a
+    # column-less row count — scalar by construction
+    "pmi_collocations",
     # hll_distinct: the ALL row is a 1-row aggregate over the merged
     # union registers (<= 2^p 3-int rows), plus the corpus-wide exact
     # accuracy count — both scalar by construction
