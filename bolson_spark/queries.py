@@ -1734,6 +1734,8 @@ def q_ivf_knn_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
     results). Same ranking semantics as the in-memory probe, so the
     oracle is O_IVF_KNN verbatim — saved and in-memory paths can never
     drift apart without a driver CORRECTNESS failure."""
+    import hashlib
+    import os
     import tempfile
 
     from bolson_spark.functions.similarity import (
@@ -1746,7 +1748,15 @@ def q_ivf_knn_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid"),
     )
-    path = tempfile.mkdtemp(prefix="bolson_ivf_saved_")
+    # deterministic per-(sf_dir, pid) path, STATICALLY overwritten by
+    # save_ivf_index: repeated calls (correctness sweeps, bench) reuse
+    # one directory instead of accumulating a fresh mkdtemp per call;
+    # pid-scoping keeps concurrent harnesses off each other's index
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "bolson_ivf_saved_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
+    )
     save_ivf_index(emb, centroids, path)
     return ivf_probe_saved(
         spark, path, _query_vec(spark, sf_dir), k=10, n_probe=1

@@ -811,3 +811,54 @@ def test_cm_sketch_one_sided_property(spark, stream, w_cells):
         assert r.exact_count == t
         assert r.cm_estimate >= t
         assert r.cm_estimate <= len(stream)  # a cell can't exceed N
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    min_pair=st.integers(min_value=1, max_value=3),
+)
+def test_pmi_collocations_matches_python_reference(spark, docs, min_pair):
+    """pmi_collocations vs a from-first-principles Python reference on
+    ARBITRARY small corpora over a 5-token alphabet (dense enough to
+    exercise pair collisions, min_pair cuts, and rank ties): same
+    surviving pairs, same counts, same scores (identical pinned float
+    op order), and the (ratio DESC, w1, w2) ordering."""
+    from collections import Counter
+
+    from bolson_spark.functions.text import pmi_collocations
+
+    df = spark.createDataFrame([(" ".join(d),) for d in docs], ["text"])
+    got = [
+        (r.w1, r.w2, r.n_pair, r.pmi_ratio)
+        for r in pmi_collocations(df, min_pair=min_pair, k=1000).collect()
+    ]
+
+    uni = Counter(w for d in docs for w in d)
+    pairs = Counter(
+        (d[i], d[i + 1]) for d in docs for i in range(len(d) - 1)
+    )
+    n = sum(uni.values())
+    m = sum(pairs.values())
+    expected = sorted(
+        (
+            (w1, w2, c, round(c * n / m / uni[w1] * n / uni[w2], 6))
+            for (w1, w2), c in pairs.items()
+            if c >= min_pair
+        ),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )
+    assert got == expected
