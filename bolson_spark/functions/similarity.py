@@ -1658,25 +1658,36 @@ def fit_whitening(
         # correctly-rounded IEEE op, so an oracle repeating the same
         # steps (floor/sum in SQL) lands on bit-identical (mean, w).
         n = len(x)
-        xi = np.floor(x * 1e6).astype(np.int64)
         # int64 proof obligation for the squared sum: n terms of xi^2
         # must stay under 2^63, i.e. |xi| <= sqrt((2^63-1)/n) — about
         # |x| <= 47 at n=4096, |x| <= 190 at n=256. numpy wraps
         # silently past that (negative var -> NaN W -> garbage
         # whitened vectors with no error, while the DuckDB twin's
         # HUGEINT sum raises instead of matching), so refuse loudly
-        # at the exact bound. |sum(xi)| <= n*|xi|max = sqrt(n*(2^63-1))
-        # is then automatically safe.
+        # at the bound. The check runs on the FLOAT side BEFORE the
+        # int64 cast: the cast itself saturates |x*1e6| >= 2^63 (and
+        # every NaN/inf) to INT64_MIN, whose np.abs is still negative
+        # — a post-cast magnitude check never sees it. The +1 covers
+        # floor() pushing a negative value one ulp-step larger in
+        # magnitude. |sum(xi)| <= n*|xi|max = sqrt(n*(2^63-1)) is then
+        # automatically safe.
         bound = math.isqrt((2**63 - 1) // max(n, 1))
-        amax = int(np.abs(xi).max()) if n else 0
-        if amax > bound:
+        if n and not np.isfinite(x).all():
             raise ValueError(
-                f"fit_whitening(diagonal=True): |floor(x*1e6)| up to "
-                f"{amax} in the {n}-row sample exceeds the int64-exact "
-                f"fixed-point bound {bound} (|x| <~ {bound / 1e6:.1f}) "
-                "— rescale the embeddings or reduce sample_n; the "
-                "exact-integer contract cannot hold past it"
+                "fit_whitening(diagonal=True): non-finite embedding "
+                "values in the sample — the exact fixed-point contract "
+                "is undefined for NaN/inf"
             )
+        amax_f = float(np.abs(x).max()) if n else 0.0
+        if amax_f * 1e6 + 1 > bound:
+            raise ValueError(
+                f"fit_whitening(diagonal=True): |x| up to {amax_f} in "
+                f"the {n}-row sample exceeds the int64-exact "
+                f"fixed-point bound (|x| <~ {bound / 1e6:.1f} at "
+                f"n={n}) — rescale the embeddings or reduce sample_n; "
+                "the exact-integer contract cannot hold past it"
+            )
+        xi = np.floor(x * 1e6).astype(np.int64)
         sd = xi.sum(axis=0)
         sq = (xi * xi).sum(axis=0)
         mean = sd.astype(np.float64) / (float(n) * 1e6)

@@ -241,16 +241,20 @@ def pmi_collocations(
     pairs = pairs_all.where(F.col("n_pair") >= min_pair)
     # the normalizers are DERIVED, not re-scanned: N = sum of the
     # unigram counts (its exchange is reused — plan-verified), and
-    # M = total adjacent pairs = N - n_docs, exact because a
-    # single-space split always yields >= 1 token per doc (empty text
-    # -> [""]), so sum(len-1) telescopes. n_docs is a column-less
-    # row-count scan (parquet footer counts). Net: the corpus is
-    # tokenized exactly twice (unigram pass + bigram pass) — the
-    # honest minimum without caching a corpus-sized tokenized frame —
-    # and nothing else touches it.
+    # M = total adjacent pairs = N - n_tokenized_docs, exact because a
+    # single-space split yields >= 1 token for every NON-NULL text
+    # (empty text -> [""]), so sum(len-1) telescopes. NULL-text docs
+    # tokenize to NULL — 0 tokens, 0 pairs — so they must not count
+    # toward the subtraction: F.count("ws") skips nulls (a bare
+    # count(*) would undercount M by one per null doc and silently
+    # inflate every ratio — on BOTH engines, so the oracle gate could
+    # never catch it). The doc count is a narrow scan of the one
+    # split column. Net: the corpus is tokenized exactly twice
+    # (unigram pass + bigram pass) — the honest minimum without
+    # caching a corpus-sized tokenized frame.
     totals = (
         uni.agg(F.sum("n_uni").alias("_n"))
-        .crossJoin(base.agg(F.count(F.lit(1)).alias("_d")))
+        .crossJoin(base.agg(F.count("ws").alias("_d")))
         .select(
             F.col("_n").cast("double").alias("n_total"),
             (F.col("_n") - F.col("_d")).cast("double").alias("m_total"),

@@ -1751,12 +1751,20 @@ def q_ivf_knn_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic per-(sf_dir, pid) path, STATICALLY overwritten by
     # save_ivf_index: repeated calls (correctness sweeps, bench) reuse
     # one directory instead of accumulating a fresh mkdtemp per call;
-    # pid-scoping keeps concurrent harnesses off each other's index
+    # pid-scoping keeps concurrent harnesses off each other's index,
+    # and the atexit hook bounds the footprint ACROSS processes (each
+    # pytest/bench invocation would otherwise strand one full
+    # embeddings-table copy in the temp dir forever)
+    import atexit
+    import shutil
+
     path = os.path.join(
         tempfile.gettempdir(),
         "bolson_ivf_saved_"
         f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
     )
+    if not os.path.isdir(path):  # register once per (sf_dir, process)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     save_ivf_index(emb, centroids, path)
     return ivf_probe_saved(
         spark, path, _query_vec(spark, sf_dir), k=10, n_probe=1

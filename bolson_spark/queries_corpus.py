@@ -2255,9 +2255,12 @@ pairs AS (
   SELECT * FROM pairs_all WHERE n_pair >= 5
 ),
 totals AS (
+  -- COUNT(ws), not COUNT(*): NULL-text docs tokenize to NULL (0
+  -- tokens, 0 pairs) and must not count toward the N - n_docs
+  -- telescoping, mirroring the Spark side's F.count("ws")
   SELECT CAST((SELECT SUM(n_uni) FROM uni) AS DOUBLE) AS n_total,
          CAST((SELECT SUM(n_uni) FROM uni)
-              - (SELECT COUNT(*) FROM documents) AS DOUBLE) AS m_total
+              - (SELECT COUNT(ws) FROM toks) AS DOUBLE) AS m_total
 )
 SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
        ROUND(CAST(p.n_pair AS DOUBLE) * t.n_total / t.m_total

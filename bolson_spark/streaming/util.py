@@ -48,17 +48,61 @@ def read_run_id(checkpoint_dir: str, filename: str) -> str:
         return f.read().strip()
 
 
+def _unescape_partition_value(name: str) -> str:
+    """Decode Spark/Hive partition-path escaping (%XX) back to the raw
+    partition VALUE. Writers escape special characters (space, ':',
+    '%', ...) when building `col=value` directory names; a listing
+    that compared the escaped directory text against raw run ids
+    would spuriously refuse exactly those ids."""
+    from urllib.parse import unquote
+
+    return unquote(name)
+
+
+def _run_dir(state_dir: str, run_id: str) -> str | None:
+    """Resolve the on-disk directory for one run's partition, matching
+    by UNESCAPED value (the inverse of the writer's escaping) — a
+    naive f"run={run_id}" join misses any run id containing a
+    character the writer escaped. None when the run has no dir."""
+    if not os.path.isdir(state_dir):
+        return None
+    for name in os.listdir(state_dir):
+        if name.startswith("run=") and _unescape_partition_value(
+            name[len("run="):]
+        ) == run_id:
+            return os.path.join(state_dir, name)
+    return None
+
+
+def _has_data_file(d: str) -> bool:
+    """True when a partition dir holds at least one committed data
+    file (not hidden/metadata): a crashed write can leave an EMPTY
+    batch= dir, and counting it as written state would let a reader
+    admit a run that holds no rows — silently answering 0/empty."""
+    try:
+        return any(
+            not n.startswith((".", "_")) for n in os.listdir(d)
+        )
+    except FileNotFoundError:
+        return False
+
+
 def batch_partition_ids(state_dir: str, run_id: str) -> list[int]:
-    """Batch ids present on disk for one run of a (run, batch)-
+    """Batch ids that WROTE DATA on disk for one run of a (run, batch)-
     partitioned state table — the compactors' control-plane listing
     (driver-side; needs only directory listing, which every DFS the
-    state would live on provides)."""
-    run_dir = os.path.join(state_dir, f"run={run_id}")
-    if not os.path.isdir(run_dir):
+    state would live on provides). Batch dirs with no committed data
+    file (a crashed write's husk) are excluded — they hold no rows,
+    and admitting them would convert a loud wrong-pairing refusal in
+    the readers into silently-empty estimates."""
+    run_dir = _run_dir(state_dir, run_id)
+    if run_dir is None:
         return []
     out = []
     for name in os.listdir(run_dir):
-        if name.startswith("batch="):
+        if name.startswith("batch=") and _has_data_file(
+            os.path.join(run_dir, name)
+        ):
             try:
                 out.append(int(name[len("batch="):]))
             except ValueError:
@@ -69,10 +113,12 @@ def batch_partition_ids(state_dir: str, run_id: str) -> list[int]:
 def run_partition_ids(state_dir: str) -> list[str]:
     """Run ids that WROTE state under a (run, batch)-partitioned state
     table — driver-side directory listing, the control-plane twin of
-    `batch_partition_ids`. Runs whose dir has no ``batch=`` child are
-    skipped: they hold no rows, and a membership check that admitted
-    them would let a reader silently filter to zero state — the exact
-    failure the check exists to refuse. Readers use this instead of a
+    `batch_partition_ids`. Returned ids are the UNESCAPED partition
+    values (writers %XX-escape specials in dir names). Runs with no
+    data-bearing ``batch=`` child are skipped: they hold no rows, and
+    a membership check that admitted them would let a reader silently
+    filter to zero state — the exact failure the check exists to
+    refuse. Readers use this instead of a
     ``SELECT DISTINCT run`` Spark job: the listing is one directory
     read, while the distinct is a full scan of the state table run
     BEFORE the state is scanned again for the actual estimate."""
@@ -80,21 +126,25 @@ def run_partition_ids(state_dir: str) -> list[str]:
         return []
     out = []
     for name in os.listdir(state_dir):
-        if name.startswith("run=") and batch_partition_ids(
-            state_dir, name[len("run="):]
-        ):
-            out.append(name[len("run="):])
+        if not name.startswith("run="):
+            continue
+        run_id = _unescape_partition_value(name[len("run="):])
+        if batch_partition_ids(state_dir, run_id):
+            out.append(run_id)
     return sorted(out)
 
 
 def remove_batch_partition(state_dir: str, run_id: str, batch: int) -> None:
     """GC one (run, batch) partition dir; missing is fine (a crashed
-    or concurrent GC already removed it)."""
+    or concurrent GC already removed it). Resolves the run dir by
+    unescaped value (see _run_dir) so escaped run ids GC correctly."""
     import shutil
 
+    run_dir = _run_dir(state_dir, run_id)
+    if run_dir is None:
+        return
     shutil.rmtree(
-        os.path.join(state_dir, f"run={run_id}", f"batch={batch}"),
-        ignore_errors=True,
+        os.path.join(run_dir, f"batch={batch}"), ignore_errors=True
     )
 
 

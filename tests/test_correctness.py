@@ -49,10 +49,16 @@ def test_registry_rotation_invariants():
 def test_compare_all_harness_smoke(spark):
     """compare_all is the verify harness the driver-gate mirror runs
     over the whole registry: it must return one result per requested
-    name, report oracle matches as ok, and convert a query exception
-    into a failed CompareResult instead of aborting the sweep."""
+    name IN ORDER, report oracle matches as ok, and convert a query
+    exception (here: an unknown name) into a failed CompareResult
+    instead of aborting the sweep — the later names still run."""
     from bolson_spark.oracle import compare_all
 
-    rs = compare_all(spark, SF_DIR, names=["pricing_summary", "ivf_knn"])
-    assert [r.name for r in rs] == ["pricing_summary", "ivf_knn"]
-    assert all(r.ok for r in rs), [(r.name, r.detail) for r in rs]
+    rs = compare_all(
+        spark, SF_DIR, names=["pricing_summary", "no_such_query", "topk_orders"]
+    )
+    assert [r.name for r in rs] == [
+        "pricing_summary", "no_such_query", "topk_orders"
+    ]
+    assert rs[0].ok and rs[2].ok, [(r.name, r.detail) for r in rs]
+    assert not rs[1].ok and "EXCEPTION" in rs[1].detail

@@ -34,6 +34,10 @@ EDGE_QUERIES = [
     "rare_token_docs",
     "text_stats",
     "token_histogram",
+    # pmi_collocations special-cases exactly these shapes: the size>=2
+    # bigram filter (descending sequence trap) and the NULL-text-aware
+    # M = N - count(ws) derivation
+    "pmi_collocations",
 ]
 
 

@@ -2197,6 +2197,16 @@ def test_whitening_diagonal_refuses_int64_overflow_magnitudes(spark):
     # |xi| = 1e9 -> xi^2 = 1e18; 32 terms sum to 3.2e19 > 2^63-1
     with pytest.raises(ValueError, match="int64-exact fixed-point"):
         fit_whitening(frame(1000.0), sample_n=32, diagonal=True)
+    # the guard must run on the FLOAT side: |x*1e6| >= 2^63 saturates
+    # the int64 cast to INT64_MIN, whose np.abs is still negative — a
+    # post-cast magnitude check silently passes exactly the values
+    # that wrap hardest
+    with pytest.raises(ValueError, match="int64-exact fixed-point"):
+        fit_whitening(frame(1e13), sample_n=32, diagonal=True)
+    # NaN/inf also saturate the cast; the fixed-point contract is
+    # undefined for them — refuse, never emit a garbage model
+    with pytest.raises(ValueError, match="non-finite"):
+        fit_whitening(frame(float("nan")), sample_n=32, diagonal=True)
     # just inside the bound for n=32: |x| <= ~536 is safe
     mean, w = fit_whitening(frame(500.0), sample_n=32, diagonal=True)
     assert np.isfinite(mean).all() and np.isfinite(np.diag(w)).all()

@@ -85,7 +85,7 @@ def test_load_tables_loads_every_registered_table(spark):
 
     from bolson_spark.session import TABLES, load_tables
 
-    tables = load_tables(spark, "/root/testdata/sf0.001")
+    tables = load_tables(spark, SF)
     assert set(tables) == set(TABLES)
     for name, df in tables.items():
         assert df.limit(1).count() == 1, name

@@ -2168,6 +2168,42 @@ def test_run_partition_ids_lists_only_runs_that_wrote_state(
     shutil.rmtree(os.path.join(cm, "run=run2", "batch=0"))
     assert run_partition_ids(cm) == ["run1"]
 
+    # a batch dir with no committed data file (a crashed write's husk)
+    # is likewise NOT written state — admitting it would let a reader
+    # filter to zero rows and silently answer 0 for every probe
+    os.makedirs(os.path.join(cm, "run=run3", "batch=0"))
+    assert run_partition_ids(cm) == ["run1"]
+    from bolson_spark.streaming.util import batch_partition_ids
+
+    assert batch_partition_ids(cm, "run3") == []
+
+
+def test_run_partition_listing_handles_escaped_run_ids(spark, tmp_path):
+    """Writers %XX-escape special characters in partition dir names
+    (Hive path escaping); the listing helpers must compare UNESCAPED
+    values, or run ids with a space/colon would spuriously fail the
+    membership check (and GC would silently no-op) even though their
+    state exists."""
+    from bolson_spark.streaming.monitor import write_cm_batch
+    from bolson_spark.streaming.util import (
+        batch_partition_ids,
+        remove_batch_partition,
+        run_partition_ids,
+    )
+
+    out = str(tmp_path / "state")
+    weird = "crawl 2026:08"
+    df = spark.createDataFrame([("a",), ("b",)], ["key"])
+    write_cm_batch(df, out, weird, 0, "key", d=4, w_cells=64)
+    write_cm_batch(df, out, weird, 1, "key", d=4, w_cells=64)
+    cm = os.path.join(out, "cm_cells")
+    # the dir name on disk is escaped; the listing returns the raw id
+    assert not os.path.isdir(os.path.join(cm, f"run={weird}"))
+    assert run_partition_ids(cm) == [weird]
+    assert batch_partition_ids(cm, weird) == [0, 1]
+    remove_batch_partition(cm, weird, 1)
+    assert batch_partition_ids(cm, weird) == [0]
+
 
 def test_monitor_param_pins_refuse_mismatch(spark, tmp_path):
     """Sketch params are pinned BESIDE the state on first write; a
