@@ -188,6 +188,18 @@ def pack_sequences(
     sub-shard the partition key (salt) and treat (shard, salt) as the
     packing unit.
 
+    Token-count definition (PINNED): ``size(split(text, ' '))`` — the
+    raw single-space split, unfiltered, so empty text counts 1 token
+    and repeated spaces count their empty tokens. This is the
+    definition every composed oracle (pack_sequences, training_corpus,
+    training_corpus_neardup) encodes on both engines; the corpus is
+    single-space separated by construction, so the raw and filtered
+    counts agree on real data, and changing the definition here would
+    silently shift every start_offset/bin_id against the committed
+    oracles. (doc_chunk_array deliberately filters — chunk CONTENT
+    must not carry phantom empties — the two operators answer
+    different questions.)
+
     Returns (doc_id, <part_col>, n_tokens, start_offset, bin_id).
     """
     from pyspark.sql.window import Window
@@ -234,12 +246,23 @@ def incremental_ingest(
     the exact join IS the right implementation. The within-batch
     dedup is a min-aggregation per fingerprint, map-side combined.
 
+    NULL-text documents are NOT ingestible and are excluded
+    explicitly: a NULL fingerprint would answer the "same content?"
+    question two contradictory ways in one call — the anti-join's
+    null key never matches the snapshot (so the doc re-ingests on
+    every crawl, forever), while groupBy treats all null fingerprints
+    as ONE group — and SQL engines disagree with each other on the
+    NOT-IN form besides.
+
     Returns (fingerprint, doc_id) with doc_id = min over the batch.
     """
     fp = F.md5(F.col(text_col)).alias("fingerprint")
-    snap_fp = snapshot.select(fp).distinct()
+    snap_fp = snapshot.where(F.col(text_col).isNotNull()).select(
+        fp
+    ).distinct()
     return (
-        incoming.select(fp, "doc_id")
+        incoming.where(F.col(text_col).isNotNull())
+        .select(fp, "doc_id")
         .join(snap_fp, "fingerprint", "left_anti")
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"))
@@ -297,7 +320,10 @@ def boilerplate_removal(
 
     Returns (doc_id, n_chunks, n_boilerplate, cleaned_md5) — counts
     plus a digest of the reassembled text so the removal itself sits
-    under the value-hash gate.
+    under the value-hash gate. ONE ROW PER INPUT DOC (the manifest
+    contract decontaminate and dup_ngram_fraction keep): a doc with
+    no chunks (empty/whitespace/NULL text) reports n_chunks=0 and the
+    empty-text digest instead of silently vanishing from the output.
 
     100 TB posture: the chunk stream is generated TWICE (one pass for
     the df aggregation on uniform md5 chunk keys, one for the marking
@@ -341,11 +367,20 @@ def boilerplate_removal(
             " ",
         ).alias("cleaned"),
     )
-    return per_doc.select(
+    # restore zero-chunk docs: posexplode emitted no row for them, so
+    # the per-doc aggregate has no group — the left join from the doc
+    # list keeps the one-row-per-doc manifest contract
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id",
-        F.col("n_chunks").cast("bigint").alias("n_chunks"),
-        F.col("n_boilerplate").cast("bigint").alias("n_boilerplate"),
-        F.md5(F.col("cleaned")).alias("cleaned_md5"),
+        F.coalesce(F.col("n_chunks"), F.lit(0))
+        .cast("bigint")
+        .alias("n_chunks"),
+        F.coalesce(F.col("n_boilerplate"), F.lit(0))
+        .cast("bigint")
+        .alias("n_boilerplate"),
+        F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias(
+            "cleaned_md5"
+        ),
     )
 
 

@@ -214,7 +214,19 @@ def compact_shards(
     files and a scheduler-bound scan.
     """
     import math
+    import os
 
+    # refuse in-place compaction: the overwrite-mode write CLEARS the
+    # target before the lazy read of the same directory executes, so
+    # compact_shards(spark, d, d) would permanently destroy the input.
+    # Compact to a staging dir and swap.
+    if os.path.abspath(out_path) == os.path.abspath(path):
+        raise ValueError(
+            "compact_shards: out_path must differ from path — an "
+            "overwrite write into its own lazy source deletes the "
+            "data before it is read; compact into a staging dir and "
+            "swap"
+        )
     df = spark.read.parquet(path)
     if partition_by:
         compacted = df.repartition(F.col(partition_by))

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 _TAG = "__asof_tag"
 _RTS = "__asof_right_ts"
+_RVAL = "__asof_right_row"
 
 
 def asof_join(
@@ -54,16 +55,26 @@ def asof_join(
     ordered ascending so the largest value wins among equal
     timestamps (deterministic results).
     """
+    from pyspark.sql import types as T
+
     keys = [on] if isinstance(on, str) else list(on)
     for c in right_cols:
         if c in left.columns:
             raise ValueError(f"right column {c!r} collides with left side")
 
+    # the right-side payload rides as ONE struct so the fill carries
+    # the latest right ROW atomically: per-column last(ignorenulls)
+    # would back-fill a legitimately-NULL field of the newest right
+    # row with a stale value from an OLDER row, producing a mixed row
+    # that never existed on the right side
+    rval_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     lhs = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias(_TAG),
         F.col(left_ts).alias("__ts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(rval_type).alias(_RVAL),
         F.lit(None).cast(right.schema[right_ts].dataType).alias(_RTS),
     )
     null_left = [c for c in left.columns if c not in keys]
@@ -72,23 +83,28 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in null_left],
         F.lit(0).alias(_TAG),
         F.col(right_ts).alias("__ts"),
-        *[F.col(c) for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias(_RVAL),
         F.col(right_ts).alias(_RTS),
     ).select(lhs.columns)  # align column order for unionByName safety
 
     order = [F.col("__ts").asc(), F.col(_TAG).asc()]
     if tiebreak is not None:
-        order.append(F.col(tiebreak).asc_nulls_first())
+        # left rows carry a NULL struct, so the field is NULL there —
+        # same nulls-first placement the materialized column had
+        order.append(F.col(_RVAL)[tiebreak].asc_nulls_first())
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
+    # _RVAL (the whole row) and _RTS are both non-null on every right
+    # row, so their two last(ignorenulls) windows select the SAME row
+    rv = F.last(_RVAL, ignorenulls=True).over(w)
     filled = lhs.unionByName(rhs).select(
         *[c for c in left.columns],
         F.col(_TAG).alias(_TAG),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+        *[rv[c].alias(c) for c in right_cols],
         F.last(_RTS, ignorenulls=True).over(w).alias(_RTS),
     )
     out = filled.where(F.col(_TAG) == 1)
@@ -126,13 +142,24 @@ def range_join_count(
     (bucket equality becomes the equi key) and union the
     boundary-straddling bucket pair.
     """
-    l_, r_ = left.alias("l"), right.alias("r")
+    # group by a per-row id, not the left columns alone: duplicate
+    # left rows (e.g. retransmitted events without a unique key) must
+    # each keep their own output row and count — grouping by values
+    # would collapse them into one row with the merged total. The id
+    # never reaches the output; the result multiset is deterministic.
+    lid = "__rjc_row_id"
+    l_ = left.withColumn(lid, F.monotonically_increasing_id()).alias("l")
+    r_ = right.alias("r")
     cond = (
         (F.col(f"l.{on}") == F.col(f"r.{on}"))
         & (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + interval)
     )
     joined = l_.join(r_, cond, "left")
-    return joined.groupBy(*[F.col(f"l.{c}") for c in left.columns]).agg(
-        F.count(F.col(f"r.{count_col}")).alias(alias)
+    return (
+        joined.groupBy(
+            F.col(f"l.{lid}"), *[F.col(f"l.{c}") for c in left.columns]
+        )
+        .agg(F.count(F.col(f"r.{count_col}")).alias(alias))
+        .drop(lid)
     )

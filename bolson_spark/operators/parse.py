@@ -96,6 +96,20 @@ def parse_json_arrow(
             tbl = pajson.read_json(
                 pa.BufferReader(blob), read_options=ropts, parse_options=popts
             )
+            # Arrow's reader SKIPS blank lines, so an empty/whitespace
+            # document silently shrinks the output: with keep columns
+            # that surfaces as an opaque length-mismatch error below;
+            # with keep=[] it would silently DROP the row — where the
+            # catalyst twin's FAILFAST raises. Enforce the strict
+            # contract with a clear error either way.
+            if tbl.num_rows != batch.num_rows:
+                raise ValueError(
+                    "bolson_spark: "
+                    f"{batch.num_rows - tbl.num_rows} empty/blank JSON "
+                    "document(s) in batch — the strict parse contract "
+                    "(FAILFAST twin) rejects documents that are not a "
+                    "JSON object"
+                )
             cols = [batch.column(k) for k in keep]
             cols += [
                 tbl.column(f.name).combine_chunks() for f in target
@@ -128,6 +142,21 @@ def parse_json(
     if strict:
         bad = _unexpected_keys(src, schema)
         guard = F.when(
+            # from_json's FAILFAST quirk: an empty/whitespace document
+            # is not "malformed" to it — it silently yields a NULL
+            # struct. The reference's reader errors on it (Arrow
+            # "Empty JSON file"), and the Arrow twin enforces the same
+            # via its batch row-count check, so the catalyst path must
+            # raise too or the two "tested equal" parsers diverge.
+            F.trim(src) == "",
+            F.raise_error(
+                F.lit(
+                    "bolson_spark: empty/blank JSON document — the "
+                    "strict parse contract rejects documents that are "
+                    "not a JSON object"
+                )
+            ),
+        ).when(
             F.size(bad) > 0,
             F.raise_error(
                 F.concat(

@@ -96,20 +96,36 @@ def add_seq_scalable(
     3. the single full-width pass: shuffle by the literal bucket id,
        intra-bucket ``row_number`` + bucket base.
 
-    Multi-key orders stay scalable when the FIRST key is numeric:
+    Multi-key orders stay scalable when the FIRST key is numeric,
+    timestamp, or date (temporal keys bucket through an
+    order-preserving numeric image — epoch seconds / day ordinal):
     buckets derive from keys[0] alone (ties on it always share a
     bucket, so bucketing is order-consistent for ANY tie-breaker),
     while the intra-bucket window orders by the full key list — the
     shape q_training_order uses to make its md5-prefix order
-    collision-free via a doc-id tie-break. A non-numeric FIRST key
-    falls back to the exact global window (`add_seq`) — correct, but
-    not the scale path; pre-map such keys to a numeric arrival
-    ordinal to stay scalable.
+    collision-free via a doc-id tie-break. NULL first-keys bucket
+    first (the exact path's ASC NULLS FIRST placement). Any other
+    FIRST key type falls back to the exact global window (`add_seq`)
+    — correct, but not the scale path; pre-map such keys to a numeric
+    arrival ordinal to stay scalable.
     """
     keys = [order_by] if isinstance(order_by, str) else list(order_by)
     key_cols = [F.col(k) for k in keys]
-    if isinstance(df.schema[keys[0]].dataType, _NUMERIC_TYPES):
-        key = keys[0]
+    key = keys[0]
+    kdt = df.schema[key].dataType
+    # the BUCKETING expression must be numeric; the intra-bucket
+    # window still orders by the original column, so any
+    # order-preserving numeric image works. Timestamps map to epoch
+    # seconds (sub-second ties share a bucket — balance only, never
+    # correctness, same as any tie) and dates to day ordinals, so the
+    # arrival keys the docstring names stay on the scale path instead
+    # of silently degrading to the single-reducer global window.
+    if isinstance(kdt, _NUMERIC_TYPES):
+        kexpr = F.col(key)
+    elif isinstance(kdt, (T.TimestampType, T.TimestampNTZType)):
+        kexpr = F.col(key).cast("long")
+    elif isinstance(kdt, T.DateType):
+        kexpr = F.datediff(F.col(key), F.lit("1970-01-01"))
     else:
         return add_seq(df, order_by, name, start)
     if bounds_mode not in ("minmax", "quantile"):
@@ -119,7 +135,7 @@ def add_seq_scalable(
     # Pass 1: frozen literal boundaries (balance only).
     if bounds_mode == "minmax":
         mm = df.agg(
-            F.min(key).alias("lo"), F.max(key).alias("hi")
+            F.min(kexpr).alias("lo"), F.max(kexpr).alias("hi")
         ).first()
         lo, hi = mm["lo"], mm["hi"]
         if lo is None or hi is None or hi <= lo:
@@ -131,10 +147,21 @@ def add_seq_scalable(
             )
     else:
         probs = [i / n_buckets for i in range(1, n_buckets)]
-        bounds = sorted(set(df.stat.approxQuantile(key, probs, 0.001)))
+        bounds = sorted(
+            set(
+                df.select(kexpr.alias("_knum")).stat.approxQuantile(
+                    "_knum", probs, 0.001
+                )
+            )
+        )
     pid_expr = F.lit(0)
     for b in bounds:
-        pid_expr = pid_expr + (F.col(key) > F.lit(b)).cast("int")
+        pid_expr = pid_expr + (kexpr > F.lit(b)).cast("int")
+    # NULL keys: (NULL > b) is NULL, which would poison the bucket id
+    # (and crash the driver-side sorted(counts) on a None key). The
+    # exact path's window is ASC NULLS FIRST, so nulls belong in
+    # bucket 0 — pin them there explicitly.
+    pid_expr = F.when(kexpr.isNull(), F.lit(0)).otherwise(pid_expr)
     # Pass 2: exact per-bucket counts -> exclusive prefix sums.
     counts = dict(
         df.select(pid_expr.alias("_pid"))

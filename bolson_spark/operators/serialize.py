@@ -60,6 +60,18 @@ def serialize_ipc(
     if seq_mode not in ("column", "metadata"):
         raise ValueError(f"seq_mode must be column|metadata, got {seq_mode}")
 
+    # validate EAGERLY on the driver: get_field_index returns -1 for a
+    # missing column and pyarrow's column(-1) is Python negative
+    # indexing (the LAST column), so an absent seq column would emit
+    # garbage seq_first/seq_last from an unrelated column's min/max
+    # with no error
+    if seq_col not in df.columns:
+        raise ValueError(
+            f"serialize_ipc: seq column {seq_col!r} not in DataFrame "
+            f"(columns: {df.columns}) — run add_seq/add_seq_scalable "
+            "first or pass seq_col"
+        )
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             seq_idx = batch.schema.get_field_index(seq_col)

@@ -131,11 +131,14 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_INCREMENTAL_INGEST = f"""
 WITH snap AS (
   SELECT DISTINCT md5(text) AS fingerprint FROM documents
-  WHERE source IN {_SNAP_SOURCES}
+  WHERE source IN {_SNAP_SOURCES} AND text IS NOT NULL
 ),
 inc AS (
+  -- NULL-text docs are not ingestible (see incremental_ingest);
+  -- without the filter the NOT-IN form drops them while Spark's
+  -- anti-join would keep them — a cross-engine divergence
   SELECT md5(text) AS fingerprint, doc_id FROM documents
-  WHERE source NOT IN {_SNAP_SOURCES}
+  WHERE source NOT IN {_SNAP_SOURCES} AND text IS NOT NULL
 )
 SELECT fingerprint, MIN(doc_id) AS doc_id
 FROM inc
@@ -1732,7 +1735,14 @@ kept AS (
   SELECT c.doc_id, c.idx, c.chunk
   FROM chunks c LEFT JOIN freq f USING (chunk) WHERE f.chunk IS NULL
 ),
-tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id),
+-- tot comes from WORDS, not chunks: zero-chunk docs (empty/blank/NULL
+-- text) must keep their manifest row with n_chunks=0, mirroring the
+-- Spark side's doc-list join-back
+tot AS (
+  SELECT doc_id,
+         COALESCE(CAST(ceil(len(ws)/5.0) AS BIGINT), 0) AS n_chunks
+  FROM words
+),
 keptagg AS (
   SELECT doc_id, COUNT(*) AS n_kept,
          string_agg(chunk, ' ' ORDER BY idx) AS cleaned

@@ -135,3 +135,44 @@ def test_asof_plan_has_single_shuffle(spark, trades_quotes):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1
+
+
+def test_asof_carries_latest_right_row_atomically(spark):
+    """A legitimately-NULL field in the newest right row must NOT be
+    back-filled from an older right row: the as-of result is the
+    latest right ROW, not a per-column mosaic of last non-null values
+    (per-column last(ignorenulls) produced rows that never existed on
+    the right side)."""
+    left = spark.createDataFrame(
+        [(1, _ts(3), "L")], "k int, lts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(1), 5, 1), (1, _ts(2), None, 2)],
+        "k int, rts timestamp, a int, b int",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_cols=["a", "b"],
+    ).collect()
+    assert len(out) == 1
+    # the ts=2 row is the match: a is NULL there, b is 2 — a=5 from
+    # the ts=1 row must not leak in
+    assert out[0].a is None and out[0].b == 2
+
+
+def test_range_join_count_preserves_duplicate_left_rows(spark):
+    """Two identical left rows each get their own output row and their
+    own count — grouping by left VALUES would collapse them into one
+    row with the merged total."""
+    left = spark.createDataFrame(
+        [(1, _ts(1)), (1, _ts(1))], "u int, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(2), 10), (1, _ts(3), 11)], "u int, rts timestamp, rid int"
+    )
+    out = range_join_count(
+        left, right, on="u", left_ts="lts", right_ts="rts",
+        interval=F.expr("INTERVAL 7 DAYS"), count_col="rid",
+    ).collect()
+    assert sorted(r.n_in_range for r in out) == [2, 2]
+    assert len(out) == 2

@@ -38,6 +38,13 @@ EDGE_QUERIES = [
     # bigram filter (descending sequence trap) and the NULL-text-aware
     # M = N - count(ws) derivation
     "pmi_collocations",
+    # boilerplate_chunks: zero-chunk docs must keep their manifest row
+    # (join-back on the Spark side, words-derived totals in the oracle)
+    "boilerplate_chunks",
+    # incremental_ingest: NULL-text docs excluded on BOTH engines (the
+    # anti-join and NOT-IN forms disagree about null keys otherwise)
+    "incremental_ingest",
+    "intra_doc_dedup",
 ]
 
 

@@ -1285,8 +1285,14 @@ def test_passage_and_gate_ops_empty_edge_cases(spark):
     boiler = {
         r.doc_id: r for r in boilerplate_removal(docs, w=5).collect()
     }
-    # the empty doc has no chunks, so no row in the totals — only doc 2
-    assert set(boiler) == {2} and boiler[2].n_boilerplate == 0
+    # one manifest row per INPUT doc: the empty doc keeps its row with
+    # n_chunks=0 and the empty-text digest (it used to vanish, which
+    # broke output-count == input-count for every downstream consumer)
+    assert set(boiler) == {1, 2} and boiler[2].n_boilerplate == 0
+    import hashlib
+
+    assert boiler[1].n_chunks == 0
+    assert boiler[1].cleaned_md5 == hashlib.md5(b"").hexdigest()
 
     corpus = docs.where("doc_id = 2")
     empty = docs.where("doc_id < 0")
@@ -2422,3 +2428,19 @@ def test_pmi_collocations_ranks_known_pairs(spark):
     # tighter collocation: 'new' never appears without 'york' (2x3 in
     # the denominator), while both 'york' and 'is' occur apart (3x3)
     assert out[("new", "york")][1] > out[("york", "is")][1]
+
+
+def test_compact_shards_refuses_in_place(spark, tmp_path):
+    """compact_shards(d, d) would let the overwrite write clear the
+    directory its own lazy read sources — permanent data loss. The
+    natural 'compact in place' call must refuse loudly."""
+    import pytest
+
+    from bolson_spark.functions.layout import compact_shards
+
+    d = str(tmp_path / "shards")
+    spark.range(10).write.parquet(d)
+    with pytest.raises(ValueError, match="out_path must differ"):
+        compact_shards(spark, d, d)
+    # the refusal happened before any write: data intact
+    assert spark.read.parquet(d).count() == 10

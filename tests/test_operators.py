@@ -135,6 +135,28 @@ def test_parse_arrow_strict_and_malformed(spark):
         parse_json_arrow(broken, EVENT_PROPS_SPARK, "value").collect()
 
 
+def test_parse_arrow_rejects_blank_documents(spark):
+    """Arrow's JSON reader silently SKIPS blank lines, shrinking the
+    batch: with keep columns that used to surface as an opaque
+    from_arrays length mismatch, with keep=[] it silently DROPPED the
+    row — where the catalyst FAILFAST twin raises. Both parsers must
+    reject empty/whitespace documents loudly."""
+    from bolson_spark.operators import parse_json
+
+    for doc in ("", "   "):
+        # coalesce(1): the mixed batch exercises the row-count check
+        # (an all-blank batch trips Arrow's own "Empty JSON file")
+        blank = spark.createDataFrame(
+            [('{"k": 1}',), (doc,)], ["value"]
+        ).coalesce(1)
+        with pytest.raises(
+            Exception, match="empty/blank|JSON parse|Empty JSON"
+        ):
+            parse_json_arrow(blank, EVENT_PROPS_SPARK, "value").collect()
+        with pytest.raises(Exception):
+            parse_json(blank, EVENT_PROPS_SPARK, "value").collect()
+
+
 # --- P4 seq ---------------------------------------------------------------
 
 
@@ -417,3 +439,69 @@ def test_add_seq_scalable_two_key_tiebreak(spark):
     sdf = df.select(F.col("k").cast("string").alias("ks"), "doc_id")
     fb = add_seq_scalable(sdf, ["ks", "doc_id"], name="seq")
     assert sorted(r.seq for r in fb.collect()) == list(range(500))
+
+
+def test_add_seq_scalable_null_keys_number_first(spark):
+    """NULL order keys must not crash the driver-side prefix-sum pass
+    ((NULL > bound) poisons the bucket id into None) and must number
+    FIRST — the exact path's ASC NULLS FIRST placement, so the two
+    implementations stay semantically equal on nullable keys."""
+    from bolson_spark.operators import add_seq, add_seq_scalable
+
+    rows = [(None,), (5,), (1,), (None,), (9,), (3,)]
+    df = spark.createDataFrame(rows, "key int").repartition(3)
+    a = sorted(
+        (r.key, r.bolson_seq)
+        for r in add_seq(df, "key", start=0).collect()
+        if r.key is not None
+    )
+    b = sorted(
+        (r.key, r.bolson_seq)
+        for r in add_seq_scalable(df, "key", num_buckets=4).collect()
+        if r.key is not None
+    )
+    assert a == b
+    # the two NULL rows take seq 0 and 1 on both paths
+    for fn in (add_seq, add_seq_scalable):
+        null_seqs = sorted(
+            r.bolson_seq for r in fn(df, "key").collect() if r.key is None
+        )
+        assert null_seqs == [0, 1], fn.__name__
+
+
+def test_add_seq_scalable_timestamp_key_stays_scalable(spark):
+    """A timestamp arrival key — the docstring's own normal case —
+    must bucket through the epoch-seconds image instead of silently
+    degrading to the single-reducer global window: same numbering as
+    add_seq, and the plan partitions by the bucket id."""
+    import datetime as dt
+
+    from bolson_spark.operators import add_seq, add_seq_scalable
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [(base + dt.timedelta(seconds=s),) for s in (30, 5, 90, 60, 0)]
+    df = spark.createDataFrame(rows, "ts timestamp").repartition(3)
+    a = {
+        (r.ts, r.bolson_seq) for r in add_seq(df, "ts").collect()
+    }
+    out = add_seq_scalable(df, "ts", num_buckets=3)
+    assert {(r.ts, r.bolson_seq) for r in out.collect()} == a
+    # scale-path evidence: the one full-width pass shuffles on the
+    # literal bucket id, not a global single-partition sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_pid" in plan
+
+
+def test_serialize_ipc_rejects_missing_seq_column(spark):
+    """serialize_ipc on a frame WITHOUT the seq column must raise at
+    call time: pyarrow's get_field_index returns -1 for a missing
+    column and column(-1) is Python negative indexing, so the old
+    behavior emitted garbage seq_first/seq_last from whatever column
+    happened to be last — silently."""
+    import pytest as _pytest
+
+    from bolson_spark.operators import serialize_ipc
+
+    df = spark.createDataFrame([(1, "a")], "x bigint, y string")
+    with _pytest.raises(ValueError, match="seq column 'bolson_seq'"):
+        serialize_ipc(df)
