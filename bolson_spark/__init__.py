@@ -26,3 +26,7 @@ __version__ = "0.1.0"
 MAX_IPC_SIZE = 5 * 1024 * 1024 - 10 * 1024  # 5232640; publisher.h:39-41
 MAX_ROWS_DEFAULT = 1024  # cli.cpp:37-39
 SEQ_COL = "bolson_seq"  # parse/arrow.cpp:147-159
+# ONE definition of the sessionization inactivity gap: the batch query
+# (queries_ext), its oracle, and the streaming stateful twin all derive
+# from this — a re-hardcoded copy in any of them could silently diverge
+SESSION_GAP_MIN = 60

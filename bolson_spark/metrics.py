@@ -129,21 +129,30 @@ def save_metrics_csv(path: str, metrics, elapsed_sec: float) -> None:
 
 
 class ProgressListener:
-    """StreamingQueryListener-shaped collector (M1). Implemented as a
-    plain class wired via ``spark.streams.addListener`` when available;
-    falls back to polling ``query.lastProgress``."""
+    """Per-batch progress collector (M1) — a POLLING collector, not a
+    ``StreamingQueryListener`` (it subclasses nothing and cannot be
+    passed to ``spark.streams.addListener``): call :meth:`record` in
+    the driver's drive loop. Polling can observe the same
+    ``lastProgress`` more than once while a slow batch runs, so
+    :meth:`record` dedups on batchId — appending duplicates would
+    inflate every throughput/row total derived from ``progress``."""
 
     def __init__(self) -> None:
         self.progress: list[dict] = []
 
     def record(self, query) -> None:
         p = query.lastProgress
-        if p:
-            self.progress.append(
-                {
-                    "batchId": p.get("batchId"),
-                    "numInputRows": p.get("numInputRows"),
-                    "inputRowsPerSecond": p.get("inputRowsPerSecond"),
-                    "durationMs": p.get("durationMs"),
-                }
-            )
+        if not p:
+            return
+        if self.progress and self.progress[-1]["batchId"] == p.get(
+            "batchId"
+        ):
+            return
+        self.progress.append(
+            {
+                "batchId": p.get("batchId"),
+                "numInputRows": p.get("numInputRows"),
+                "inputRowsPerSecond": p.get("inputRowsPerSecond"),
+                "durationMs": p.get("durationMs"),
+            }
+        )

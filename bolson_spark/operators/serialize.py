@@ -73,13 +73,33 @@ def serialize_ipc(
         )
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
         for batch in batches:
             seq_idx = batch.schema.get_field_index(seq_col)
             n = batch.num_rows
-            for off in range(0, max(n, 1), max_rows):
-                if off >= n:
-                    break
-                sl = batch.slice(off, min(max_rows, n - off))  # zero-copy
+            if n == 0:
+                continue
+            # slice WITHIN contiguous seq runs: the envelope contract
+            # (FNC02) is that every message covers a contiguous,
+            # non-overlapping seq range. A partition can legitimately
+            # hold several non-adjacent runs (the streaming pipeline's
+            # hash-block repartition puts colliding blocks in one
+            # partition, sorted by seq) — a blind [off, off+max_rows)
+            # slice would span the gap and publish a message whose
+            # [seq_first, seq_last] covers rows it does not contain.
+            seqs_np = batch.column(seq_idx).to_numpy(
+                zero_copy_only=False
+            )
+            jumps = (np.nonzero(np.diff(seqs_np) != 1)[0] + 1).tolist()
+            cuts = [0] + jumps + [n]
+            offsets = [
+                (off, min(max_rows, b - off))
+                for a, b in zip(cuts, cuts[1:])
+                for off in range(a, b, max_rows)
+            ]
+            for off, length in offsets:
+                sl = batch.slice(off, length)  # zero-copy
                 seqs = sl.column(seq_idx)
                 lo = pa.compute.min(seqs).as_py()
                 hi = pa.compute.max(seqs).as_py()

@@ -941,7 +941,9 @@ GROUP BY c_count
 # session_window / stateful operators.
 # ---------------------------------------------------------------------------
 
-SESSION_GAP_MIN = 60  # minutes of inactivity that closes a session
+# minutes of inactivity that closes a session — canonical definition
+# lives in the package root so the streaming twin cannot drift
+from bolson_spark import SESSION_GAP_MIN  # noqa: F401,E402
 
 
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -72,38 +72,6 @@ def read_socket_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
     )
 
 
-def read_kafka_stream(
-    spark: SparkSession,
-    bootstrap_servers: str,
-    topic: str,
-    *,
-    starting_offsets: str = "latest",
-    max_offsets_per_trigger: int | None = None,
-) -> DataFrame:
-    """Kafka consumer source — the production partitioned analog of the
-    single TCP stream (consumers re-sort by seq per §1.4 of SURVEY.md).
-    Returns the raw `value STRING` stream (one JSON document per Kafka
-    record, the symmetric read side of streaming.sink.KafkaSink).
-    Requires the spark-sql-kafka connector + a broker; like KafkaSink
-    this is the swap-in production path, exercised to the network
-    boundary only in this sandbox."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-    )
-    if max_offsets_per_trigger:
-        reader = reader.option(
-            "maxOffsetsPerTrigger", max_offsets_per_trigger
-        )
-    from pyspark.sql import functions as F
-
-    return reader.load().select(
-        F.col("value").cast("string").alias("value")
-    )
-
-
 def read_csv_with_schema(
     spark: SparkSession,
     path: str,

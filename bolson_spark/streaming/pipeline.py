@@ -10,8 +10,9 @@ Spark mapping:
   ``format("text")`` for replayable tests, Kafka in production);
 - convert: the same batch operators applied inside ``foreachBatch`` —
   per micro-batch parse (strict), arrival-order seq with a
-  driver-maintained base offset (restart-safe because it is derived
-  from counts committed per epoch), rebatch, IPC-serialize;
+  driver-maintained base offset (replay-stable: a replayed batch
+  resolves to its original base and renumbers identically), rebatch,
+  IPC-serialize;
 - sink: IpcFileSink (schema handshake on start, append per batch);
 - drain: ``trigger(availableNow=True)`` + ``awaitTermination`` ==
   "process everything the source has, then stop" — the
@@ -33,10 +34,62 @@ from pyspark.sql import types as T
 
 from bolson_spark import MAX_IPC_SIZE, MAX_ROWS_DEFAULT
 from bolson_spark.operators.parse import parse_json, parse_json_arrow
-from bolson_spark.operators.seq import add_seq
+from bolson_spark.operators.seq import add_seq, add_seq_scalable
 from bolson_spark.operators.serialize import serialize_ipc
 from bolson_spark.schemas import spark_to_arrow_schema
 from bolson_spark.streaming.sink import PublishSink
+
+# Micro-batches past this row count number through add_seq_scalable
+# (3 bucket-parallel passes) instead of add_seq's single-reducer
+# global window — the two are parity-tested equal, and a 10M-row
+# batch must not serialize its numbering through one executor core.
+SEQ_SCALABLE_ROWS = 2_000_000
+
+
+def _read_seq_base(base_file: str | None) -> tuple[int, int, int]:
+    """Read the persisted seq-base record: (last_batch_id, base_of_
+    last_batch, n_of_last_batch). v1 files stored only the ALREADY
+    ADVANCED base — mapped to (-1, base, 0) so the next batch starts
+    exactly there."""
+    import os
+
+    if not base_file or not os.path.exists(base_file):
+        return (-1, 0, 0)
+    with open(base_file) as f:
+        txt = f.read().strip()
+    parts = txt.split()
+    if len(parts) == 4 and parts[0] == "v2":
+        return (int(parts[1]), int(parts[2]), int(parts[3]))
+    return (-1, int(txt or 0), 0)
+
+
+def _resolve_seq_base(rec: tuple[int, int, int], batch_id: int) -> int:
+    """The replay-stable base rule: a REPLAYED batch (same batch id as
+    the persisted record) reuses its original base, so its rows are
+    renumbered IDENTICALLY — a replay then produces byte-identical
+    messages (duplicates a seq-keyed consumer can drop), never the
+    silently shifted sequence range that advancing the base before the
+    epoch commit used to produce. Any newer batch starts after the
+    last batch's rows."""
+    last_bid, last_base, last_n = rec
+    if batch_id == last_bid:
+        return last_base
+    return last_base + last_n
+
+
+def _write_seq_base(
+    base_file: str, batch_id: int, base: int, n: int
+) -> None:
+    """Atomic (write-tmp + os.replace) so a crash mid-write cannot
+    leave a truncated record. Written BEFORE the publish: a replay
+    recomputes the identical record, so early persistence is safe and
+    both crash windows (before/after publish) renumber identically."""
+    import os
+
+    tmp = base_file + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(f"v2 {batch_id} {base} {n}")
+    os.replace(tmp, base_file)
 
 
 @dataclass
@@ -83,8 +136,15 @@ def run_stream_convert(
     published seqs stay contiguous over CLEAN documents.
 
     The sequence base is maintained per epoch: batch N's seqs start at
-    the total row count of batches < N. With availableNow + checkpoint
-    this is exactly-once; the handshake runs once at start (K2).
+    the total row count of batches < N, persisted as a
+    (batch_id, base, n) record next to the checkpoint. The record is
+    REPLAY-STABLE: a replayed batch resolves to its original base and
+    renumbers identically, so a crash in any window around the publish
+    re-emits byte-identical messages — duplicates a seq-keyed consumer
+    drops — never a silently shifted seq range. (True exactly-once
+    additionally needs an idempotent sink; the append-only file sink
+    documents at-least-once with stable payloads.) The handshake runs
+    once at start (K2).
     """
     # bolson_seq is prepended at field index 0 (parse/arrow.cpp:155)
     out_fields = ["bolson_seq"] + [f.name for f in schema.fields]
@@ -150,11 +210,9 @@ def run_stream_convert(
     from bolson_spark.streaming.util import run_id_for_checkpoint
 
     quarantine_run = run_id_for_checkpoint(checkpoint_dir, "bolson_run_id")
-    start_base = 0
-    if base_file and os.path.exists(base_file):
-        with open(base_file) as f:
-            start_base = int(f.read().strip() or 0)
-    state = {"base": start_base}
+    # (last_batch_id, base, n) — see _resolve_seq_base for the
+    # replay-stable numbering rule this record enables
+    state = {"rec": _read_seq_base(base_file)}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         import time as _time
@@ -225,18 +283,25 @@ def run_stream_convert(
                     return  # finally unpersists routed + batch_df
             else:
                 parsed = parse_fn(batch_df, schema, json_col, strict=strict)
+            # replay-stable base: a replayed batch id reuses its
+            # original base (identical renumbering -> byte-identical
+            # republished messages); persisted BEFORE the publish
+            base = _resolve_seq_base(state["rec"], batch_id)
             with_order = parsed.withColumn("_arrival", F.monotonically_increasing_id())
-            seqd = add_seq(with_order, "_arrival", start=state["base"]).drop("_arrival")
+            seq_impl = add_seq if n < SEQ_SCALABLE_ROWS else add_seq_scalable
+            seqd = seq_impl(with_order, "_arrival", start=base).drop("_arrival")
             # Distribute contiguous seq blocks arithmetically: block =
             # floor((seq-base)/block_rows) with block_rows a multiple of
-            # max_rows, so every serialized slice stays inside one block
-            # (contiguous seq range preserved). Unlike repartitionByRange
-            # this needs NO per-batch range-sampling job — the boundaries
-            # are known because seqs are [base, base+n).
+            # max_rows. Unlike repartitionByRange this needs NO
+            # per-batch range-sampling job — the boundaries are known
+            # because seqs are [base, base+n). Hash collisions CAN put
+            # several blocks in one partition; serialize_ipc slices
+            # within contiguous seq runs (operators/serialize.py), so
+            # every published message still covers a contiguous range.
             block_rows = max_rows * 4
             n_parts = max(1, n // block_rows)
             block = F.floor(
-                (F.col("bolson_seq") - F.lit(state["base"])) / block_rows
+                (F.col("bolson_seq") - F.lit(base)) / block_rows
             )
             # When latency tracking is on, materialize each stage so the
             # six reference time points (latency.h:30-47) are observable;
@@ -264,6 +329,13 @@ def run_stream_convert(
                 F.count(F.lit(1)).alias("m"), F.sum("ipc_bytes").alias("ib")
             ).first()
             serialized_ts = _time.time()
+            # persist the (batch_id, base, n) record BEFORE publishing:
+            # a replay recomputes the identical record, so whichever
+            # side of the publish a crash lands on, the replayed batch
+            # renumbers identically (see _resolve_seq_base)
+            if base_file:
+                _write_seq_base(base_file, batch_id, base, n)
+            state["rec"] = (batch_id, base, n)
             popped_ts = _time.time()  # handoff to the publisher (queue pop)
             sink.write(ser)
             published_ts = _time.time()
@@ -272,8 +344,8 @@ def run_stream_convert(
                 parsed.unpersist()
                 ordered.unpersist()
                 latency.stamp(
-                    state["base"],
-                    state["base"] + n - 1,
+                    base,
+                    base + n - 1,
                     received_ts,
                     parsed_ts,
                     resized_ts,
@@ -281,10 +353,6 @@ def run_stream_convert(
                     popped_ts,
                     published_ts,
                 )
-            state["base"] += n
-            if base_file:
-                with open(base_file, "w") as f:
-                    f.write(str(state["base"]))
             # All counters update only after a successful publish: if
             # sink.write raises and Spark replays the micro-batch,
             # counting nq earlier would double-count quarantined docs

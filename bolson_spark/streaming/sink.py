@@ -192,12 +192,23 @@ class KafkaSink(PublishSink):
             return None
         return pa.ipc.read_schema(pa.BufferReader(first[0].value))
 
-    def _publish_schema(self, schema: pa.Schema) -> None:
-        df = self.spark.createDataFrame(
-            [(bytes(schema.serialize()),)], "value binary"
+    def _schema_message_df(self, schema: pa.Schema):
+        """The schema handshake record, PINNED to partition 0: the
+        verify side reads exactly (partition 0, offset 0), so an
+        unpinned publish on a multi-partition topic could land the
+        schema on any partition — the restarted producer's handshake
+        would then find nothing at p0/o0, publish a SECOND schema
+        message interleaved among data, and the documented
+        skip-message-#1 consumer protocol would deserialize garbage.
+        (Spark's Kafka sink honors an integer ``partition`` column.)"""
+        return self.spark.createDataFrame(
+            [(bytes(schema.serialize()), 0)], "value binary, partition int"
         )
+
+    def _publish_schema(self, schema: pa.Schema) -> None:
         (
-            df.write.format("kafka")
+            self._schema_message_df(schema)
+            .write.format("kafka")
             .options(**self.producer_options())
             .save()
         )

@@ -34,25 +34,34 @@ RUNNING_STATS_STATE = (
 )
 
 
-def _running_stats_fn(
-    key: Tuple[Any, ...],
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold this micro-batch's rows for `key` into the running
-    (count, sum, min, max) state and emit the updated totals."""
-    n, s, mn, mx = (
-        state.get if state.exists else (0, 0.0, float("inf"), float("-inf"))
-    )
+_STATS_INIT = (0, 0.0, float("inf"), float("-inf"))
+
+
+def _fold_stats(totals, pdfs):
+    """The ONE running-stats fold shared by the applyInPandasWithState
+    and transformWithState twins — duplicating it would let a fix land
+    in one twin and silently miss the other, exactly the drift the
+    differential-twin pattern exists to prevent.
+
+    Guards on v.count() (non-null values), not len(v): an all-NULL
+    frame has len > 0 but v.min() is NaN, and Python's
+    min(inf, nan) keeps inf — the sentinel would leak into state and
+    output as Infinity."""
+    n, s, mn, mx = totals
     for pdf in pdfs:
         v = pdf["value"]
-        n += int(v.count())
-        s += float(v.sum())
-        if len(v):
+        c = int(v.count())
+        if c:
+            n += c
+            s += float(v.sum())
             mn = min(mn, float(v.min()))
             mx = max(mx, float(v.max()))
-    state.update((n, s, mn, mx))
-    yield pd.DataFrame(
+    return n, s, mn, mx
+
+
+def _stats_row(key, totals):
+    n, s, mn, mx = totals
+    return pd.DataFrame(
         {
             "key": [key[0]],
             "n_events": [n],
@@ -61,6 +70,24 @@ def _running_stats_fn(
             "max_value": [mx],
         }
     )
+
+
+def _running_stats_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's rows for `key` into the running
+    (count, sum, min, max) state and emit the updated totals. A key
+    that has seen no non-null value yet emits nothing (there is no
+    measurement to report — emitting would surface the inf/-inf
+    fold sentinels)."""
+    totals = _fold_stats(
+        state.get if state.exists else _STATS_INIT, pdfs
+    )
+    state.update(totals)
+    if totals[0]:
+        yield _stats_row(key, totals)
 
 
 def running_stats(
@@ -131,27 +158,17 @@ def running_stats_tws(
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            if self._state.exists():
-                n, s, mn, mx = self._state.get()
-            else:
-                n, s, mn, mx = 0, 0.0, float("inf"), float("-inf")
-            for pdf in rows:
-                v = pdf["value"]
-                n += int(v.count())
-                s += float(v.sum())
-                if len(v):
-                    mn = min(mn, float(v.min()))
-                    mx = max(mx, float(v.max()))
-            self._state.update((n, s, mn, mx))
-            yield pd.DataFrame(
-                {
-                    "key": [key[0]],
-                    "n_events": [n],
-                    "sum_value": [s],
-                    "min_value": [mn],
-                    "max_value": [mx],
-                }
+            # the fold itself is _fold_stats — shared with the
+            # applyInPandasWithState twin so the two cannot drift
+            totals = _fold_stats(
+                tuple(self._state.get())
+                if self._state.exists()
+                else _STATS_INIT,
+                rows,
             )
+            self._state.update(totals)
+            if totals[0]:
+                yield _stats_row(key, totals)
 
         def close(self) -> None:
             pass
@@ -173,7 +190,8 @@ def running_stats_tws(
 # `sessionize_events` registry query)
 # ---------------------------------------------------------------------------
 
-SESSIONIZE_GAP_MIN = 60  # same gap as queries_ext.SESSION_GAP_MIN
+from bolson_spark import SESSION_GAP_MIN as SESSIONIZE_GAP_MIN  # noqa: E402
+# (one definition — the batch query, oracle, and this twin share it)
 
 SESSIONIZE_OUTPUT = (
     "user_id bigint, session_start_us bigint, session_end_us bigint, "

@@ -3,7 +3,30 @@
 from __future__ import annotations
 
 import os
+import re
 import uuid
+
+_URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
+def require_local_path(path: str, what: str) -> str:
+    """The driver-local control plane (run-id files, seq base, commit
+    horizon, partition-dir listings) uses plain ``os.*`` I/O, which
+    does NOT speak DFS URIs: ``os.makedirs("hdfs://nn/ck")`` happily
+    creates a literal ``./hdfs:/nn/ck`` directory on whatever node the
+    driver runs on while Spark checkpoints to real HDFS — a restart on
+    another node then finds no state and silently restarts sequences /
+    mints a fresh run id. Refuse URIs loudly: on a real cluster, point
+    this state at a driver-visible shared filesystem mount (or extend
+    these helpers through the JVM Hadoop FS API)."""
+    if _URI_SCHEME.match(path):
+        raise ValueError(
+            f"{what}: {path!r} is a URI — the driver-local control "
+            "plane (run ids, seq base, batch listings) uses os.* file "
+            "I/O and cannot operate on DFS schemes; use a "
+            "driver-visible local/shared-mount path"
+        )
+    return path
 
 
 def run_id_for_checkpoint(checkpoint_dir: str | None, filename: str) -> str:
@@ -18,6 +41,7 @@ def run_id_for_checkpoint(checkpoint_dir: str | None, filename: str) -> str:
     all the id is per-invocation — nothing can replay without one."""
     if not checkpoint_dir:
         return uuid.uuid4().hex
+    require_local_path(checkpoint_dir, "run_id_for_checkpoint")
     os.makedirs(checkpoint_dir, exist_ok=True)
     path = os.path.join(checkpoint_dir, filename)
     if os.path.exists(path):
@@ -37,6 +61,7 @@ def read_run_id(checkpoint_dir: str, filename: str) -> str:
     the state to a run id that never wrote anything — silently
     answering 0/empty for every probe on a typo'd path or a cleaned
     checkpoint, exactly the failure a refusal makes loud."""
+    require_local_path(checkpoint_dir, "read_run_id")
     path = os.path.join(checkpoint_dir, filename)
     if not os.path.exists(path):
         raise ValueError(
@@ -64,6 +89,7 @@ def _run_dir(state_dir: str, run_id: str) -> str | None:
     by UNESCAPED value (the inverse of the writer's escaping) — a
     naive f"run={run_id}" join misses any run id containing a
     character the writer escaped. None when the run has no dir."""
+    require_local_path(state_dir, "state-dir listing")
     if not os.path.isdir(state_dir):
         return None
     for name in os.listdir(state_dir):
@@ -122,6 +148,7 @@ def run_partition_ids(state_dir: str) -> list[str]:
     ``SELECT DISTINCT run`` Spark job: the listing is one directory
     read, while the distinct is a full scan of the state table run
     BEFORE the state is scanned again for the actual estimate."""
+    require_local_path(state_dir, "run_partition_ids")
     if not os.path.isdir(state_dir):
         return []
     out = []
@@ -161,6 +188,7 @@ def commit_horizon(checkpoint_dir: str) -> int:
     compactors must leave it untouched, because a replay both
     dynamic-overwrites its own partitions and consults only batches
     strictly before itself."""
+    require_local_path(checkpoint_dir, "commit_horizon")
     d = os.path.join(checkpoint_dir, "commits")
     if not os.path.isdir(d):
         return -1

@@ -2745,3 +2745,162 @@ def test_compact_ingest_near_dup_index(spark, tmp_path):
         for r in spark.read.parquet(str(out / "accepted")).collect()
     }
     assert got == {1, 2, 4}  # 3 rejected by the compacted index
+
+
+def test_running_stats_all_null_values_emit_no_sentinels(spark, tmp_path):
+    """A key whose values so far are ALL NULL (e.g. an upstream
+    cast-to-double failure) must not surface the inf/-inf fold
+    sentinels: the old len()-guard let pandas' NaN min slip past
+    Python's min(inf, nan) and persisted/emitted Infinity. Such keys
+    emit nothing until a real value arrives; the first real value then
+    folds from a clean state."""
+    from bolson_spark.streaming import running_stats
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        "\n".join(
+            [
+                json.dumps({"event_type": "broken", "value": None}),
+                json.dumps({"event_type": "broken", "value": None}),
+                json.dumps({"event_type": "ok", "value": 3.5}),
+            ]
+        )
+        + "\n"
+    )
+    (src / "b1.jsonl").write_text(
+        json.dumps({"event_type": "broken", "value": 7.0}) + "\n"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out_dir = tmp_path / "out"
+
+    def sink_batch(bdf, _bid):
+        bdf.write.mode("append").parquet(str(out_dir))
+
+    q = (
+        running_stats(stream)
+        .writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(str(out_dir)).toPandas()
+    import math
+
+    assert not any(math.isinf(v) for v in got["min_value"])
+    assert not any(math.isinf(v) for v in got["max_value"])
+    broken = got[got["key"] == "broken"]
+    # nothing emitted for the null-only batch; one clean row after the
+    # real value arrived, counting only non-null values
+    assert list(broken["n_events"]) == [1]
+    assert list(broken["min_value"]) == [7.0]
+
+
+def test_seq_base_record_is_replay_stable(tmp_path):
+    """The persisted (batch_id, base, n) record: a replayed batch id
+    resolves to its ORIGINAL base (identical renumbering -> identical
+    republished messages), newer batches start after the last batch's
+    rows, and v1 single-int files (the already-advanced base) map to
+    exactly that base for the next batch."""
+    from bolson_spark.streaming.pipeline import (
+        _read_seq_base,
+        _resolve_seq_base,
+        _write_seq_base,
+    )
+
+    f = str(tmp_path / "bolson_seq_base")
+    assert _read_seq_base(f) == (-1, 0, 0)  # fresh
+    assert _resolve_seq_base((-1, 0, 0), 0) == 0
+
+    _write_seq_base(f, 0, 0, 100)
+    rec = _read_seq_base(f)
+    assert rec == (0, 0, 100)
+    assert _resolve_seq_base(rec, 0) == 0  # replay of batch 0
+    assert _resolve_seq_base(rec, 1) == 100  # next batch
+
+    _write_seq_base(f, 1, 100, 50)
+    rec = _read_seq_base(f)
+    assert _resolve_seq_base(rec, 1) == 100  # replay of batch 1
+    assert _resolve_seq_base(rec, 2) == 150
+
+    # v1 back-compat: a bare advanced-base integer
+    with open(f, "w") as fh:
+        fh.write("250")
+    rec = _read_seq_base(f)
+    assert rec == (-1, 250, 0)
+    assert _resolve_seq_base(rec, 7) == 250
+
+
+def test_serialize_ipc_slices_within_contiguous_seq_runs(spark):
+    """FNC02 envelope contract under multi-run partitions: when one
+    partition holds two non-adjacent seq runs (the pipeline's
+    hash-block repartition does this on collisions), no message may
+    span the gap — every message's [seq_first, seq_last] must cover
+    exactly its num_rows."""
+    from bolson_spark.operators import serialize_ipc
+
+    rows = [(s, s * 2) for s in list(range(0, 6)) + list(range(100, 106))]
+    df = (
+        spark.createDataFrame(rows, "bolson_seq bigint, v bigint")
+        .coalesce(1)
+        .sortWithinPartitions("bolson_seq")
+    )
+    msgs = serialize_ipc(df, max_rows=4).collect()
+    for m in msgs:
+        assert m.seq_last - m.seq_first + 1 == m.num_rows, m
+    # both runs fully covered, no overlaps
+    covered = sorted(
+        s for m in msgs for s in range(m.seq_first, m.seq_last + 1)
+    )
+    assert covered == [r[0] for r in rows]
+
+
+def test_kafka_schema_message_pinned_to_partition_zero(spark):
+    """The schema handshake record must pin partition 0: the verify
+    side reads exactly (partition 0, offset 0), so an unpinned publish
+    on a multi-partition topic would miss its own schema and publish a
+    second one interleaved among data."""
+    from bolson_spark.schemas import BATTERY_SPARK, spark_to_arrow_schema
+    from bolson_spark.streaming.sink import KafkaSink
+
+    sink = KafkaSink(spark, "b1:9092", "bolson")
+    df = sink._schema_message_df(spark_to_arrow_schema(BATTERY_SPARK))
+    row = df.collect()[0]
+    assert set(df.columns) == {"value", "partition"}
+    assert row.partition == 0
+    import pyarrow as pa
+
+    assert pa.ipc.read_schema(pa.BufferReader(row.value)) is not None
+
+
+def test_control_plane_refuses_dfs_uris(tmp_path):
+    """run-id files, batch listings, and the commit horizon are
+    driver-local os.* I/O: pointed at a DFS URI they would silently
+    operate on a literal local './hdfs:/...' path while Spark uses
+    real HDFS — a restart then restarts sequences / mints a fresh run
+    id. They must refuse URIs loudly."""
+    from bolson_spark.streaming.util import (
+        commit_horizon,
+        read_run_id,
+        run_id_for_checkpoint,
+        run_partition_ids,
+    )
+
+    for fn, args in (
+        (run_id_for_checkpoint, ("hdfs://nn/ck", "f")),
+        (read_run_id, ("s3://bucket/ck", "f")),
+        (run_partition_ids, ("hdfs://nn/state",)),
+        (commit_horizon, ("abfss://c@a/ck",)),
+    ):
+        with pytest.raises(ValueError, match="is a URI"):
+            fn(*args)
+    # plain local paths still work
+    assert run_partition_ids(str(tmp_path / "nope")) == []
