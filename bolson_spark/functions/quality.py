@@ -127,9 +127,7 @@ def quality_metrics(df: DataFrame, text_col: str = "text",
         )
     )
 
-    out = scalar.drop("_text", "_words").join(top, id_col, "left").select(
-        "*"
-    )
+    out = scalar.drop("_text", "_words").join(top, id_col, "left")
     keep = (
         (F.col("n_words") >= MIN_WORDS)
         & (F.col("n_words") <= MAX_WORDS)

@@ -59,8 +59,19 @@ def kmv_distinct(
     caller at 100 TB would drop it and keep only the sketch.
 
     Output: (group_col, n_exact, kmv_estimate).
+
+    NULL keys are excluded: a NULL is not a set element, and
+    md5_draw(NULL) is a CONSTANT (concat_ws skips nulls), so letting
+    nulls in would plant the identical draw in every group's sketch —
+    fabricating overlap between disjoint groups — while the DuckDB
+    twin's ``md5('kmv|' || CAST(k AS VARCHAR))`` is NULL there, a
+    latent cross-engine divergence.
     """
-    keys = df.select(group_col, key_col).distinct()
+    keys = (
+        df.select(group_col, key_col)
+        .where(F.col(key_col).isNotNull())
+        .distinct()
+    )
     kth = (
         _bottom_k_rows(keys, key_col, group_col, k, salt_parts)
         .where(F.col("_rnk") == k)
@@ -165,8 +176,16 @@ def kmv_set_overlap(
     # consumed 4x (draws, sizes, both sides of the exact join) — left
     # uncached deliberately: the distinct's shuffle is exchange-reused
     # across consumers, and an A/B at sf0.1 showed caching the
-    # million-row string table costs more than the reuse saves
-    keys = df.select(group_col, key_col).distinct()
+    # million-row string table costs more than the reuse saves.
+    # NULL keys excluded (kmv_distinct's rule): a NULL's constant
+    # md5_draw would sit in EVERY group's sketch, making disjoint
+    # groups share a sketch value (kmv_jaccard > 0) that the exact
+    # equi-join — where NULL never matches NULL — can never confirm.
+    keys = (
+        df.select(group_col, key_col)
+        .where(F.col(key_col).isNotNull())
+        .distinct()
+    )
     sk_rows = _bottom_k_rows(keys, key_col, group_col, k, salt_parts)
     # collect_list is bounded at k rows per group by construction
     sketches = sk_rows.groupBy(group_col).agg(
@@ -311,6 +330,14 @@ def temperature_mix(
             F.lit((1 << 32) - 1),
         ).cast("bigint"),
     )
+    # Determinism caveat (shared with weighted_sample): keep_frac
+    # passes through pow(), whose last ulp is not IEEE-pinned across
+    # libm implementations — a stratum whose keep_frac*2^32 lands
+    # within 1 ulp of an integer could in principle floor() to
+    # adjacent thresholds on different engines, flipping the single
+    # boundary-bucket document. Never observed in the differential
+    # gate; the alternative (rational n_s^alpha) has no closed integer
+    # form for non-integer alpha.
     # keep_frac == 1.0 bypasses the hash compare entirely: the capped
     # threshold is 2^32-1 and a strict '<' would still drop a document
     # whose md5 prefix is exactly "ffffffff" (p=2^-32) — violating the
@@ -346,13 +373,37 @@ def weighted_sample(
     Output: (id_col, weight_col, draw) where draw is the exact 60-bit
     integer (floats stay internal to the ordering so cross-engine
     comparison is integer-exact).
+
+    Weights must be strictly positive (Efraimidis-Spirakis requires
+    it) — enforced per row: a negative weight's u^(1/w) exceeds 1 and
+    would deterministically crowd out the entire intended sample with
+    no error. Determinism caveat: the selection key uses pow(), a
+    transcendental whose last ulp is not IEEE-pinned across libm
+    implementations — two keys straddling the top-n cutoff by < 1 ulp
+    could in principle order differently across engines. The draw
+    itself stays integer-exact; the boundary event has never been
+    observed in the differential gate, and removing pow() would mean
+    abandoning the E-S construction.
     """
+    wcol = F.col(weight_col).cast("double")
+    w_checked = F.when(
+        wcol.isNull() | (wcol <= 0.0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "bolson_spark: weighted_sample requires strictly "
+                    "positive weights, got "
+                ),
+                F.col(weight_col).cast("string"),
+            )
+        ),
+    ).otherwise(wcol)
     u = md5_draw(F.col(id_col), seed).alias("draw")
     keyed = df.select(F.col(id_col), F.col(weight_col), u).withColumn(
         "es_key",
         F.pow(
             F.col("draw").cast("double") / F.lit(HASH_SPACE),
-            F.lit(1.0) / F.col(weight_col).cast("double"),
+            F.lit(1.0) / w_checked,
         ),
     )
     return (
@@ -463,7 +514,16 @@ def hll_distinct(
     exact = df.select(group_col, key_col).distinct().groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_exact")
     )
-    return exact.join(est, group_col).select(
+    # null-safe group join: a NULL group value (missing source) has
+    # both an exact and an estimate row, but a plain equi-join never
+    # matches NULL=NULL and would silently drop the whole group —
+    # sibling kmv_distinct keeps NULL groups, the family must agree
+    est2 = est.select(
+        F.col(group_col).alias("_eg"), "occupied", "hll_estimate"
+    )
+    return exact.join(
+        est2, F.col(group_col).eqNullSafe(F.col("_eg"))
+    ).select(
         group_col,
         F.col("n_exact").cast("bigint"),
         F.col("occupied").cast("bigint"),
@@ -543,7 +603,15 @@ def hll_union(
         df.sparkSession.createDataFrame(agg_rows, agg_schema), p
     )
     exact = exact_g.unionByName(exact_t)
-    return exact.join(est, group_col).select(
+    # null-safe scope join — same rule as hll_distinct: a NULL group
+    # would otherwise vanish from the per-group rows while its keys
+    # still count toward the total row, leaving the two irreconcilable
+    est2 = est.select(
+        F.col(group_col).alias("_eg"), "occupied", "hll_estimate"
+    )
+    return exact.join(
+        est2, F.col(group_col).eqNullSafe(F.col("_eg"))
+    ).select(
         F.col(group_col).alias("scope"),
         F.col("n_exact").cast("bigint"),
         F.col("occupied").cast("bigint"),
@@ -598,17 +666,34 @@ def cm_sketch_freq(
             .alias("cm_estimate")
         )
     )
+    # NULL-SAFE joins end to end: a NULL probe key hashes fine
+    # (md5_draw(NULL) is a constant), but plain equi-joins never match
+    # NULL=NULL — the probe row would VANISH from the output, the
+    # exact failure the per-probe contract above forbids, and its
+    # exact count would silently miss the stream's null keys.
     exact = (
-        df.join(probe, key_col, "left_semi")
+        df.join(
+            probe.select(F.col(key_col).alias("_pk")),
+            F.col(key_col).eqNullSafe(F.col("_pk")),
+            "left_semi",
+        )
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("exact_count"))
+        .select(F.col(key_col).alias("_ek"), "exact_count")
     )
-    return probe.join(exact, key_col, "left").join(est, key_col).select(
-        key_col,
-        F.coalesce(F.col("exact_count"), F.lit(0))
-        .cast("bigint")
-        .alias("exact_count"),
-        F.col("cm_estimate").cast("bigint"),
+    est2 = est.select(
+        F.col(key_col).alias("_sk"), "cm_estimate"
+    )
+    return (
+        probe.join(exact, F.col(key_col).eqNullSafe(F.col("_ek")), "left")
+        .join(est2, F.col(key_col).eqNullSafe(F.col("_sk")), "left")
+        .select(
+            key_col,
+            F.coalesce(F.col("exact_count"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_count"),
+            F.col("cm_estimate").cast("bigint"),
+        )
     )
 
 
@@ -634,6 +719,15 @@ def group_sample_exact_n(
     re-running with a larger n EXTENDS the sample (bottom-k sets are
     nested) — the property that lets a pipeline grow a held-out set
     without resampling it.
+
+    PRECONDITION: rows must be unique per (group_col, id_col) — a
+    table keyed by id, like every registry caller. Duplicate rows get
+    identical draws and consume consecutive sample ranks
+    (_bottom_k_rows ranks a distinct frame by contract), so a fanned-
+    out join input would emit the same id at two ranks and fewer than
+    n unique members; deduplicate upstream (an in-function distinct()
+    would re-shuffle the full id table and defeat the partial-heap
+    scale shape this sampler exists for).
 
     Output: (id_col, group_col, sample_rank) with sample_rank in
     1..n by draw order.

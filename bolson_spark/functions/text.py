@@ -50,7 +50,13 @@ def language_id(col: Column) -> Column:
     it doesn't.)"""
     n_tok = token_count(col).cast("double")
     ratio = stopword_count(col).cast("double") / n_tok
-    return F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other"))
+    # NULL text propagates NULL — without the explicit branch the NULL
+    # ratio fails the when() and falls into otherwise(), counting
+    # missing documents as real 'other'-language documents (every
+    # other operator in this file returns NULL for NULL input)
+    return F.when(col.isNull(), F.lit(None).cast("string")).when(
+        ratio >= 0.05, F.lit("en")
+    ).otherwise(F.lit("other"))
 
 
 # BPE-ish tokenizer regex: letter runs, digit runs, single punctuation.
@@ -71,7 +77,7 @@ def rolling_fingerprint(col: Column, n: int = 4) -> Column:
     fingerprint selection rule; full winnowing keeps one min per
     window, this keeps the global min as a single-column digest).
     Documents shorter than n words fall back to whole-text md5."""
-    tok = F.split(col, " ")
+    tok = tokens(col)  # the module's ONE tokenization rule
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(tok) - n),
         lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),

@@ -1214,7 +1214,8 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_LANGUAGE_ID = f"""
 SELECT doc_id, lang,
-       CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+       CASE WHEN text IS NULL THEN NULL
+            WHEN CAST(len(list_filter(string_split(text, ' '),
                                       w -> w IN ({_SW}))) AS DOUBLE)
                  / len(string_split(text, ' ')) >= 0.05
             THEN 'en' ELSE 'other' END AS lang_pred

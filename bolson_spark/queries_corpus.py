@@ -162,7 +162,11 @@ _HS = float(1 << 60)
 
 O_KMV_DISTINCT = f"""
 WITH keys AS (
+  -- NULL keys excluded on BOTH engines: Spark's md5_draw(NULL) is a
+  -- constant while this md5('kmv|'||CAST(...)) is NULL — without the
+  -- filter the two sides diverge the moment a null key appears
   SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL
 ),
 u AS (
   SELECT event_type, user_id,
@@ -700,7 +704,8 @@ def _langid_confusion_sql() -> str:
 
     return f"""
 SELECT lang,
-       CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+       CASE WHEN text IS NULL THEN NULL
+            WHEN CAST(len(list_filter(string_split(text, ' '),
                                       w -> w IN ({_SW}))) AS DOUBLE)
                  / len(string_split(text, ' ')) >= 0.05
             THEN 'en' ELSE 'other' END AS lang_pred,

@@ -45,6 +45,10 @@ EDGE_QUERIES = [
     # anti-join and NOT-IN forms disagree about null keys otherwise)
     "incremental_ingest",
     "intra_doc_dedup",
+    # language_id: NULL text must predict NULL, not 'other' (both
+    # engines pinned by the edge corpus's NULL-text doc)
+    "language_id",
+    "langid_confusion",
 ]
 
 

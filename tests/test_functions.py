@@ -2444,3 +2444,70 @@ def test_compact_shards_refuses_in_place(spark, tmp_path):
         compact_shards(spark, d, d)
     # the refusal happened before any write: data intact
     assert spark.read.parquet(d).count() == 10
+
+
+def test_sketch_family_null_key_and_group_semantics(spark):
+    """NULL handling across the sketch family, pinned: (a) NULL keys
+    are excluded from KMV sketches — md5_draw(NULL) is a CONSTANT, so
+    unfiltered they would plant the identical draw in every group's
+    sketch and fabricate overlap between disjoint groups; (b) a NULL
+    probe key stays in cm_sketch_freq's output (null-safe joins) with
+    an exact count that includes the stream's null keys; (c) a NULL
+    group survives hll_distinct (null-safe group join — kmv_distinct
+    already kept them via its left join)."""
+    from bolson_spark.functions.sketch import (
+        cm_sketch_freq,
+        hll_distinct,
+        kmv_set_overlap,
+    )
+
+    # (a) disjoint key sets plus a NULL key in each group
+    df = spark.createDataFrame(
+        [("a", "x1"), ("a", None), ("b", "y1"), ("b", None)],
+        "grp string, key string",
+    )
+    rows = kmv_set_overlap(df, "key", "grp", k=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.kmv_jaccard_e6 == 0 and r.exact_jaccard_e6 == 0
+    assert r.n_a == 1 and r.n_b == 1  # nulls not counted as elements
+
+    # (b) NULL probe key answers, never vanishes
+    stream = spark.createDataFrame(
+        [("t1",), (None,), (None,), ("t2",)], "key string"
+    )
+    probe = spark.createDataFrame([("t1",), (None,), ("nope",)], "key string")
+    got = {
+        r.key: (r.exact_count, r.cm_estimate)
+        for r in cm_sketch_freq(stream, probe, "key").collect()
+    }
+    assert set(got) == {"t1", None, "nope"}
+    assert got["t1"][0] == 1 and got["t1"][1] >= 1
+    assert got[None][0] == 2 and got[None][1] >= 2  # one-sided holds
+    assert got["nope"][0] == 0
+
+    # (c) NULL group kept by hll_distinct
+    df2 = spark.createDataFrame(
+        [("s1", "k1"), (None, "k2"), (None, "k3")], "grp string, key string"
+    )
+    hll = {r[0]: r.n_exact for r in hll_distinct(df2, "key", "grp").collect()}
+    assert hll == {"s1": 1, None: 2}
+
+
+def test_weighted_sample_refuses_non_positive_weights(spark):
+    """Efraimidis-Spirakis requires strictly positive weights: a
+    negative weight's u^(1/w) exceeds 1 and would deterministically
+    crowd out the entire intended sample — refuse loudly per row."""
+    import pytest
+
+    from bolson_spark.functions.sketch import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, -1.0), (3, 1.0)], "doc_id bigint, w double"
+    )
+    with pytest.raises(Exception, match="strictly positive"):
+        weighted_sample(df, "w", n=2).collect()
+    ok = spark.createDataFrame(
+        [(1, 2.0), (2, 0.5)], "doc_id bigint, w double"
+    )
+    assert len(weighted_sample(ok, "w", n=2).collect()) == 2
