@@ -51,21 +51,36 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
-    timings: dict[str, float] = {}
-    n_jsons = 0
-    for name, spec in QUERIES.items():
-        def one_run() -> float:
-            t0 = time.perf_counter()
-            spec.fn(spark, SF_DIR).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            dt = time.perf_counter() - t0
-            # per-query cache isolation: a query's internal .cache()s
-            # must not subsidize (or crowd out) later queries' timings
-            spark.catalog.clearCache()
-            return dt
+    # Physical/forced-route TWIN queries (tag "twin": a second
+    # implementation or forced parameter route of a headline query
+    # that already benches at SF_DIR — e.g. heavy_hitters_twopass,
+    # the _tiled/_unsplit/_canonical embedding variants) run at the
+    # smaller twin SF: their CORRECTNESS rows still run at full SF via
+    # the driver, but re-timing both physical routes of one logical
+    # query at sf0.1 made the bench grow linearly with every twin
+    # added while measuring the same data path twice.
+    TWIN_SF_DIR = os.environ.get(
+        "SPARK_GRAFT_TWIN_SF_DIR", "/root/testdata/sf0.01"
+    )
 
-        t1 = one_run()
+    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    n_jsons = 0
+
+    def one_run(name: str) -> float:
+        spec = QUERIES[name]
+        qdir = TWIN_SF_DIR if "twin" in spec.tags else SF_DIR
+        t0 = time.perf_counter()
+        spec.fn(spark, qdir).write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
+        # per-query cache isolation: a query's internal .cache()s
+        # must not subsidize (or crowd out) later queries' timings
+        spark.catalog.clearCache()
+        runs.setdefault(name, []).append(round(dt, 4))
+        return dt
+
+    for name in QUERIES:
+        t1 = one_run(name)
         # One-shot timings of the heavy queries carry 2-4x run-to-run
         # noise (first-run codegen + GC pressure late in the session —
         # r2/r3 cross-round comparisons were polluted by exactly this).
@@ -76,8 +91,22 @@ def main() -> None:
         # The second run is warm, so the added wall time is the steady
         # cost of the >1 s tail, not double the bench.
         if t1 > 1.0:
-            t1 = min(t1, one_run())
+            t1 = min(t1, one_run(name))
         timings[name] = round(t1, 4)
+    # The 10 slowest queries get a FIXED third repeat: their one-cold-
+    # run constant produced two rounds of phantom regressions
+    # (dedup_keep_best r5-r7, order_priority_check r6); a 3-run min
+    # plus the recorded spread lets a reader tell drift from noise
+    # without a re-profile ritual.
+    for name in sorted(timings, key=lambda n: -timings[n])[:10]:
+        while len(runs[name]) < 3:
+            one_run(name)
+        timings[name] = round(min(runs[name]), 4)
+    spread = {
+        name: round(max(rs) - min(rs), 4)
+        for name, rs in runs.items()
+        if len(rs) > 1
+    }
     # convert throughput (MJ/s, metrics.cpp:39-92 analog): rows of the
     # events table pushed through the full convert pipeline. Measured
     # with a repeats loop (bench.cpp:155-190) and the best run taken,
@@ -122,12 +151,24 @@ def main() -> None:
     pipeline_sec = steady("training_corpus")
 
     total = round(sum(timings.values()), 4)
+    rel_spreads = sorted(
+        spread[n] / timings[n] for n in spread if timings[n] > 0
+    )
     summary = {
         "metric": "registry wall-clock (noop sink) per query",
-        "timing": "min of up to 2 runs (second run only if first >1s)",
+        "timing": "min of up to 2 runs (>1s reruns once); 10 slowest "
+        "get a fixed 3-run min; twins at twin_sf",
         "value": total,
         "unit": "sec",
         "sf": sf_from_dir(SF_DIR),
+        "twin_sf": sf_from_dir(TWIN_SF_DIR),
+        "num_twin_queries": sum(
+            1 for s in QUERIES.values() if "twin" in s.tags
+        ),
+        "spread_rel_p50": round(
+            rel_spreads[len(rel_spreads) // 2], 4
+        ) if rel_spreads else None,
+        "spread_rel_max": round(rel_spreads[-1], 4) if rel_spreads else None,
         "convert_mjs": round(n_jsons / convert_sec / 1e6, 6)
         if convert_sec
         else None,
@@ -147,7 +188,12 @@ def main() -> None:
         "trip_steady_sec": round(trip_steady_sec, 4),
         "num_queries": len(timings),
     }
-    full = {**summary, "queries": timings}
+    full = {
+        **summary,
+        "queries": timings,
+        "queries_spread": spread,
+        "queries_runs": {n: rs for n, rs in runs.items() if len(rs) > 1},
+    }
     # The driver records only the last ~2 KB of stdout (r2's per-query
     # evidence was lost to head-truncation of one huge line). Emit:
     #   1. the full JSON to BENCH_FULL.json on disk (committed evidence),

@@ -645,6 +645,24 @@ def cmd_bench_stream(args) -> int:
 
     spark = get_spark("bolson-bench-stream")
     docs = _gen_jsons(args.schema, args.num_jsons, args.seed)
+    bad_frac = getattr(args, "bad_frac", 0.0) or 0.0
+    if not 0.0 <= bad_frac < 1.0:
+        raise SystemExit(f"--bad-frac must be in [0, 1), got {bad_frac}")
+    n_bad = 0
+    if bad_frac:
+        # corrupt an evenly-spaced deterministic subset: chop the
+        # closing brace so strict parsing rejects the document (the
+        # quarantine route), same docs every burst
+        import math as _math
+
+        corrupted = []
+        for i, d in enumerate(docs):
+            if _math.floor((i + 1) * bad_frac) > _math.floor(i * bad_frac):
+                corrupted.append(d[:-1] + "!")
+                n_bad += 1
+            else:
+                corrupted.append(d)
+        docs = corrupted
     payload = ("\n".join(docs) + "\n").encode()
 
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -675,6 +693,8 @@ def cmd_bench_stream(args) -> int:
         checkpoint_dir=f"{tmp}/ckpt",
         available_now=False,
         latency=tracker,
+        on_error="quarantine" if bad_frac else "fail",
+        quarantine_dir=f"{tmp}/quarantine" if bad_frac else None,
     )
     try:
         assert ready.wait(60), "socket source never connected"
@@ -682,15 +702,21 @@ def cmd_bench_stream(args) -> int:
         for i in range(args.num_batches):
             holder["conn"].sendall(payload)
             total += len(docs)
+
+            # under --bad-frac, num_jsons counts only CLEAN documents;
+            # the quarantined remainder shows up in num_quarantined
+            def drained() -> int:
+                return metrics.num_jsons + metrics.num_quarantined
+
             deadline = time.time() + 60
-            while metrics.num_jsons < total and time.time() < deadline:
+            while drained() < total and time.time() < deadline:
                 if query.exception() is not None:
                     raise query.exception()  # dead query: fail NOW,
                     # not after num_batches x 60 s of silent waiting
                 time.sleep(0.02)
-            if metrics.num_jsons < total:
+            if drained() < total:
                 raise RuntimeError(
-                    f"burst {i}: drained {metrics.num_jsons}/{total} "
+                    f"burst {i}: drained {drained()}/{total} "
                     "docs within 60 s — stream stalled"
                 )
         query.stop()
@@ -726,6 +752,9 @@ def cmd_bench_stream(args) -> int:
                 "num_batches_sent": args.num_batches,
                 "num_batches_published": len(tracker.points),
                 "num_jsons": metrics.num_jsons,
+                "bad_frac": bad_frac,
+                "num_bad_per_burst": n_bad,
+                "num_quarantined": metrics.num_quarantined,
                 "elapsed_sec": round(elapsed, 3),
                 "mjs": round(metrics.num_jsons / 1e6 / elapsed, 6)
                 if elapsed
@@ -934,6 +963,14 @@ def main(argv=None) -> int:
     bl.add_argument("--num-batches", type=int, default=10)
     bl.add_argument("--seed", type=int, default=0)
     bl.add_argument("--max-rows", type=int, default=MAX_ROWS_DEFAULT)
+    bl.add_argument(
+        "--bad-frac",
+        type=float,
+        default=0.0,
+        help="corrupt this fraction of each burst's documents and run "
+        "the stream in quarantine mode, so the dead-letter route gets "
+        "latency percentiles too (0 = clean path, on_error='fail')",
+    )
     bl.set_defaults(fn=cmd_bench_stream)
 
     args = p.parse_args(argv)

@@ -1598,6 +1598,38 @@ def semantic_decontaminate(
     )
 
 
+def whitening_sample(
+    df: DataFrame,
+    sample_n: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """The ONE definition of the whitening fit sample: the `sample_n`
+    smallest md5('whiten|id') draws with (_v, id) tiebreak (the
+    `_bottom_k_rows` convention — reproducible across engines, runs,
+    cluster sizes, and NESTED as sample_n grows). Returns the sampled
+    vectors as a float64 ndarray (sample_n x dims, driver-bounded).
+    Shared by :func:`fit_whitening` and the `whitening_zca_invariant`
+    registry query so the invariant provably audits the SAME sample
+    the fit consumed."""
+    import numpy as np
+
+    from bolson_spark.functions.sketch import md5_draw
+
+    drawn = df.select(
+        F.col(vec_col),
+        F.col(id_col).alias("_id"),
+        md5_draw(F.col(id_col), "whiten").alias("_v"),
+    )
+    # (_v, id) ordering — equal draws at the sample_n cutoff resolve
+    # deterministically; a bare orderBy("_v") would make the selected
+    # set depend on scan order
+    rows = (
+        drawn.orderBy("_v", "_id").limit(sample_n).select(vec_col).collect()
+    )
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
 def fit_whitening(
     df: DataFrame,
     sample_n: int = 4096,
@@ -1638,20 +1670,7 @@ def fit_whitening(
     """
     import numpy as np
 
-    from bolson_spark.functions.sketch import md5_draw
-
-    drawn = df.select(
-        F.col(vec_col),
-        F.col(id_col).alias("_id"),
-        md5_draw(F.col(id_col), "whiten").alias("_v"),
-    )
-    # (_v, id) ordering — equal draws at the sample_n cutoff resolve
-    # deterministically (the _bottom_k_rows convention); a bare
-    # orderBy("_v") would make the selected set depend on scan order
-    rows = (
-        drawn.orderBy("_v", "_id").limit(sample_n).select(vec_col).collect()
-    )
-    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = whitening_sample(df, sample_n, vec_col=vec_col, id_col=id_col)
     if diagonal:
         # exact integer fixed-point sums, then a PINNED float sequence:
         # every step below is either exact int64 arithmetic or a single

@@ -579,19 +579,23 @@ def hll_union(
         # here instead of leaking until session end: the returned frame
         # must not lazily reference regs (a long-lived monitoring
         # session calling this per tick would pin a frame per call).
-        # The first collect is also the one register materialization —
-        # the total collect reuses the cache.
+        # ONE collect for both branches — unioning per_group and total
+        # before the action keeps the register materialization a single
+        # job (round 7 ran them as two collects; the second was a cache
+        # hit but still a scheduled job, measured ~1.6x on the registry
+        # bench).
         agg_schema = per_group.schema
-        pg_rows = per_group.collect()
+        agg_rows = per_group.unionByName(total).collect()
         # a group literally named like the total row would cross-join
         # with it in the final scope join and silently corrupt both
-        # rows — checked on the collected rows, no extra job
-        if any(r[group_col] == total_label for r in pg_rows):
+        # rows — the union carries exactly ONE genuine total row, so a
+        # second row wearing the label is a colliding group value.
+        # Checked on the collected rows, no extra job.
+        if sum(1 for r in agg_rows if r[group_col] == total_label) > 1:
             raise ValueError(
                 f"hll_union: group value {total_label!r} collides with "
                 f"total_label — pass a different total_label"
             )
-        agg_rows = pg_rows + total.collect()
     finally:
         regs.unpersist()
     keys = df.select(group_col, key_col).distinct()

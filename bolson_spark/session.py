@@ -66,6 +66,40 @@ def get_spark(
     )
 
 
+def session_scratch_dir(spark: SparkSession, label: str) -> str:
+    """Session-scoped scratch directory for on-disk artifacts a query
+    needs to materialize (saved ANN indexes, spill files).
+
+    Contract: the root is ``spark.local.dir`` — the same disk Spark
+    itself spills to, so on a real cluster the scratch lands on the
+    fast local volumes the operator provisioned, never on a surprise
+    ``/tmp``. The per-SESSION component is the Spark application id
+    (unique per SparkSession, stable within it), so repeated calls with
+    one label reuse one directory (statically overwritten artifacts,
+    no per-call accumulation) while concurrent harnesses — each with
+    its own session — never collide. The app-scoped parent is reaped
+    at interpreter exit; labels within it are the caller's namespace.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    root = spark.sparkContext.getConf().get(
+        "spark.local.dir", tempfile.gettempdir()
+    )
+    # multi-dir spark.local.dir ("d1,d2") — any one of them is fine
+    root = root.split(",")[0]
+    parent = os.path.join(
+        root, f"bolson-scratch-{spark.sparkContext.applicationId}"
+    )
+    if not os.path.isdir(parent):  # register the reaper once per app
+        os.makedirs(parent, exist_ok=True)
+        atexit.register(shutil.rmtree, parent, ignore_errors=True)
+    path = os.path.join(parent, label)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def _ensure_confs(spark: SparkSession) -> None:
     """Runtime confs required for deterministic cross-engine results:
 
@@ -78,18 +112,40 @@ def _ensure_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# (application_id, sf_dir, name) -> analyzed DataFrame. A catalog, not
+# a data cache: reading a parquet table costs a driver-side file
+# listing + footer schema read (~0.1 s) EVERY call, and the registry /
+# bench resolve the same ten static tables hundreds of times per
+# session — a real deployment registers tables once. The DataFrame is
+# an immutable lazy plan, so sharing it across queries is free; the
+# testdata directories are static, so the captured file index cannot
+# go stale. Entries from other (stopped) sessions are evicted on first
+# touch by a new session — a plan bound to a stopped SparkContext must
+# never be handed out.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table. Parquet scan => column pruning and
-    predicate pushdown come free from the DataSource V2 reader."""
+    """Read one testdata table (memoized per session — see
+    _TABLE_CACHE). Parquet scan => column pruning and predicate
+    pushdown come free from the DataSource V2 reader."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _TABLE_CACHE if k[0] != app_id]:
+        del _TABLE_CACHE[k]
     _ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # nanos -> micros with integer division (a double division would
         # lose precision above 2^53 ns), then to timestamp (UTC session).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -46,39 +46,60 @@ from bolson_spark.streaming.sink import PublishSink
 SEQ_SCALABLE_ROWS = 2_000_000
 
 
-def _read_seq_base(base_file: str | None) -> tuple[int, int, int]:
-    """Read the persisted seq-base record: (last_batch_id, base_of_
-    last_batch, n_of_last_batch). v1 files stored only the ALREADY
-    ADVANCED base — mapped to (-1, base, 0) so the next batch starts
-    exactly there."""
+def _read_seq_base(
+    base_file: str | None,
+) -> tuple[str | None, int, int, int]:
+    """Read the persisted seq-base record: (run_id, last_batch_id,
+    base_of_last_batch, n_of_last_batch). v3 records carry the
+    checkpoint-lineage run id; v2 records predate it and map to
+    run_id=None (legacy wildcard — matches any lineage, upgraded on
+    the next write). v1 files stored only the ALREADY ADVANCED base —
+    mapped to (None, -1, base, 0) so the next batch starts exactly
+    there."""
     import os
 
     if not base_file or not os.path.exists(base_file):
-        return (-1, 0, 0)
+        return (None, -1, 0, 0)
     with open(base_file) as f:
         txt = f.read().strip()
     parts = txt.split()
+    if len(parts) == 5 and parts[0] == "v3":
+        return (parts[1], int(parts[2]), int(parts[3]), int(parts[4]))
     if len(parts) == 4 and parts[0] == "v2":
-        return (int(parts[1]), int(parts[2]), int(parts[3]))
-    return (-1, int(txt or 0), 0)
+        return (None, int(parts[1]), int(parts[2]), int(parts[3]))
+    return (None, -1, int(txt or 0), 0)
 
 
-def _resolve_seq_base(rec: tuple[int, int, int], batch_id: int) -> int:
-    """The replay-stable base rule: a REPLAYED batch (same batch id as
-    the persisted record) reuses its original base, so its rows are
+def _resolve_seq_base(
+    rec: tuple[str | None, int, int, int],
+    batch_id: int,
+    run_id: str | None = None,
+) -> int:
+    """The replay-stable base rule: a REPLAYED batch (same batch id,
+    SAME checkpoint lineage) reuses its original base, so its rows are
     renumbered IDENTICALLY — a replay then produces byte-identical
     messages (duplicates a seq-keyed consumer can drop), never the
     silently shifted sequence range that advancing the base before the
     epoch commit used to produce. Any newer batch starts after the
-    last batch's rows."""
-    last_bid, last_base, last_n = rec
-    if batch_id == last_bid:
+    last batch's rows.
+
+    The lineage guard: batch ids are only comparable WITHIN one
+    checkpoint lineage. If the record's run id differs from the
+    current lineage's (a seq-base file surviving into a different /
+    reset checkpoint), a first batch whose id collides with the stored
+    one is a DIFFERENT payload — reusing the base would publish
+    overlapping seq ranges for different data, so a mismatch always
+    ADVANCES. A None on either side (legacy v2 record, or a
+    checkpoint-less run) keeps the old same-id-reuses behavior."""
+    rec_run, last_bid, last_base, last_n = rec
+    lineage_match = rec_run is None or run_id is None or rec_run == run_id
+    if lineage_match and batch_id == last_bid:
         return last_base
     return last_base + last_n
 
 
 def _write_seq_base(
-    base_file: str, batch_id: int, base: int, n: int
+    base_file: str, run_id: str, batch_id: int, base: int, n: int
 ) -> None:
     """Atomic (write-tmp + os.replace) so a crash mid-write cannot
     leave a truncated record. Written BEFORE the publish: a replay
@@ -88,7 +109,7 @@ def _write_seq_base(
 
     tmp = base_file + ".tmp"
     with open(tmp, "w") as f:
-        f.write(f"v2 {batch_id} {base} {n}")
+        f.write(f"v3 {run_id} {batch_id} {base} {n}")
     os.replace(tmp, base_file)
 
 
@@ -202,15 +223,18 @@ def run_stream_convert(
     base_file = (
         os.path.join(checkpoint_dir, "bolson_seq_base") if checkpoint_dir else None
     )
-    # Quarantine partitions are namespaced by a run id minted once per
-    # checkpoint lineage (same pattern as the seq base / ingest ledger):
-    # same-checkpoint replays overwrite their own (run, batch) partition
-    # idempotently, while a fresh checkpoint's batch 0 cannot clobber a
-    # prior run's batch-0 dead-letter evidence.
+    # One run id per checkpoint lineage (minted-or-read), shared by the
+    # quarantine partitions AND the seq-base record: same-checkpoint
+    # replays overwrite their own (run, batch) partition idempotently /
+    # reuse their original seq base, while a fresh checkpoint's batch 0
+    # cannot clobber a prior run's batch-0 dead-letter evidence — nor
+    # silently reuse a surviving seq-base record from a different
+    # lineage (see _resolve_seq_base's lineage guard).
     from bolson_spark.streaming.util import run_id_for_checkpoint
 
-    quarantine_run = run_id_for_checkpoint(checkpoint_dir, "bolson_run_id")
-    # (last_batch_id, base, n) — see _resolve_seq_base for the
+    run_id = run_id_for_checkpoint(checkpoint_dir, "bolson_run_id")
+    quarantine_run = run_id
+    # (run_id, last_batch_id, base, n) — see _resolve_seq_base for the
     # replay-stable numbering rule this record enables
     state = {"rec": _read_seq_base(base_file)}
 
@@ -220,6 +244,7 @@ def run_stream_convert(
         received_ts = _time.time()
         batch_df = batch_df.cache()
         routed = None
+        parsed_cached = None
         try:
             # one job for both micro-batch stats (count + input bytes)
             sizes = batch_df.select(
@@ -286,7 +311,19 @@ def run_stream_convert(
             # replay-stable base: a replayed batch id reuses its
             # original base (identical renumbering -> byte-identical
             # republished messages); persisted BEFORE the publish
-            base = _resolve_seq_base(state["rec"], batch_id)
+            base = _resolve_seq_base(state["rec"], batch_id, run_id)
+            staged = latency is not None
+            # The arrow parser cannot column-prune through mapInArrow,
+            # so add_seq_scalable's extra passes (min/max + per-bucket
+            # counts) would re-execute the FULL parse ~2 more times per
+            # large micro-batch — cache the parsed frame whenever the
+            # scalable path will consume it repeatedly. (The catalyst
+            # parser prunes to the key column, so its extra passes are
+            # cheap key-only scans — seq.py's docstring rationale —
+            # and staged latency runs cache for the timestamps anyway.)
+            if staged or (parser == "arrow" and n >= SEQ_SCALABLE_ROWS):
+                parsed = parsed.cache()
+                parsed_cached = parsed
             with_order = parsed.withColumn("_arrival", F.monotonically_increasing_id())
             seq_impl = add_seq if n < SEQ_SCALABLE_ROWS else add_seq_scalable
             seqd = seq_impl(with_order, "_arrival", start=base).drop("_arrival")
@@ -307,9 +344,7 @@ def run_stream_convert(
             # six reference time points (latency.h:30-47) are observable;
             # otherwise keep parse/resize/serialize fused in one job
             # (that fusion IS the optimization — see metrics.py).
-            staged = latency is not None
             if staged:
-                parsed = parsed.cache()
                 parsed.count()
                 parsed_ts = _time.time()
             ordered = (
@@ -334,14 +369,13 @@ def run_stream_convert(
             # side of the publish a crash lands on, the replayed batch
             # renumbers identically (see _resolve_seq_base)
             if base_file:
-                _write_seq_base(base_file, batch_id, base, n)
-            state["rec"] = (batch_id, base, n)
+                _write_seq_base(base_file, run_id, batch_id, base, n)
+            state["rec"] = (run_id, batch_id, base, n)
             popped_ts = _time.time()  # handoff to the publisher (queue pop)
             sink.write(ser)
             published_ts = _time.time()
             ser.unpersist()
             if staged:
-                parsed.unpersist()
                 ordered.unpersist()
                 latency.stamp(
                     base,
@@ -370,6 +404,8 @@ def run_stream_convert(
             # must not leak a cached copy of the micro-batch per attempt
             if routed is not None:
                 routed.unpersist()
+            if parsed_cached is not None:
+                parsed_cached.unpersist()
             batch_df.unpersist()
 
     writer = raw.writeStream.foreachBatch(process)

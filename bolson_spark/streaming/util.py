@@ -113,17 +113,13 @@ def _has_data_file(d: str) -> bool:
         return False
 
 
-def batch_partition_ids(state_dir: str, run_id: str) -> list[int]:
-    """Batch ids that WROTE DATA on disk for one run of a (run, batch)-
-    partitioned state table — the compactors' control-plane listing
-    (driver-side; needs only directory listing, which every DFS the
-    state would live on provides). Batch dirs with no committed data
-    file (a crashed write's husk) are excluded — they hold no rows,
-    and admitting them would convert a loud wrong-pairing refusal in
-    the readers into silently-empty estimates."""
-    run_dir = _run_dir(state_dir, run_id)
-    if run_dir is None:
-        return []
+def _batch_ids_in_run_dir(run_dir: str) -> list[int]:
+    """Data-bearing batch ids under an ALREADY-RESOLVED run dir — the
+    shared body of batch_partition_ids / run_partition_ids. Batch dirs
+    with no committed data file (a crashed write's husk) are excluded
+    — they hold no rows, and admitting them would convert a loud
+    wrong-pairing refusal in the readers into silently-empty
+    estimates."""
     out = []
     for name in os.listdir(run_dir):
         if name.startswith("batch=") and _has_data_file(
@@ -134,6 +130,17 @@ def batch_partition_ids(state_dir: str, run_id: str) -> list[int]:
             except ValueError:
                 continue
     return sorted(out)
+
+
+def batch_partition_ids(state_dir: str, run_id: str) -> list[int]:
+    """Batch ids that WROTE DATA on disk for one run of a (run, batch)-
+    partitioned state table — the compactors' control-plane listing
+    (driver-side; needs only directory listing, which every DFS the
+    state would live on provides)."""
+    run_dir = _run_dir(state_dir, run_id)
+    if run_dir is None:
+        return []
+    return _batch_ids_in_run_dir(run_dir)
 
 
 def run_partition_ids(state_dir: str) -> list[str]:
@@ -152,11 +159,16 @@ def run_partition_ids(state_dir: str) -> list[str]:
     if not os.path.isdir(state_dir):
         return []
     out = []
+    # ONE state_dir listing: each run= entry is paired with its
+    # already-resolved path — routing through batch_partition_ids
+    # would re-resolve every run via a fresh state_dir scan (O(R^2)
+    # directory reads for R runs, the exact cost this listing exists
+    # to avoid).
     for name in os.listdir(state_dir):
         if not name.startswith("run="):
             continue
         run_id = _unescape_partition_value(name[len("run="):])
-        if batch_partition_ids(state_dir, run_id):
+        if _batch_ids_in_run_dir(os.path.join(state_dir, name)):
             out.append(run_id)
     return sorted(out)
 

@@ -176,3 +176,29 @@ def test_range_join_count_preserves_duplicate_left_rows(spark):
     ).collect()
     assert sorted(r.n_in_range for r in out) == [2, 2]
     assert len(out) == 2
+
+
+def test_asof_tiebreak_must_name_a_right_col(spark, trades_quotes):
+    """tiebreak resolves as a field of the carried right-row struct, so
+    a name outside right_cols must fail LOUDLY up front (not as an
+    unresolved-field AnalysisError deep in Catalyst) — except the
+    right timestamp itself, which is already the primary order key and
+    quietly folds away."""
+    import pytest
+
+    trades, quotes = trades_quotes
+    with pytest.raises(ValueError, match="right_cols"):
+        asof_join(
+            trades, quotes, on="sym", left_ts="t_ts", right_ts="q_ts",
+            right_cols=["bid"], tiebreak="no_such_col",
+        )
+    # tiebreak == right_ts: allowed, equivalent to no tiebreak
+    a = asof_join(
+        trades, quotes, on="sym", left_ts="t_ts", right_ts="q_ts",
+        right_cols=["bid"], tiebreak="q_ts",
+    )
+    b = asof_join(
+        trades, quotes, on="sym", left_ts="t_ts", right_ts="q_ts",
+        right_cols=["bid"],
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

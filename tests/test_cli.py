@@ -109,6 +109,37 @@ def test_cli_bench_stream_latency_percentiles(spark, capsys):
     assert lat["end_to_end"]["p50_ms"] >= lat["parse"]["p50_ms"]
 
 
+def test_cli_bench_stream_bad_frac_quarantine_route(spark, capsys):
+    """`bench stream --bad-frac` corrupts an evenly-spaced fraction of
+    every burst and runs the stream in quarantine mode: the dead-letter
+    route gets the same sustained-load treatment as the clean path.
+    Every burst must fully drain as clean + quarantined, the
+    quarantined count must match the corrupted fraction exactly, and
+    the latency report must still be coherent (the quarantine write
+    happens inside the measured batch, so its cost is IN the
+    percentiles — that is the point of the knob)."""
+    assert (
+        main(
+            [
+                "bench",
+                "stream",
+                "--num-jsons", "300",
+                "--num-batches", "2",
+                "--bad-frac", "0.1",
+            ]
+        )
+        == 0
+    )
+    out = _out_line(capsys)
+    assert out["num_bad_per_burst"] == 30
+    assert out["num_quarantined"] == 60
+    assert out["num_jsons"] == 540  # clean docs only
+    assert out["num_batches_published"] >= out["num_batches_sent"] == 2
+    lat = out["latency"]
+    for stage in ("parse", "resize", "serialize", "end_to_end"):
+        assert lat[stage]["p50_ms"] <= lat[stage]["p99_ms"]
+
+
 def test_cli_sessionize_closes_on_watermark(spark, tmp_path, capsys):
     """`sessionize` over two invocations sharing a checkpoint: run 1
     folds the real events into state; run 2's far-future sentinel

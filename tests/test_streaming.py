@@ -2805,11 +2805,15 @@ def test_running_stats_all_null_values_emit_no_sentinels(spark, tmp_path):
 
 
 def test_seq_base_record_is_replay_stable(tmp_path):
-    """The persisted (batch_id, base, n) record: a replayed batch id
-    resolves to its ORIGINAL base (identical renumbering -> identical
-    republished messages), newer batches start after the last batch's
-    rows, and v1 single-int files (the already-advanced base) map to
-    exactly that base for the next batch."""
+    """The persisted (run_id, batch_id, base, n) record: a replayed
+    batch id IN THE SAME CHECKPOINT LINEAGE resolves to its ORIGINAL
+    base (identical renumbering -> identical republished messages),
+    newer batches start after the last batch's rows, a run-id MISMATCH
+    always advances (a seq-base file surviving into a different /
+    reset lineage must never hand a colliding batch id the old base —
+    that would publish overlapping seq ranges for different payloads),
+    and legacy records (v2 batch-keyed, v1 bare advanced-base int)
+    keep their old semantics until the next write upgrades them."""
     from bolson_spark.streaming.pipeline import (
         _read_seq_base,
         _resolve_seq_base,
@@ -2817,26 +2821,39 @@ def test_seq_base_record_is_replay_stable(tmp_path):
     )
 
     f = str(tmp_path / "bolson_seq_base")
-    assert _read_seq_base(f) == (-1, 0, 0)  # fresh
-    assert _resolve_seq_base((-1, 0, 0), 0) == 0
+    assert _read_seq_base(f) == (None, -1, 0, 0)  # fresh
+    assert _resolve_seq_base((None, -1, 0, 0), 0, "runA") == 0
 
-    _write_seq_base(f, 0, 0, 100)
+    _write_seq_base(f, "runA", 0, 0, 100)
     rec = _read_seq_base(f)
-    assert rec == (0, 0, 100)
-    assert _resolve_seq_base(rec, 0) == 0  # replay of batch 0
-    assert _resolve_seq_base(rec, 1) == 100  # next batch
+    assert rec == ("runA", 0, 0, 100)
+    assert _resolve_seq_base(rec, 0, "runA") == 0  # replay of batch 0
+    assert _resolve_seq_base(rec, 1, "runA") == 100  # next batch
+    # lineage mismatch: batch id 0 collides but the payload is new —
+    # ADVANCE, never reuse
+    assert _resolve_seq_base(rec, 0, "runB") == 100
 
-    _write_seq_base(f, 1, 100, 50)
+    _write_seq_base(f, "runA", 1, 100, 50)
     rec = _read_seq_base(f)
-    assert _resolve_seq_base(rec, 1) == 100  # replay of batch 1
-    assert _resolve_seq_base(rec, 2) == 150
+    assert _resolve_seq_base(rec, 1, "runA") == 100  # replay of batch 1
+    assert _resolve_seq_base(rec, 2, "runA") == 150
+    assert _resolve_seq_base(rec, 1, "runB") == 150  # mismatch advances
+
+    # v2 back-compat: batch-keyed record with no run id — wildcard
+    # lineage (old same-id-reuses behavior preserved)
+    with open(f, "w") as fh:
+        fh.write("v2 3 200 25")
+    rec = _read_seq_base(f)
+    assert rec == (None, 3, 200, 25)
+    assert _resolve_seq_base(rec, 3, "runA") == 200
+    assert _resolve_seq_base(rec, 4, "runA") == 225
 
     # v1 back-compat: a bare advanced-base integer
     with open(f, "w") as fh:
         fh.write("250")
     rec = _read_seq_base(f)
-    assert rec == (-1, 250, 0)
-    assert _resolve_seq_base(rec, 7) == 250
+    assert rec == (None, -1, 250, 0)
+    assert _resolve_seq_base(rec, 7, "runA") == 250
 
 
 def test_serialize_ipc_slices_within_contiguous_seq_runs(spark):
