@@ -204,7 +204,11 @@ def main() -> None:
         json.dump(full, f, indent=1, sort_keys=True)
     fam_queries: dict[str, dict[str, float]] = {}
     for name, sec in timings.items():
-        fam = (QUERIES[name].tags or ("other",))[0]
+        tags = QUERIES[name].tags or ("other",)
+        # twins report as their own family: their timings are at
+        # twin_sf, and folding them into a headline family would mix
+        # scale factors inside one family total
+        fam = "twin" if "twin" in tags else tags[0]
         fam_queries.setdefault(fam, {})[name] = sec
     for fam, qs in fam_queries.items():
         print(json.dumps({"family": fam, "queries": qs}))

@@ -545,67 +545,52 @@ def hll_union(
     audits: per-source sketches computed incrementally (per crawl, per
     shard) union in O(G * 2^p) work regardless of data size.
 
-    EAGER at the register stage (since round 7): the call runs the
-    register job and materializes the G+1 bounded aggregates so its
-    persist is released before returning — a long-lived session
-    calling this per tick pins nothing. The total_label collision
-    check therefore also raises at CALL time. The returned frame's
-    remaining lazy work is the exact-count accuracy scan only.
+    EAGER end-to-end (round 8; register-stage-eager since round 7):
+    the call runs ONE Spark job computing the register aggregates AND
+    the exact accuracy counts — the register and exact-distinct
+    branches are sibling stages of a single action, so they run
+    CONCURRENTLY (round 7's register-first collect serialized them and
+    measured ~1.6x on the registry bench) — then returns the bounded
+    G+1 result rows as a local relation. Nothing is persisted (the
+    register exchange is AQE-stage-reused across its two consumers —
+    see the inline note), so a long-lived session calling this per
+    tick pins nothing, and the total_label collision check raises at
+    CALL time. Re-actions on the returned frame are free (no corpus
+    re-scan).
 
     Output: (scope, n_exact, occupied, hll_estimate) — one row per
     group value plus one `total_label` row; exact counts ride along
     for the accuracy report."""
     k = HASH_BITS - p + 1
-    # regs is SKETCH-sized (<= groups x 2^p 3-int rows) — pinning it is
-    # bounded by construction; the corpus-sized distinct frame below is
-    # deliberately NOT cached (the kmv_set_overlap rule: its shuffle is
-    # exchange-reused across the two consumers, and caching a
-    # vocabulary-scale table costs more than the reuse saves).
-    regs = hll_registers(df, key_col, group_col, p).persist()
-    try:
-        # the shift amount is a COLUMN (varies per register), so the SQL
-        # form — the python F.shiftleft only takes a literal bit count
-        term = F.expr(f"shiftleft(1L, {k} - rho)")
-        per_group = regs.groupBy(group_col).agg(
-            F.count(F.lit(1)).alias("occupied"), F.sum(term).alias("s_int")
-        )
-        # union sketch = bucket-wise max over the G*2^p register rows
-        merged = regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
-        total = merged.agg(
-            F.count(F.lit(1)).alias("occupied"), F.sum(term).alias("s_int")
-        ).select(F.lit(total_label).alias(group_col), "occupied", "s_int")
-        # materialize the G+1 aggregate rows (3 ints each — bounded by
-        # construction) so the persisted register frame can be RELEASED
-        # here instead of leaking until session end: the returned frame
-        # must not lazily reference regs (a long-lived monitoring
-        # session calling this per tick would pin a frame per call).
-        # ONE collect for both branches — unioning per_group and total
-        # before the action keeps the register materialization a single
-        # job (round 7 ran them as two collects; the second was a cache
-        # hit but still a scheduled job, measured ~1.6x on the registry
-        # bench).
-        agg_schema = per_group.schema
-        agg_rows = per_group.unionByName(total).collect()
-        # a group literally named like the total row would cross-join
-        # with it in the final scope join and silently corrupt both
-        # rows — the union carries exactly ONE genuine total row, so a
-        # second row wearing the label is a colliding group value.
-        # Checked on the collected rows, no extra job.
-        if sum(1 for r in agg_rows if r[group_col] == total_label) > 1:
-            raise ValueError(
-                f"hll_union: group value {total_label!r} collides with "
-                f"total_label — pass a different total_label"
-            )
-    finally:
-        regs.unpersist()
+    # regs is deliberately NOT persisted: its two consumers (per-group
+    # and bucket-merge) contain the IDENTICAL register exchange
+    # subtree, which AQE's runtime stage reuse dedups (ReusedExchange,
+    # plan-verified) — the corpus is scanned and partially aggregated
+    # ONCE, exactly what the persist bought, without the memory-store
+    # write, the unpersist bookkeeping, or any leak window. The
+    # corpus-sized distinct frame below is likewise un-cached (the
+    # kmv_set_overlap rule: its shuffle is exchange-reused across its
+    # two consumers).
+    regs = hll_registers(df, key_col, group_col, p)
+    # the shift amount is a COLUMN (varies per register), so the SQL
+    # form — the python F.shiftleft only takes a literal bit count
+    term = F.expr(f"shiftleft(1L, {k} - rho)")
+    per_group = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("occupied"), F.sum(term).alias("s_int")
+    )
+    # union sketch = bucket-wise max over the G*2^p register rows
+    merged = regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    total = merged.agg(
+        F.count(F.lit(1)).alias("occupied"), F.sum(term).alias("s_int")
+    ).select(F.lit(total_label).alias(group_col), "occupied", "s_int")
+    est = _hll_estimate(per_group.unionByName(total), p)
     keys = df.select(group_col, key_col).distinct()
-    exact_g = keys.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    exact_g = keys.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
     exact_t = keys.select(key_col).distinct().agg(
         F.count(F.lit(1)).alias("n_exact")
     ).select(F.lit(total_label).alias(group_col), "n_exact")
-    est = _hll_estimate(
-        df.sparkSession.createDataFrame(agg_rows, agg_schema), p
-    )
     exact = exact_g.unionByName(exact_t)
     # null-safe scope join — same rule as hll_distinct: a NULL group
     # would otherwise vanish from the per-group rows while its keys
@@ -613,7 +598,7 @@ def hll_union(
     est2 = est.select(
         F.col(group_col).alias("_eg"), "occupied", "hll_estimate"
     )
-    return exact.join(
+    out = exact.join(
         est2, F.col(group_col).eqNullSafe(F.col("_eg"))
     ).select(
         F.col(group_col).alias("scope"),
@@ -621,6 +606,21 @@ def hll_union(
         F.col("occupied").cast("bigint"),
         "hll_estimate",
     )
+    # ONE action for the whole result (bounded: G+1 rows of 4
+    # scalars): register and exact branches run as concurrent stages
+    # of a single job, and the returned local relation re-actions for
+    # free.
+    rows = out.collect()
+    # a group literally named like the total row cross-joins with it
+    # in the scope join, so >1 collected rows wear the label —
+    # detected on the result, no extra job; refuse loudly before
+    # anyone consumes the corrupted pair.
+    if sum(1 for r in rows if r["scope"] == total_label) > 1:
+        raise ValueError(
+            f"hll_union: group value {total_label!r} collides with "
+            f"total_label — pass a different total_label"
+        )
+    return df.sparkSession.createDataFrame(rows, out.schema)
 
 
 def cm_sketch_freq(

@@ -116,3 +116,38 @@ def test_schema_save_load_roundtrip(tmp_path):
         arrow = spark_to_arrow_schema(spark_schema)
         save_schema(arrow, path)
         assert load_schema(path).equals(arrow)
+
+
+def test_load_table_memoizes_per_session(spark):
+    """load_table is a catalog: the same (session, sf_dir, table)
+    resolves to the SAME analyzed DataFrame object (no repeated driver
+    file-listing/footer reads — the registry resolves the ten static
+    tables hundreds of times per session), while different sf_dirs
+    stay distinct plans."""
+    from bolson_spark.session import load_table
+
+    a = load_table(spark, "/root/testdata/sf0.001", "orders")
+    b = load_table(spark, "/root/testdata/sf0.001", "orders")
+    assert a is b
+    c = load_table(spark, "/root/testdata/sf0.01", "orders")
+    assert c is not a
+    # memoized frames still answer queries (not stale handles)
+    assert a.limit(1).count() == 1
+
+
+def test_session_scratch_dir_contract(spark):
+    """session_scratch_dir: app-scoped parent (unique per session,
+    stable within it), label reuse returns the SAME directory (static
+    overwrite, no per-call accumulation), distinct labels are distinct
+    namespaces, and everything lives under one reapable parent."""
+    import os
+
+    from bolson_spark.session import session_scratch_dir
+
+    p1 = session_scratch_dir(spark, "ivf_test")
+    p2 = session_scratch_dir(spark, "ivf_test")
+    assert p1 == p2 and os.path.isdir(p1)
+    p3 = session_scratch_dir(spark, "other_label")
+    assert p3 != p1
+    assert os.path.dirname(p3) == os.path.dirname(p1)
+    assert spark.sparkContext.applicationId in os.path.dirname(p1)
