@@ -1609,9 +1609,10 @@ def whitening_sample(
     `_bottom_k_rows` convention — reproducible across engines, runs,
     cluster sizes, and NESTED as sample_n grows). Returns the sampled
     vectors as a float64 ndarray (sample_n x dims, driver-bounded).
-    Shared by :func:`fit_whitening` and the `whitening_zca_invariant`
-    registry query so the invariant provably audits the SAME sample
-    the fit consumed."""
+    :func:`fit_whitening` draws through this (and can hand the drawn
+    ndarray back via ``return_sample=True``, which is how the
+    `whitening_zca_invariant` registry query audits the SAME sample
+    the fit consumed without a second draw job)."""
     import numpy as np
 
     from bolson_spark.functions.sketch import md5_draw
@@ -1637,6 +1638,7 @@ def fit_whitening(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     diagonal: bool = False,
+    return_sample: bool = False,
 ):
     """Fit a PCA-whitening transform W from a DETERMINISTIC bounded
     sample — the preprocessing that makes product quantization and
@@ -1711,12 +1713,18 @@ def fit_whitening(
         sq = (xi * xi).sum(axis=0)
         mean = sd.astype(np.float64) / (float(n) * 1e6)
         var = sq.astype(np.float64) / (float(n) * 1e12) - mean * mean
-        return mean, np.diag(1.0 / np.sqrt(var + eps))
+        w = np.diag(1.0 / np.sqrt(var + eps))
+        return (mean, w, x) if return_sample else (mean, w)
     mean = x.mean(axis=0)
     cov = np.cov(x - mean, rowvar=False, bias=True)
     lam, vecs = np.linalg.eigh(cov)
     w = vecs @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps)) @ vecs.T
-    return mean, w
+    # return_sample hands the caller the EXACT ndarray the fit
+    # consumed (one sample job, no re-draw) — the zca-invariant audit
+    # must check W against the fit's actual input, and a re-draw
+    # duplicates the dominant corpus-side cost while silently drifting
+    # if a parameter is later changed at only one call site.
+    return (mean, w, x) if return_sample else (mean, w)
 
 
 def apply_whitening(

@@ -1998,22 +1998,20 @@ def q_whitening_zca_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the differential-oracle discipline everywhere else
     (reference: test/bolson/convert/test_convert.h:148-180).
 
-    Sigma_sample is recomputed here over the SAME sample via the
-    shared `whitening_sample` draw (functions/similarity.py), so the
-    audit covers the fit's actual input, not a re-sampled cousin.
+    Sigma_sample is computed from the EXACT ndarray the fit consumed
+    (fit_whitening(return_sample=True) — one sample job, no re-draw),
+    so the audit covers the fit's actual input by construction.
 
     Output: (n_dims, sample_n, unit_diag, zero_offdiag, w_symmetric).
     """
     import numpy as np
 
-    from bolson_spark.functions.similarity import (
-        fit_whitening,
-        whitening_sample,
-    )
+    from bolson_spark.functions.similarity import fit_whitening
 
     emb = _t(spark, sf_dir, "embeddings")
-    mean, w = fit_whitening(emb, sample_n=256, eps=1e-6, diagonal=False)
-    x = whitening_sample(emb, 256)
+    mean, w, x = fit_whitening(
+        emb, sample_n=256, eps=1e-6, diagonal=False, return_sample=True
+    )
     cov = np.cov(x - x.mean(axis=0), rowvar=False, bias=True)
     m = w @ cov @ w.T
     d = len(mean)

@@ -70,6 +70,34 @@ def _read_seq_base(
     return (None, -1, int(txt or 0), 0)
 
 
+def _lineage_checked_rec(
+    rec: tuple[str | None, int, int, int],
+    checkpoint_dir: str | None,
+) -> tuple[str | None, int, int, int]:
+    """Validate a freshly-read seq-base record against the checkpoint's
+    OWN offsets log at stream start. The run-id guard in
+    _resolve_seq_base cannot catch the realistic reset (deleting
+    offsets/ + commits/ to force reprocessing leaves the sidecar
+    bolson_run_id AND bolson_seq_base behind, so the ids still match),
+    but the offsets log can: a batch id only legitimately replays if
+    its offsets entry exists. If the record's batch id is ABOVE the
+    offsets horizon, no incarnation of THIS lineage ever planned that
+    batch — the record is a survivor from before a wipe, and the new
+    batch ids (restarting at 0) may collide with it. Coerce it to
+    pure-advance form (batch -1, base already summed) so the total
+    sequence continues past everything published, never overlapping.
+    A crash-before-commit replay keeps its record untouched: its
+    offsets entry exists, so horizon >= last_bid."""
+    run, last_bid, last_base, last_n = rec
+    if checkpoint_dir is None or last_bid < 0:
+        return rec
+    from bolson_spark.streaming.util import offsets_horizon
+
+    if offsets_horizon(checkpoint_dir) < last_bid:
+        return (run, -1, last_base + last_n, 0)
+    return rec
+
+
 def _resolve_seq_base(
     rec: tuple[str | None, int, int, int],
     batch_id: int,
@@ -235,8 +263,15 @@ def run_stream_convert(
     run_id = run_id_for_checkpoint(checkpoint_dir, "bolson_run_id")
     quarantine_run = run_id
     # (run_id, last_batch_id, base, n) — see _resolve_seq_base for the
-    # replay-stable numbering rule this record enables
-    state = {"rec": _read_seq_base(base_file)}
+    # replay-stable numbering rule this record enables; the record is
+    # lineage-validated against the checkpoint's offsets log at start
+    # (see _lineage_checked_rec: an offsets/commits wipe restarts
+    # batch ids while this sidecar file survives)
+    state = {
+        "rec": _lineage_checked_rec(
+            _read_seq_base(base_file), checkpoint_dir
+        )
+    }
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         import time as _time

@@ -187,6 +187,25 @@ def remove_batch_partition(state_dir: str, run_id: str, batch: int) -> None:
     )
 
 
+def _log_horizon(checkpoint_dir: str, sub: str, what: str) -> int:
+    """Max batch id present in one of the checkpoint's sequential log
+    directories (offsets / commits), or -1 if none — the shared body
+    of commit_horizon and offsets_horizon."""
+    require_local_path(checkpoint_dir, what)
+    d = os.path.join(checkpoint_dir, sub)
+    if not os.path.isdir(d):
+        return -1
+    horizon = -1
+    for name in os.listdir(d):
+        if name.startswith("."):
+            continue
+        try:
+            horizon = max(horizon, int(name))
+        except ValueError:
+            continue
+    return horizon
+
+
 def commit_horizon(checkpoint_dir: str) -> int:
     """The newest batch id the checkpoint's commit log has COMMITTED,
     or -1 if none. Batches execute and commit SEQUENTIALLY, so every
@@ -200,16 +219,16 @@ def commit_horizon(checkpoint_dir: str) -> int:
     compactors must leave it untouched, because a replay both
     dynamic-overwrites its own partitions and consults only batches
     strictly before itself."""
-    require_local_path(checkpoint_dir, "commit_horizon")
-    d = os.path.join(checkpoint_dir, "commits")
-    if not os.path.isdir(d):
-        return -1
-    horizon = -1
-    for name in os.listdir(d):
-        if name.startswith("."):
-            continue
-        try:
-            horizon = max(horizon, int(name))
-        except ValueError:
-            continue
-    return horizon
+    return _log_horizon(checkpoint_dir, "commits", "commit_horizon")
+
+
+def offsets_horizon(checkpoint_dir: str) -> int:
+    """The newest batch id the checkpoint's OFFSETS log has planned,
+    or -1 if none. A batch id can only legitimately REPLAY if its
+    offsets entry exists (Spark re-runs exactly the newest offsets
+    entry above the commit horizon) — so a persisted per-batch record
+    (the seq base) whose batch id exceeds this horizon belongs to a
+    WIPED/reset lineage, not a replay: offsets+commits deletion is the
+    standard force-reprocess move, and it restarts batch ids at 0
+    while driver-side sidecar files survive."""
+    return _log_horizon(checkpoint_dir, "offsets", "offsets_horizon")

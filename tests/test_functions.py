@@ -2351,9 +2351,10 @@ def test_heavy_hitters_route_decision(spark):
 
 
 def test_hll_union_releases_cache(spark):
-    """hll_union pins its register frame only for the duration of the
-    call: the returned frame must not lazily reference it, and no
-    persisted RDD may remain after the result is collected."""
+    """hll_union pins nothing: since round 8 it persists no frame at
+    all (the register exchange is AQE-stage-reused across both
+    consumers), so a long-lived session calling it per tick must see
+    ZERO persisted RDDs before, during, and after."""
     from bolson_spark.functions.sketch import hll_union
 
     df = spark.createDataFrame(

@@ -694,11 +694,11 @@ def test_hll_register_build_is_partial_aggregating(spark):
 
     Asserted on the register-build construction itself
     (hll_registers): the hll_distinct registry query consumes it
-    through hll_union, which since round 7 materializes the G+1
-    register aggregates EAGERLY so its persist can be released inside
-    the call (leak fix) — the corpus-scale register job therefore no
-    longer appears in the returned frame's plan, but its shape is
-    exactly this one."""
+    through hll_union, which is eager end-to-end since round 8 (one
+    job, no caching — the register exchange is AQE-stage-reused
+    across its two consumers) — the corpus-scale register job
+    therefore no longer appears in the returned frame's plan, but its
+    shape is exactly this one."""
     from bolson_spark.functions.sketch import hll_registers
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(

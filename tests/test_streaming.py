@@ -2946,6 +2946,44 @@ def test_seq_base_record_is_replay_stable(tmp_path):
     assert _resolve_seq_base(rec, 7, "runA") == 250
 
 
+def test_seq_base_lineage_check_against_offsets_log(tmp_path):
+    """The realistic reset — deleting offsets/ + commits/ to force
+    reprocessing — leaves BOTH sidecar files (bolson_run_id,
+    bolson_seq_base) behind, so the run-id guard alone cannot fire.
+    _lineage_checked_rec closes that hole with the checkpoint's own
+    offsets log: a record whose batch id was never planned by THIS
+    lineage (offsets horizon below it) is coerced to pure-advance
+    form; a crash-before-commit record (offsets entry present) is
+    kept verbatim so the replay still reuses its base."""
+    import os
+
+    from bolson_spark.streaming.pipeline import _lineage_checked_rec
+
+    ck = tmp_path / "ck"
+    rec = ("runA", 2, 200, 50)
+
+    # wiped lineage: no offsets at all -> advance form
+    os.makedirs(ck)
+    assert _lineage_checked_rec(rec, str(ck)) == ("runA", -1, 250, 0)
+
+    # offsets only reach batch 1 (record claims batch 2): still a
+    # foreign record -> advance
+    os.makedirs(ck / "offsets")
+    for b in ("0", "1"):
+        (ck / "offsets" / b).write_text("{}")
+    assert _lineage_checked_rec(rec, str(ck)) == ("runA", -1, 250, 0)
+
+    # batch 2 planned by this lineage: legit crash-window record,
+    # kept verbatim (the replay of batch 2 must reuse base 200)
+    (ck / "offsets" / "2").write_text("{}")
+    assert _lineage_checked_rec(rec, str(ck)) == rec
+
+    # no checkpoint / fresh record: untouched
+    assert _lineage_checked_rec(rec, None) == rec
+    fresh = (None, -1, 0, 0)
+    assert _lineage_checked_rec(fresh, str(ck)) == fresh
+
+
 def test_serialize_ipc_slices_within_contiguous_seq_runs(spark):
     """FNC02 envelope contract under multi-run partitions: when one
     partition holds two non-adjacent seq runs (the pipeline's
