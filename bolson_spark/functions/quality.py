@@ -159,12 +159,20 @@ def stratified_sample(
     DuckDB oracle agree bit-for-bit (no int conversion dialects
     involved). One narrow map — no shuffle, no RNG state, identical
     results on any executor count. Strata absent from `fractions` are
-    dropped (fraction 0)."""
+    dropped (fraction 0).
+
+    NULL ids are EXCLUDED (same NULL rule as the r7 sketch audit's
+    KMV fix): Spark's concat_ws skips NULLs, so every NULL-id row
+    would share the one constant md5(seed) draw — the whole NULL
+    cohort kept or dropped together, and a silent divergence from the
+    SQL twin, whose ``seed || '|' || CAST(id AS VARCHAR)`` is NULL
+    and never passes the ``<`` comparison."""
     bucket = F.substring(
         F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
         1,
         8,
     )
+    df = df.where(F.col(id_col).isNotNull())
     expr = None
     for key, f in fractions.items():
         cond = F.col(stratum_col) == key

@@ -2512,3 +2512,29 @@ def test_weighted_sample_refuses_non_positive_weights(spark):
         [(1, 2.0), (2, 0.5)], "doc_id bigint, w double"
     )
     assert len(weighted_sample(ok, "w", n=2).collect()) == 2
+
+
+def test_stratified_sample_excludes_null_ids(spark):
+    """NULL ids are excluded from the sample (round-8 audit — the same
+    NULL rule as the r7 KMV fix): Spark's concat_ws skips NULLs, so
+    every NULL-id row would otherwise share ONE constant md5(seed)
+    draw (the whole NULL cohort kept or dropped together), silently
+    diverging from the SQL twin whose NULL-concat draw never passes
+    the threshold comparison. Non-null sampling must be unaffected."""
+    from bolson_spark.functions.quality import stratified_sample
+
+    rows = [(i, "en") for i in range(200)] + [(None, "en")] * 5
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = stratified_sample(df, "lang", {"en": 0.5}).collect()
+    # no NULL id may survive, under any fraction
+    assert all(r.doc_id is not None for r in out)
+    # and the kept set equals the same draw over the non-null rows
+    clean = spark.createDataFrame(
+        [(i, "en") for i in range(200)], "doc_id bigint, lang string"
+    )
+    expect = {r.doc_id for r in
+              stratified_sample(clean, "lang", {"en": 0.5}).collect()}
+    assert {r.doc_id for r in out} == expect
+    # fraction 1.0 strata keep everything EXCEPT null ids
+    out_all = stratified_sample(df, "lang", {"en": 1.0}).collect()
+    assert len(out_all) == 200
