@@ -693,6 +693,7 @@ def cmd_bench_stream(args) -> int:
         checkpoint_dir=f"{tmp}/ckpt",
         available_now=False,
         latency=tracker,
+        parser=getattr(args, "parser", "catalyst"),
         on_error="quarantine" if bad_frac else "fail",
         quarantine_dir=f"{tmp}/quarantine" if bad_frac else None,
     )
@@ -970,6 +971,14 @@ def main(argv=None) -> int:
         help="corrupt this fraction of each burst's documents and run "
         "the stream in quarantine mode, so the dead-letter route gets "
         "latency percentiles too (0 = clean path, on_error='fail')",
+    )
+    bl.add_argument(
+        "--parser",
+        choices=("catalyst", "arrow"),
+        default="catalyst",
+        help="physical parse impl per micro-batch — both dual-execution "
+        "paths get sustained-load percentiles (arrow excludes "
+        "--bad-frac: no per-row corrupt-record routing there)",
     )
     bl.set_defaults(fn=cmd_bench_stream)
 

@@ -109,6 +109,42 @@ def test_cli_bench_stream_latency_percentiles(spark, capsys):
     assert lat["end_to_end"]["p50_ms"] >= lat["parse"]["p50_ms"]
 
 
+def test_cli_bench_stream_arrow_parser(spark, capsys):
+    """`bench stream --parser arrow` drives the SECOND physical parse
+    implementation (Arrow C++ TableReader via mapInArrow) under the
+    same sustained-load protocol — both dual-execution paths get
+    latency percentiles, and the drained counts must be exact."""
+    assert (
+        main(
+            [
+                "bench",
+                "stream",
+                "--num-jsons", "300",
+                "--num-batches", "2",
+                "--parser", "arrow",
+            ]
+        )
+        == 0
+    )
+    out = _out_line(capsys)
+    assert out["num_jsons"] == 600
+    lat = out["latency"]
+    assert lat["parse"]["p50_ms"] <= lat["parse"]["p99_ms"]
+    assert lat["end_to_end"]["p50_ms"] >= lat["parse"]["p50_ms"]
+    # arrow + quarantine is an explicit refusal, not a silent
+    # parser swap (run_stream_convert's combo guard)
+    import pytest
+
+    with pytest.raises(ValueError, match="quarantine"):
+        main(
+            [
+                "bench", "stream", "--num-jsons", "10",
+                "--num-batches", "1", "--parser", "arrow",
+                "--bad-frac", "0.5",
+            ]
+        )
+
+
 def test_cli_bench_stream_bad_frac_quarantine_route(spark, capsys):
     """`bench stream --bad-frac` corrupts an evenly-spaced fraction of
     every burst and runs the stream in quarantine mode: the dead-letter
