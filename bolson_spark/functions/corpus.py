@@ -269,6 +269,103 @@ def incremental_ingest(
     )
 
 
+def dup_span_coverage(
+    docs: DataFrame, length: int = 15, text_col: str = "text"
+) -> DataFrame:
+    """Maximal repeated-span coverage — the SUBSTRING-level dedup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): for each document, the fraction of its
+    tokens covered by some `length`-token window that occurs MORE THAN
+    ONCE in the corpus (cross-document or repeated within the same
+    document). The published method finds exact maximal repeats with a
+    suffix array — a single-machine structure; the distributed
+    re-expression slides OVERLAPPING `length`-token windows (stride
+    1, unlike the non-overlapping chunks of boilerplate_removal),
+    marks duplicated windows by corpus-wide occurrence count, and
+    merges overlapping duplicated windows into maximal spans with a
+    gaps-and-islands window pass — every arithmetic step is integer,
+    so the oracle is bit-exact.
+
+    Scale shape: the window stream is n_tokens rows per document
+    (substring granularity is inherently stride-1 — this operator
+    costs ~`length`x the chunk operators and is the honest price of
+    the signal); windows travel as (doc_id, start, xxhash64) — three
+    fixed-width columns regardless of window text. The occurrence
+    count is one map-side-combined aggregation on the uniform 64-bit
+    hash; the window stream is GENERATED TWICE (once for the count,
+    once for the mark join — the boilerplate_removal trade: caching a
+    corpus-scale frame costs more than regenerating a narrow map);
+    only DUPLICATED windows (the repetitive mass, small by
+    construction on a clean corpus) reach the per-doc island window,
+    which partitions by doc_id and is bounded by document length.
+    Fixed `length` makes window ends monotone in starts, so the
+    island break test is one lag() — no running max needed.
+
+    Returns (doc_id, n_tokens, n_dup_windows, n_covered,
+    covered_frac) — one row per input document (zero-coverage and
+    NULL-text docs report zeros, the manifest contract)."""
+    from pyspark.sql.window import Window
+
+    grams = word_ngrams(F.col(text_col), length)
+    win = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(grams, lambda g: F.xxhash64(g))
+        ).alias("start", "gh"),
+    )
+    counts = win.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
+    dup = win.join(counts.where(F.col("_c") >= 2), "gh").select(
+        "doc_id", "start"
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("start")
+    brk = F.when(
+        F.lag("start").over(w_ord).isNull()
+        | (F.col("start") > F.lag("start").over(w_ord) + (length - 1)),
+        1,
+    ).otherwise(0)
+    isl = dup.withColumn("_brk", brk).withColumn(
+        "_island",
+        F.sum("_brk").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = isl.groupBy("doc_id", "_island").agg(
+        (F.max("start") - F.min("start") + length).alias("_covered"),
+        F.count(F.lit(1)).alias("_nw"),
+    )
+    per = spans.groupBy("doc_id").agg(
+        F.sum("_covered").alias("n_covered"),
+        F.sum("_nw").alias("n_dup_windows"),
+    )
+    # token count: the PINNED raw single-space split (pack_sequences'
+    # definition — word_ngrams tokenizes the same way, so coverage is
+    # measured in the same token space the windows live in)
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    return (
+        docs.select("doc_id", n_tokens.alias("_nt"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_nt"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+            F.coalesce(F.col("n_covered"), F.lit(0))
+            .cast("bigint")
+            .alias("n_covered"),
+            F.when(F.coalesce(F.col("_nt"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
+                    / F.col("_nt").cast("double"),
+                    6,
+                )
+            )
+            .alias("covered_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Passage-level hygiene: boilerplate removal & intra-document dedup.
 #

@@ -94,6 +94,68 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal (Lee et al. 2022): per document,
+    the token fraction covered by maximal repeated spans — overlapping
+    15-token windows duplicated anywhere in the corpus, merged by the
+    gaps-and-islands pass. See functions/corpus.py::dup_span_coverage
+    for the distributed re-expression of the paper's suffix-array
+    method; all-integer arithmetic, bit-exact oracle."""
+    from bolson_spark.functions.corpus import dup_span_coverage
+
+    return dup_span_coverage(_t(spark, sf_dir, "documents"), length=15)
+
+
+_DSC_L = 15
+O_DUP_SPAN_COVERAGE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+         array_to_string(words[i:i+{_DSC_L - 1}], ' ') AS gram
+  FROM w, UNNEST(range(1, greatest(len(words) - {_DSC_L - 1}, 0) + 1))
+       AS t(i)
+),
+gc AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+dup AS (SELECT doc_id, start FROM g JOIN gc USING (gram) WHERE c >= 2),
+isl AS (
+  SELECT doc_id, start,
+         CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start)
+                   IS NULL
+                OR start > lag(start) OVER (
+                     PARTITION BY doc_id ORDER BY start) + {_DSC_L - 1}
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+isl2 AS (
+  SELECT doc_id, start,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, MAX(start) - MIN(start) + {_DSC_L} AS covered,
+         COUNT(*) AS nw
+  FROM isl2 GROUP BY doc_id, island
+),
+per AS (
+  SELECT doc_id, SUM(covered) AS n_covered, SUM(nw) AS ndw
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(len(string_split(d.text, ' ')), 0) AS BIGINT)
+         AS n_tokens,
+       CAST(COALESCE(per.ndw, 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(per.n_covered, 0) AS BIGINT) AS n_covered,
+       CASE WHEN COALESCE(len(string_split(d.text, ' ')), 0) = 0 THEN 0.0
+            ELSE ROUND(CAST(COALESCE(per.n_covered, 0) AS DOUBLE)
+                       / len(string_split(d.text, ' ')), 6)
+       END AS covered_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_t(spark, sf_dir, "documents"), budget=2048)
 
@@ -1628,6 +1690,9 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "dup_ngram_fraction": QuerySpec(
         q_dup_ngram_fraction, O_DUP_NGRAM_FRACTION, ("text", "quality")
+    ),
+    "dup_span_coverage": QuerySpec(
+        q_dup_span_coverage, O_DUP_SPAN_COVERAGE, ("text", "dedup")
     ),
     "pack_sequences": QuerySpec(
         q_pack_sequences, O_PACK_SEQUENCES, ("text", "pipeline")

@@ -2538,3 +2538,45 @@ def test_stratified_sample_excludes_null_ids(spark):
     # fraction 1.0 strata keep everything EXCEPT null ids
     out_all = stratified_sample(df, "lang", {"en": 1.0}).collect()
     assert len(out_all) == 200
+
+
+def test_dup_span_coverage_merges_maximal_spans(spark):
+    """dup_span_coverage (Lee et al. substring-dedup signal): windows
+    fully inside a shared 20-token phrase are duplicated and MERGE
+    into one maximal span (coverage = phrase length, not windows x
+    length); a within-document repeat of a 15-token phrase counts
+    both occurrences as separate islands; unrelated text reports 0;
+    and every input doc keeps its manifest row."""
+    from bolson_spark.functions.corpus import dup_span_coverage
+
+    P = [f"p{i}" for i in range(20)]     # 20-token shared phrase
+    X = [f"x{i}" for i in range(15)]     # 15-token self-repeated phrase
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join([f"a{i}" for i in range(5)] + P
+                         + [f"a{i}" for i in range(5, 10)])),  # 30 toks
+            (2, " ".join(P + [f"b{i}" for i in range(5)])),     # 25 toks
+            (3, " ".join(f"c{i}" for i in range(20))),          # unique
+            (4, " ".join(X + ["d0", "d1", "d2"] + X)),          # 33 toks
+            (5, None),                                          # NULL text
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in
+           dup_span_coverage(docs, length=15).collect()}
+    assert len(got) == 5  # manifest contract incl. NULL text
+    # doc 1: P occupies positions 5..24 -> starts 5..10 dup (6
+    # windows), ONE island covering 20 tokens
+    assert (got[1].n_dup_windows, got[1].n_covered) == (6, 20)
+    assert got[1].covered_frac == round(20 / 30, 6)
+    # doc 2: P at 0..19 -> starts 0..5, one 20-token island
+    assert (got[2].n_dup_windows, got[2].n_covered) == (6, 20)
+    # doc 3: nothing repeated
+    assert (got[3].n_dup_windows, got[3].n_covered,
+            got[3].covered_frac) == (0, 0, 0.0)
+    # doc 4: X at 0..14 and 18..32 -> two islands, 15 tokens each
+    assert (got[4].n_dup_windows, got[4].n_covered) == (2, 30)
+    assert got[4].covered_frac == round(30 / 33, 6)
+    # NULL text: zeros, not a vanished row
+    assert (got[5].n_tokens, got[5].n_covered,
+            got[5].covered_frac) == (0, 0, 0.0)
