@@ -269,6 +269,29 @@ def incremental_ingest(
     )
 
 
+def _dup_windows(
+    docs: DataFrame, length: int, text_col: str
+) -> DataFrame:
+    """(doc_id, start, gh) rows for every `length`-token window whose
+    xxhash64 occurs >= 2 times corpus-wide (cross-document or within-
+    document) — the ONE definition of window duplication shared by
+    dup_span_coverage and strip_dup_spans. The window stream travels
+    as three fixed-width columns and is generated twice (count pass +
+    mark join — the regenerate-don't-cache trade); the count is one
+    map-side-combined aggregation on the uniform 64-bit key."""
+    grams = word_ngrams(F.col(text_col), length)
+    win = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(grams, lambda g: F.xxhash64(g))
+        ).alias("start", "gh"),
+    )
+    counts = win.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
+    return win.join(counts.where(F.col("_c") >= 2), "gh").select(
+        "doc_id", "start", "gh"
+    )
+
+
 def dup_span_coverage(
     docs: DataFrame, length: int = 15, text_col: str = "text"
 ) -> DataFrame:
@@ -306,17 +329,7 @@ def dup_span_coverage(
     NULL-text docs report zeros, the manifest contract)."""
     from pyspark.sql.window import Window
 
-    grams = word_ngrams(F.col(text_col), length)
-    win = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(grams, lambda g: F.xxhash64(g))
-        ).alias("start", "gh"),
-    )
-    counts = win.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
-    dup = win.join(counts.where(F.col("_c") >= 2), "gh").select(
-        "doc_id", "start"
-    )
+    dup = _dup_windows(docs, length, text_col).select("doc_id", "start")
     w_ord = Window.partitionBy("doc_id").orderBy("start")
     brk = F.when(
         F.lag("start").over(w_ord).isNull()
@@ -362,6 +375,105 @@ def dup_span_coverage(
                 )
             )
             .alias("covered_frac"),
+        )
+    )
+
+
+def strip_dup_spans(
+    docs: DataFrame, length: int = 15, text_col: str = "text"
+) -> DataFrame:
+    """The ACTIONABLE half of the Lee et al. substring dedup (the
+    paper deletes every occurrence of a repeated substring except
+    one): merge duplicated windows into maximal spans exactly like
+    :func:`dup_span_coverage`, then DELETE every span that is not the
+    CANONICAL occurrence of its content and reassemble the cleaned
+    text.
+
+    Canonical rule (deterministic, engine-independent): every
+    duplicated window hash has ONE canonical occurrence — the minimum
+    packed ``doc_id * 2^20 + start`` over all its occurrences
+    (positions < 2^20, a 1M-token document bound). A span DELETES iff
+    it contains no canonical window occurrence. Since each hash's
+    canonical occurrence lives inside exactly one span, that span
+    survives — so at least one copy of every repeated content is
+    always kept (the Lee et al. keep-one guarantee), at the lowest
+    doc_id / earliest position; spans whose extents differ between
+    occurrences keep the canonical extent, the documented
+    approximation of the suffix-array method's exact maximal repeats.
+
+    Scale shape: islands as in dup_span_coverage (bounded per doc);
+    the canonical argmin is one aggregation on the window hash; the
+    deleted-span intervals per document are collect_list'd (bounded:
+    <= n_tokens/length spans per doc) and the text reassembly is a
+    NARROW indexed-lambda filter over the token array — the corpus
+    token stream itself is never shuffled.
+
+    Returns (doc_id, n_tokens, n_spans_deleted, n_removed,
+    cleaned_md5) — one row per input doc; NULL/empty text reports
+    zeros and the empty-text digest (the manifest contract)."""
+    from pyspark.sql.window import Window
+
+    dup = _dup_windows(docs, length, text_col)
+    w_ord = Window.partitionBy("doc_id").orderBy("start")
+    brk = F.when(
+        F.lag("start").over(w_ord).isNull()
+        | (F.col("start") > F.lag("start").over(w_ord) + (length - 1)),
+        1,
+    ).otherwise(0)
+    isl = dup.withColumn("_brk", brk).withColumn(
+        "_island",
+        F.sum("_brk").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # canonical occurrence per window hash: min packed (doc_id, start)
+    # over ALL duplicated occurrences. 2^20 packing is exact while
+    # start < 2^20; guarded by construction (a >1M-token doc would
+    # need packing widened — documents here are orders of magnitude
+    # smaller).
+    packed = F.col("doc_id") * F.lit(1 << 20) + F.col("start")
+    canon = dup.groupBy("gh").agg(F.min(packed).alias("_canon"))
+    marked = isl.join(canon, "gh").withColumn(
+        "_is_canon", (packed == F.col("_canon")).cast("int")
+    )
+    spans = marked.groupBy("doc_id", "_island").agg(
+        F.min("start").alias("s0"),
+        (F.max("start") + (length - 1)).alias("e0"),
+        F.max("_is_canon").alias("_kept"),
+    )
+    deleted = spans.where(F.col("_kept") == 0).select(
+        "doc_id", "s0", "e0"
+    )
+    iv = deleted.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s0", "e0")).alias("_iv")
+    )
+    words = F.split(F.col(text_col), " ")
+    in_deleted = lambda i: F.exists(  # noqa: E731 — tiny local predicate
+        F.col("_iv"), lambda s: (i >= s["s0"]) & (i <= s["e0"])
+    )
+    cleaned = F.when(
+        F.col("_iv").isNull(), words
+    ).otherwise(F.filter(words, lambda w, i: ~in_deleted(i)))
+    return (
+        docs.select("doc_id", text_col)
+        .join(iv, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.size(words), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce(F.size("_iv"), F.lit(0))
+            .cast("bigint")
+            .alias("n_spans_deleted"),
+            (
+                F.coalesce(F.size(words), F.lit(0))
+                - F.coalesce(F.size(cleaned), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_removed"),
+            F.md5(
+                F.coalesce(F.array_join(cleaned, " "), F.lit(""))
+            ).alias("cleaned_md5"),
         )
     )
 

@@ -156,6 +156,90 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable half of the substring dedup (Lee et al. delete
+    all-but-one occurrence): non-canonical maximal repeated spans are
+    deleted and the cleaned text digested, so the REMOVAL itself sits
+    under the value-hash gate. See functions/corpus.py::
+    strip_dup_spans for the keep-one-guarantee canonical rule."""
+    from bolson_spark.functions.corpus import strip_dup_spans
+
+    return strip_dup_spans(_t(spark, sf_dir, "documents"), length=15)
+
+
+O_STRIP_DUP_SPANS = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+         array_to_string(words[i:i+{_DSC_L - 1}], ' ') AS gram
+  FROM w, UNNEST(range(1, greatest(len(words) - {_DSC_L - 1}, 0) + 1))
+       AS t(i)
+),
+gc AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+dup AS (
+  SELECT doc_id, start, gram FROM g JOIN gc USING (gram) WHERE c >= 2
+),
+isl AS (
+  SELECT doc_id, start, gram,
+         CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start)
+                   IS NULL
+                OR start > lag(start) OVER (
+                     PARTITION BY doc_id ORDER BY start) + {_DSC_L - 1}
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+isl2 AS (
+  SELECT doc_id, start, gram,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+canon AS (
+  SELECT gram, MIN(doc_id * 1048576 + start) AS canon
+  FROM dup GROUP BY gram
+),
+m AS (
+  SELECT i.doc_id, i.start, i.island,
+         CASE WHEN i.doc_id * 1048576 + i.start = c.canon
+              THEN 1 ELSE 0 END AS isc
+  FROM isl2 i JOIN canon c USING (gram)
+),
+spans AS (
+  SELECT doc_id, island, MIN(start) AS s0,
+         MAX(start) + {_DSC_L - 1} AS e0, MAX(isc) AS kept
+  FROM m GROUP BY doc_id, island
+),
+del AS (SELECT doc_id, s0, e0 FROM spans WHERE kept = 0),
+iv AS (
+  SELECT doc_id, list({{'s0': s0, 'e0': e0}}) AS iv
+  FROM del GROUP BY doc_id
+),
+fin AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS words, iv.iv AS iv
+  FROM documents d LEFT JOIN iv ON d.doc_id = iv.doc_id
+),
+cl AS (
+  SELECT doc_id,
+         COALESCE(len(words), 0) AS n_tokens,
+         COALESCE(len(iv), 0) AS n_spans_deleted,
+         CASE WHEN iv IS NULL THEN words
+              ELSE list_filter(words, (x, i) ->
+                NOT len(list_filter(iv,
+                  s -> i - 1 >= s.s0 AND i - 1 <= s.e0)) > 0)
+         END AS cleaned
+  FROM fin
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_spans_deleted AS BIGINT) AS n_spans_deleted,
+       CAST(n_tokens - COALESCE(len(cleaned), 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(array_to_string(cleaned, ' '), '')) AS cleaned_md5
+FROM cl
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_t(spark, sf_dir, "documents"), budget=2048)
 
@@ -1693,6 +1777,9 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "dup_span_coverage": QuerySpec(
         q_dup_span_coverage, O_DUP_SPAN_COVERAGE, ("text", "dedup")
+    ),
+    "strip_dup_spans": QuerySpec(
+        q_strip_dup_spans, O_STRIP_DUP_SPANS, ("text", "dedup")
     ),
     "pack_sequences": QuerySpec(
         q_pack_sequences, O_PACK_SEQUENCES, ("text", "pipeline")

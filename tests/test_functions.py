@@ -2580,3 +2580,43 @@ def test_dup_span_coverage_merges_maximal_spans(spark):
     # NULL text: zeros, not a vanished row
     assert (got[5].n_tokens, got[5].n_covered,
             got[5].covered_frac) == (0, 0, 0.0)
+
+
+def test_strip_dup_spans_keeps_one_canonical_copy(spark):
+    """strip_dup_spans (the actionable Lee et al. half): the lowest
+    (doc_id, position) occurrence of repeated content survives, every
+    other occurrence is deleted — including the second copy WITHIN a
+    document — and the reassembled cleaned text digests exactly. The
+    keep-one guarantee: content present anywhere before stripping is
+    still present somewhere after."""
+    import hashlib
+
+    from bolson_spark.functions.corpus import strip_dup_spans
+
+    P = [f"p{i}" for i in range(20)]
+    X = [f"x{i}" for i in range(15)]
+    fill = [f"f{i}" for i in range(10)]
+    other = [f"o{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(P + fill)),            # canonical owner of P
+            (2, " ".join(other + P)),           # P deletes here
+            (4, " ".join(X + ["d0", "d1", "d2"] + X)),  # 2nd X deletes
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in
+           strip_dup_spans(docs, length=15).collect()}
+
+    def md5_of(tokens):
+        return hashlib.md5(" ".join(tokens).encode()).hexdigest()
+
+    # doc 1 holds the canonical occurrence — nothing removed
+    assert (got[1].n_spans_deleted, got[1].n_removed) == (0, 0)
+    assert got[1].cleaned_md5 == md5_of(P + fill)
+    # doc 2's copy of P (positions 10..29) is deleted wholesale
+    assert (got[2].n_spans_deleted, got[2].n_removed) == (1, 20)
+    assert got[2].cleaned_md5 == md5_of(other)
+    # doc 4: first X is canonical (kept), second X deleted
+    assert (got[4].n_spans_deleted, got[4].n_removed) == (1, 15)
+    assert got[4].cleaned_md5 == md5_of(X + ["d0", "d1", "d2"])
