@@ -1462,6 +1462,101 @@ def pq_adc_knn(
     return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
 
 
+def save_ivf_pq_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the full production ANN artifact on disk — the
+    IVFADC layout (FAISS IVF-PQ): PQ CODES partitioned by coarse cell
+    (`<path>/codes/cluster=<id>/`), the centroid table, and the
+    codebooks. This is what a 100 TB ANN deployment actually serves
+    from: the probe reads ONLY the probed cells' code partitions —
+    m bytes-ish per vector instead of d floats, so the scanned bytes
+    shrink by BOTH the pruning factor (n_probe/n_cells) and the
+    PQ compression factor; the full-precision vectors never leave the
+    build side. Static overwrite like save_ivf_index: a rebuild
+    clobbers every prior partition."""
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    codes = pq_encode(df, codebooks, vec_col=vec_col, id_col=id_col)
+    (
+        codes.join(assigned.select(id_col, "cluster"), id_col)
+        .repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .option("partitionOverwriteMode", "static")
+        .parquet(f"{path}/codes")
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    rows = [
+        (j, c, [float(v) for v in cent])
+        for j, book in enumerate(codebooks)
+        for c, cent in enumerate(book)
+    ]
+    df.sparkSession.createDataFrame(
+        rows, "j int, code int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
+    """Reload the codebooks a saved IVF-PQ index was built with —
+    model-sized (m x k x d_sub floats), collected to the driver like
+    every centroid/codebook in this module."""
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r.j for r in rows) + 1
+    k = max(r.code for r in rows) + 1
+    books: list[list[list[float] | None]] = [[None] * k for _ in range(m)]
+    for r in rows:
+        books[r.j][r.code] = [float(v) for v in r.centroid]
+    if any(c is None for book in books for c in book):
+        raise ValueError(
+            f"load_pq_codebooks: {path}/codebooks is not a dense "
+            f"{m}x{k} codebook table — partial write or wrong path"
+        )
+    return books  # type: ignore[return-value]
+
+
+def ivf_pq_probe_saved(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k against a SAVED IVF-PQ index: rank centroids by
+    cosine to the query (tiny table, driver-side), partition-prune to
+    the best `n_probe` code cells, reload the codebooks, and run the
+    broadcast-LUT ADC scan (pq_adc_knn — shared with the in-memory
+    twin so the distance/tiebreak rules cannot drift). Returns
+    (id_col, adc_dist) ascending."""
+    q = _query_vector_lit(query_vec)
+    cents = spark.read.parquet(f"{path}/centroids")
+    best = [
+        r.centroid_id
+        for r in cents.select(
+            "centroid_id",
+            F.round(
+                cosine_similarity_col(F.col("centroid"), q), 6
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("centroid_id"))
+        .limit(n_probe)
+        .collect()
+    ]
+    codes = spark.read.parquet(f"{path}/codes").where(
+        F.col("cluster").isin(best)
+    )
+    books = load_pq_codebooks(spark, path)
+    return pq_adc_knn(
+        codes.select(id_col, "pq_codes"), books, query_vec, k=k,
+        id_col=id_col,
+    )
+
+
 def pq_train(
     df: DataFrame,
     m: int = 8,

@@ -939,6 +939,47 @@ def q_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_knn(cand, books, qv, k=10)
 
 
+def q_ivf_pq_knn_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ON-DISK IVFADC serving path, cross-engine verified: build
+    the same 8-cell + PQ-codebook stack q_ivf_pq_knn composes in
+    memory, materialize it in the production layout
+    (similarity.py::save_ivf_pq_index — PQ codes partitioned by cell,
+    centroids, codebooks), then answer through ivf_pq_probe_saved:
+    partition-pruned code-cell read + broadcast-LUT ADC scan. Same
+    ranking semantics as the in-memory stack, so the oracle is
+    _ivf_pq_sql() verbatim — the saved and in-memory paths cannot
+    drift without a driver CORRECTNESS failure. Index lands under the
+    session scratch contract (session_scratch_dir), like
+    ivf_knn_saved."""
+    import hashlib
+
+    from bolson_spark.functions.similarity import (
+        ivf_pq_probe_saved,
+        save_ivf_pq_index,
+    )
+    from bolson_spark.session import session_scratch_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < IVF_PQ_CELLS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    books = _pq_codebooks(spark, sf_dir)
+    path = session_scratch_dir(
+        spark,
+        f"ivf_pq_saved_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    save_ivf_pq_index(emb, centroids, books, path)
+    qv = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+        .embedding
+    ]
+    return ivf_pq_probe_saved(spark, path, qv, k=10, n_probe=1)
+
+
 def _ivf_pq_sql() -> str:
     from bolson_spark.queries import _cosine_sql
 
@@ -1447,6 +1488,9 @@ TRAIN_QUERIES: dict[str, QuerySpec] = {
     ),
     "ivf_pq_knn": QuerySpec(
         q_ivf_pq_knn, _ivf_pq_sql(), ("similarity", "quantization")
+    ),
+    "ivf_pq_knn_saved": QuerySpec(
+        q_ivf_pq_knn_saved, _ivf_pq_sql(), ("similarity", "quantization")
     ),
     "bpe_encode": QuerySpec(
         q_bpe_encode, _bpe_encode_sql(), ("text", "pipeline")

@@ -2620,3 +2620,56 @@ def test_strip_dup_spans_keeps_one_canonical_copy(spark):
     # doc 4: first X is canonical (kept), second X deleted
     assert (got[4].n_spans_deleted, got[4].n_removed) == (1, 15)
     assert got[4].cleaned_md5 == md5_of(X + ["d0", "d1", "d2"])
+
+
+def test_ivf_pq_index_save_probe_pruned(spark, tmp_path):
+    """On-disk IVF-PQ (IVFADC) index: PQ codes written partitioned by
+    coarse cell; the saved probe scans ONLY the probed code cell
+    (PartitionFilters in the plan — the scanned bytes shrink by BOTH
+    pruning and PQ compression), reloads the codebooks it was built
+    with, and matches the in-memory cell-encode + ADC stack exactly."""
+    import re
+
+    from bolson_spark.functions.similarity import (
+        ivf_assign,
+        ivf_pq_probe_saved,
+        load_pq_codebooks,
+        pq_adc_knn,
+        pq_encode,
+        pq_train,
+        save_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    books = pq_train(emb, m=8, k=16, iters=1)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    path = str(tmp_path / "ivfpq")
+    save_ivf_pq_index(emb, centroids, books, path)
+
+    # codebooks round-trip exactly (floats written/read as doubles)
+    assert load_pq_codebooks(spark, path) == books
+
+    probe = ivf_pq_probe_saved(spark, path, qv, k=10, n_probe=1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cluster", plan)  # pruned
+    got = [(r.vec_id, r.adc_dist) for r in probe.collect()]
+
+    # in-memory twin: encode only the probed cell, same ADC scan
+    assigned = ivf_assign(emb, centroids)
+    best = assigned.where(F.col("vec_id") == 0).first().cluster
+    cand = pq_encode(
+        emb.join(
+            assigned.where(F.col("cluster") == best).select("vec_id"),
+            "vec_id",
+        ),
+        books,
+    )
+    want = [
+        (r.vec_id, r.adc_dist)
+        for r in pq_adc_knn(cand, books, qv, k=10).collect()
+    ]
+    assert got == want
