@@ -52,6 +52,9 @@ HEADLINERS = {
     "knn_sq_whitened": "whiten-then-int8 kNN: one narrow whiten+quantize scan, broadcast query row, TakeOrdered",
     "pmi_collocations": "PMI-ratio collocations: min_pair tail cut before joins, unigram exchange reused, normalizers derived (no third token scan)",
     "ivf_knn_saved": "saved-index ANN probe: partition-pruned cell scan (PartitionFilters), TakeOrdered",
+    "ivf_pq_knn_saved": "saved IVFADC probe: pruned PQ-code cell scan + broadcast-LUT ADC, full vectors never read",
+    "dup_span_coverage": "substring dedup signal: stride-1 window counts, gaps-and-islands span merge",
+    "strip_dup_spans": "keep-one span removal: canonical argmin join, narrow indexed-lambda reassembly",
 }
 
 
