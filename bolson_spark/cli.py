@@ -500,6 +500,8 @@ def cmd_bench_convert(args) -> int:
     from bolson_spark.session import get_spark
 
     spark = get_spark("bolson-bench-convert")
+    if args.repeats < 1:
+        raise SystemExit(f"--repeats must be >= 1, got {args.repeats}")
     docs = _gen_jsons(args.schema, args.num_jsons, args.seed)
     json_bytes = sum(len(d) + 1 for d in docs)
     df = spark.createDataFrame(
@@ -561,6 +563,8 @@ def cmd_bench_pipeline(args) -> int:
     from bolson_spark.session import get_spark, load_table
 
     spark = get_spark("bench-pipeline")
+    if args.repeats < 1:
+        raise SystemExit(f"--repeats must be >= 1, got {args.repeats}")
     n_docs = load_table(spark, args.sf_dir, "documents").count()
     best = float("nan")
     for _ in range(args.repeats):
