@@ -1414,6 +1414,27 @@ def pq_encode(
     return df.select(F.col(id_col), codes.alias("pq_codes"))
 
 
+def _adc_lut(
+    codebooks: list[list[list[float]]], query_vec: list[float]
+) -> list[list[float]]:
+    """The m x k ADC lookup table of subspace squared distances from
+    one query — computed driver-side in STRICT left-to-right float64
+    order (oracle parity). The ONE definition shared by pq_adc_knn and
+    the batched saved-index probe so the distance rule cannot drift."""
+    d_sub = len(codebooks[0][0])
+    lut = []
+    for j, book in enumerate(codebooks):
+        qs = [float(v) for v in query_vec[j * d_sub:(j + 1) * d_sub]]
+        row = []
+        for cent in book:
+            acc = 0.0
+            for x, y in zip(qs, cent):
+                acc += (x - float(y)) * (x - float(y))
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
 def pq_adc_knn(
     codes_df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -1430,17 +1451,7 @@ def pq_adc_knn(
     TakeOrdered top-k. The full-precision vectors are never touched at
     search time."""
     m = len(codebooks)
-    d_sub = len(codebooks[0][0])
-    lut = []
-    for j, book in enumerate(codebooks):
-        qs = [float(v) for v in query_vec[j * d_sub:(j + 1) * d_sub]]
-        row = []
-        for cent in book:
-            acc = 0.0
-            for x, y in zip(qs, cent):
-                acc += (x - float(y)) * (x - float(y))
-            row.append(acc)
-        lut.append(row)
+    lut = _adc_lut(codebooks, query_vec)
     lut_lit = F.array(
         *[F.array(*[F.lit(v) for v in row]) for row in lut]
     )
@@ -1554,6 +1565,91 @@ def ivf_pq_probe_saved(
     return pq_adc_knn(
         codes.select(id_col, "pq_codes"), books, query_vec, k=k,
         id_col=id_col,
+    )
+
+
+def ivf_pq_probe_saved_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """BATCHED ADC probe against a saved IVF-PQ index —
+    :func:`ivf_pq_probe_saved` at serving shape: Q queries answered by
+    ONE partition-pruned code scan instead of Q. Per query the cells
+    rank on the tiny centroid table (_rank_cells_per_query — the
+    shared grain/tiebreak), the UNION of probed cells becomes one
+    ``cluster IN (...)`` partition filter, and a broadcast
+    (query_id, cluster, lut) pair table fans each scanned code row out
+    to exactly the queries that probed its cell — each query's m x k
+    ADC lookup table rides the pair row (driver-built via _adc_lut,
+    model-bounded: Q x m x k doubles, the same class as the codebooks
+    themselves), so the distance is m array lookups + a fold per
+    (row, query) pair with zero extra joins. Per-query windowed top-k
+    by (adc asc, id asc). Returns (query_id, rank, vec_id, adc_dist);
+    an empty query batch returns an empty result, not an error."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    books = load_pq_codebooks(spark, path)
+    m = len(books)
+    qn = _queries_with_norm(queries, query_id, query_vec)
+    best = _rank_cells_per_query(qn, cents, n_probe, query_id, query_vec)
+    # bounded: Q x n_probe pair rows; the probed-cell set freezes into
+    # a static partition filter like the single-query saved probe
+    pairs = best.collect()
+    probed = sorted({r.cluster for r in pairs})
+    luts = {
+        r[query_id]: _adc_lut(books, [float(v) for v in r[query_vec]])
+        for r in queries.select(query_id, query_vec).collect()
+    }
+    qid_t = queries.schema[query_id].dataType
+    pair_df = spark.createDataFrame(
+        [(r[query_id], int(r.cluster), luts[r[query_id]]) for r in pairs],
+        T.StructType(
+            [
+                T.StructField(query_id, qid_t),
+                T.StructField("cluster", T.LongType()),
+                T.StructField(
+                    "_lut", T.ArrayType(T.ArrayType(T.DoubleType()))
+                ),
+            ]
+        ),
+    )
+    codes = spark.read.parquet(f"{path}/codes").where(
+        F.col("cluster").isin([int(c) for c in probed])
+        if probed
+        else F.lit(False)
+    )
+    fanned = codes.join(F.broadcast(pair_df), "cluster")
+    adc = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.col("pq_codes"),
+            lambda j, c: F.element_at(
+                F.element_at(F.col("_lut"), (j + 1).cast("int")),
+                (c + 1).cast("int"),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = fanned.select(
+        query_id, F.col(id_col), F.round(adc, 6).alias("adc_dist")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id).orderBy(
+        F.asc("adc_dist"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+        .where(F.col("rank") <= k)
+        .select(query_id, "rank", id_col, "adc_dist")
     )
 
 

@@ -980,6 +980,108 @@ def q_ivf_pq_knn_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_probe_saved(spark, path, qv, k=10, n_probe=1)
 
 
+def q_ivf_pq_knn_batch_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVFADC serving against the saved index: the 4 lowest-id
+    vectors as query batch, top-10 each at n_probe=2, all answered by
+    ONE partition-pruned code scan (similarity.py::
+    ivf_pq_probe_saved_batch — per-query ADC LUTs ride the broadcast
+    pair table). The oracle re-derives the whole per-query stack in
+    SQL, so the batched, saved, and in-memory ADC paths share one
+    distance/tiebreak rule."""
+    import hashlib
+
+    from bolson_spark.functions.similarity import (
+        ivf_pq_probe_saved_batch,
+        save_ivf_pq_index,
+    )
+    from bolson_spark.session import session_scratch_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < IVF_PQ_CELLS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    books = _pq_codebooks(spark, sf_dir)
+    path = session_scratch_dir(
+        spark,
+        f"ivf_pq_saved_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    save_ivf_pq_index(emb, centroids, books, path)
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_pq_probe_saved_batch(
+        spark, path, queries, k=10, n_probe=2
+    )
+
+
+def _ivf_pq_batch_sql() -> str:
+    from bolson_spark.queries import _cosine_sql
+
+    _cosine_ec = _cosine_sql("e.embedding", "c.centroid")
+    _cosine_qc = _cosine_sql("q.qv", "c.centroid")
+    return f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid
+  FROM embeddings WHERE vec_id < {IVF_PQ_CELLS}
+),
+qs AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id < 4
+),
+assigned AS (
+  SELECT vec_id, centroid_id AS cluster
+  FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROUND({_cosine_ec}, 6) AS sim
+    FROM embeddings e CROSS JOIN c
+  )
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1
+),
+best AS (
+  SELECT query_id, centroid_id AS cluster
+  FROM (
+    SELECT q.query_id, c.centroid_id,
+           ROUND({_cosine_qc}, 6) AS sim
+    FROM qs q CROSS JOIN c
+  )
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, centroid_id ASC) <= 2
+),
+enc AS ({_pq_encode_sql()}),
+lut AS (
+  SELECT q.query_id, j.j, e.vec_id AS c,
+         list_aggregate(
+           list_transform(
+             list_zip(q.qv[j.j * {PQ_DSUB} + 1 : (j.j + 1) * {PQ_DSUB}],
+                      e.embedding[j.j * {PQ_DSUB} + 1 : (j.j + 1) * {PQ_DSUB}]),
+             p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                  * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+           'sum') AS d2
+  FROM embeddings e, (SELECT UNNEST(range({PQ_M})) AS j) j, qs q
+  WHERE e.vec_id < {PQ_K}
+),
+scored AS (
+  SELECT b.query_id, enc.vec_id, SUM(lut.d2) AS adc
+  FROM enc
+  JOIN assigned ON enc.vec_id = assigned.vec_id
+  JOIN best b ON assigned.cluster = b.cluster
+  JOIN lut ON lut.query_id = b.query_id
+          AND lut.j = enc.subspace AND lut.c = enc.code
+  GROUP BY b.query_id, enc.vec_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY ROUND(adc, 6) ASC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id, ROUND(adc, 6) AS adc_dist
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
 def _ivf_pq_sql() -> str:
     from bolson_spark.queries import _cosine_sql
 
@@ -1491,6 +1593,11 @@ TRAIN_QUERIES: dict[str, QuerySpec] = {
     ),
     "ivf_pq_knn_saved": QuerySpec(
         q_ivf_pq_knn_saved, _ivf_pq_sql(), ("similarity", "quantization")
+    ),
+    "ivf_pq_knn_batch_saved": QuerySpec(
+        q_ivf_pq_knn_batch_saved,
+        _ivf_pq_batch_sql(),
+        ("similarity", "quantization"),
     ),
     "bpe_encode": QuerySpec(
         q_bpe_encode, _bpe_encode_sql(), ("text", "pipeline")

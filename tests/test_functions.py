@@ -2673,3 +2673,62 @@ def test_ivf_pq_index_save_probe_pruned(spark, tmp_path):
         for r in pq_adc_knn(cand, books, qv, k=10).collect()
     ]
     assert got == want
+
+
+def test_ivf_pq_probe_saved_batch_pruned_matches_single(spark, tmp_path):
+    """Batched saved IVF-PQ probe: the codes scan carries the UNION of
+    probed cells as a partition filter, and each query's (vec_id,
+    adc_dist) ranking equals its single-query ivf_pq_probe_saved
+    answer exactly (same _adc_lut, same tiebreak — the twins cannot
+    drift). An empty query batch returns empty, not an error."""
+    import re
+
+    from bolson_spark.functions.similarity import (
+        ivf_pq_probe_saved,
+        ivf_pq_probe_saved_batch,
+        pq_train,
+        save_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    books = pq_train(emb, m=8, k=16, iters=1)
+    path = str(tmp_path / "ivfpq_b")
+    save_ivf_pq_index(emb, centroids, books, path)
+
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    batch = ivf_pq_probe_saved_batch(spark, path, queries, k=5, n_probe=2)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cluster", plan)
+    got = {
+        qid: [(r.vec_id, r.adc_dist) for r in rows]
+        for qid, rows in _group_by_qid(batch.collect()).items()
+    }
+    for qid in (0, 1, 2):
+        qv = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == qid).first().embedding
+        ]
+        want = [
+            (r.vec_id, r.adc_dist)
+            for r in ivf_pq_probe_saved(
+                spark, path, qv, k=5, n_probe=2
+            ).collect()
+        ]
+        assert got[qid] == want, f"query {qid} diverged"
+
+    empty = queries.where(F.lit(False))
+    assert ivf_pq_probe_saved_batch(spark, path, empty, k=5).count() == 0
+
+
+def _group_by_qid(rows):
+    out = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        out.setdefault(r.query_id, []).append(r)
+    return out
