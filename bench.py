@@ -150,18 +150,28 @@ def main() -> None:
     n_corpus_docs = load_table(spark, SF_DIR, "documents").count()
     pipeline_sec = steady("training_corpus")
 
-    total = round(sum(timings.values()), 4)
+    # "value" sums ONLY the queries timed at SF_DIR: twin-sf timings in
+    # the headline total made it a mixed-scale number no round could
+    # compare against (r8 ADVICE #4). Twins get their own total.
+    twin_names = {n for n in timings if "twin" in QUERIES[n].tags}
+    total = round(
+        sum(t for n, t in timings.items() if n not in twin_names), 4
+    )
+    twin_total = round(
+        sum(t for n, t in timings.items() if n in twin_names), 4
+    )
     rel_spreads = sorted(
         spread[n] / timings[n] for n in spread if timings[n] > 0
     )
     summary = {
         "metric": "registry wall-clock (noop sink) per query",
         "timing": "min of up to 2 runs (>1s reruns once); 10 slowest "
-        "get a fixed 3-run min; twins at twin_sf",
+        "get a fixed 3-run min; twins at twin_sf (value EXCLUDES them)",
         "value": total,
         "unit": "sec",
         "sf": sf_from_dir(SF_DIR),
         "twin_sf": sf_from_dir(TWIN_SF_DIR),
+        "twin_total_sec": twin_total,
         "num_twin_queries": sum(
             1 for s in QUERIES.values() if "twin" in s.tags
         ),

@@ -118,9 +118,12 @@ def _strat_sql() -> str:
         )
         for k, v in _STRATA.items()
     )
+    # doc_id IS NOT NULL mirrors the impl's unconditional NULL-id
+    # exclusion — without it a fraction>=1.0 stratum's bare TRUE would
+    # keep NULL-id rows the impl drops (r8 ADVICE #1).
     return f"""
 SELECT doc_id, lang, source FROM documents
-WHERE (CASE {cases} ELSE FALSE END)
+WHERE doc_id IS NOT NULL AND (CASE {cases} ELSE FALSE END)
 """
 
 

@@ -70,10 +70,15 @@ def session_scratch_dir(spark: SparkSession, label: str) -> str:
     """Session-scoped scratch directory for on-disk artifacts a query
     needs to materialize (saved ANN indexes, spill files).
 
-    Contract: the root is ``spark.local.dir`` — the same disk Spark
-    itself spills to, so on a real cluster the scratch lands on the
-    fast local volumes the operator provisioned, never on a surprise
-    ``/tmp``. The per-SESSION component is the Spark application id
+    Contract: the root is ``spark.bolson.scratch.dir`` when set —
+    REQUIRED on a real multi-node cluster, pointed at a shared
+    filesystem (HDFS/NFS mount/object-store fuse), because artifacts
+    written here are read back by executors on OTHER hosts; a
+    driver-local path would leave the index scattered and unreadable.
+    Unset, the root falls back to ``spark.local.dir`` — correct in
+    local mode (this harness) and on single-node deployments, where
+    driver and executors share one disk. The per-SESSION component is
+    the Spark application id
     (unique per SparkSession, stable within it), so repeated calls with
     one label reuse one directory (statically overwritten artifacts,
     no per-call accumulation) while concurrent harnesses — each with
@@ -84,10 +89,11 @@ def session_scratch_dir(spark: SparkSession, label: str) -> str:
     import shutil
     import tempfile
 
-    root = spark.sparkContext.getConf().get(
-        "spark.local.dir", tempfile.gettempdir()
-    )
-    # multi-dir spark.local.dir ("d1,d2") — any one of them is fine
+    conf = spark.sparkContext.getConf()
+    root = conf.get("spark.bolson.scratch.dir", None)
+    if not root:
+        root = conf.get("spark.local.dir", tempfile.gettempdir())
+    # multi-dir roots ("d1,d2") — any one of them is fine
     root = root.split(",")[0]
     parent = os.path.join(
         root, f"bolson-scratch-{spark.sparkContext.applicationId}"
@@ -134,12 +140,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir, name)
+    # Re-pin determinism confs on EVERY call (two cheap conf sets), not
+    # just on cache misses — a test or caller that resets the session
+    # timezone mid-session must not leak into the next query (r8
+    # ADVICE #3). Likewise evict stale-session entries on every call,
+    # snapshotting keys first so the iteration never races a mutation.
+    _ensure_confs(spark)
+    for k in [k for k in list(_TABLE_CACHE) if k[0] != app_id]:
+        _TABLE_CACHE.pop(k, None)
     hit = _TABLE_CACHE.get(key)
     if hit is not None:
         return hit
-    for k in [k for k in _TABLE_CACHE if k[0] != app_id]:
-        del _TABLE_CACHE[k]
-    _ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # nanos -> micros with integer division (a double division would
