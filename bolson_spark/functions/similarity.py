@@ -1237,6 +1237,21 @@ def rebuild_ivf_index(
     tmp = f"{path}__rebuild"
     shutil.rmtree(tmp, ignore_errors=True)
     save_ivf_index(src, seeds, tmp, vec_col=vec_col, id_col=id_col)
+    _swap_generations(path, tmp)
+
+
+def _swap_generations(path: str, tmp: str) -> None:
+    """Atomic-enough generation swap shared by both saved-index
+    rebuilds: the new generation was written BESIDE the live one
+    (never an in-place overwrite of a directory the rebuild is still
+    reading); swap = two LOCAL-filesystem renames (os.rename does NOT
+    speak hdfs:// or s3a:// — distributed deployments keep the
+    write-new-generation step and replace this with their pointer
+    flip). A crash BETWEEN the renames restores the old generation
+    from `<path>__old`, deleted only after the new one is in place."""
+    import os
+    import shutil
+
     old = f"{path}__old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
@@ -1491,16 +1506,14 @@ def save_ivf_pq_index(
     PQ compression factor; the full-precision vectors never leave the
     build side. Static overwrite like save_ivf_index: a rebuild
     clobbers every prior partition."""
+    import os
+
+    marker = os.path.join(path, _IVF_PQ_MARKER)
+    if os.path.exists(marker):
+        os.remove(marker)  # a rebuild-in-progress is not "complete"
     assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
     codes = pq_encode(df, codebooks, vec_col=vec_col, id_col=id_col)
-    (
-        codes.join(assigned.select(id_col, "cluster"), id_col)
-        .repartition(F.col("cluster"))
-        .write.mode("overwrite")
-        .partitionBy("cluster")
-        .option("partitionOverwriteMode", "static")
-        .parquet(f"{path}/codes")
-    )
+    _write_codes(codes, assigned, path, id_col, "base", dynamic=False)
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     rows = [
         (j, c, [float(v) for v in cent])
@@ -1510,6 +1523,80 @@ def save_ivf_pq_index(
     df.sparkSession.createDataFrame(
         rows, "j int, code int, centroid array<double>"
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    with open(marker, "w") as f:
+        f.write('{"layout": %d}' % _IVF_PQ_LAYOUT_VERSION)
+
+
+# Bump when the on-disk codes/centroids/codebooks contract changes —
+# ensure_ivf_pq_index treats an older-layout artifact as absent.
+_IVF_PQ_LAYOUT_VERSION = 2  # v2: codes carry the delta partition level
+_IVF_PQ_MARKER = "_BOLSON_INDEX_COMPLETE"
+
+
+def _write_codes(
+    codes: DataFrame,
+    assigned: DataFrame,
+    path: str,
+    id_col: str,
+    delta_id: str,
+    dynamic: bool,
+) -> None:
+    """The one definition of the PQ-codes layout — shared by the full
+    build and the incremental append (the same single-contract
+    discipline as `_write_cells` for the float IVF index). Layout:
+    `<path>/codes/cluster=<n>/delta=<id>/`: cluster stays the TOP
+    partition level so probe pruning is unchanged, and keying each
+    write by its delta makes a retried append idempotent (dynamic
+    overwrite rewrites its own partitions) while the full build's
+    static overwrite clobbers every prior delta."""
+    (
+        codes.join(assigned.select(id_col, "cluster"), id_col)
+        .withColumn("delta", F.lit(delta_id))
+        .repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster", "delta")
+        .option(
+            "partitionOverwriteMode", "dynamic" if dynamic else "static"
+        )
+        .parquet(f"{path}/codes")
+    )
+
+
+def ensure_ivf_pq_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> bool:
+    """Build-if-absent front door for :func:`save_ivf_pq_index`: skip
+    the (expensive) assign+encode+write when `path` already holds a
+    COMPLETE index at the current layout version — the marker file is
+    written only after all three datasets land, so a partial build is
+    rebuilt, never served. Callers that share one scratch path (the
+    two saved-PQ registry queries build the identical artifact from
+    static inputs) pay for ONE build per session instead of one per
+    query. Returns True when a build ran. The inputs are assumed
+    stable for a given path — that is the scratch contract (the path
+    is keyed by sf_dir, and the testdata is static); a caller with
+    mutable inputs must key the path by an input fingerprint or call
+    save_ivf_pq_index directly."""
+    import json
+    import os
+
+    marker = os.path.join(path, _IVF_PQ_MARKER)
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f).get("layout") == _IVF_PQ_LAYOUT_VERSION:
+                    return False
+        except (OSError, ValueError):
+            pass  # unreadable marker == absent
+    save_ivf_pq_index(
+        df, centroids, codebooks, path, vec_col=vec_col, id_col=id_col
+    )
+    return True
 
 
 def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
@@ -1651,6 +1738,152 @@ def ivf_pq_probe_saved_batch(
         .where(F.col("rank") <= k)
         .select(query_id, "rank", id_col, "adc_dist")
     )
+
+
+def ivf_pq_append_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    delta_id: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """INCREMENTAL maintenance for the saved IVF-PQ index — the
+    codes-layout sibling of :func:`ivf_append_index`: assign the delta
+    to the index's OWN (frozen) centroids, PQ-encode it with the
+    index's OWN (frozen) codebooks, and append under
+    `codes/cluster=<n>/delta=<delta_id>/`. Because both the coarse
+    quantizer and the codebooks are the saved artifacts, an appended
+    vector produces BIT-IDENTICAL codes to a full rebuild over the
+    grown corpus with the same artifacts — probe results cannot
+    differ (pinned by test_ivf_pq_append_equals_rebuild). Cost is
+    O(delta): broadcast-centroid argmax + per-subspace encode over the
+    new vectors and one partitioned write; the existing codes are
+    never read or rewritten. `delta_id` keying/idempotence contract is
+    `ivf_append_index`'s: retrying a failed append with the same id
+    rewrites its own (cluster, delta) partitions; reusing an old id
+    replaces that delta. Codebook/centroid DRIFT is deliberately
+    deferred to the rebuild policy, as in every production IVF-PQ
+    deployment (re-encoding the corpus is the O(N) cost appends
+    avoid)."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    books = load_pq_codebooks(spark, path)
+    assigned = ivf_assign(
+        new_df, centroids, vec_col=vec_col, id_col=id_col
+    )
+    codes = pq_encode(new_df, books, vec_col=vec_col, id_col=id_col)
+    _write_codes(codes, assigned, path, id_col, delta_id, dynamic=True)
+
+
+def ivf_pq_index_stats(spark, path: str) -> dict:
+    """Bounded-size health stats for a saved IVF-PQ index — the same
+    metadata-cheap shape as :func:`ivf_index_stats`: `delta` and
+    `cluster` are directory keys, so the aggregation reads no code
+    data."""
+    codes = spark.read.parquet(f"{path}/codes")
+    agg = codes.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("delta") != "base").cast("long")).alias("delta_rows"),
+        F.countDistinct("cluster").alias("n_cells"),
+    ).first()
+    total = agg["total"] or 0
+    delta_rows = int(agg["delta_rows"] or 0)
+    return {
+        "total_rows": total,
+        "base_rows": total - delta_rows,
+        "delta_rows": delta_rows,
+        "delta_fraction": (delta_rows / total) if total else 0.0,
+        "n_cells": agg["n_cells"],
+    }
+
+
+def rebuild_ivf_pq_index(
+    spark,
+    path: str,
+    src_df: DataFrame,
+    n_cells: int | None = None,
+    target_cell: int = 512,
+    m: int = 8,
+    k: int = 16,
+    train_iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Full retrain + generation swap for the IVF-PQ index. PQ codes
+    are LOSSY, so unlike :func:`rebuild_ivf_index` the rebuild cannot
+    re-derive its input from the index — it takes the SOURCE corpus
+    (`src_df`, the authoritative full-precision store every IVF-PQ
+    deployment keeps beside the serving artifact) and re-trains both
+    quantizers from it: coarse centroids seeded from the n_cells
+    lowest ids (N // target_cell by default — the scalable-cells
+    rule), codebooks from :func:`pq_train` when `train_iters` > 0
+    else the deterministic first-k-subvector init. The new index is
+    written BESIDE the live one and swapped in with the shared
+    `_swap_generations` crash-recovery protocol; after the swap the
+    delta fraction is 0 (idempotent to re-run)."""
+    import shutil
+
+    if n_cells is None:
+        n_cells = max(1, src_df.count() // target_cell)
+    seeds = (
+        src_df.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+    books = pq_train(
+        src_df, m=m, k=k, iters=train_iters, vec_col=vec_col,
+        id_col=id_col,
+    )
+    tmp = f"{path}__rebuild"
+    shutil.rmtree(tmp, ignore_errors=True)
+    save_ivf_pq_index(
+        src_df, seeds, books, tmp, vec_col=vec_col, id_col=id_col
+    )
+    _swap_generations(path, tmp)
+
+
+def maybe_rebuild_ivf_pq(
+    spark,
+    path: str,
+    src_df: DataFrame,
+    delta_fraction_threshold: float = DELTA_REBUILD_FRACTION,
+    execute: bool = False,
+    rebuild_n_cells: int | None = None,
+    rebuild_target_cell: int = 512,
+    m: int = 8,
+    k: int = 16,
+    train_iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Lifecycle POLICY for the saved IVF-PQ index — the codes-layout
+    sibling of :func:`maybe_rebuild_ivf`: appends freeze BOTH
+    quantizers, so the delta fraction (rows encoded by codebooks that
+    never saw them at train time) is the drift signal; rebuild fires
+    past `delta_fraction_threshold` (rationale at
+    DELTA_REBUILD_FRACTION). Returns the decision record; with
+    execute=True a fired decision runs :func:`rebuild_ivf_pq_index`
+    against `src_df`."""
+    stats = ivf_pq_index_stats(spark, path)
+    fired = stats["delta_fraction"] > delta_fraction_threshold
+    decision = {
+        **stats,
+        "threshold": delta_fraction_threshold,
+        "rebuild": fired,
+        "reasons": ["delta_fraction"] if fired else [],
+        "executed": False,
+    }
+    if fired and execute:
+        rebuild_ivf_pq_index(
+            spark, path, src_df, n_cells=rebuild_n_cells,
+            target_cell=rebuild_target_cell, m=m, k=k,
+            train_iters=train_iters, vec_col=vec_col, id_col=id_col,
+        )
+        decision["executed"] = True
+    return decision
 
 
 def pq_train(

@@ -2732,3 +2732,157 @@ def _group_by_qid(rows):
     for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
         out.setdefault(r.query_id, []).append(r)
     return out
+
+
+def test_ensure_ivf_pq_index_builds_once(spark, tmp_path):
+    """Build-if-absent contract (r8 VERDICT #1): the first ensure call
+    builds and writes the completion marker; the second is a pure
+    no-op — True/False return, the on-disk code files untouched (no
+    write job ran), and the probe still answers. A marker from an
+    OLDER layout version is treated as absent (rebuilt)."""
+    import json
+    import os
+
+    from bolson_spark.functions.similarity import (
+        _IVF_PQ_MARKER,
+        ensure_ivf_pq_index,
+        ivf_pq_probe_saved,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    books = pq_train(emb, m=8, k=16, iters=0)
+    path = str(tmp_path / "ivfpq_once")
+    os.makedirs(path)
+    assert ensure_ivf_pq_index(emb, centroids, books, path) is True
+
+    def _snapshot():
+        out = {}
+        for root, _, files in os.walk(os.path.join(path, "codes")):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = (os.path.getmtime(p), os.path.getsize(p))
+        return out
+
+    before = _snapshot()
+    assert ensure_ivf_pq_index(emb, centroids, books, path) is False
+    assert _snapshot() == before  # zero write activity on the reuse
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    assert ivf_pq_probe_saved(spark, path, qv, k=3).count() == 3
+
+    # stale layout version == absent: the build must rerun
+    marker = os.path.join(path, _IVF_PQ_MARKER)
+    with open(marker, "w") as f:
+        json.dump({"layout": 1}, f)
+    assert ensure_ivf_pq_index(emb, centroids, books, path) is True
+
+
+def test_ivf_pq_append_equals_rebuild(spark, tmp_path):
+    """Incremental IVF-PQ maintenance (r8 VERDICT #3): appending a
+    delta encoded against the index's FROZEN centroids+codebooks is
+    probe-identical to a full rebuild over the grown corpus with the
+    same artifacts — both quantizers frozen means the codes are
+    bit-identical, so top-k (including the ADC distances) must match
+    exactly. Also pins O(delta) stats: the appended rows land under
+    delta=<id>, base rows untouched."""
+    from bolson_spark.functions.similarity import (
+        ivf_pq_append_index,
+        ivf_pq_index_stats,
+        ivf_pq_probe_saved,
+        ivf_pq_probe_saved_batch,
+        pq_train,
+        save_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base, delta = emb.where(F.col("vec_id") < 40), emb.where(
+        (F.col("vec_id") >= 40) & (F.col("vec_id") < 60)
+    )
+    grown = emb.where(F.col("vec_id") < 60)
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    books = pq_train(base, m=8, k=16, iters=1)
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    save_ivf_pq_index(base, centroids, books, inc)
+    ivf_pq_append_index(spark, inc, delta, "crawl-2")
+    save_ivf_pq_index(grown, centroids, books, full)
+
+    stats = ivf_pq_index_stats(spark, inc)
+    assert (stats["base_rows"], stats["delta_rows"]) == (40, 20)
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 45).first().embedding]
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in ivf_pq_probe_saved(spark, inc, qv, k=10, n_probe=2).collect()
+    ]
+    want = [
+        (r.vec_id, r.adc_dist)
+        for r in ivf_pq_probe_saved(spark, full, qv, k=10, n_probe=2).collect()
+    ]
+    assert got == want
+
+    # batched probe sees the delta too (one pruned scan over both)
+    queries = grown.where(F.col("vec_id").isin([0, 45])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    b_inc = ivf_pq_probe_saved_batch(spark, inc, queries, k=5, n_probe=2)
+    b_full = ivf_pq_probe_saved_batch(spark, full, queries, k=5, n_probe=2)
+    key = lambda r: (r.query_id, r.rank, r.vec_id, r.adc_dist)  # noqa: E731
+    assert sorted(map(key, b_inc.collect())) == sorted(
+        map(key, b_full.collect())
+    )
+
+    # idempotent retry: re-appending the same delta id rewrites its own
+    # partitions, never duplicates
+    ivf_pq_append_index(spark, inc, delta, "crawl-2")
+    assert ivf_pq_index_stats(spark, inc)["delta_rows"] == 20
+
+
+def test_ivf_pq_lifecycle_policy(spark, tmp_path):
+    """maybe_rebuild_ivf_pq mirrors the float-IVF policy: under the
+    delta threshold it holds; past it (with execute=True) it retrains
+    from the SOURCE corpus and generation-swaps — afterwards the delta
+    fraction is 0 and the probe answers from the new generation."""
+    from bolson_spark.functions.similarity import (
+        ivf_pq_index_stats,
+        ivf_pq_append_index,
+        ivf_pq_probe_saved,
+        maybe_rebuild_ivf_pq,
+        pq_train,
+        save_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 30)
+    delta = emb.where((F.col("vec_id") >= 30) & (F.col("vec_id") < 60))
+    grown = emb.where(F.col("vec_id") < 60)
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    books = pq_train(base, m=8, k=16, iters=0)
+    path = str(tmp_path / "ivfpq_life")
+    save_ivf_pq_index(base, centroids, books, path)
+
+    held = maybe_rebuild_ivf_pq(spark, path, grown)
+    assert held["rebuild"] is False and held["delta_fraction"] == 0.0
+
+    ivf_pq_append_index(spark, path, delta, "d1")  # 30/60 = 0.5 > 0.25
+    fired = maybe_rebuild_ivf_pq(
+        spark, path, grown, execute=True, rebuild_n_cells=8, m=8, k=16
+    )
+    assert fired["rebuild"] is True and fired["executed"] is True
+    after = ivf_pq_index_stats(spark, path)
+    assert after["delta_fraction"] == 0.0 and after["total_rows"] == 60
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    top = ivf_pq_probe_saved(spark, path, qv, k=3).collect()
+    assert [r.vec_id for r in top][0] == 0  # self is its own nearest
