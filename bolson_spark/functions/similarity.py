@@ -2158,16 +2158,42 @@ def apply_whitening(
     vec_col: str = "embedding",
     out_col: str = "whitened",
 ) -> DataFrame:
-    """Apply a fitted whitening transform as a NARROW Arrow-batched
-    map: y = W (x - mean). The model (dims + dims^2 floats) ships in
-    the task closure like every centroid/codebook in this module —
-    zero joins, zero shuffles, linear scan. Output keeps all input
-    columns and appends `out_col` (array<double>)."""
+    """Apply a fitted whitening transform: y = W (x - mean). Output
+    keeps all input columns and appends `out_col` (array<double>).
+
+    Two physical routes, one semantics:
+
+    - DIAGONAL W (per-dim standardization — fit_whitening's
+      diagonal=True output) is elementwise, so it stays entirely
+      JVM-side: one `transform(x, (v,i) -> (v-mean[i])*w[i][i])`
+      inside whole-stage codegen — no Python workers, no Arrow
+      transfer (the r8 whitening_stats cost was mostly this
+      round-trip). Bit-identical to the numpy route: both compute the
+      same two single-rounded IEEE ops per element, and numpy's matmul
+      only adds exact zeros for the off-diagonal terms (pinned by
+      test_apply_whitening_diagonal_routes_match).
+    - GENERAL W (rotation — the ZCA/eigh fit) needs a matvec per row,
+      which is the Arrow-batched mapInPandas map: the model (dims +
+      dims^2 floats) ships in the task closure like every
+      centroid/codebook in this module — zero joins, zero shuffles,
+      linear scan."""
     import numpy as np
     import pandas as pd
 
     mean = np.asarray(mean, dtype=np.float64)
-    wt = np.asarray(w, dtype=np.float64).T  # (x - mean) @ W^T row-wise
+    w_arr = np.asarray(w, dtype=np.float64)
+    d = len(mean)
+    off_diag = ~np.eye(d, dtype=bool)
+    if w_arr.shape == (d, d) and not w_arr[off_diag].any():
+        mean_lit = F.array(*[F.lit(float(v)) for v in mean])
+        diag_lit = F.array(*[F.lit(float(w_arr[i, i])) for i in range(d)])
+        y = F.transform(
+            F.col(vec_col).cast(T.ArrayType(T.DoubleType())),
+            lambda x, i: (x - F.element_at(mean_lit, i + 1))
+            * F.element_at(diag_lit, i + 1),
+        )
+        return df.withColumn(out_col, y)
+    wt = w_arr.T  # (x - mean) @ W^T row-wise
     fields = df.schema.fields
     out_schema = T.StructType(
         list(fields) + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]

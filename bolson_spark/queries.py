@@ -1940,8 +1940,11 @@ def q_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitening fit + apply with a full cross-engine oracle: fit a
     DIAGONAL whitening model (per-dim standardization) from the
     deterministic md5-bottom-k sample, apply it through the REAL
-    apply_whitening mapInPandas path, and report per-dimension the
-    fitted model plus exact fixed-point sums of the whitened corpus.
+    apply_whitening path (diagonal models take its JVM codegen
+    route — elementwise transform, no Python workers; bit-identical
+    to the Arrow matvec route by construction), and report
+    per-dimension the fitted model plus exact fixed-point sums of the
+    whitened corpus.
 
     Determinism contract (what makes floats hash-matchable here): the
     fit sums floor(x*1e6) in exact int64, then runs a PINNED sequence

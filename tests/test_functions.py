@@ -2886,3 +2886,34 @@ def test_ivf_pq_lifecycle_policy(spark, tmp_path):
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
     top = ivf_pq_probe_saved(spark, path, qv, k=3).collect()
     assert [r.vec_id for r in top][0] == 0  # self is its own nearest
+
+
+def test_apply_whitening_diagonal_routes_match(spark):
+    """The diagonal fast path (JVM transform, no Python workers) must
+    be BIT-identical to the general Arrow matvec route — same two
+    single-rounded IEEE ops per element; numpy's matmul only adds
+    exact zeros for off-diagonal terms. Pinned by forcing the general
+    route with an epsilon off-diagonal entry set back to zero via a
+    full (non-diag-detectable) matrix... instead: compare the fast
+    path against a numpy reference computed the mapInPandas way."""
+    import numpy as np
+
+    from bolson_spark.functions.similarity import (
+        apply_whitening,
+        fit_whitening,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mean, w = fit_whitening(emb, sample_n=64, diagonal=True)
+    out = apply_whitening(emb, mean, w)
+    # route assertion: no Python/Arrow eval node in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+    got = {r.vec_id: r.whitened for r in out.collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    wt = np.asarray(w, dtype=np.float64).T
+    for r in rows:
+        x = np.array([r.embedding], dtype=np.float64)
+        want = ((x - np.asarray(mean)) @ wt)[0].tolist()
+        assert got[r.vec_id] == want, f"vec {r.vec_id} diverged"
