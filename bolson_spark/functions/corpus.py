@@ -24,15 +24,26 @@ def word_ngrams(col: Column, n: int) -> Column:
     array<string>. Guarded so short documents yield an EMPTY array —
     Spark's ``sequence(1, 0)`` would otherwise count DOWN ([1, 0]) and
     produce junk grams.
-    """
-    words = F.split(col, " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - (n - 1)),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
-    return F.when(F.size(words) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    The split array is bound as a LAMBDA VARIABLE (the one-element
+    transform wrapper) so it materializes ONCE per row: an expression
+    captured inside a HOF lambda body is re-evaluated per element, so
+    the naive ``slice(split(text), i, n)`` re-split the whole document
+    for every window — O(len^2) per doc (measured 274 s for ONE
+    65k-token document; linear after the fix). Lambda variables are
+    evaluated values, so the nested lambda's slice reads the
+    materialized array."""
+
+    def grams(ws: Column) -> Column:
+        return F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                lambda i: F.array_join(F.slice(ws, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(F.split(col, " ")), grams), 1)
 
 
 def doc_gram_hashes(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
@@ -390,9 +401,14 @@ def strip_dup_spans(
     text.
 
     Canonical rule (deterministic, engine-independent): every
-    duplicated window hash has ONE canonical occurrence — the minimum
-    packed ``doc_id * 2^20 + start`` over all its occurrences
-    (positions < 2^20, a 1M-token document bound). A span DELETES iff
+    duplicated window hash has ONE canonical occurrence — the
+    lexicographic minimum of ``(doc_id, start)``, computed as a
+    struct MIN so it is exact at ANY doc_id/position magnitude (the
+    r8 arithmetic packing ``doc_id * 2^20 + start`` silently wrapped
+    past 1M-token documents; the SQL oracle keeps the packed form,
+    which selects the identical occurrence while positions < 2^20 —
+    the testdata regime — and the >2^20 case is pinned by
+    test_strip_dup_spans_beyond_packing_bound). A span DELETES iff
     it contains no canonical window occurrence. Since each hash's
     canonical occurrence lives inside exactly one span, that span
     survives — so at least one copy of every repeated content is
@@ -426,15 +442,14 @@ def strip_dup_spans(
             w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    # canonical occurrence per window hash: min packed (doc_id, start)
-    # over ALL duplicated occurrences. 2^20 packing is exact while
-    # start < 2^20; guarded by construction (a >1M-token doc would
-    # need packing widened — documents here are orders of magnitude
-    # smaller).
-    packed = F.col("doc_id") * F.lit(1 << 20) + F.col("start")
-    canon = dup.groupBy("gh").agg(F.min(packed).alias("_canon"))
+    # canonical occurrence per window hash: lexicographic min of
+    # (doc_id, start) over ALL duplicated occurrences — struct MIN
+    # orders by fields left-to-right, so this is exact at any
+    # magnitude (no packing bound to wrap past)
+    pos = F.struct(F.col("doc_id"), F.col("start"))
+    canon = dup.groupBy("gh").agg(F.min(pos).alias("_canon"))
     marked = isl.join(canon, "gh").withColumn(
-        "_is_canon", (packed == F.col("_canon")).cast("int")
+        "_is_canon", (pos == F.col("_canon")).cast("int")
     )
     spans = marked.groupBy("doc_id", "_island").agg(
         F.min("start").alias("s0"),

@@ -2917,3 +2917,33 @@ def test_apply_whitening_diagonal_routes_match(spark):
         x = np.array([r.embedding], dtype=np.float64)
         want = ((x - np.asarray(mean)) @ wt)[0].tolist()
         assert got[r.vec_id] == want, f"vec {r.vec_id} diverged"
+
+
+def test_strip_dup_spans_beyond_packing_bound(spark):
+    """r8 VERDICT #4: the canonical-occurrence rule must stay exact
+    past start >= 2^20 (the bound the retired arithmetic packing
+    wrapped at). A ~1M+64-token document repeats a 15-token span at
+    position 5 and again past the 2^20 boundary: the early copy is
+    canonical (kept), the late one deletes — under the old packing the
+    late occurrence's key wrapped into doc_id+1's space, which could
+    flip the argmin. Also proves keep-one holds for a SECOND doc that
+    shares the span."""
+    from bolson_spark.functions.corpus import strip_dup_spans
+
+    n = (1 << 20) + 64
+    span = [f"s{i}" for i in range(15)]
+    toks = [f"t{i}" for i in range(n)]
+    toks[5:20] = span
+    late = (1 << 20) + 10
+    toks[late:late + 15] = span
+    doc2 = [f"u{i}" for i in range(40)]
+    doc2[10:25] = span
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, " ".join(doc2))],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in strip_dup_spans(docs, length=15).collect()}
+    # doc 1: both copies live in it; only the late one deletes
+    assert got[1].n_spans_deleted == 1 and got[1].n_removed == 15
+    # doc 2's copy deletes too (canonical lives in doc 1)
+    assert got[2].n_spans_deleted == 1 and got[2].n_removed == 15
