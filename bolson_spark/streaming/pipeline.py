@@ -52,8 +52,9 @@ def _read_seq_base(
     """Read the persisted seq-base record: (run_id, last_batch_id,
     base_of_last_batch, n_of_last_batch). v3 records carry the
     checkpoint-lineage run id; v2 records predate it and map to
-    run_id=None (legacy wildcard — matches any lineage, upgraded on
-    the next write). v1 files stored only the ALREADY ADVANCED base —
+    run_id=None (legacy wildcard — matches any lineage; streams bind
+    it to their lineage the moment they read one, see _upgraded_rec).
+    v1 files stored only the ALREADY ADVANCED base —
     mapped to (None, -1, base, 0) so the next batch starts exactly
     there."""
     import os
@@ -124,6 +125,34 @@ def _resolve_seq_base(
     if lineage_match and batch_id == last_bid:
         return last_base
     return last_base + last_n
+
+
+def _upgraded_rec(
+    base_file: str | None,
+    rec: tuple[str | None, int, int, int],
+    run_id: str | None,
+) -> tuple[str | None, int, int, int]:
+    """UPGRADE-ON-SIGHT for legacy v2 seq-base records (r8 VERDICT #7):
+    a v2 record has no run id, so its lineage wildcard (matches any
+    run) preserves exactly the reuse hole the v3 guard closes — for as
+    long as the record survives. The first time a stream reads one
+    that has PASSED the offsets-horizon validation (its batch id is
+    provably within THIS checkpoint's planned batches — the caller
+    runs _lineage_checked_rec first), bind it to the current lineage
+    by rewriting it as v3 immediately: from then on a foreign-lineage
+    batch-id collision ADVANCES instead of reusing. Records already
+    coerced to pure-advance form (batch -1) carry no reusable batch id
+    — nothing to bind."""
+    rec_run, last_bid, last_base, last_n = rec
+    if (
+        base_file
+        and run_id is not None
+        and rec_run is None
+        and last_bid >= 0
+    ):
+        _write_seq_base(base_file, run_id, last_bid, last_base, last_n)
+        return (run_id, last_bid, last_base, last_n)
+    return rec
 
 
 def _write_seq_base(
@@ -268,8 +297,10 @@ def run_stream_convert(
     # (see _lineage_checked_rec: an offsets/commits wipe restarts
     # batch ids while this sidecar file survives)
     state = {
-        "rec": _lineage_checked_rec(
-            _read_seq_base(base_file), checkpoint_dir
+        "rec": _upgraded_rec(
+            base_file,
+            _lineage_checked_rec(_read_seq_base(base_file), checkpoint_dir),
+            run_id,
         )
     }
 

@@ -3049,3 +3049,41 @@ def test_control_plane_refuses_dfs_uris(tmp_path):
             fn(*args)
     # plain local paths still work
     assert run_partition_ids(str(tmp_path / "nope")) == []
+
+
+def test_seq_base_v2_upgrade_on_sight(tmp_path):
+    """r8 VERDICT #7: a legacy v2 record (no run id — wildcard lineage)
+    is rewritten as v3 bound to the current lineage the first time a
+    stream reads it, so the wildcard window closes PERMANENTLY: after
+    the upgrade a foreign-lineage batch-id collision advances instead
+    of reusing the old base. Coerced pure-advance records (batch -1)
+    carry no reusable batch id and are left alone."""
+    from bolson_spark.streaming.pipeline import (
+        _read_seq_base,
+        _resolve_seq_base,
+        _upgraded_rec,
+    )
+
+    f = str(tmp_path / "bolson_seq_base")
+    with open(f, "w") as fh:
+        fh.write("v2 3 200 25")
+    rec = _upgraded_rec(f, _read_seq_base(f), "runA")
+    assert rec == ("runA", 3, 200, 25)
+    # the FILE was rewritten: a later read sees v3, not the wildcard
+    assert _read_seq_base(f) == ("runA", 3, 200, 25)
+    # same lineage keeps replay-reuse; foreign lineage now refuses
+    assert _resolve_seq_base(rec, 3, "runA") == 200
+    assert _resolve_seq_base(rec, 3, "runB") == 225
+
+    # batch -1 (v1 / horizon-coerced) records: nothing to bind
+    with open(f, "w") as fh:
+        fh.write("250")
+    rec = _upgraded_rec(f, _read_seq_base(f), "runA")
+    assert rec == (None, -1, 250, 0)
+    assert _read_seq_base(f) == (None, -1, 250, 0)  # file untouched
+
+    # no current run id (checkpoint-less run): wildcard kept as-is
+    with open(f, "w") as fh:
+        fh.write("v2 3 200 25")
+    assert _upgraded_rec(f, _read_seq_base(f), None) == (None, 3, 200, 25)
+    assert _read_seq_base(f) == (None, 3, 200, 25)
