@@ -150,6 +150,23 @@ def main() -> None:
     n_corpus_docs = load_table(spark, SF_DIR, "documents").count()
     pipeline_sec = steady("training_corpus")
 
+    # Sustained-load stream latency, clean AND quarantine routes (r8
+    # VERDICT #6): the --bad-frac percentiles previously lived only in
+    # SCALING.md prose — as BENCH fields they get round-over-round
+    # regression tracking like every other headline. Same protocol as
+    # the r8 measurement (300 docs/burst x 10 bursts, battery schema)
+    # so the r8 prose numbers are the first trend point. End-to-end
+    # p50/p99 land in the compact summary; full per-stage percentiles
+    # in BENCH_FULL.json.
+    from bolson_spark.cli import stream_latency_bench
+
+    stream_clean = stream_latency_bench(
+        spark, num_jsons=300, num_batches=10
+    )
+    stream_quar = stream_latency_bench(
+        spark, num_jsons=300, num_batches=10, bad_frac=0.1
+    )
+
     # "value" sums ONLY the queries timed at SF_DIR: twin-sf timings in
     # the headline total made it a mixed-scale number no round could
     # compare against (r8 ADVICE #4). Twins get their own total.
@@ -196,10 +213,20 @@ def main() -> None:
         else None,
         "battery_steady_sec": round(battery_steady_sec, 4),
         "trip_steady_sec": round(trip_steady_sec, 4),
+        "stream_clean_p50": stream_clean["latency"]["end_to_end"]["p50_ms"],
+        "stream_clean_p99": stream_clean["latency"]["end_to_end"]["p99_ms"],
+        "stream_quarantine_p50": stream_quar["latency"]["end_to_end"][
+            "p50_ms"
+        ],
+        "stream_quarantine_p99": stream_quar["latency"]["end_to_end"][
+            "p99_ms"
+        ],
         "num_queries": len(timings),
     }
     full = {
         **summary,
+        "stream_clean": stream_clean,
+        "stream_quarantine": stream_quar,
         "queries": timings,
         "queries_spread": spread,
         "queries_runs": {n: rs for n, rs in runs.items() if len(rs) > 1},

@@ -628,13 +628,49 @@ def cmd_bench_sink(args) -> int:
 
 def cmd_bench_stream(args) -> int:
     """Sustained-load latency bench (the per-batch analog of M2's CSV,
-    units after src/bolson/latency.cpp:24-56): an in-process TCP server
-    plays the reference's JSON producer, pacing N bursts of generated
-    documents through the LITERAL socket source path; every published
+    units after src/bolson/latency.cpp:24-56) — CLI front door for
+    :func:`stream_latency_bench`."""
+    from bolson_spark.session import get_spark
+
+    spark = get_spark("bolson-bench-stream")
+    print(
+        json.dumps(
+            stream_latency_bench(
+                spark,
+                schema_name=args.schema,
+                num_jsons=args.num_jsons,
+                num_batches=args.num_batches,
+                seed=args.seed,
+                max_rows=args.max_rows,
+                bad_frac=getattr(args, "bad_frac", 0.0) or 0.0,
+                parser=getattr(args, "parser", "catalyst"),
+            )
+        )
+    )
+    return 0
+
+
+def stream_latency_bench(
+    spark,
+    *,
+    schema_name: str = "battery",
+    num_jsons: int = 2048,
+    num_batches: int = 10,
+    seed: int = 0,
+    max_rows: int = MAX_ROWS_DEFAULT,
+    bad_frac: float = 0.0,
+    parser: str = "catalyst",
+) -> dict:
+    """Sustained-load latency percentiles over the LITERAL socket
+    path: an in-process TCP server plays the reference's JSON
+    producer, pacing N bursts of generated documents; every published
     micro-batch stamps the six reference time points (metrics.py), and
     the report is p50/p99 of each stage diff plus end-to-end
     Receive->Publish — the sustained-service latency distribution, not
-    the one-shot average `bench sink` gives."""
+    the one-shot average `bench sink` gives. Callable (returns the
+    report dict) so bench.py can record the clean AND quarantine
+    routes as round-over-round BENCH fields (r8 VERDICT #6), with the
+    CLI printing the same dict."""
     import socket
     import tempfile
     import threading
@@ -642,14 +678,11 @@ def cmd_bench_stream(args) -> int:
     import numpy as np
 
     from bolson_spark.metrics import TIME_POINTS, LatencyTracker
-    from bolson_spark.session import get_spark
     from bolson_spark.sources import read_socket_stream
     from bolson_spark.streaming import run_stream_convert
     from bolson_spark.streaming.sink import IpcFileSink
 
-    spark = get_spark("bolson-bench-stream")
-    docs = _gen_jsons(args.schema, args.num_jsons, args.seed)
-    bad_frac = getattr(args, "bad_frac", 0.0) or 0.0
+    docs = _gen_jsons(schema_name, num_jsons, seed)
     if not 0.0 <= bad_frac < 1.0:
         raise SystemExit(f"--bad-frac must be in [0, 1), got {bad_frac}")
     n_bad = 0
@@ -691,20 +724,20 @@ def cmd_bench_stream(args) -> int:
     t0 = time.time()
     query, metrics = run_stream_convert(
         read_socket_stream(spark, "127.0.0.1", port),
-        _schema(args.schema),
+        _schema(schema_name),
         IpcFileSink(f"{tmp}/topic"),
-        max_rows=args.max_rows,
+        max_rows=max_rows,
         checkpoint_dir=f"{tmp}/ckpt",
         available_now=False,
         latency=tracker,
-        parser=getattr(args, "parser", "catalyst"),
+        parser=parser,
         on_error="quarantine" if bad_frac else "fail",
         quarantine_dir=f"{tmp}/quarantine" if bad_frac else None,
     )
     try:
         assert ready.wait(60), "socket source never connected"
         total = 0
-        for i in range(args.num_batches):
+        for i in range(num_batches):
             holder["conn"].sendall(payload)
             total += len(docs)
 
@@ -751,24 +784,19 @@ def cmd_bench_stream(args) -> int:
     stages["end_to_end"] = pcts(
         [round((p.time[-1] - p.time[0]) * 1e9) for p in tracker.points]
     )
-    print(
-        json.dumps(
-            {
-                "num_batches_sent": args.num_batches,
-                "num_batches_published": len(tracker.points),
-                "num_jsons": metrics.num_jsons,
-                "bad_frac": bad_frac,
-                "num_bad_per_burst": n_bad,
-                "num_quarantined": metrics.num_quarantined,
-                "elapsed_sec": round(elapsed, 3),
-                "mjs": round(metrics.num_jsons / 1e6 / elapsed, 6)
-                if elapsed
-                else None,
-                "latency": stages,
-            }
-        )
-    )
-    return 0
+    return {
+        "num_batches_sent": num_batches,
+        "num_batches_published": len(tracker.points),
+        "num_jsons": metrics.num_jsons,
+        "bad_frac": bad_frac,
+        "num_bad_per_burst": n_bad,
+        "num_quarantined": metrics.num_quarantined,
+        "elapsed_sec": round(elapsed, 3),
+        "mjs": round(metrics.num_jsons / 1e6 / elapsed, 6)
+        if elapsed
+        else None,
+        "latency": stages,
+    }
 
 
 def main(argv=None) -> int:
