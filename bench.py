@@ -67,9 +67,16 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     n_jsons = 0
 
+    # "capped" queries join the twins at the smaller SF: compositions
+    # whose every stage is already individually benched at SF_DIR
+    # (re-timing ~17 s of measured data paths adds no information);
+    # their CORRECTNESS rows still run at full SF via the driver.
+    def _small_sf(tags) -> bool:
+        return "twin" in tags or "capped" in tags
+
     def one_run(name: str) -> float:
         spec = QUERIES[name]
-        qdir = TWIN_SF_DIR if "twin" in spec.tags else SF_DIR
+        qdir = TWIN_SF_DIR if _small_sf(spec.tags) else SF_DIR
         t0 = time.perf_counter()
         spec.fn(spark, qdir).write.mode("overwrite").format("noop").save()
         dt = time.perf_counter() - t0
@@ -170,7 +177,7 @@ def main() -> None:
     # "value" sums ONLY the queries timed at SF_DIR: twin-sf timings in
     # the headline total made it a mixed-scale number no round could
     # compare against (r8 ADVICE #4). Twins get their own total.
-    twin_names = {n for n in timings if "twin" in QUERIES[n].tags}
+    twin_names = {n for n in timings if _small_sf(QUERIES[n].tags)}
     total = round(
         sum(t for n, t in timings.items() if n not in twin_names), 4
     )
@@ -190,7 +197,7 @@ def main() -> None:
         "twin_sf": sf_from_dir(TWIN_SF_DIR),
         "twin_total_sec": twin_total,
         "num_twin_queries": sum(
-            1 for s in QUERIES.values() if "twin" in s.tags
+            1 for s in QUERIES.values() if _small_sf(s.tags)
         ),
         "spread_rel_p50": round(
             rel_spreads[len(rel_spreads) // 2], 4
@@ -242,10 +249,10 @@ def main() -> None:
     fam_queries: dict[str, dict[str, float]] = {}
     for name, sec in timings.items():
         tags = QUERIES[name].tags or ("other",)
-        # twins report as their own family: their timings are at
+        # twins/capped report as their own family: their timings are at
         # twin_sf, and folding them into a headline family would mix
         # scale factors inside one family total
-        fam = "twin" if "twin" in tags else tags[0]
+        fam = "twin" if _small_sf(tags) else tags[0]
         fam_queries.setdefault(fam, {})[name] = sec
     for fam, qs in fam_queries.items():
         print(json.dumps({"family": fam, "queries": qs}))

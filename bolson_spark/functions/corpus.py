@@ -391,7 +391,10 @@ def dup_span_coverage(
 
 
 def strip_dup_spans(
-    docs: DataFrame, length: int = 15, text_col: str = "text"
+    docs: DataFrame,
+    length: int = 15,
+    text_col: str = "text",
+    return_text: bool = False,
 ) -> DataFrame:
     """The ACTIONABLE half of the Lee et al. substring dedup (the
     paper deletes every occurrence of a repeated substring except
@@ -426,7 +429,9 @@ def strip_dup_spans(
 
     Returns (doc_id, n_tokens, n_spans_deleted, n_removed,
     cleaned_md5) — one row per input doc; NULL/empty text reports
-    zeros and the empty-text digest (the manifest contract)."""
+    zeros and the empty-text digest (the manifest contract).
+    ``return_text=True`` appends `cleaned_text` (the reassembled
+    string; NULL for NULL input) for pipeline composition."""
     from pyspark.sql.window import Window
 
     dup = _dup_windows(docs, length, text_col)
@@ -489,6 +494,15 @@ def strip_dup_spans(
             F.md5(
                 F.coalesce(F.array_join(cleaned, " "), F.lit(""))
             ).alias("cleaned_md5"),
+            # the cleaned text itself, for pipeline composition
+            # (training_corpus_spandedup feeds it to near-dup +
+            # packing); NULL input text stays NULL — downstream
+            # stages keep their own NULL contracts
+            *(
+                [F.array_join(cleaned, " ").alias("cleaned_text")]
+                if return_text
+                else []
+            ),
         )
     )
 

@@ -1711,6 +1711,224 @@ FROM packed
 """
 
 
+def q_training_corpus_spandedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL published pipeline shape (Lee et al. 2022 run exact
+    SUBSTRING dedup and doc-level near-dup as separate passes):
+    quality -> decontaminate -> span-strip (strip_dup_spans with the
+    cleaned text flowing on) -> minhash-LSH near-dup over the CLEANED
+    text -> temperature mixture -> sequence packing. The span stage
+    deletes every non-canonical repeated 15-token span, so downstream
+    token counts / fingerprints / packing offsets all see the cleaned
+    corpus — the composition the two r8 span queries were building
+    toward (r8 VERDICT #5).
+
+    Scale shape: the growing term is the span stage's stride-1 window
+    stream (n_tokens rows/doc, 3 fixed-width cols — the honest price
+    of substring granularity; see strip_dup_spans); everything
+    downstream is the training_corpus_neardup plan over the cleaned
+    text. Three persisted stage boundaries (post-decontam corpus,
+    cleaned corpus, dedup survivors) — each read 3-4 ways by its
+    consumer, the same boundaries a production job materializes.
+
+    Output: (doc_id, source, lang, n_tokens, start_offset, bin_id) —
+    n_tokens measured on the CLEANED text."""
+    from bolson_spark.functions.corpus import (
+        decontaminate as _decf,
+        pack_sequences as _pack,
+        strip_dup_spans,
+    )
+    from bolson_spark.functions.dedup import neardup_components
+    from bolson_spark.functions.quality import quality_metrics
+    from bolson_spark.functions.sketch import temperature_mix as _tmix
+
+    docs = _t(spark, sf_dir, "documents")
+    kept_q = quality_metrics(docs).where("keep").select("doc_id")
+    s1 = docs.join(kept_q, "doc_id", "left_semi")
+    eval_docs = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = s1.filter(F.col("doc_id") % 17 != 0)
+    clean = (
+        _decf(corpus, eval_docs, n=8)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    # boundary 1: the span stage reads s2 three ways (two window
+    # generations + the reassembly join) — uncached each re-runs the
+    # quality+decontaminate upstream
+    s2 = corpus.join(clean, "doc_id", "left_semi").cache()
+    stripped = strip_dup_spans(s2, length=15, return_text=True).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    # boundary 2: the cleaned corpus. localCheckpoint, not cache: a
+    # cache dedups EXECUTION but every downstream branch still
+    # re-ANALYZES the full lineage, and the strip stage's plan (deep
+    # nested-lambda HOF trees) costs ~1 s of driver-side Catalyst per
+    # branch x ~20 branches downstream (measured: 44 s -> 18 s at
+    # sf0.01, SF-independent — pure analysis). Truncating the lineage
+    # here is the in-session analog of the parquet stage write a
+    # production job does at exactly this boundary.
+    s2b = (
+        s2.select("doc_id", "lang", "source")
+        .join(stripped, "doc_id")
+        .localCheckpoint()
+    )
+    non_reps = (
+        neardup_components(s2b)
+        .where(F.col("doc_id") != F.col("representative"))
+        .select("doc_id")
+    )
+    # boundary 3: survivors — the mixture reads them three ways
+    s3 = s2b.join(non_reps, "doc_id", "left_anti").cache()
+    mixed = _tmix(s3, "lang", alpha=0.5, target_frac=0.5).select("doc_id")
+    s4 = s3.join(mixed, "doc_id", "left_semi")
+    packed = _pack(s4, budget=2048)
+    return packed.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "doc_id", "source", "lang", "n_tokens", "start_offset", "bin_id"
+    )
+
+
+def _training_corpus_spandedup_sql() -> str:
+    from bolson_spark.queries import _minhash_sql
+    from bolson_spark.queries_train import O_GOPHER_QUALITY
+
+    return f"""
+WITH RECURSIVE kept_q AS (
+  SELECT doc_id FROM ({O_GOPHER_QUALITY}) WHERE keep
+),
+dec AS (
+  SELECT doc_id FROM ({O_DECONTAMINATE}) WHERE NOT contaminated
+),
+s2 AS MATERIALIZED (
+  SELECT d.* FROM documents d
+  JOIN kept_q USING (doc_id)
+  JOIN dec USING (doc_id)
+  WHERE d.doc_id % 17 <> 0
+),
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM s2
+),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+         array_to_string(words[i:i+{_DSC_L - 1}], ' ') AS gram
+  FROM w, UNNEST(range(1, greatest(len(words) - {_DSC_L - 1}, 0) + 1))
+       AS t(i)
+),
+gc AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+dup AS (
+  SELECT doc_id, start, gram FROM g JOIN gc USING (gram) WHERE c >= 2
+),
+isl AS (
+  SELECT doc_id, start, gram,
+         CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start)
+                   IS NULL
+                OR start > lag(start) OVER (
+                     PARTITION BY doc_id ORDER BY start) + {_DSC_L - 1}
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+isl2 AS (
+  SELECT doc_id, start, gram,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+canon AS (
+  SELECT gram, MIN(doc_id * 1048576 + start) AS canon
+  FROM dup GROUP BY gram
+),
+m AS (
+  SELECT i.doc_id, i.start, i.island,
+         CASE WHEN i.doc_id * 1048576 + i.start = c.canon
+              THEN 1 ELSE 0 END AS isc
+  FROM isl2 i JOIN canon c USING (gram)
+),
+spans AS (
+  SELECT doc_id, island, MIN(start) AS s0,
+         MAX(start) + {_DSC_L - 1} AS e0, MAX(isc) AS kept
+  FROM m GROUP BY doc_id, island
+),
+del AS (SELECT doc_id, s0, e0 FROM spans WHERE kept = 0),
+iv AS (
+  SELECT doc_id, list({{'s0': s0, 'e0': e0}}) AS iv
+  FROM del GROUP BY doc_id
+),
+fin AS (
+  SELECT s2.doc_id, s2.lang, s2.source,
+         string_split(s2.text, ' ') AS words, iv.iv AS iv
+  FROM s2 LEFT JOIN iv ON s2.doc_id = iv.doc_id
+),
+s2b AS MATERIALIZED (
+  SELECT doc_id, lang, source,
+         -- COALESCE: DuckDB's array_to_string([]) is NULL where
+         -- Spark's array_join([]) is '' (fully-stripped docs); iv
+         -- non-NULL implies words non-NULL, so '' is the only case
+         CASE WHEN iv IS NULL THEN array_to_string(words, ' ')
+              ELSE COALESCE(array_to_string(list_filter(words, (x, i) ->
+                NOT len(list_filter(iv,
+                  s -> i - 1 >= s.s0 AND i - 1 <= s.e0)) > 0), ' '), '')
+         END AS text
+  FROM fin
+),
+mh AS (
+  SELECT doc_a, doc_b FROM ({_minhash_sql(source="s2b")})
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM mh
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM mh
+),
+reach(node, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(r) AS representative FROM reach GROUP BY node
+),
+s3 AS (
+  SELECT s2b.* FROM s2b
+  WHERE doc_id NOT IN (
+    SELECT doc_id FROM comp WHERE doc_id <> representative
+  )
+),
+counts AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_s FROM s3 GROUP BY lang
+),
+fracs AS (
+  SELECT lang,
+         LEAST(1.0,
+               0.5 * SUM(n_s) OVER () * pow(n_s, -0.5)
+               / SUM(pow(n_s, 0.5)) OVER ()) AS keep_frac
+  FROM counts
+),
+s4 AS (
+  SELECT s3.* FROM s3 JOIN fracs USING (lang)
+  WHERE keep_frac >= 1.0
+     OR substr(md5('tmix|' || CAST(s3.doc_id AS VARCHAR)), 1, 8)
+        < printf('%08x', LEAST(CAST(FLOOR(keep_frac * 4294967296.0) AS BIGINT), 4294967295))
+),
+toks AS (
+  SELECT doc_id, source, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM s4
+),
+packed AS (
+  SELECT doc_id, source, lang, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks
+)
+SELECT doc_id, source, lang, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+FROM packed
+"""
+
+
 def _training_corpus_sql() -> str:
     from bolson_spark.queries_train import O_GOPHER_QUALITY
 
@@ -1821,6 +2039,16 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
         q_training_corpus_neardup,
         _training_corpus_neardup_sql(),
         ("text", "pipeline", "dedup"),
+    ),
+    # "capped": CORRECTNESS runs at full SF like everything else, but
+    # the bench times it at the capped (twin) SF — every stage of this
+    # composition (strip_dup_spans, the neardup pipeline) is already
+    # individually benched at SF_DIR, so a full-SF re-run would re-time
+    # ~17 s of already-measured data paths (r8 VERDICT #8's cap option)
+    "training_corpus_spandedup": QuerySpec(
+        q_training_corpus_spandedup,
+        _training_corpus_spandedup_sql(),
+        ("text", "pipeline", "dedup", "capped"),
     ),
     "bpe_train": QuerySpec(
         q_bpe_train, _bpe_train_sql(), ("text", "pipeline")

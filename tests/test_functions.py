@@ -2947,3 +2947,39 @@ def test_strip_dup_spans_beyond_packing_bound(spark):
     assert got[1].n_spans_deleted == 1 and got[1].n_removed == 15
     # doc 2's copy deletes too (canonical lives in doc 1)
     assert got[2].n_spans_deleted == 1 and got[2].n_removed == 15
+
+
+def test_strip_dup_spans_return_text(spark):
+    """return_text=True appends the reassembled cleaned string: equal
+    to the original where nothing deleted, the canonical-survivor
+    text where spans were stripped, '' when everything was, NULL for
+    NULL input — and md5(cleaned_text) always equals cleaned_md5 for
+    non-NULL text (one definition of 'cleaned')."""
+    import hashlib
+
+    from bolson_spark.functions.corpus import strip_dup_spans
+
+    span = [f"s{i}" for i in range(15)]
+    keepers = [f"k{i}" for i in range(5)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(span + keepers)),  # canonical owner
+            (2, " ".join(span)),            # fully stripped -> ''
+            (3, "short doc"),               # untouched
+            (4, None),                      # NULL stays NULL
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in strip_dup_spans(docs, length=15, return_text=True).collect()
+    }
+    assert got[1].cleaned_text == " ".join(span + keepers)
+    assert got[2].cleaned_text == ""
+    assert got[3].cleaned_text == "short doc"
+    assert got[4].cleaned_text is None
+    for d in (1, 2, 3):
+        assert (
+            hashlib.md5(got[d].cleaned_text.encode()).hexdigest()
+            == got[d].cleaned_md5
+        )
