@@ -55,6 +55,7 @@ HEADLINERS = {
     "ivf_pq_knn_saved": "saved IVFADC probe: pruned PQ-code cell scan + broadcast-LUT ADC, full vectors never read",
     "dup_span_coverage": "substring dedup signal: stride-1 window counts, gaps-and-islands span merge",
     "strip_dup_spans": "keep-one span removal: canonical argmin join, narrow indexed-lambda reassembly",
+    "training_corpus_spandedup": "composed substring + near-dup pipeline: span-strip feeds cleaned text to LSH dedup; lineage truncated at the cleaned-corpus boundary",
 }
 
 

@@ -325,7 +325,10 @@ SINGLE_PARTITION_OK = {
     # integrity_audit: five 1-row count aggregates unioned
     "integrity_audit",
     "bm25_search", "conversion_funnel", "temperature_mix",
-    "training_corpus", "training_corpus_neardup", "zorder_layout",
+    "training_corpus", "training_corpus_neardup",
+    # spandedup: same temperature_mix scalar aggregates as its
+    # siblings (the mixture's corpus-total row is 1-row by design)
+    "training_corpus_spandedup", "zorder_layout",
     "convert_ipc_messages", "convert_ipc_roundtrip",
     "convert_pipeline_exact", "convert_pipeline_arrow",
     "convert_rebatch", "convert_seq",
