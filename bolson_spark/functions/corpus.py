@@ -25,14 +25,13 @@ def word_ngrams(col: Column, n: int) -> Column:
     Spark's ``sequence(1, 0)`` would otherwise count DOWN ([1, 0]) and
     produce junk grams.
 
-    The split array is bound as a LAMBDA VARIABLE (the one-element
-    transform wrapper) so it materializes ONCE per row: an expression
-    captured inside a HOF lambda body is re-evaluated per element, so
-    the naive ``slice(split(text), i, n)`` re-split the whole document
-    for every window — O(len^2) per doc (measured 274 s for ONE
-    65k-token document; linear after the fix). Lambda variables are
-    evaluated values, so the nested lambda's slice reads the
-    materialized array."""
+    The split array is bound as a LAMBDA VARIABLE (text.py::bind_array)
+    so it materializes ONCE per row: an expression captured inside a
+    HOF lambda body is re-evaluated per element, so the naive
+    ``slice(split(text), i, n)`` re-split the whole document for every
+    window — O(len^2) per doc (measured 274 s for ONE 65k-token
+    document; linear after the fix)."""
+    from bolson_spark.functions.text import bind_array
 
     def grams(ws: Column) -> Column:
         return F.when(
@@ -43,7 +42,7 @@ def word_ngrams(col: Column, n: int) -> Column:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    return F.element_at(F.transform(F.array(F.split(col, " ")), grams), 1)
+    return bind_array(F.split(col, " "), grams)
 
 
 def doc_gram_hashes(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
@@ -523,9 +522,22 @@ def strip_dup_spans(
 def doc_chunk_array(col: Column, w: int) -> Column:
     """Non-overlapping w-word chunks of a single-space-tokenized text
     column, as array<string> (last chunk may be shorter). Pure
-    arithmetic + higher-order built-ins — narrow, codegen'd."""
-    words = F.filter(F.split(col, " "), lambda x: x != "")
-    n_chunks = F.ceil(F.size(words) / F.lit(float(w))).cast("int")
+    arithmetic + higher-order built-ins — narrow, codegen'd. The
+    filtered split is bound as a lambda variable (bind_array) so it
+    materializes once per row instead of once per CHUNK (the
+    HOF-capture pitfall — see word_ngrams)."""
+    from bolson_spark.functions.text import bind_array
+
+    def chunks_of(words: Column) -> Column:
+        n_chunks = F.ceil(F.size(words) / F.lit(float(w))).cast("int")
+        return _chunk_guard(words, n_chunks, w)
+
+    return bind_array(
+        F.filter(F.split(col, " "), lambda x: x != ""), chunks_of
+    )
+
+
+def _chunk_guard(words: Column, n_chunks: Column, w: int) -> Column:
     return F.when(
         F.size(words) > 0,
         F.transform(

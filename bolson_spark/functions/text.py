@@ -25,6 +25,21 @@ def tokens(col: Column) -> Column:
     return F.split(col, " ")
 
 
+def bind_array(arr: Column, f) -> Column:
+    """Evaluate `arr` ONCE per row and hand the materialized value to
+    `f` as a lambda variable — the antidote to the HOF-capture
+    pitfall: an expression captured in a higher-order-function lambda
+    BODY is re-evaluated per element, so e.g.
+    ``transform(sequence(...), i -> slice(split(text), i, n))``
+    re-splits the whole document for every window — O(len²) per row
+    (measured 274 s for ONE 65k-token document in word_ngrams before
+    the r9 fix). Lambda variables are evaluated values, so
+    ``bind_array(split(text), ws -> transform(..., i -> slice(ws, i,
+    n)))`` is linear. The one-element transform wrapper is free —
+    Catalyst keeps it a single array allocation per row."""
+    return F.element_at(F.transform(F.array(arr), f), 1)
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
@@ -77,14 +92,18 @@ def rolling_fingerprint(col: Column, n: int = 4) -> Column:
     fingerprint selection rule; full winnowing keeps one min per
     window, this keeps the global min as a single-column digest).
     Documents shorter than n words fall back to whole-text md5."""
-    tok = tokens(col)  # the module's ONE tokenization rule
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(tok) - n),
-        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
-    )
-    return F.when(
-        F.size(tok) >= n, F.array_min(F.transform(shingles, F.md5))
-    ).otherwise(F.md5(col))
+    def fp(tok: Column) -> Column:
+        shingles = F.transform(
+            F.sequence(F.lit(0), F.size(tok) - n),
+            lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
+        )
+        return F.when(
+            F.size(tok) >= n, F.array_min(F.transform(shingles, F.md5))
+        ).otherwise(F.md5(col))
+
+    # bind the split once — tok captured in the lambda body would
+    # re-split the document per shingle (the HOF-capture pitfall)
+    return bind_array(tokens(col), fp)
 
 
 def doc_fingerprint(col: Column) -> Column:

@@ -350,18 +350,23 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bolson_spark.functions.sketch import kmv_set_overlap
     from bolson_spark.functions.text import tokens
 
+    from bolson_spark.functions.text import bind_array
+
     docs = _t(spark, sf_dir, "documents")
     tok = tokens(F.col("text"))
-    grams = docs.where(F.size(tok) >= 3).select(
-        "source",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(tok) - 3),
-                    lambda i: F.concat_ws(" ", F.slice(tok, i + 1, 3)),
-                )
+    # bind the split once per row (HOF-capture pitfall — the lambda's
+    # slice(tok, ...) would otherwise re-split per shingle)
+    gram_arr = bind_array(
+        tok,
+        lambda t: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 3),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, 3)),
             )
-        ).alias("gram"),
+        ),
+    )
+    grams = docs.where(F.size(tok) >= 3).select(
+        "source", F.explode(gram_arr).alias("gram")
     )
     return kmv_set_overlap(grams, "gram", "source", k=64)
 
@@ -1616,17 +1621,23 @@ def q_training_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads s2 FOUR ways (set fingerprints, rep-doc pair generation,
     # membership join-back, and the survivor anti-join's left side) —
     # uncached, each re-runs the quality+decontaminate GEMM upstream
-    # (measured 34.4 s -> ~8 s at sf0.1). A production near-dup job
-    # materializes exactly this boundary.
-    s2 = corpus.join(clean, "doc_id", "left_semi").cache()
+    # (measured 34.4 s -> ~8 s at sf0.1). localCheckpoint rather than
+    # cache (r9): a cache dedups execution but every branch still
+    # re-ANALYZES the full upstream plan — the query was ~SF-
+    # independent (19.7 s sf0.01 vs 14.8 s sf0.1, driver-bound);
+    # truncating the lineage at both boundaries measured 16.1 -> 9.4 s
+    # warm at sf0.1. A production near-dup job materializes exactly
+    # this boundary (parquet stage write); localCheckpoint is the
+    # in-session analog.
+    s2 = corpus.join(clean, "doc_id", "left_semi").localCheckpoint()
     non_reps = (
         neardup_components(s2)
         .where(F.col("doc_id") != F.col("representative"))
         .select("doc_id")
     )
     # same persisted stage boundary as training_corpus: the mixture
-    # reads survivors three ways
-    s3 = s2.join(non_reps, "doc_id", "left_anti").cache()
+    # reads survivors three ways (lineage-truncated, see s2)
+    s3 = s2.join(non_reps, "doc_id", "left_anti").localCheckpoint()
     mixed = _tmix(s3, "lang", alpha=0.5, target_frac=0.5).select("doc_id")
     s4 = s3.join(mixed, "doc_id", "left_semi")
     packed = _pack(s4, budget=2048)
