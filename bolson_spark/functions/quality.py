@@ -145,6 +145,151 @@ def quality_metrics(df: DataFrame, text_col: str = "text",
     return out.withColumn("keep", F.coalesce(keep, F.lit(False)))
 
 
+# Gopher Table A1 repetition thresholds (Rae et al. 2021): a document
+# is rejected when the most common {2,3,4}-gram covers more than
+# {20,18,16}% of its characters, or when duplicated {5,6,7,8}-grams
+# cover more than {15,14,13,12}%.
+TOP_NGRAM_CHAR_FRAC_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_CHAR_FRAC_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12}
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The FULL Gopher repetition-signal family (Rae et al. 2021,
+    Table A1) — quality_metrics carries only the top-bigram slot
+    fraction; this computes the published CHARACTER-fraction form for
+    every listed n:
+
+    - ``top{n}_char_frac`` (n=2,3,4): characters attributed to the
+      single most frequent n-gram, ``count * chars(gram) / chars(doc)``
+      — the standard published approximation (overlapping occurrences
+      count their characters independently, so the fraction can
+      exceed 1 on degenerate input; thresholds are far below that).
+      Ties on count break by gram ASC, so the metric is deterministic
+      and engine-independent.
+    - ``dup{n}_char_frac`` (n=5,6,7,8): characters attributed to ALL
+      occurrences of n-grams appearing >= 2 times,
+      ``sum(count * chars(gram)) / chars(doc)`` (same convention).
+    - ``keep``: TRUE iff every fraction is within its Table A1
+      threshold (TOP_NGRAM_CHAR_FRAC_MAX / DUP_NGRAM_CHAR_FRAC_MAX).
+
+    One row per input document; NULL/too-short text reports zero
+    fractions and keep=TRUE (nothing repeats in it — the same
+    manifest contract as dup_span_coverage).
+
+    Scale shape: ONE pass builds all seven gram streams per document
+    (bind_array'd split — the r9 HOF-capture discipline — then a
+    single explode of (n, gram) structs: ~7x n_tokens fixed-width-ish
+    rows/doc); the per-(doc, n, gram) count is one map-side-combined
+    aggregation; the top-gram pick is a window bounded per (doc, n);
+    everything pivots back with conditional aggregation — two
+    shuffles total, both keyed by doc_id(+gram). Fractions are a
+    single integer division rounded to 6, the documented cross-engine
+    float recipe."""
+    from bolson_spark.functions.text import bind_array
+
+    ns = sorted(TOP_NGRAM_CHAR_FRAC_MAX) + sorted(DUP_NGRAM_CHAR_FRAC_MAX)
+
+    def all_grams(ws: Column) -> Column:
+        # NB: the per-n lambda must stay ONE-argument — pyspark infers
+        # HOF arity from the Python signature, so a `lambda i, n=n`
+        # default-arg binding silently becomes the (element, index)
+        # two-arg form and n is fed the array index. Bind n through a
+        # factory instead.
+        def gram_struct(n: int):
+            return lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice(ws, i, n), " ").alias("gram"),
+            )
+
+        parts = []
+        for n in ns:
+            grams_n = F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (n - 1)), gram_struct(n)
+            )
+            parts.append(
+                F.when(F.size(ws) >= n, grams_n).otherwise(
+                    F.array().cast("array<struct<n:int,gram:string>>")
+                )
+            )
+        return F.flatten(F.array(*parts))
+
+    rows = df.select(
+        "doc_id",
+        F.explode(
+            bind_array(F.split(F.col(text_col), " "), all_grams)
+        ).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = rows.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql.window import Window
+
+    w_top = Window.partitionBy("doc_id", "n").orderBy(
+        F.desc("c"), F.asc("gram")
+    )
+    top = (
+        counts.where(F.col("n").isin(list(TOP_NGRAM_CHAR_FRAC_MAX)))
+        .withColumn("_rn", F.row_number().over(w_top))
+        .where(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            "n",
+            (F.col("c") * F.length("gram")).alias("_chars"),
+        )
+    )
+    dup = (
+        counts.where(
+            F.col("n").isin(list(DUP_NGRAM_CHAR_FRAC_MAX))
+            & (F.col("c") >= 2)
+        )
+        .groupBy("doc_id", "n")
+        .agg(F.sum(F.col("c") * F.length("gram")).alias("_chars"))
+    )
+    per = (
+        top.unionByName(dup)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("n") == n, F.col("_chars"))
+                ).alias(f"_ch{n}")
+                for n in ns
+            ]
+        )
+    )
+    n_chars = F.length(F.col(text_col)).cast("bigint")
+    out = df.select("doc_id", n_chars.alias("n_chars")).join(
+        per, "doc_id", "left"
+    )
+
+    def frac(n: int) -> Column:
+        return F.when(
+            F.coalesce(F.col("n_chars"), F.lit(0)) == 0, F.lit(0.0)
+        ).otherwise(
+            F.round(
+                F.coalesce(F.col(f"_ch{n}"), F.lit(0)).cast("double")
+                / F.col("n_chars").cast("double"),
+                6,
+            )
+        )
+
+    cols = {
+        **{n: f"top{n}_char_frac" for n in TOP_NGRAM_CHAR_FRAC_MAX},
+        **{n: f"dup{n}_char_frac" for n in DUP_NGRAM_CHAR_FRAC_MAX},
+    }
+    out = out.select(
+        "doc_id",
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+        *[frac(n).alias(cols[n]) for n in ns],
+    )
+    keep = F.lit(True)
+    for n, t in TOP_NGRAM_CHAR_FRAC_MAX.items():
+        keep = keep & (F.col(f"top{n}_char_frac") <= t)
+    for n, t in DUP_NGRAM_CHAR_FRAC_MAX.items():
+        keep = keep & (F.col(f"dup{n}_char_frac") <= t)
+    return out.withColumn("keep", keep)
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

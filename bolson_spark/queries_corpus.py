@@ -891,6 +891,83 @@ _SQL_HOURLY = """
 """
 
 
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher Table-A1 repetition family per document —
+    top-{2,3,4}-gram and duplicated-{5..8}-gram character fractions
+    plus the composite keep flag (quality_metrics carries only the
+    top-bigram slot fraction). See functions/quality.py::
+    repetition_metrics for the published-approximation conventions
+    (count x chars(gram) / chars(doc), ties by gram ASC)."""
+    from bolson_spark.functions.quality import repetition_metrics
+
+    return repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+def _repetition_metrics_sql() -> str:
+    from bolson_spark.functions.quality import (
+        DUP_NGRAM_CHAR_FRAC_MAX,
+        TOP_NGRAM_CHAR_FRAC_MAX,
+    )
+
+    tops = sorted(TOP_NGRAM_CHAR_FRAC_MAX)
+    dups = sorted(DUP_NGRAM_CHAR_FRAC_MAX)
+    ns_values = ", ".join(f"({n})" for n in tops + dups)
+    pivots = ",\n       ".join(
+        f"MAX(CASE WHEN n = {n} THEN chars END) AS ch{n}"
+        for n in tops + dups
+    )
+    fracs = ",\n       ".join(
+        f"CASE WHEN COALESCE(len(d.text), 0) = 0 THEN 0.0\n"
+        f"            ELSE ROUND(CAST(COALESCE(ch{n}, 0) AS DOUBLE)"
+        f" / len(d.text), 6) END AS "
+        + (f"top{n}_char_frac" if n in TOP_NGRAM_CHAR_FRAC_MAX
+           else f"dup{n}_char_frac")
+        for n in tops + dups
+    )
+    keep = " AND ".join(
+        [f"top{n}_char_frac <= {t}" for n, t in TOP_NGRAM_CHAR_FRAC_MAX.items()]
+        + [f"dup{n}_char_frac <= {t}" for n, t in DUP_NGRAM_CHAR_FRAC_MAX.items()]
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id, n,
+         array_to_string(words[i:i+n-1], ' ') AS gram
+  FROM w, (VALUES {ns_values}) AS nn(n),
+       UNNEST(range(1, greatest(len(words) - (n - 1), 0) + 1)) AS t(i)
+),
+c AS (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY doc_id, n, gram
+),
+top AS (
+  SELECT doc_id, n, c * len(gram) AS chars
+  FROM c WHERE n IN ({", ".join(map(str, tops))})
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_id, n ORDER BY c DESC, gram ASC) = 1
+),
+dup AS (
+  SELECT doc_id, n, SUM(c * len(gram)) AS chars
+  FROM c WHERE n IN ({", ".join(map(str, dups))}) AND c >= 2
+  GROUP BY doc_id, n
+),
+u AS (SELECT * FROM top UNION ALL SELECT * FROM dup),
+per AS (
+  SELECT doc_id,
+       {pivots}
+  FROM u GROUP BY doc_id
+),
+fr AS (
+  SELECT d.doc_id,
+       CAST(COALESCE(len(d.text), 0) AS BIGINT) AS n_chars,
+       {fracs}
+  FROM documents d LEFT JOIN per USING (doc_id)
+)
+SELECT *, ({keep}) AS keep FROM fr
+"""
+
+
 def q_quality_rule_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality-rule violation matrix: for each source, how
     many documents fail each Gopher rule — the triage table that tells
@@ -2066,6 +2143,9 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "conversion_funnel": QuerySpec(
         q_conversion_funnel, O_CONVERSION_FUNNEL, ("relational", "events")
+    ),
+    "repetition_metrics": QuerySpec(
+        q_repetition_metrics, _repetition_metrics_sql(), ("quality", "text")
     ),
     "quality_rule_matrix": QuerySpec(
         q_quality_rule_matrix, _quality_rule_matrix_sql(), ("quality",)

@@ -2983,3 +2983,40 @@ def test_strip_dup_spans_return_text(spark):
             hashlib.md5(got[d].cleaned_text.encode()).hexdigest()
             == got[d].cleaned_md5
         )
+
+
+def test_repetition_metrics_gopher_family(spark):
+    """Gopher Table-A1 repetition signals: hand-computed fractions on
+    a constructed doc, threshold firing, and the manifest contract
+    (NULL text -> zeros, keep=TRUE)."""
+    from bolson_spark.functions.quality import repetition_metrics
+
+    # doc 1: "a b a b a b a" (13 chars, 7 tokens) — bigrams: "a b" x3
+    # ties "b a" x3, gram ASC picks "a b" (len 3) -> top2 = 9/13;
+    # 5-gram windows: "a b a b a" x2 + "b a b a b" x1 -> the repeated
+    # one covers 2*9=18 chars -> dup5 = 18/13 (>1 by the published
+    # convention) -> keep=False on both counts
+    # doc 2: 40 distinct tokens — no repeats, and long enough that a
+    # single top n-gram stays under the char-fraction thresholds
+    # (short docs legitimately fail them: one 4-gram IS a large
+    # fraction of a 10-token doc)
+    clean = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a"), (2, clean), (3, None)],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    r1 = got[1]
+    assert r1.n_chars == 13
+    assert r1.top2_char_frac == round(3 * 3 / 13, 6)
+    assert r1.dup5_char_frac == round(2 * 9 / 13, 6)
+    assert r1.keep is False
+    # doc 2: all tokens distinct -> no repeats anywhere; every bigram
+    # occurs once, ties break by gram ASC -> "tok0 tok1" (9 chars)
+    r2 = got[2]
+    assert r2.top2_char_frac == round(len("tok0 tok1") / len(clean), 6)
+    assert r2.dup5_char_frac == 0.0 and r2.keep is True
+    # NULL text: zeros and keep
+    r3 = got[3]
+    assert (r3.n_chars, r3.top2_char_frac, r3.dup8_char_frac) == (0, 0.0, 0.0)
+    assert r3.keep is True
