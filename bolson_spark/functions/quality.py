@@ -155,9 +155,12 @@ DUP_NGRAM_CHAR_FRAC_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12}
 
 def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The FULL Gopher repetition-signal family (Rae et al. 2021,
-    Table A1) — quality_metrics carries only the top-bigram slot
-    fraction; this computes the published CHARACTER-fraction form for
-    every listed n:
+    Table A1) in its published CHARACTER-fraction form — complementing
+    the registry's existing repetition slots (quality_metrics: top-
+    bigram SLOT fraction; gopher_repetition: top-word slot + dup-
+    trigram OCCURRENCE fractions; dup_ngram_fraction: cross-document
+    distinct-8-gram overlap) with the per-n character coverage the
+    paper actually thresholds on:
 
     - ``top{n}_char_frac`` (n=2,3,4): characters attributed to the
       single most frequent n-gram, ``count * chars(gram) / chars(doc)``

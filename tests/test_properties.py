@@ -862,3 +862,63 @@ def test_pmi_collocations_matches_python_reference(spark, docs, min_pair):
         key=lambda t: (-t[3], t[0], t[1]),
     )
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup: the keep-one guarantee on ARBITRARY corpora.
+#
+# Lee et al.'s exact-substring dedup must never delete EVERY copy of a
+# repeated substring. strip_dup_spans' canonical rule (each duplicated
+# window hash's lexicographically-first (doc_id, start) occurrence
+# lives inside exactly one island span, and a span containing a
+# canonical window is kept) guarantees: every corpus-repeated L-gram
+# still occurs in the CLEANED corpus. Islands within a doc are
+# token-disjoint (break condition start > prev + L-1), so a kept
+# span's tokens survive contiguously. Assert it on random corpora
+# from a tiny vocabulary (dense with repeated windows).
+# ---------------------------------------------------------------------------
+
+_span_doc = st.lists(
+    st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=40
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_span_doc, min_size=1, max_size=5))
+def test_strip_dup_spans_keep_one_property(spark, docs):
+    from bolson_spark.functions.corpus import strip_dup_spans
+
+    L = 5
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in strip_dup_spans(df, length=L, return_text=True).collect()
+    }
+
+    def grams(toks):
+        return [
+            tuple(toks[i:i + L]) for i in range(max(len(toks) - L + 1, 0))
+        ]
+
+    from collections import Counter
+
+    corpus_counts = Counter(g for _, t in rows for g in grams(t.split(" ")))
+    repeated = {g for g, c in corpus_counts.items() if c >= 2}
+    cleaned_grams = set()
+    for i, _ in rows:
+        cleaned_grams.update(grams(out[i].cleaned_text.split(" ")))
+    missing = repeated - cleaned_grams
+    assert not missing, f"repeated grams deleted everywhere: {missing}"
+    # and the removal is real: token accounting matches the output
+    for i, t in rows:
+        toks = t.split(" ")
+        assert out[i].n_tokens == len(toks)
+        assert (
+            len(out[i].cleaned_text.split(" ")) if out[i].cleaned_text else 0
+        ) == len(toks) - out[i].n_removed
