@@ -49,6 +49,11 @@ PROBES = [
     # holds per-cell pair space flat, so wall should grow ~linearly
     # where the fixed-8-cell twin measured 42x at 100x.
     "dedup_embedding_ivf_scaled",
+    # round-9: the composed substring+near-dup flagship (window-stream
+    # linear term) and the full Gopher repetition family (7 gram
+    # streams, one count shuffle)
+    "training_corpus_spandedup",
+    "repetition_metrics",
 ]
 
 
