@@ -416,6 +416,98 @@ def unigram_lm_score(
     )
 
 
+def dsir_logratio(
+    docs: DataFrame, target: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw-corpus document by log p_target(x) / p_raw(x) under
+    add-one-smoothed unigram LMs — positive weight means the document
+    looks more like the TARGET distribution (the trusted reference
+    set DSIR resamples toward) than like the raw corpus. The published
+    method hashes n-gram features and Gumbel-resamples; this
+    re-expression keeps the importance-weight core (the part that
+    ranks documents) deterministic and cross-engine exact: per token
+    ``round(ln((ct+1)/(Nt+V)) - ln((cr+1)/(Nr+V)), 6)`` summed as
+    DECIMAL(28,6) (order-independent, the unigram_lm_score recipe),
+    where V is the RAW vocabulary size (the shared smoothing support).
+
+    Returns (doc_id, n_tokens, dsir_logweight, selected) — selected
+    is the zero-threshold decision (more target-like than raw);
+    callers wanting a fixed budget compose with the percentile gate
+    (quality_percentile_filter's shape). Docs with no tokens report
+    (0, 0.0, false).
+
+    Scale shape: two token aggregations (raw + target, both map-side
+    combined), ONE broadcast stats row, a vocab-sized ratio table
+    joined back to the token stream (AQE-broadcast while the
+    vocabulary is small), one doc_id aggregation. No UDFs, no
+    all-pairs anything; the target side is the small curated set by
+    construction."""
+    def _toks(df: DataFrame, *cols: str) -> DataFrame:
+        return df.select(
+            *cols,
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            ).alias("tok"),
+        )
+
+    raw_toks = _toks(docs, "doc_id")
+    raw = raw_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = _toks(target).groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    stats = raw.join(tgt, "tok", "left").agg(
+        F.sum("cr").alias("nr"),
+        F.sum(F.coalesce(F.col("ct"), F.lit(0))).alias("nt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    # per-token log ratio over the RAW vocabulary (target tokens
+    # outside it — impossible when target ⊆ docs — would be ignored,
+    # matching the shared-support smoothing definition)
+    lr = (
+        raw.join(tgt, "tok", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tok",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("nt") + F.col("v")).cast("double")
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("nr") + F.col("v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("lrat"),
+        )
+    )
+    scored = (
+        raw_toks.join(lr, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lrat").alias("w"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.round(
+            F.coalesce(F.col("w"), F.lit(0).cast("decimal(28,6)"))
+            .cast("double"),
+            6,
+        ).alias("dsir_logweight"),
+        (
+            F.coalesce(F.col("w"), F.lit(0).cast("decimal(28,6)"))
+            > F.lit(0)
+        ).alias("selected"),
+    )
+
+
 def hashed_linear_score(
     docs: DataFrame,
     text_col: str = "text",

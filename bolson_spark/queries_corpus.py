@@ -968,6 +968,56 @@ SELECT *, ({keep}) AS keep FROM fr
 """
 
 
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights against a trusted-source target: src0
+    plays the curated reference set (the Wikipedia/books role in Xie
+    et al. 2023), the whole corpus is the raw pool, and every document
+    gets log p_target/p_raw under add-one unigram LMs plus the
+    zero-threshold selection flag. See functions/quality.py::
+    dsir_logratio for the determinism recipe."""
+    from bolson_spark.functions.quality import dsir_logratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_logratio(docs, docs.where(F.col("source") == "src0"))
+
+
+O_DSIR_SELECTION = """
+WITH raw_toks AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS tok
+  FROM documents
+),
+raw AS (SELECT tok, COUNT(*) AS cr FROM raw_toks GROUP BY tok),
+tgt AS (
+  SELECT tok, COUNT(*) AS ct FROM (
+    SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+    FROM documents WHERE source = 'src0'
+  ) GROUP BY tok
+),
+stats AS (
+  SELECT SUM(cr) AS nr, SUM(COALESCE(ct, 0)) AS nt, COUNT(*) AS v
+  FROM raw LEFT JOIN tgt USING (tok)
+),
+lr AS (
+  SELECT tok,
+         CAST(ROUND(
+           ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+           - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)),
+         6) AS DECIMAL(28,6)) AS lrat
+  FROM raw LEFT JOIN tgt USING (tok) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(lrat) AS w
+  FROM raw_toks JOIN lr USING (tok) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       ROUND(CAST(COALESCE(s.w, 0) AS DOUBLE), 6) AS dsir_logweight,
+       COALESCE(s.w, 0) > 0 AS selected
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def q_quality_rule_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality-rule violation matrix: for each source, how
     many documents fail each Gopher rule — the triage table that tells
@@ -2143,6 +2193,9 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "conversion_funnel": QuerySpec(
         q_conversion_funnel, O_CONVERSION_FUNNEL, ("relational", "events")
+    ),
+    "dsir_selection": QuerySpec(
+        q_dsir_selection, O_DSIR_SELECTION, ("quality", "text")
     ),
     "repetition_metrics": QuerySpec(
         q_repetition_metrics, _repetition_metrics_sql(), ("quality", "text")

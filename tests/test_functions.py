@@ -3020,3 +3020,33 @@ def test_repetition_metrics_gopher_family(spark):
     r3 = got[3]
     assert (r3.n_chars, r3.top2_char_frac, r3.dup8_char_frac) == (0, 0.0, 0.0)
     assert r3.keep is True
+
+
+def test_dsir_logratio_hand_computed(spark):
+    """DSIR importance weights on a hand-computable fixture: target
+    loves 'good', raw pool is split — 'good'-docs must score positive,
+    'bad'-docs negative, token-less docs report (0, 0.0, false)."""
+    import math
+    from decimal import Decimal
+
+    from bolson_spark.functions.quality import dsir_logratio
+
+    docs = spark.createDataFrame(
+        [(1, "good good"), (2, "bad bad"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    target = docs.where("doc_id = 1")
+    got = {r.doc_id: r for r in dsir_logratio(docs, target).collect()}
+    # raw: good x2, bad x2 -> Nr=4, V=2; target: good x2 -> Nt=2
+    lr_good = round(math.log(3 / 4) - math.log(3 / 6), 6)
+    lr_bad = round(math.log(1 / 4) - math.log(3 / 6), 6)
+    assert got[1].n_tokens == 2
+    assert got[1].dsir_logweight == round(
+        float(Decimal(str(lr_good)) * 2), 6
+    )
+    assert got[1].selected is True
+    assert got[2].dsir_logweight == round(float(Decimal(str(lr_bad)) * 2), 6)
+    assert got[2].selected is False
+    assert (got[3].n_tokens, got[3].dsir_logweight, got[3].selected) == (
+        0, 0.0, False,
+    )

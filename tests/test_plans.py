@@ -338,6 +338,9 @@ SINGLE_PARTITION_OK = {
     "small_qty_revenue", "top_supplier",
     # lm_quality: two 1-row aggregates (corpus total, vocab floor)
     "lm_quality",
+    # dsir_selection: the (Nr, Nt, V) smoothing normalizers are one
+    # 1-row stats aggregate broadcast to the vocab ratio table
+    "dsir_selection",
     # token_budget_mix: 1-row totals aggregate over the per-source table
     "token_budget_mix",
     # bigram_nll: 1-row vocabulary-size aggregate (broadcast V)
