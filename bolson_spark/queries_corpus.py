@@ -1763,8 +1763,13 @@ def q_training_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     # same persisted stage boundary as training_corpus: the mixture
-    # reads survivors three ways (lineage-truncated, see s2)
-    s3 = s2.join(non_reps, "doc_id", "left_anti").localCheckpoint()
+    # reads survivors three ways. cache, not localCheckpoint, here:
+    # with s2's lineage already truncated the re-analysis upstream of
+    # s3 is shallow (measured equal, 9.0 vs 9.5 s warm), and keeping
+    # the plan intact leaves the near-dup stage inspectable
+    # (test_training_corpus_neardup_shuffle_budget asserts the
+    # rep-level set_fp partitioning + anti-join shapes)
+    s3 = s2.join(non_reps, "doc_id", "left_anti").cache()
     mixed = _tmix(s3, "lang", alpha=0.5, target_frac=0.5).select("doc_id")
     s4 = s3.join(mixed, "doc_id", "left_semi")
     packed = _pack(s4, budget=2048)
