@@ -56,6 +56,8 @@ HEADLINERS = {
     "dup_span_coverage": "substring dedup signal: stride-1 window counts, gaps-and-islands span merge",
     "strip_dup_spans": "keep-one span removal: canonical argmin join, narrow indexed-lambda reassembly",
     "training_corpus_spandedup": "composed substring + near-dup pipeline: span-strip feeds cleaned text to LSH dedup; lineage truncated at the cleaned-corpus boundary",
+    "repetition_metrics": "Gopher Table-A1 family: one 7-stream gram pass, map-side-combined count, bounded per-(doc,n) window, pivot",
+    "dsir_selection": "DSIR importance weights: two token aggs, broadcast stats row, vocab ratio join, one doc agg",
 }
 
 
