@@ -128,14 +128,23 @@ def main() -> None:
         F.sum(F.octet_length("props")).alias("nbytes"),
     ).collect()[0]
     n_jsons, json_bytes = sizes["n"], sizes["nbytes"]
+    # r9 VERDICT #1: the steady() micro-benches were min-of-3 but
+    # recorded only the min, so a box-level slowdown was
+    # indistinguishable from a code regression in the artifact. Record
+    # every run (BENCH_FULL micro_runs) and a per-key relative spread
+    # in the compact summary. The r9 drift itself is pinned in
+    # SCALING.md: alternating HEAD-vs-r8-tree probes on one box showed
+    # no code difference — the box runs ~15-25% slower than in r8.
+    micro_runs: dict[str, list[float]] = {}
+
     def steady(name: str) -> float:
-        fn, best = QUERIES[name].fn, float("nan")
+        fn, rs = QUERIES[name].fn, []
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            best = dt if best != best else min(best, dt)
-        return best
+            rs.append(round(time.perf_counter() - t0, 4))
+        micro_runs[name] = rs
+        return min(rs)
 
     # scale path (3-pass deterministic bucket seq) and the exact-window
     # parity twin; at toy SF the extra metadata passes cost fixed job
@@ -167,11 +176,24 @@ def main() -> None:
     # in BENCH_FULL.json.
     from bolson_spark.cli import stream_latency_bench
 
-    stream_clean = stream_latency_bench(
-        spark, num_jsons=300, num_batches=10
+    # min-of-2 with the p50 spread recorded (r9 VERDICT #1): the
+    # stream routes run LAST, after ~200 registry queries, and a
+    # single shot there measured 1848 ms p50 vs 957 ms in a fresh
+    # session — late-session JVM state, not the stream path. Keeping
+    # the better-of-two (by end-to-end p50) plus the spread lets a
+    # reader tell that state from a real latency regression.
+    def stream_best(**kw) -> tuple[dict, float]:
+        a = stream_latency_bench(spark, **kw)
+        b = stream_latency_bench(spark, **kw)
+        pa = a["latency"]["end_to_end"]["p50_ms"]
+        pb = b["latency"]["end_to_end"]["p50_ms"]
+        return (a if pa <= pb else b), round(abs(pa - pb), 3)
+
+    stream_clean, clean_p50_spread = stream_best(
+        num_jsons=300, num_batches=10
     )
-    stream_quar = stream_latency_bench(
-        spark, num_jsons=300, num_batches=10, bad_frac=0.1
+    stream_quar, quar_p50_spread = stream_best(
+        num_jsons=300, num_batches=10, bad_frac=0.1
     )
 
     # "value" sums ONLY the queries timed at SF_DIR: twin-sf timings in
@@ -222,18 +244,28 @@ def main() -> None:
         "trip_steady_sec": round(trip_steady_sec, 4),
         "stream_clean_p50": stream_clean["latency"]["end_to_end"]["p50_ms"],
         "stream_clean_p99": stream_clean["latency"]["end_to_end"]["p99_ms"],
+        "stream_clean_p50_spread": clean_p50_spread,
         "stream_quarantine_p50": stream_quar["latency"]["end_to_end"][
             "p50_ms"
         ],
         "stream_quarantine_p99": stream_quar["latency"]["end_to_end"][
             "p99_ms"
         ],
+        "stream_quarantine_p50_spread": quar_p50_spread,
+        # relative run spread of each steady() micro-bench (max-min
+        # over min): >0.2 here means the box, not the code, moved
+        "micro_spread_rel": {
+            n: round((max(rs) - min(rs)) / min(rs), 3)
+            for n, rs in micro_runs.items()
+            if min(rs) > 0
+        },
         "num_queries": len(timings),
     }
     full = {
         **summary,
         "stream_clean": stream_clean,
         "stream_quarantine": stream_quar,
+        "micro_runs": micro_runs,
         "queries": timings,
         "queries_spread": spread,
         "queries_runs": {n: rs for n, rs in runs.items() if len(rs) > 1},

@@ -633,20 +633,20 @@ def cmd_bench_stream(args) -> int:
     from bolson_spark.session import get_spark
 
     spark = get_spark("bolson-bench-stream")
-    print(
-        json.dumps(
-            stream_latency_bench(
-                spark,
-                schema_name=args.schema,
-                num_jsons=args.num_jsons,
-                num_batches=args.num_batches,
-                seed=args.seed,
-                max_rows=args.max_rows,
-                bad_frac=getattr(args, "bad_frac", 0.0) or 0.0,
-                parser=getattr(args, "parser", "catalyst"),
-            )
+    try:
+        report = stream_latency_bench(
+            spark,
+            schema_name=args.schema,
+            num_jsons=args.num_jsons,
+            num_batches=args.num_batches,
+            seed=args.seed,
+            max_rows=args.max_rows,
+            bad_frac=getattr(args, "bad_frac", 0.0) or 0.0,
+            parser=getattr(args, "parser", "catalyst"),
         )
-    )
+    except ValueError as e:  # bad CLI argument -> exit code, not trace
+        raise SystemExit(str(e))
+    print(json.dumps(report))
     return 0
 
 
@@ -683,8 +683,12 @@ def stream_latency_bench(
     from bolson_spark.streaming.sink import IpcFileSink
 
     docs = _gen_jsons(schema_name, num_jsons, seed)
+    # library function: surface bad arguments as ValueError — the CLI
+    # front door (cmd_bench_stream) translates to SystemExit; a
+    # programmatic caller (bench.py) must not have its process exited
+    # by an argument typo (r9 ADVICE)
     if not 0.0 <= bad_frac < 1.0:
-        raise SystemExit(f"--bad-frac must be in [0, 1), got {bad_frac}")
+        raise ValueError(f"bad_frac must be in [0, 1), got {bad_frac}")
     n_bad = 0
     if bad_frac:
         # corrupt an evenly-spaced deterministic subset: chop the
