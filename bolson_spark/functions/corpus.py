@@ -407,9 +407,10 @@ def strip_dup_spans(
     lexicographic minimum of ``(doc_id, start)``, computed as a
     struct MIN so it is exact at ANY doc_id/position magnitude (the
     r8 arithmetic packing ``doc_id * 2^20 + start`` silently wrapped
-    past 1M-token documents; the SQL oracle keeps the packed form,
-    which selects the identical occurrence while positions < 2^20 —
-    the testdata regime — and the >2^20 case is pinned by
+    past 1M-token documents; the SQL oracle uses the same
+    lexicographic rule via DuckDB ``MIN(ROW(doc_id, start))`` — r9
+    ADVICE #2 — so the cross-engine differential covers the >2^20
+    regime too, alongside the unit pin in
     test_strip_dup_spans_beyond_packing_bound). A span DELETES iff
     it contains no canonical window occurrence. Since each hash's
     canonical occurrence lives inside exactly one span, that span

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Filter thresholds (Gopher-flavored, corpus-adapted).
 MIN_WORDS = 20
@@ -505,6 +506,108 @@ def dsir_logratio(
             F.coalesce(F.col("w"), F.lit(0).cast("decimal(28,6)"))
             > F.lit(0)
         ).alias("selected"),
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    budget_frac: float = 0.25,
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Budgeted DSIR importance RESAMPLING — the step the published
+    pipeline ends in (Xie et al. 2023 §3; r9 VERDICT #2):
+    :func:`dsir_logratio` scores the pool, then documents are sampled
+    WITHOUT replacement with probability proportional to their
+    importance weight until a token budget is spent. Sampling uses
+    the Gumbel-top-k trick (sorting by ``logweight + Gumbel(0,1)`` is
+    exactly weighted sampling without replacement); the Gumbel noise
+    is derived from an md5 draw — ``g = -ln(-ln(u))``,
+    ``u = (md5_draw(doc_id) + 0.5) / 2^60`` — so the selected set is
+    identical on any engine or cluster size, the same determinism
+    contract as weighted_sample/temperature_mix. The budget is
+    ``floor(budget_frac * total pool tokens)``, spent greedily in key
+    order: a document is kept iff the tokens BEFORE it (key desc,
+    doc_id tiebreak) haven't exhausted the budget — so the budget may
+    be overshot by at most one document, never undershot while
+    candidates remain (the token_budget_mix greedy-fill rule).
+
+    Scale shape — the global "cumulative tokens before me" is NOT a
+    single-reducer window: the add_seq_scalable 3-pass pattern applied
+    to a running SUM. (1) one aggregation over the keyed pool gives
+    min/max key + total tokens (driver scalars); (2) equal-width
+    DESCENDING key buckets from those frozen literals, exact
+    per-bucket token sums -> exclusive prefix offsets on the driver
+    (O(n_buckets)); (3) the windowed cumsum runs PARTITIONED BY
+    bucket (parallel across buckets) and adds the bucket offset.
+    Equal keys share a bucket by construction, so bucket order is
+    globally consistent with (key desc, doc_id). The keyed pool is
+    cached once and read by all three passes. Determinism caveat
+    (shared with weighted_sample's pow): ln is transcendental, so a
+    key pair straddling the round-to-6 boundary by < 1 ulp could in
+    principle differ across engines; keys are rounded to 6 and the
+    token cumsum is exact BIGINT arithmetic, so the differential gate
+    compares integers everywhere past the key.
+
+    Returns KEPT documents only:
+    (doc_id, n_tokens, dsir_logweight, resample_key), resample_key
+    descending-significant. Empty pool -> empty result."""
+    from bolson_spark.functions.sketch import HASH_SPACE, md5_draw
+
+    scored = dsir_logratio(docs, target, text_col=text_col)
+    u = (md5_draw(F.col("doc_id"), "dsir").cast("double") + F.lit(0.5)) / F.lit(
+        HASH_SPACE
+    )
+    key = F.round(
+        F.col("dsir_logweight") + (-F.log(-F.log(u))), 6
+    ).alias("resample_key")
+    keyed = scored.select(
+        "doc_id", "n_tokens", "dsir_logweight", key
+    ).cache()
+    stats = keyed.agg(
+        F.min("resample_key").alias("lo"),
+        F.max("resample_key").alias("hi"),
+        F.sum("n_tokens").alias("total"),
+    ).first()
+    if stats["total"] is None:
+        return keyed  # empty pool: empty keyed result, correct schema
+    lo, hi, total = float(stats["lo"]), float(stats["hi"]), int(stats["total"])
+    budget = int(budget_frac * total)
+    width = (hi - lo) / n_buckets
+    if width <= 0.0:
+        bucket = F.lit(0)  # all keys equal: one bucket, still correct
+    else:
+        # DESC buckets: bucket 0 holds the HIGHEST keys. floor() of
+        # the same literal expression on every pass -> all passes
+        # agree by construction (the add_seq_scalable argument).
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.lit(hi) - F.col("resample_key")) / F.lit(width)),
+        ).cast("int")
+    b = keyed.withColumn("_bkt", bucket)
+    sums = {
+        int(r["_bkt"]): int(r["s"])
+        for r in b.groupBy("_bkt").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for i in range(n_buckets):
+        offsets[i] = acc
+        acc += sums.get(i, 0)
+    off_expr = F.element_at(
+        F.array(*[F.lit(offsets[i]).cast("bigint") for i in range(n_buckets)]),
+        F.col("_bkt") + 1,
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.desc("resample_key"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = off_expr + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        b.withColumn("_cum_before", cum_before)
+        .where(F.col("_cum_before") < budget)
+        .select("doc_id", "n_tokens", "dsir_logweight", "resample_key")
     )
 
 

@@ -1026,6 +1026,7 @@ def ivf_probe_saved(
     to the query (tiny table, driver-side), then scan ONLY the best
     `n_probe` cell partitions (partition-pruned) and TakeOrdered(k).
     `n_probe` is the recall/latency knob of every IVF deployment."""
+    _recover_generation(path)
     q = _query_vector_lit(query_vec)
     cents = spark.read.parquet(f"{path}/centroids")
     best = [
@@ -1072,6 +1073,7 @@ def ivf_probe_saved_batch(
     in-memory twin so the two cannot drift). Q queries = one pruned
     scan, not Q. Returns (query_id, rank, vec_id, cosine); an empty
     query batch returns an empty result, not an error."""
+    _recover_generation(path)
     cents = spark.read.parquet(f"{path}/centroids")
     qn = _queries_with_norm(queries, query_id, query_vec)
     best = _rank_cells_per_query(qn, cents, n_probe, query_id, query_vec)
@@ -1150,6 +1152,7 @@ def ivf_index_stats(spark, path: str) -> dict:
     delta row counts and the delta fraction, from ONE metadata-cheap
     aggregation over the cells' partition columns (the scan reads no
     vector data — `delta` and `cluster` are directory keys)."""
+    _recover_generation(path)
     cells = spark.read.parquet(f"{path}/cells")
     agg = cells.agg(
         F.count(F.lit(1)).alias("total"),
@@ -1275,8 +1278,12 @@ def _swap_generations(path: str, tmp: str) -> None:
     reading); swap = two LOCAL-filesystem renames (os.rename does NOT
     speak hdfs:// or s3a:// — distributed deployments keep the
     write-new-generation step and replace this with their pointer
-    flip). A crash BETWEEN the renames restores the old generation
-    from `<path>__old`, deleted only after the new one is in place."""
+    flip). An EXCEPTION between the renames is rolled back here; a
+    process CRASH between them (path absent, `<path>__old` present)
+    is recovered by :func:`_recover_generation`, which every saved-
+    index front door (probe/stats/ensure, both flavors) runs before
+    reading — `<path>__old` is deleted only after the new generation
+    is in place, so one of the two is always a complete index."""
     import os
     import shutil
 
@@ -1289,6 +1296,24 @@ def _swap_generations(path: str, tmp: str) -> None:
         os.rename(old, path)  # restore the prior generation
         raise
     shutil.rmtree(old)
+
+
+def _recover_generation(path: str) -> bool:
+    """Crash recovery for :func:`_swap_generations` (r9 ADVICE): a
+    process kill between the two renames leaves `path` absent and the
+    prior generation parked at `<path>__old`. Restore it by renaming
+    back; returns True when a recovery ran. Called by every saved-
+    index read front door so the window needs no manual intervention.
+    Local-filesystem only, like the swap itself — distributed
+    deployments replace the rename pair with a pointer flip, which
+    has no such window."""
+    import os
+
+    old = f"{path}__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
 
 
 def maybe_rebuild_ivf(
@@ -1545,14 +1570,53 @@ def save_ivf_pq_index(
     df.sparkSession.createDataFrame(
         rows, "j int, code int, centroid array<double>"
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    import json
+
     with open(marker, "w") as f:
-        f.write('{"layout": %d}' % _IVF_PQ_LAYOUT_VERSION)
+        json.dump(
+            {
+                "layout": _IVF_PQ_LAYOUT_VERSION,
+                "fingerprint": _ivf_pq_fingerprint(centroids, codebooks),
+            },
+            f,
+        )
 
 
 # Bump when the on-disk codes/centroids/codebooks contract changes —
 # ensure_ivf_pq_index treats an older-layout artifact as absent.
 _IVF_PQ_LAYOUT_VERSION = 2  # v2: codes carry the delta partition level
 _IVF_PQ_MARKER = "_BOLSON_INDEX_COMPLETE"
+
+
+def _ivf_pq_fingerprint(
+    centroids: DataFrame, codebooks: list[list[list[float]]]
+) -> str:
+    """Input fingerprint embedded in the completion marker (r9
+    ADVICE #4): md5 over the exact quantizer artifacts — the codebooks
+    (m x k x d_sub floats, already driver-side) and the collected
+    centroid table (model-sized, id-sorted, the same class of driver
+    materialization as the codebooks themselves).
+    :func:`ensure_ivf_pq_index` treats a marker whose fingerprint
+    mismatches the caller's inputs as ABSENT, so reusing a scratch
+    path with changed quantizers rebuilds instead of silently serving
+    a stale index. The CORPUS df is deliberately NOT fingerprinted
+    (hashing 100 TB to decide a cache hit defeats the cache) — corpus
+    identity stays the caller's path-keying contract, now enforced for
+    the quantizer half where staleness silently corrupts results."""
+    import hashlib
+    import json
+
+    cents = sorted(
+        (r[0], [float(v) for v in r[1]])
+        for r in centroids.select("centroid_id", "centroid").collect()
+    )
+    payload = json.dumps(
+        [
+            cents,
+            [[[float(v) for v in c] for c in book] for book in codebooks],
+        ]
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
 
 
 def _write_codes(
@@ -1599,20 +1663,28 @@ def ensure_ivf_pq_index(
     rebuilt, never served. Callers that share one scratch path (the
     two saved-PQ registry queries build the identical artifact from
     static inputs) pay for ONE build per session instead of one per
-    query. Returns True when a build ran. The inputs are assumed
-    stable for a given path — that is the scratch contract (the path
-    is keyed by sf_dir, and the testdata is static); a caller with
-    mutable inputs must key the path by an input fingerprint or call
-    save_ivf_pq_index directly."""
+    query. Returns True when a build ran. The marker carries an md5
+    fingerprint of the QUANTIZER inputs (centroids + codebooks, see
+    :func:`_ivf_pq_fingerprint`): a path reused with changed
+    quantizers is treated as absent and rebuilt, never silently
+    served stale. The corpus `df` is assumed stable for a given path
+    — that is the scratch contract (the path is keyed by sf_dir, and
+    the testdata is static); a caller with a mutable corpus must key
+    the path by a corpus fingerprint or call save_ivf_pq_index
+    directly."""
     import json
     import os
 
+    _recover_generation(path)
     marker = os.path.join(path, _IVF_PQ_MARKER)
     if os.path.exists(marker):
         try:
             with open(marker) as f:
-                if json.load(f).get("layout") == _IVF_PQ_LAYOUT_VERSION:
-                    return False
+                meta = json.load(f)
+            if meta.get("layout") == _IVF_PQ_LAYOUT_VERSION and meta.get(
+                "fingerprint"
+            ) == _ivf_pq_fingerprint(centroids, codebooks):
+                return False
         except (OSError, ValueError):
             pass  # unreadable marker == absent
     save_ivf_pq_index(
@@ -1653,6 +1725,7 @@ def ivf_pq_probe_saved(
     broadcast-LUT ADC scan (pq_adc_knn — shared with the in-memory
     twin so the distance/tiebreak rules cannot drift). Returns
     (id_col, adc_dist) ascending."""
+    _recover_generation(path)
     q = _query_vector_lit(query_vec)
     cents = spark.read.parquet(f"{path}/centroids")
     best = [
@@ -1701,6 +1774,7 @@ def ivf_pq_probe_saved_batch(
     (row, query) pair with zero extra joins. Per-query windowed top-k
     by (adc asc, id asc). Returns (query_id, rank, vec_id, adc_dist);
     an empty query batch returns an empty result, not an error."""
+    _recover_generation(path)
     cents = spark.read.parquet(f"{path}/centroids")
     books = load_pq_codebooks(spark, path)
     m = len(books)
@@ -1802,6 +1876,7 @@ def ivf_pq_index_stats(spark, path: str) -> dict:
     metadata-cheap shape as :func:`ivf_index_stats`: `delta` and
     `cluster` are directory keys, so the aggregation reads no code
     data."""
+    _recover_generation(path)
     codes = spark.read.parquet(f"{path}/codes")
     agg = codes.agg(
         F.count(F.lit(1)).alias("total"),
@@ -1867,11 +1942,94 @@ def rebuild_ivf_pq_index(
     _swap_generations(path, tmp)
 
 
+def knn_bruteforce_l2(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by SQUARED L2 to `query_vec` (ascending),
+    deterministic tiebreak on id — the full-precision ground truth in
+    the metric the ADC scan approximates (:func:`pq_adc_knn` sums
+    subspace squared distances, i.e. squared L2 over the coded
+    vector). The cosine sibling is :func:`knn_bruteforce`; PQ recall
+    must be measured in the PQ metric or codebook drift and metric
+    mismatch would be conflated. Strict left-to-right float64 fold,
+    whole-stage codegen, TakeOrdered top-k."""
+    q = _query_vector_lit(query_vec)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            q,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = df.select(F.col(id_col), F.round(d2, 6).alias("l2sq"))
+    return scored.orderBy(F.asc("l2sq"), F.asc(id_col)).limit(k)
+
+
+def measure_pq_probe_recall(
+    spark,
+    path: str,
+    src_df: DataFrame,
+    k: int = 10,
+    n_probe: int = 1,
+    n_queries: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> float:
+    """Measured recall@k of the saved IVF-PQ index's ADC probe
+    against exact squared-L2 brute force over the FULL-PRECISION
+    corpus (`src_df` — the authoritative store a PQ deployment keeps
+    beside the lossy serving artifact; the index itself cannot supply
+    ground truth, its codes ARE the approximation being measured).
+    Averaged over the n_queries lowest-id corpus vectors
+    (deterministic sample, same protocol as
+    :func:`measure_probe_recall`). This is THE drift signal PQ needs:
+    appended vectors are encoded by codebooks that never saw them at
+    train time, so code error — and with it probe recall — decays as
+    the corpus drifts even while every cell stays well-populated.
+    Bounded: n_queries full scans of src_df + n_queries pruned probes.
+    Denominator is achievable hits (|exact| = min(k, corpus size)),
+    so an index smaller than k can still reach recall 1.0."""
+    _recover_generation(path)
+    qs = [
+        [float(x) for x in r[vec_col]]
+        for r in src_df.orderBy(id_col).limit(n_queries).collect()
+    ]
+    if not qs:
+        return 1.0
+    hits = denom = 0
+    for qv in qs:
+        exact = {
+            r[id_col]
+            for r in knn_bruteforce_l2(
+                src_df, qv, k=k, vec_col=vec_col, id_col=id_col
+            ).collect()
+        }
+        got = {
+            r[id_col]
+            for r in ivf_pq_probe_saved(
+                spark, path, qv, k=k, n_probe=n_probe, id_col=id_col
+            ).collect()
+        }
+        hits += len(exact & got)
+        denom += len(exact)
+    return hits / denom if denom else 1.0
+
+
 def maybe_rebuild_ivf_pq(
     spark,
     path: str,
     src_df: DataFrame,
     delta_fraction_threshold: float = DELTA_REBUILD_FRACTION,
+    recall_floor: float | None = None,
+    recall_k: int = 10,
+    n_probe: int = 1,
+    n_queries: int = 8,
     execute: bool = False,
     rebuild_n_cells: int | None = None,
     rebuild_target_cell: int = 512,
@@ -1882,23 +2040,45 @@ def maybe_rebuild_ivf_pq(
     id_col: str = "vec_id",
 ) -> dict:
     """Lifecycle POLICY for the saved IVF-PQ index — the codes-layout
-    sibling of :func:`maybe_rebuild_ivf`: appends freeze BOTH
-    quantizers, so the delta fraction (rows encoded by codebooks that
-    never saw them at train time) is the drift signal; rebuild fires
-    past `delta_fraction_threshold` (rationale at
-    DELTA_REBUILD_FRACTION). Returns the decision record; with
-    execute=True a fired decision runs :func:`rebuild_ivf_pq_index`
-    against `src_df`."""
+    sibling of :func:`maybe_rebuild_ivf`, with BOTH of its drift legs
+    (r9 VERDICT #3): appends freeze BOTH quantizers, so two signals
+    accumulate — the DELTA FRACTION (rows encoded by codebooks that
+    never saw them at train time; fires past
+    `delta_fraction_threshold`, rationale at DELTA_REBUILD_FRACTION)
+    and, with `recall_floor` set, MEASURED ADC-probe recall against
+    exact L2 over the full-precision corpus
+    (:func:`measure_pq_probe_recall`). The recall leg matters MORE
+    here than on the float sibling: PQ codes are lossy, so a drifted
+    delta degrades answer quality even when the delta fraction is
+    still small — the recall probe catches what the row-count ratio
+    cannot. Returns the decision record; with execute=True a fired
+    decision runs :func:`rebuild_ivf_pq_index` against `src_df`
+    (retraining both quantizers on the grown corpus restores code
+    fidelity; after it the delta fraction is 0)."""
     stats = ivf_pq_index_stats(spark, path)
-    fired = stats["delta_fraction"] > delta_fraction_threshold
+    reasons = []
+    if stats["delta_fraction"] > delta_fraction_threshold:
+        reasons.append("delta_fraction")
+    recall = None
+    if recall_floor is not None:
+        # recall_k, not k: `k` is the PQ codebook size here (the
+        # rebuild_ivf_pq_index contract), unlike the float sibling
+        recall = measure_pq_probe_recall(
+            spark, path, src_df, k=recall_k, n_probe=n_probe,
+            n_queries=n_queries, vec_col=vec_col, id_col=id_col,
+        )
+        if recall < recall_floor:
+            reasons.append("recall_drift")
     decision = {
         **stats,
         "threshold": delta_fraction_threshold,
-        "rebuild": fired,
-        "reasons": ["delta_fraction"] if fired else [],
+        "recall": recall,
+        "recall_floor": recall_floor,
+        "rebuild": bool(reasons),
+        "reasons": reasons,
         "executed": False,
     }
-    if fired and execute:
+    if decision["rebuild"] and execute:
         rebuild_ivf_pq_index(
             spark, path, src_df, n_cells=rebuild_n_cells,
             target_cell=rebuild_target_cell, m=m, k=k,

@@ -2888,6 +2888,164 @@ def test_ivf_pq_lifecycle_policy(spark, tmp_path):
     assert [r.vec_id for r in top][0] == 0  # self is its own nearest
 
 
+def test_swap_generation_crash_recovery(spark, tmp_path):
+    """A process kill between _swap_generations' two renames leaves
+    the index path absent and the prior generation parked at
+    `<path>__old`. Every saved-index front door must recover it
+    (r9 ADVICE #1) — no manual intervention: the probe answers, the
+    path is back, and the parked copy is consumed."""
+    import os
+
+    from bolson_spark.functions.similarity import (
+        ivf_pq_index_stats,
+        ivf_pq_probe_saved,
+        pq_train,
+        save_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") < 40)
+    centroids = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    books = pq_train(corpus, m=8, k=16, iters=0)
+    path = str(tmp_path / "ivfpq_crash")
+    save_ivf_pq_index(corpus, centroids, books, path)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    want = [
+        (r.vec_id, r.adc_dist)
+        for r in ivf_pq_probe_saved(spark, path, qv, k=5, n_probe=2).collect()
+    ]
+
+    # simulate the crash window: first rename done, second never ran
+    os.rename(path, f"{path}__old")
+    assert not os.path.exists(path)
+
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in ivf_pq_probe_saved(spark, path, qv, k=5, n_probe=2).collect()
+    ]
+    assert got == want  # recovered generation serves identical answers
+    assert os.path.exists(path) and not os.path.exists(f"{path}__old")
+
+    # stats front door recovers too
+    os.rename(path, f"{path}__old")
+    assert ivf_pq_index_stats(spark, path)["total_rows"] == 40
+    assert os.path.exists(path) and not os.path.exists(f"{path}__old")
+
+
+def test_ensure_ivf_pq_index_fingerprint(spark, tmp_path):
+    """The completion marker fingerprints the quantizer inputs
+    (r9 ADVICE #4): reusing a scratch path with CHANGED codebooks or
+    centroids is treated as absent (rebuilt), never served stale;
+    unchanged inputs still reuse."""
+    from bolson_spark.functions.similarity import (
+        ensure_ivf_pq_index,
+        ivf_pq_probe_saved,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") < 40)
+    cents_a = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    cents_b = emb.where((F.col("vec_id") >= 4) & (F.col("vec_id") < 8)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    books_a = pq_train(corpus, m=8, k=16, iters=0)
+    books_b = pq_train(corpus, m=8, k=16, iters=1)
+    path = str(tmp_path / "ivfpq_fp")
+
+    assert ensure_ivf_pq_index(corpus, cents_a, books_a, path) is True
+    assert ensure_ivf_pq_index(corpus, cents_a, books_a, path) is False
+    # changed codebooks -> stale marker -> rebuild
+    assert ensure_ivf_pq_index(corpus, cents_a, books_b, path) is True
+    assert ensure_ivf_pq_index(corpus, cents_a, books_b, path) is False
+    # changed centroids -> stale marker -> rebuild
+    assert ensure_ivf_pq_index(corpus, cents_b, books_b, path) is True
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    assert ivf_pq_probe_saved(spark, path, qv, k=3).count() == 3
+
+
+def test_ivf_pq_recall_drift_triggers_rebuild(spark, tmp_path):
+    """The recall leg of maybe_rebuild_ivf_pq (r9 VERDICT #3): a
+    SHIFTED delta (out of the trained codebooks' range) degrades
+    measured ADC recall while the delta FRACTION stays under the
+    rebuild threshold — the row-count policy holds, the recall policy
+    fires. execute=True retrains both quantizers from the grown
+    corpus; afterwards recall recovers and the estimate is bit-stable
+    across the swap (measured twice, identical)."""
+    from bolson_spark.functions.similarity import (
+        ivf_pq_append_index,
+        ivf_pq_index_stats,
+        maybe_rebuild_ivf_pq,
+        measure_pq_probe_recall,
+        pq_train,
+        save_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 64).select("vec_id", "embedding")
+    # 20 near-constant vectors far outside the codebook training
+    # range, with the LOWEST ids so the deterministic query sample
+    # draws them. Their true mutual ordering lives in a fine offset
+    # (0.05 steps) the base-trained codebooks cannot represent — they
+    # (near-)collapse to the same codes, ADC falls back to the id
+    # tiebreak, and the id order is a PERMUTATION of the offset order
+    # (perm(i) = 7i mod 20), so ADC's pick disagrees with exact L2:
+    # the classic lossy-code recall decay a uniform shift (which
+    # preserves ranking) cannot produce.
+    delta = spark.createDataFrame(
+        [
+            (i - 1000, [float(50.0 + ((7 * i) % 20) * 0.05)] * 64)
+            for i in range(20)
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    grown = base.unionByName(delta)
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    books = pq_train(base, m=8, k=16, iters=0)
+    path = str(tmp_path / "ivfpq_recall")
+    save_ivf_pq_index(base, centroids, books, path)
+    ivf_pq_append_index(spark, path, delta, "shifted")
+
+    # 20/84 < 0.25: the delta-fraction leg alone holds
+    held = maybe_rebuild_ivf_pq(spark, path, grown)
+    assert held["rebuild"] is False
+    assert held["delta_fraction"] == round(20 / 84, 15) or (
+        abs(held["delta_fraction"] - 20 / 84) < 1e-12
+    )
+
+    r1 = measure_pq_probe_recall(spark, path, grown, k=10, n_probe=2)
+    r2 = measure_pq_probe_recall(spark, path, grown, k=10, n_probe=2)
+    assert r1 == r2  # deterministic estimate
+    assert r1 < 0.95  # the shifted delta visibly degrades ADC recall
+
+    fired = maybe_rebuild_ivf_pq(
+        spark, path, grown, recall_floor=0.95, recall_k=10, n_probe=2,
+        execute=True, rebuild_n_cells=8, m=8, k=16,
+    )
+    assert fired["rebuild"] is True and fired["executed"] is True
+    assert fired["reasons"] == ["recall_drift"]
+    assert fired["recall"] == r1  # same deterministic estimate
+
+    after = ivf_pq_index_stats(spark, path)
+    assert after["delta_fraction"] == 0.0 and after["total_rows"] == 84
+    # retrained quantizers (seeded from the lowest ids — now the
+    # shifted cluster) represent the delta: recall recovers
+    ra = measure_pq_probe_recall(spark, path, grown, k=10, n_probe=2)
+    rb = measure_pq_probe_recall(spark, path, grown, k=10, n_probe=2)
+    assert ra == rb  # bit-stable across the generation swap
+    assert ra > r1
+
+
 def test_apply_whitening_diagonal_routes_match(spark):
     """The diagonal fast path (JVM transform, no Python workers) must
     be BIT-identical to the general Arrow matvec route — same two
@@ -3050,3 +3208,45 @@ def test_dsir_logratio_hand_computed(spark):
     assert (got[3].n_tokens, got[3].dsir_logweight, got[3].selected) == (
         0, 0.0, False,
     )
+
+
+def test_dsir_resample_bucketed_cumsum_invariants(spark):
+    """The bucketed 3-pass budget cumsum (r9 VERDICT #2) must equal
+    the exact greedy fill: taking the full keyed pool (budget_frac
+    large enough to keep everything) and replaying the greedy rule in
+    Python over the MATERIALIZED keys yields the same set the
+    bucketed path selects — so bucket boundaries affect balance,
+    never membership. Also pinned: bucket-count invariance (1 bucket
+    == 32 buckets) and determinism across calls."""
+    from bolson_spark.functions.quality import dsir_resample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.where(F.col("source") == "src0")
+
+    # budget_frac=2.0 -> budget > total -> every doc survives the
+    # fill: this exposes the FULL keyed pool with its resample keys
+    pool = dsir_resample(docs, target, budget_frac=2.0).collect()
+    assert len(pool) == docs.count()
+    total = sum(r.n_tokens for r in pool)
+    budget = int(0.25 * total)
+    expected, cum = set(), 0
+    for r in sorted(pool, key=lambda r: (-r.resample_key, r.doc_id)):
+        if cum < budget:
+            expected.add(r.doc_id)
+        cum += r.n_tokens
+
+    kept = {r.doc_id for r in dsir_resample(docs, target, 0.25).collect()}
+    assert kept == expected
+    # the budget is spent, never undershot while candidates remain;
+    # overshoot is bounded by the last-kept document
+    kept_tokens = sum(r.n_tokens for r in pool if r.doc_id in kept)
+    assert kept_tokens >= budget
+    # bucket-count invariance + determinism
+    kept_1b = {
+        r.doc_id
+        for r in dsir_resample(docs, target, 0.25, n_buckets=1).collect()
+    }
+    assert kept_1b == kept
+    assert {
+        r.doc_id for r in dsir_resample(docs, target, 0.25).collect()
+    } == kept

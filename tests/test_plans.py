@@ -234,6 +234,26 @@ def test_pack_sequences_window_is_partitioned(spark):
     assert "hashpartitioning(source" in plan
 
 
+def test_dsir_resample_no_global_window(spark):
+    """The DSIR budget cumsum must run PARTITIONED BY the key bucket
+    (the add_seq_scalable 3-pass shape) — a global ORDER BY window
+    would funnel the whole pool through one reducer. The only
+    SinglePartition exchanges allowed in the plan are the inherited
+    1-row dsir_logratio stats aggregates (exactly the set the
+    standalone weight query dsir_selection carries)."""
+    plan = formatted_plan(QUERIES["dsir_resample"].fn(spark, SF))
+    assert "hashpartitioning(_bkt" in plan
+    # every SinglePartition in the plan must be the 1-row (Nr, Nt, V)
+    # stats exchange — identified by the partial_sum(cr) fold feeding
+    # it. (The cached keyed pool prints the stats exchange twice:
+    # once in the AQE initial plan, once in the final plan.)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "SinglePartition" in ln:
+            ctx = "\n".join(lines[max(0, i - 8):i])
+            assert "partial_sum(cr" in ctx, f"unexpected:\n{ctx}\n{ln}"
+
+
 def test_dup_ngram_fraction_degrades_to_equi_shuffle_join(spark):
     """The gram document-frequency index is unbounded at scale. At toy
     SF Catalyst rightly broadcasts it (size-based); with broadcasts
@@ -341,6 +361,11 @@ SINGLE_PARTITION_OK = {
     # dsir_selection: the (Nr, Nt, V) smoothing normalizers are one
     # 1-row stats aggregate broadcast to the vocab ratio table
     "dsir_selection",
+    # dsir_resample / training_corpus_dsir: the same inherited 1-row
+    # stats aggregate; the budget cumsum itself is bucket-partitioned
+    # (3-pass scalable shape — pinned by
+    # test_dsir_resample_no_global_window below), never a global window
+    "dsir_resample", "training_corpus_dsir",
     # token_budget_mix: 1-row totals aggregate over the per-source table
     "token_budget_mix",
     # bigram_nll: 1-row vocabulary-size aggregate (broadcast V)
