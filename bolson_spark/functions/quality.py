@@ -154,7 +154,9 @@ TOP_NGRAM_CHAR_FRAC_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
 DUP_NGRAM_CHAR_FRAC_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12}
 
 
-def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", gram_shuffle: str = "string"
+) -> DataFrame:
     """The FULL Gopher repetition-signal family (Rae et al. 2021,
     Table A1) in its published CHARACTER-fraction form — complementing
     the registry's existing repetition slots (quality_metrics: top-
@@ -188,9 +190,32 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     everything pivots back with conditional aggregation — two
     shuffles total, both keyed by doc_id(+gram). Fractions are a
     single integer division rounded to 6, the documented cross-engine
-    float recipe."""
+    float recipe.
+
+    ``gram_shuffle`` picks the physical shape of the count shuffle
+    (r9 VERDICT #4 — identical results, measured against each other
+    in SCALING.md):
+
+    - ``"string"`` (default): the (doc, n, gram) rows carry the gram
+      STRING — chars(gram) and the gram-ASC tie-break come for free,
+      one gram pass total.
+    - ``"hash"``: the shuffle carries ``(xxhash64(gram),
+      length(gram))`` — fixed-width rows, ~n*word_len fewer shuffle
+      bytes per gram. The dup side needs only (count, length); the
+      top side's gram-ASC tie-break is resolved by a REDERIVE pass
+      that re-shuffles each document's TEXT once (1x corpus bytes —
+      far below the ~7-stream gram-string bytes it avoids) and
+      re-generates only the top-n gram streams doc-locally, keeping
+      every tied candidate via rank()=1 and taking the lexicographic
+      min inside one codegen expression. A 64-bit in-doc hash
+      collision would merge two grams' counts — the same negligible-
+      collision contract as every md5/xxhash draw in this repo."""
     from bolson_spark.functions.text import bind_array
 
+    if gram_shuffle not in ("string", "hash"):
+        raise ValueError(
+            f"gram_shuffle must be 'string' or 'hash', got {gram_shuffle!r}"
+        )
     ns = sorted(TOP_NGRAM_CHAR_FRAC_MAX) + sorted(DUP_NGRAM_CHAR_FRAC_MAX)
 
     def all_grams(ws: Column) -> Column:
@@ -223,32 +248,113 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
             bind_array(F.split(F.col(text_col), " "), all_grams)
         ).alias("g"),
     ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-    counts = rows.groupBy("doc_id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
     from pyspark.sql.window import Window
 
-    w_top = Window.partitionBy("doc_id", "n").orderBy(
-        F.desc("c"), F.asc("gram")
-    )
-    top = (
-        counts.where(F.col("n").isin(list(TOP_NGRAM_CHAR_FRAC_MAX)))
-        .withColumn("_rn", F.row_number().over(w_top))
-        .where(F.col("_rn") == 1)
-        .select(
+    top_ns = list(TOP_NGRAM_CHAR_FRAC_MAX)
+    dup_ns = list(DUP_NGRAM_CHAR_FRAC_MAX)
+    if gram_shuffle == "string":
+        counts = rows.groupBy("doc_id", "n", "gram").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w_top = Window.partitionBy("doc_id", "n").orderBy(
+            F.desc("c"), F.asc("gram")
+        )
+        top = (
+            counts.where(F.col("n").isin(top_ns))
+            .withColumn("_rn", F.row_number().over(w_top))
+            .where(F.col("_rn") == 1)
+            .select(
+                "doc_id",
+                "n",
+                (F.col("c") * F.length("gram")).alias("_chars"),
+            )
+        )
+        dup = (
+            counts.where(
+                F.col("n").isin(dup_ns) & (F.col("c") >= 2)
+            )
+            .groupBy("doc_id", "n")
+            .agg(F.sum(F.col("c") * F.length("gram")).alias("_chars"))
+        )
+    else:
+        # fixed-width count shuffle: hash + length instead of the gram
+        hashed = rows.select(
             "doc_id",
             "n",
-            (F.col("c") * F.length("gram")).alias("_chars"),
+            F.xxhash64("gram").alias("gh"),
+            F.length("gram").alias("gl"),
         )
-    )
-    dup = (
-        counts.where(
-            F.col("n").isin(list(DUP_NGRAM_CHAR_FRAC_MAX))
-            & (F.col("c") >= 2)
+        counts = hashed.groupBy("doc_id", "n", "gh").agg(
+            F.count(F.lit(1)).alias("c"), F.max("gl").alias("gl")
         )
-        .groupBy("doc_id", "n")
-        .agg(F.sum(F.col("c") * F.length("gram")).alias("_chars"))
-    )
+        dup = (
+            counts.where(F.col("n").isin(dup_ns) & (F.col("c") >= 2))
+            .groupBy("doc_id", "n")
+            .agg(F.sum(F.col("c") * F.col("gl")).alias("_chars"))
+        )
+        # rank(), not row_number(): hash order is not the tie-break
+        # rule, so EVERY count-tied candidate survives to the
+        # rederive, where the real gram-ASC rule decides
+        w_top = Window.partitionBy("doc_id", "n").orderBy(F.desc("c"))
+        cands = (
+            counts.where(F.col("n").isin(top_ns))
+            .withColumn("_rk", F.rank().over(w_top))
+            .where(F.col("_rk") == 1)
+            .groupBy("doc_id")
+            .agg(
+                F.collect_list(F.struct("n", "gh", "c")).alias("_cands")
+            )
+        )
+        # rederive pass: re-shuffle only (doc_id, text) — 1x corpus
+        # bytes — and regenerate the top-n gram streams doc-locally
+        # inside one codegen expression per candidate
+        src = df.select(
+            "doc_id", F.split(F.col(text_col), " ").alias("_ws")
+        ).join(cands, "doc_id")
+        ex = src.select("doc_id", "_ws", F.explode("_cands").alias("c"))
+        ws2 = F.col("_ws")
+
+        def grams_of(n: int) -> Column:
+            return F.when(
+                F.size(ws2) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws2) - (n - 1)),
+                    lambda i: F.array_join(F.slice(ws2, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        gram_arr = None
+        for n in top_ns:
+            gram_arr = (
+                F.when(F.col("c.n") == n, grams_of(n))
+                if gram_arr is None
+                else gram_arr.when(F.col("c.n") == n, grams_of(n))
+            )
+        matches = F.filter(
+            gram_arr, lambda g: F.xxhash64(g) == F.col("c.gh")
+        )
+        resolved = ex.select(
+            "doc_id",
+            F.col("c.n").alias("n"),
+            F.array_min(matches).alias("_g"),
+            F.col("c.c").alias("c"),
+        )
+        # tied candidates (same top count, different grams): the rule
+        # is gram-ASC ACROSS candidates — struct MIN on the resolved
+        # gram picks it; candidate rows are per-doc bounded, so this
+        # agg shuffles only ties
+        top = (
+            resolved.groupBy("doc_id", "n")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("_g"),
+                        (F.col("c") * F.length("_g")).alias("_ch"),
+                    )
+                ).alias("_m")
+            )
+            .select("doc_id", "n", F.col("_m._ch").alias("_chars"))
+        )
     per = (
         top.unionByName(dup)
         .groupBy("doc_id")

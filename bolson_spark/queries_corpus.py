@@ -903,6 +903,21 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(_t(spark, sf_dir, "documents"))
 
 
+def q_repetition_metrics_hashed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Physical twin of repetition_metrics forcing the FIXED-WIDTH
+    gram-count shuffle (xxhash64 + length rows, doc-local rederive of
+    the top gram's tie-break) — identical results against the same
+    oracle; the measured string-vs-hash trade at 1x/10x/100x lives in
+    SCALING.md (r9 VERDICT #4)."""
+    from bolson_spark.functions.quality import repetition_metrics
+
+    return repetition_metrics(
+        _t(spark, sf_dir, "documents"), gram_shuffle="hash"
+    )
+
+
 def _repetition_metrics_sql() -> str:
     from bolson_spark.functions.quality import (
         DUP_NGRAM_CHAR_FRAC_MAX,
@@ -2355,6 +2370,11 @@ CORPUS_QUERIES: dict[str, QuerySpec] = {
     ),
     "repetition_metrics": QuerySpec(
         q_repetition_metrics, _repetition_metrics_sql(), ("quality", "text")
+    ),
+    "repetition_metrics_hashed": QuerySpec(
+        q_repetition_metrics_hashed,
+        _repetition_metrics_sql(),
+        ("quality", "text", "twin"),
     ),
     "quality_rule_matrix": QuerySpec(
         q_quality_rule_matrix, _quality_rule_matrix_sql(), ("quality",)

@@ -54,6 +54,10 @@ PROBES = [
     # streams, one count shuffle)
     "training_corpus_spandedup",
     "repetition_metrics",
+    # round-10: DSIR importance weights + the budgeted Gumbel
+    # resample (two token aggs + vocab join back + bucketed cumsum)
+    "dsir_selection",
+    "dsir_resample",
 ]
 
 
