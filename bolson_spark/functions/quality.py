@@ -649,7 +649,12 @@ def dsir_resample(
     bucket (parallel across buckets) and adds the bucket offset.
     Equal keys share a bucket by construction, so bucket order is
     globally consistent with (key desc, doc_id). The keyed pool is
-    cached once and read by all three passes. Determinism caveat
+    cached once and read by all three passes. One bucket = one
+    reducer task in pass 3, so ``n_buckets`` IS the selection
+    stage's parallelism: size it to the cluster's target partition
+    count (thousands at 100 TB — the driver prefix array stays
+    O(n_buckets) longs); the Gumbel perturbation keeps equal-width
+    buckets roughly balanced even under skewed weights. Determinism caveat
     (shared with weighted_sample's pow): ln is transcendental, so a
     key pair straddling the round-to-6 boundary by < 1 ulp could in
     principle differ across engines; keys are rounded to 6 and the
