@@ -132,10 +132,13 @@ def test_cli_bench_stream_arrow_parser(spark, capsys):
     assert lat["parse"]["p50_ms"] <= lat["parse"]["p99_ms"]
     assert lat["end_to_end"]["p50_ms"] >= lat["parse"]["p50_ms"]
     # arrow + quarantine is an explicit refusal, not a silent
-    # parser swap (run_stream_convert's combo guard)
+    # parser swap (run_stream_convert's combo guard). Through the CLI
+    # front door the library's ValueError is translated to a
+    # SystemExit exit-code path (r9 ADVICE #3); the library-level
+    # ValueError itself is pinned in test_sinks/test_streaming.
     import pytest
 
-    with pytest.raises(ValueError, match="quarantine"):
+    with pytest.raises(SystemExit, match="quarantine"):
         main(
             [
                 "bench", "stream", "--num-jsons", "10",
