@@ -796,11 +796,14 @@ def connected_components(
     instead of materializing quadratic pair lists at 100 TB. Hybrid
     execution, the shape production CC systems use:
 
-    - Edge lists at or below ``driver_finish_threshold`` (default 2M
-      edges ≈ 32 MB of longs — bounded driver memory by construction)
-      finish with a driver-side union-find: one collect, linear work,
-      zero iterative jobs. The edge count is known for free — the
-      deduped edge cache is materialized by a count() either way.
+    - Pair lists whose symmetrized size (2 x pairs) is at or below
+      ``driver_finish_threshold`` (default 2M edges ≈ 32 MB of longs —
+      bounded driver memory by construction) finish with a driver-side
+      union-find: one Arrow collect of the RAW pair list (union-find
+      needs each undirected edge once, so no symmetrize/distinct
+      shuffle is ever built on this path), linear work, zero iterative
+      jobs. The pair count is known for free — the pair cache is
+      materialized by a count() either way.
     - Larger graphs run distributed min-label propagation: each
       iteration is one equi-join (edges ⋈ labels) + a map-side-
       combinable min-aggregate + one pointer jump; near-dup components
@@ -812,16 +815,17 @@ def connected_components(
     Both paths produce identical output (tested equal); pass
     ``driver_finish_threshold=0`` to force the distributed loop.
     """
-    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = (
-        e.union(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .cache()
-    )
-    n_edges = edges.count()
-    if n_edges <= driver_finish_threshold:
+    e = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).cache()
+    n_pairs = e.count()
+    # Driver gate on 2*n_pairs (the symmetrized upper bound): union-find
+    # consumes each undirected edge ONCE, so the driver path never needs
+    # the symmetrize+distinct shuffle the r9 shape paid (a 2x-edge
+    # exchange built only to be collected). The distributed loop below
+    # still builds real symmetric edges — propagation needs both
+    # directions.
+    if 2 * n_pairs <= driver_finish_threshold:
         parent: dict = {}
 
         def find(x):
@@ -835,21 +839,35 @@ def connected_components(
         # Arrow transfer (toPandas) instead of Row collect: two int64
         # columns, ~16 bytes/edge on the driver rather than per-Row
         # Python objects — the threshold's memory bound stays honest.
-        pdf = edges.toPandas()
-        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        pdf = e.toPandas()
+        node_schema = e.select(
+            F.col("src").alias("node"),
+            F.col("src").alias("representative"),
+        ).schema
+        e.unpersist()
+        srcs, dsts = pdf["src"].tolist(), pdf["dst"].tolist()
+        for a, b in zip(srcs, dsts):
             ra, rb = find(a), find(b)
             if ra != rb:
                 # union by MIN root so find() converges to the
                 # component minimum directly
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        out = [(n, find(n)) for n in set(pdf["src"].tolist())]
-        schema = edges.select(
-            F.col("src").alias("node"),
-            F.col("src").alias("representative"),
-        ).schema
-        edges.unpersist()
-        return pairs.sparkSession.createDataFrame(out, schema=schema)
+        nodes = sorted(set(srcs) | set(dsts))
+        out = pd.DataFrame(
+            {"node": nodes, "representative": [find(n) for n in nodes]}
+        )
+        # pandas -> Arrow createDataFrame (fast path; the session pins
+        # arrow.pyspark.enabled) instead of a list-of-tuples, whose
+        # per-row verification dominated for 10^5-node graphs.
+        return pairs.sparkSession.createDataFrame(out, schema=node_schema)
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    edges.count()
+    e.unpersist()
     labels = (
         edges.select("src")
         .distinct()
