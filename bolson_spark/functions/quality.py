@@ -154,8 +154,146 @@ TOP_NGRAM_CHAR_FRAC_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
 DUP_NGRAM_CHAR_FRAC_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12}
 
 
+def _repetition_metrics_local(
+    df: DataFrame, text_col: str, ns: list[int]
+) -> DataFrame:
+    """Zero-shuffle route of :func:`repetition_metrics` (the default;
+    see its docstring): per n, the doc's gram array is sorted and
+    folded ONCE — runs of adjacent equal grams are the per-gram
+    counts, visited in ascending gram order. The fold accumulators
+    mirror char_entropy's sorted-run recipe; all arithmetic is the
+    same integer c * length(gram) the shuffle routes aggregate, so
+    the rounded fractions are bit-identical."""
+    from bolson_spark.functions.dedup import _spread
+    from bolson_spark.functions.text import bind_array
+
+    # the fold is CPU per row, not bytes — decouple map parallelism
+    # from file layout when the input is under-split (no-op at scale)
+    df = _spread(df)
+    top_ns = set(TOP_NGRAM_CHAR_FRAC_MAX)
+
+    def grams_of(ws: Column, n: int) -> Column:
+        # one-arg lambda via factory (HOF arity pitfall — see
+        # repetition_metrics.all_grams)
+        return F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                lambda i: F.array_join(F.slice(ws, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def top_chars(ws: Column, n: int) -> Column:
+        # best run: strictly-greater count wins; ascending gram order
+        # makes the first max the lexicographically smallest gram —
+        # exactly the count-DESC, gram-ASC published tie-break
+        flush_c = lambda acc: F.when(  # noqa: E731
+            acc.run > acc.best, acc.run
+        ).otherwise(acc.best)
+        flush_ch = lambda acc: F.when(  # noqa: E731
+            acc.run > acc.best,
+            acc.run * F.length(acc.prev).cast("bigint"),
+        ).otherwise(acc.chars)
+        return F.aggregate(
+            F.array_sort(grams_of(ws, n)),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("bigint").alias("run"),
+                F.lit(0).cast("bigint").alias("best"),
+                F.lit(0).cast("bigint").alias("chars"),
+            ),
+            lambda acc, g: F.when(
+                acc.prev.isNotNull() & (g == acc.prev),
+                F.struct(
+                    acc.prev.alias("prev"),
+                    (acc.run + 1).alias("run"),
+                    acc.best.alias("best"),
+                    acc.chars.alias("chars"),
+                ),
+            ).otherwise(
+                F.struct(
+                    g.alias("prev"),
+                    F.lit(1).cast("bigint").alias("run"),
+                    flush_c(acc).alias("best"),
+                    flush_ch(acc).alias("chars"),
+                )
+            ),
+            lambda acc: flush_ch(acc),
+        )
+
+    def dup_chars(ws: Column, n: int) -> Column:
+        flush = lambda acc: F.when(  # noqa: E731
+            acc.run >= 2,
+            acc.dup + acc.run * F.length(acc.prev).cast("bigint"),
+        ).otherwise(acc.dup)
+        return F.aggregate(
+            F.array_sort(grams_of(ws, n)),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("bigint").alias("run"),
+                F.lit(0).cast("bigint").alias("dup"),
+            ),
+            lambda acc, g: F.when(
+                acc.prev.isNotNull() & (g == acc.prev),
+                F.struct(
+                    acc.prev.alias("prev"),
+                    (acc.run + 1).alias("run"),
+                    acc.dup.alias("dup"),
+                ),
+            ).otherwise(
+                F.struct(
+                    g.alias("prev"),
+                    F.lit(1).cast("bigint").alias("run"),
+                    flush(acc).alias("dup"),
+                )
+            ),
+            lambda acc: flush(acc),
+        )
+
+    chars_struct = bind_array(
+        F.split(F.col(text_col), " "),
+        lambda ws: F.struct(
+            *[
+                (
+                    top_chars(ws, n) if n in top_ns else dup_chars(ws, n)
+                ).alias(f"ch{n}")
+                for n in ns
+            ]
+        ),
+    )
+    n_chars = F.coalesce(
+        F.length(F.col(text_col)).cast("bigint"), F.lit(0).cast("bigint")
+    )
+    staged = df.select(
+        "doc_id", n_chars.alias("n_chars"), chars_struct.alias("_ch")
+    )
+
+    def frac(n: int) -> Column:
+        return F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.coalesce(F.col(f"_ch.ch{n}"), F.lit(0)).cast("double")
+                / F.col("n_chars").cast("double"),
+                6,
+            )
+        )
+
+    cols = {
+        **{n: f"top{n}_char_frac" for n in TOP_NGRAM_CHAR_FRAC_MAX},
+        **{n: f"dup{n}_char_frac" for n in DUP_NGRAM_CHAR_FRAC_MAX},
+    }
+    out = staged.select(
+        "doc_id", "n_chars", *[frac(n).alias(cols[n]) for n in ns]
+    )
+    keep = F.lit(True)
+    for n, t in TOP_NGRAM_CHAR_FRAC_MAX.items():
+        keep = keep & (F.col(f"top{n}_char_frac") <= t)
+    for n, t in DUP_NGRAM_CHAR_FRAC_MAX.items():
+        keep = keep & (F.col(f"dup{n}_char_frac") <= t)
+    return out.withColumn("keep", keep)
+
+
 def repetition_metrics(
-    df: DataFrame, text_col: str = "text", gram_shuffle: str = "string"
+    df: DataFrame, text_col: str = "text", gram_shuffle: str = "local"
 ) -> DataFrame:
     """The FULL Gopher repetition-signal family (Rae et al. 2021,
     Table A1) in its published CHARACTER-fraction form — complementing
@@ -192,11 +330,22 @@ def repetition_metrics(
     single integer division rounded to 6, the documented cross-engine
     float recipe.
 
-    ``gram_shuffle`` picks the physical shape of the count shuffle
-    (r9 VERDICT #4 — identical results, measured against each other
-    in SCALING.md):
+    ``gram_shuffle`` picks the physical shape of the gram counting
+    (r9 VERDICT #4 / r10 optimization — identical results, measured
+    against each other in SCALING.md):
 
-    - ``"string"`` (default): the (doc, n, gram) rows carry the gram
+    - ``"local"`` (default, r10): ZERO-shuffle narrow map. Every
+      (doc, n, gram) group lives entirely inside one row's gram
+      array, so the count never needs an exchange: per n, sort the
+      doc's gram array and fold it once (the char_entropy sorted-run
+      recipe) — adjacent equal grams form runs; walking runs in
+      ascending gram order makes "first strictly-greater count wins"
+      exactly the count-DESC, gram-ASC tie-break; dup sums accumulate
+      run_len * chars(gram) for runs >= 2. O(L log L) per doc in
+      whole-stage codegen, no explode (the shuffle routes materialize
+      ~7x n_tokens gram rows), no join back. guide §2.4: remove
+      shuffles outright.
+    - ``"string"``: the (doc, n, gram) rows carry the gram
       STRING — chars(gram) and the gram-ASC tie-break come for free,
       one gram pass total.
     - ``"hash"``: the shuffle carries ``(xxhash64(gram),
@@ -212,11 +361,14 @@ def repetition_metrics(
       collision contract as every md5/xxhash draw in this repo."""
     from bolson_spark.functions.text import bind_array
 
-    if gram_shuffle not in ("string", "hash"):
+    if gram_shuffle not in ("local", "string", "hash"):
         raise ValueError(
-            f"gram_shuffle must be 'string' or 'hash', got {gram_shuffle!r}"
+            "gram_shuffle must be 'local', 'string' or 'hash', "
+            f"got {gram_shuffle!r}"
         )
     ns = sorted(TOP_NGRAM_CHAR_FRAC_MAX) + sorted(DUP_NGRAM_CHAR_FRAC_MAX)
+    if gram_shuffle == "local":
+        return _repetition_metrics_local(df, text_col, ns)
 
     def all_grams(ws: Column) -> Column:
         # NB: the per-n lambda must stay ONE-argument — pyspark infers
