@@ -69,6 +69,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`_t` + the under-split guard (dedup._spread): scale-adaptive
+    round-robin spread for CPU-heavy narrow maps over a table whose
+    file layout under-splits the cluster (guide §2.5 input skew /
+    §6 split sizing). No-op when splits >= cores — the 100 TB case."""
+    from bolson_spark.functions.dedup import _spread
+
+    return _spread(load_table(spark, sf_dir, name))
+
+
 def _dec(col: str, prec: int = 12, scale: int = 2) -> F.Column:
     return F.col(col).cast(f"decimal({prec},{scale})")
 
@@ -133,13 +143,20 @@ def battery_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     list of 1..16 items, values 0..2047 (battery.cpp:37-40, generator
     metadata in test_opae_battery.cpp:32-41). Shared by the batch
     convert query and the streaming-parity e2e test."""
+    from bolson_spark.functions.dedup import _spread
+
     k = F.col("o_orderkey")
     n = (k % 16 + 1).cast("int")
     volt = F.transform(
         F.sequence(F.lit(0), n - F.lit(1)),
         lambda i: (k * 7 + i.cast("bigint") * 13) % 2048,
     )
-    return _t(spark, sf_dir, "orders").select(
+    # Spread the 8-byte key BEFORE synthesizing payloads: the whole
+    # generate->serialize->parse pipeline is a narrow map, so its
+    # parallelism is the file-split count — one small parquet file ran
+    # the entire corpus on one core (guide §2: decouple CPU-bound map
+    # parallelism from file layout; no-op when the input is well-split).
+    return _spread(_t(spark, sf_dir, "orders").select("o_orderkey")).select(
         "o_orderkey",
         F.to_json(F.struct(volt.alias("voltage"))).alias("payload"),
     )
@@ -301,7 +318,11 @@ def trip_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             (k % 200).alias("speed_changes"),
         )
     )
-    return _t(spark, sf_dir, "orders").select(
+    # same under-split guard as battery_corpus: spread the key column,
+    # then synthesize the 19-field payload across all cores
+    from bolson_spark.functions.dedup import _spread
+
+    return _spread(_t(spark, sf_dir, "orders").select("o_orderkey")).select(
         "o_orderkey", payload.alias("payload")
     )
 
