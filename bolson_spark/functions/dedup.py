@@ -411,8 +411,9 @@ def _banded_verified_pairs(
     # posexploded to (band, band_key) rows for the bucket self-join.
     # Each band row carries the doc's set SIZE so the size-ratio
     # prefilter can run inside the candidate join, before distinct().
+    # _minhash_prep caches its shared projection; both frames are
+    # narrow views over it — no second per-frame cache needed.
     toksets, band_rows = _minhash_prep(df, text_col, num_hashes, bands)
-    toksets, band_rows = toksets.cache(), band_rows.cache()
     return _verified_pairs_prepped(toksets, band_rows, jaccard_threshold)
 
 
@@ -1082,26 +1083,96 @@ def _minhash_prep(
     num_hashes: int,
     bands: int,
     already_spread: bool = False,
+    cache: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(toksets, band_rows) for the banded probe: hashed distinct token
-    arrays with sizes, and (doc_id, band, band_key, n_toks) rows."""
+    arrays with sizes, and (doc_id, band, band_key, n_toks) rows.
+
+    Both frames are narrow views over ONE shared projection
+    (doc_id, toks, n_toks, band-key array): the text is tokenized and
+    hashed once, and n_toks rides along instead of being attached to
+    the band rows with a doc_id equi-join (the pre-r10 shape paid a
+    second full text pass for the signature AND a join — broadcast at
+    small SF, but a corpus-sized SMJ at 100 TB). With ``cache=True``
+    the projection is persisted — the same in-query stage-boundary
+    cache the callers used to place on the two derived frames, now one
+    copy instead of two. The streaming gate passes ``cache=False``: its
+    per-micro-batch cache list must own every persisted frame
+    (unpersisted at batch end), and its frames derive from the already-
+    cached delta."""
     sdf = _spread(df, already_spread)  # probe once, reuse for both branches
-    toksets = (
-        sdf.select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    tokens(F.col(text_col)), lambda w: F.xxhash64(w)
-                )
-            ).alias("toks"),
-        )
-        .select("doc_id", "toks", F.size("toks").alias("n_toks"))
+    # distinct WORDS first, then both hash families over that array:
+    # dedup-then-hash keeps md5/xxhash64 to one call per distinct token.
+    # toks = distinct(xxhash64 over distinct words) is element- and
+    # ORDER-identical to the old distinct(xxhash64 over all words):
+    # equal words hash equal (inner distinct removes only rows the
+    # outer distinct would), and first-occurrence order is preserved.
+    words = sdf.select(
+        "doc_id", F.array_distinct(tokens(F.col(text_col))).alias("_w")
     )
-    band_rows = band_keys_from_signature(
-        minhash_signature(sdf, text_col, num_hashes),
-        num_hashes,
-        bands,
-    ).join(toksets.select("doc_id", "n_toks"), "doc_id")
+    md5s = F.transform(F.col("_w"), lambda w: F.md5(w))
+    halves = F.transform(
+        md5s,
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("hi"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("lo"),
+        ),
+    )
+    toks = F.array_distinct(
+        F.transform(F.col("_w"), lambda w: F.xxhash64(w))
+    )
+    staged = words.select(
+        "doc_id", toks.alias("toks"), halves.alias("_halves")
+    )
+    # identical Carter-Wegman arithmetic to minhash_signature (kept as
+    # its own projection so CollapseProject cannot inline the 16-way
+    # reuse of _halves back into per-permutation md5 recomputation)
+    # NB: the lambda must take exactly ONE parameter — a second one
+    # makes pyspark pass the ARRAY INDEX as `i` ((element, index)
+    # higher-order-function form), silently corrupting every signature
+    mh = [
+        F.array_min(
+            F.transform(
+                F.col("_halves"),
+                lambda h: (h["hi"] + F.lit(i) * h["lo"]) % F.lit(1 << 32),
+            )
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig = staged.select("doc_id", "toks", *mh)
+    # identical 60-bit truncated-md5 band keys to band_keys_from_signature
+    r = num_hashes // bands
+    keys = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{b * r + k}").cast("string")
+                                for k in range(r)
+                            ],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            for b in range(bands)
+        ]
+    )
+    prepped = sig.select(
+        "doc_id", "toks", F.size("toks").alias("n_toks"), keys.alias("_keys")
+    )
+    if cache:
+        prepped = prepped.cache()
+    toksets = prepped.select("doc_id", "toks", "n_toks")
+    band_rows = prepped.select(
+        "doc_id", F.posexplode("_keys").alias("band", "band_key"), "n_toks"
+    )
     return toksets, band_rows
 
 

@@ -982,6 +982,74 @@ def save_ivf_index(
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+# Bump when the on-disk cells/centroids contract changes —
+# ensure_ivf_index treats an older-layout artifact as absent.
+_IVF_LAYOUT_VERSION = 1  # v1: cells carry the delta partition level
+_IVF_MARKER = "_BOLSON_INDEX_COMPLETE"
+
+
+def _ivf_fingerprint(centroids: DataFrame) -> str:
+    """Input fingerprint embedded in the float-IVF completion marker —
+    md5 over the collected, id-sorted centroid table (model-sized; the
+    same driver materialization every probe's cell ranking performs).
+    The corpus df is deliberately NOT fingerprinted, exactly as in
+    :func:`_ivf_pq_fingerprint`: corpus identity is the caller's
+    path-keying contract."""
+    import hashlib
+    import json
+
+    cents = sorted(
+        (r[0], [float(v) for v in r[1]])
+        for r in centroids.select("centroid_id", "centroid").collect()
+    )
+    return hashlib.md5(json.dumps(cents).encode()).hexdigest()
+
+
+def ensure_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> bool:
+    """Build-if-absent front door for :func:`save_ivf_index` — the
+    float sibling of :func:`ensure_ivf_pq_index`, same protocol: the
+    completion marker (layout version + quantizer fingerprint) is
+    written only after the full assign+partitioned-write lands, any
+    pre-existing marker is removed BEFORE a rebuild so a crash
+    mid-build reads as absent, and a marker whose fingerprint
+    mismatches the caller's centroids is treated as absent (stale
+    index is rebuilt, never served). Returns True when a build ran.
+    The corpus `df` is assumed stable for a given path — the scratch
+    contract (path keyed by sf_dir; static testdata)."""
+    import json
+    import os
+
+    _recover_generation(path)
+    marker = os.path.join(path, _IVF_MARKER)
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                meta = json.load(f)
+            if meta.get("layout") == _IVF_LAYOUT_VERSION and meta.get(
+                "fingerprint"
+            ) == _ivf_fingerprint(centroids):
+                return False
+        except (OSError, ValueError):
+            pass  # unreadable marker == absent
+        os.remove(marker)  # a rebuild-in-progress is not "complete"
+    save_ivf_index(df, centroids, path, vec_col=vec_col, id_col=id_col)
+    with open(marker, "w") as f:
+        json.dump(
+            {
+                "layout": _IVF_LAYOUT_VERSION,
+                "fingerprint": _ivf_fingerprint(centroids),
+            },
+            f,
+        )
+    return True
+
+
 def _write_cells(
     df: DataFrame,
     assigned: DataFrame,

@@ -337,8 +337,15 @@ def _near_dup_gate(
     # already_spread: the micro-batch arrives pre-split by the
     # streaming source, and the per-batch steady-state path must not
     # pay _spread's driver-side physical-planning probe on every batch
+    # cache=False: the micro-batch cache list below must own every
+    # persisted frame; d_toks/d_bands recompute from the cached delta
     d_toks, d_bands = _minhash_prep(
-        delta, text_col, DEFAULT_NUM_HASHES, n_bands, already_spread=True
+        delta,
+        text_col,
+        DEFAULT_NUM_HASHES,
+        n_bands,
+        already_spread=True,
+        cache=False,
     )
     c_bands = _index_before(sp, bands_dir, run_id, batch_id)
     c_toks = (
