@@ -434,29 +434,42 @@ def strip_dup_spans(
     string; NULL for NULL input) for pipeline composition."""
     from pyspark.sql.window import Window
 
-    dup = _dup_windows(docs, length, text_col)
-    w_ord = Window.partitionBy("doc_id").orderBy("start")
-    brk = F.when(
-        F.lag("start").over(w_ord).isNull()
-        | (F.col("start") > F.lag("start").over(w_ord) + (length - 1)),
-        1,
-    ).otherwise(0)
-    isl = dup.withColumn("_brk", brk).withColumn(
-        "_island",
-        F.sum("_brk").over(
-            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    # Persist the duplicated-window stream: it has TWO consumers here
+    # (the canonical argmin and the island pass), and each uncached
+    # evaluation regenerates the full corpus window stream twice
+    # (count pass + mark join) — 4 gram-hash passes per call. The
+    # frame is the duplicated mass only (small by construction on a
+    # clean corpus), so this is a bounded stage cache, unlike the
+    # corpus-scale window stream dup_span_coverage deliberately
+    # regenerates.
+    dup = _dup_windows(docs, length, text_col).cache()
     # canonical occurrence per window hash: lexicographic min of
     # (doc_id, start) over ALL duplicated occurrences — struct MIN
     # orders by fields left-to-right, so this is exact at any
     # magnitude (no packing bound to wrap past)
     pos = F.struct(F.col("doc_id"), F.col("start"))
     canon = dup.groupBy("gh").agg(F.min(pos).alias("_canon"))
-    marked = isl.join(canon, "gh").withColumn(
+    # mark canonicity BEFORE the island window pass: _is_canon is a
+    # per-occurrence fact, so joining on gh first keeps the plan at
+    # ONE doc_id exchange (window + groupBy, partitioning-compatible)
+    # instead of the doc_id -> gh -> doc_id exchange ping-pong the
+    # join-after-islands order paid on the same dup-mass stream
+    marked = dup.join(canon, "gh").withColumn(
         "_is_canon", (pos == F.col("_canon")).cast("int")
     )
-    spans = marked.groupBy("doc_id", "_island").agg(
+    w_ord = Window.partitionBy("doc_id").orderBy("start")
+    brk = F.when(
+        F.lag("start").over(w_ord).isNull()
+        | (F.col("start") > F.lag("start").over(w_ord) + (length - 1)),
+        1,
+    ).otherwise(0)
+    isl = marked.withColumn("_brk", brk).withColumn(
+        "_island",
+        F.sum("_brk").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = isl.groupBy("doc_id", "_island").agg(
         F.min("start").alias("s0"),
         (F.max("start") + (length - 1)).alias("e0"),
         F.max("_is_canon").alias("_kept"),

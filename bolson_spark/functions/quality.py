@@ -55,80 +55,119 @@ def quality_metrics(df: DataFrame, text_col: str = "text",
     Output: (id_col, n_words, mean_word_len, unique_word_frac,
     alpha_word_frac, symbol_word_ratio, top_bigram_frac, keep) —
     floats rounded to 6 so the DuckDB oracle hashes identically.
-    """
-    w = df.select(
-        F.col(id_col),
-        F.col(text_col).alias("_text"),
-        words_col(F.col(text_col)).alias("_words"),
-    )
-    # zero-word documents: every ratio is undefined — NULL, not a
-    # divide-by-zero (ANSI mode raises on 0/0; the oracle mirrors with
-    # CASE WHEN). keep still evaluates FALSE via the n_words range.
-    def _ratio(expr: Column) -> Column:
-        return F.when(F.size("_words") > 0, F.round(expr, 6))
 
-    scalar = w.select(
-        id_col,
-        "_text",
-        "_words",
-        F.size("_words").alias("n_words"),
-        _ratio(
-            F.aggregate(
-                "_words", F.lit(0.0), lambda acc, x: acc + F.length(x)
-            )
-            / F.size("_words")
-        ).alias("mean_word_len"),
-        _ratio(
-            F.size(F.array_distinct("_words")) / F.size("_words")
-        ).alias("unique_word_frac"),
-        _ratio(
-            F.size(F.filter("_words", lambda x: x.rlike("[a-zA-Z]")))
-            / F.size("_words")
-        ).alias("alpha_word_frac"),
-        _ratio(
-            (
-                _count_occurrences(F.col("_text"), "#")
-                + _count_occurrences(F.col("_text"), "...")
-            )
-            / F.size("_words")
-        ).alias("symbol_word_ratio"),
-    )
+    ONE narrow map, zero exchanges (r10): the word array is bound once
+    per row via ``bind_array`` and every metric — including
+    top_bigram_frac, which used to pay explode + two doc_id shuffles +
+    a join back — is a field of a single struct computed from the
+    bound array. top_bigram_frac uses the repetition_metrics 'local'
+    recipe: sort the doc's bigram array and fold it once; runs of
+    adjacent equal bigrams are the counts, best run / n_bigrams the
+    fraction (the explode alternative is scale-safe too, but the
+    counting group always lives inside one row, so the exchange bought
+    nothing). The bind_array lambda variable matters doubly here:
+    downstream `.where("keep")` gates get predicate-pushdown-inlined
+    below the projection, and alias substitution re-evaluates a plain
+    column reference like the word array ONCE PER REFERENCE (measured
+    7.5x on the composed pipelines) — a lambda variable is a
+    materialized value substitution cannot inline."""
+    from bolson_spark.functions.dedup import _spread
+    from bolson_spark.functions.text import bind_array
 
-    # Repetition: fraction of bigram slots taken by the most frequent
-    # bigram. explode → count per (doc, bigram) → max per doc: two
-    # map-side-combined shuffles on doc_id — the scale-safe shape (the
-    # all-in-one-expression alternative is O(n_words^2) per document).
-    # sequence(1, 0) counts DOWN in Spark, so 0/1-word docs would
-    # manufacture junk NULL bigrams where the oracle emits none —
-    # guard to an empty array (doc then falls out of `top`, exactly
-    # like the oracle's empty range(1, 1), and the LEFT join + keep
-    # coalesce handle the NULL)
-    bigrams = w.select(
-        id_col,
-        F.explode(
-            F.when(
-                F.size("_words") >= 2,
-                F.expr(
-                    "transform(sequence(1, size(_words) - 1),"
-                    " i -> concat(_words[i-1], ' ', _words[i]))"
+    text = F.col(text_col)
+
+    def _metrics(ws: Column) -> Column:
+        n = F.size(ws)
+
+        # zero-word documents: every ratio is undefined — NULL, not a
+        # divide-by-zero (ANSI mode raises on 0/0; the oracle mirrors
+        # with CASE WHEN). keep still evaluates FALSE via n_words.
+        def _ratio(expr: Column) -> Column:
+            return F.when(n > 0, F.round(expr, 6))
+
+        flush = lambda acc: F.when(  # noqa: E731
+            acc.run > acc.best, acc.run
+        ).otherwise(acc.best)
+        # sequence(1, 0) counts DOWN in Spark, so 0/1-word docs would
+        # manufacture junk bigrams — guard to NULL (the fold then
+        # yields NULL, the same NULL the pre-r10 LEFT join produced
+        # for docs with no bigrams)
+        bigr = F.when(
+            n >= 2,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat(
+                        F.element_at(ws, i),
+                        F.lit(" "),
+                        F.element_at(ws, i + 1),
+                    ),
+                )
+            ),
+        )
+        top_c = F.aggregate(
+            bigr,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("bigint").alias("run"),
+                F.lit(0).cast("bigint").alias("best"),
+            ),
+            lambda acc, g: F.when(
+                acc.prev.isNotNull() & (g == acc.prev),
+                F.struct(
+                    acc.prev.alias("prev"),
+                    (acc.run + 1).alias("run"),
+                    acc.best.alias("best"),
                 ),
-            ).otherwise(F.expr("array()").cast("array<string>"))
-        ).alias("bigram"),
-    )
-    top = (
-        bigrams.groupBy(id_col, "bigram")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("_top_c"), F.sum("c").alias("_n_bigrams"))
-        .select(
-            id_col,
-            F.round(F.col("_top_c") / F.col("_n_bigrams"), 6).alias(
+            ).otherwise(
+                F.struct(
+                    g.alias("prev"),
+                    F.lit(1).cast("bigint").alias("run"),
+                    flush(acc).alias("best"),
+                )
+            ),
+            lambda acc: flush(acc),
+        )
+        return F.struct(
+            n.alias("n_words"),
+            _ratio(
+                F.aggregate(
+                    ws, F.lit(0.0), lambda acc, x: acc + F.length(x)
+                )
+                / n
+            ).alias("mean_word_len"),
+            _ratio(F.size(F.array_distinct(ws)) / n).alias(
+                "unique_word_frac"
+            ),
+            _ratio(
+                F.size(F.filter(ws, lambda x: x.rlike("[a-zA-Z]"))) / n
+            ).alias("alpha_word_frac"),
+            _ratio(
+                (
+                    _count_occurrences(text, "#")
+                    + _count_occurrences(text, "...")
+                )
+                / n
+            ).alias("symbol_word_ratio"),
+            F.when(n >= 2, F.round(top_c / (n - F.lit(1)), 6)).alias(
                 "top_bigram_frac"
             ),
         )
-    )
 
-    out = scalar.drop("_text", "_words").join(top, id_col, "left")
+    # metrics are CPU per row, not bytes — decouple map parallelism
+    # from file layout when the input is under-split (no-op at scale)
+    base = _spread(df).select(
+        F.col(id_col), bind_array(words_col(text), _metrics).alias("_m")
+    )
+    out = base.select(
+        id_col,
+        F.col("_m.n_words").alias("n_words"),
+        F.col("_m.mean_word_len").alias("mean_word_len"),
+        F.col("_m.unique_word_frac").alias("unique_word_frac"),
+        F.col("_m.alpha_word_frac").alias("alpha_word_frac"),
+        F.col("_m.symbol_word_ratio").alias("symbol_word_ratio"),
+        F.col("_m.top_bigram_frac").alias("top_bigram_frac"),
+    )
     keep = (
         (F.col("n_words") >= MIN_WORDS)
         & (F.col("n_words") <= MAX_WORDS)

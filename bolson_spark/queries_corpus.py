@@ -1126,8 +1126,22 @@ def q_training_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_metrics,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    kept_q = quality_metrics(docs).where("keep").select("doc_id")
+    from bolson_spark.functions.dedup import _spread_hash
+
+    # hash-spread the corpus ONCE at pipeline entry (no-op on
+    # well-split input): quality_metrics is now a pure narrow map, so
+    # without this the broadcast semi-join would pin the whole
+    # downstream pipeline (decontaminate gram stream, span windows,
+    # minhash) to the scan's file-split count — one core on a
+    # single-file bench input. Hash on doc_id, not round-robin: every
+    # downstream stage joins/groups on doc_id, so the one exchange
+    # pre-satisfies them all (measured vs round-robin in _spread_hash)
+    docs = _spread_hash(_t(spark, sf_dir, "documents"))
+    # cache the gate's tiny id-list: quality_metrics is all-narrow now,
+    # so it has no Exchange for ReusedExchange to dedup across the
+    # pipeline's 3-4 references to the filtered corpus — without this
+    # persist every branch re-evaluates the full metric struct per doc
+    kept_q = quality_metrics(docs).where("keep").select("doc_id").cache()
     s1 = docs.join(kept_q, "doc_id", "left_semi")
     target = docs.where(F.col("source") == "src0")
     kept = dsir_resample(s1, target, budget_frac=0.25)
@@ -1828,15 +1842,32 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bolson_spark.functions.quality import quality_metrics
     from bolson_spark.functions.sketch import temperature_mix as _tmix
 
-    docs = _t(spark, sf_dir, "documents")
-    kept_q = quality_metrics(docs).where("keep").select("doc_id")
+    from bolson_spark.functions.dedup import _spread_hash
+
+    # hash-spread the corpus ONCE at pipeline entry (no-op on
+    # well-split input): quality_metrics is now a pure narrow map, so
+    # without this the broadcast semi-join would pin the whole
+    # downstream pipeline (decontaminate gram stream, span windows,
+    # minhash) to the scan's file-split count — one core on a
+    # single-file bench input. Hash on doc_id, not round-robin: every
+    # downstream stage joins/groups on doc_id, so the one exchange
+    # pre-satisfies them all (measured vs round-robin in _spread_hash)
+    docs = _spread_hash(_t(spark, sf_dir, "documents"))
+    # cache the gate's tiny id-list: quality_metrics is all-narrow now,
+    # so it has no Exchange for ReusedExchange to dedup across the
+    # pipeline's 3-4 references to the filtered corpus — without this
+    # persist every branch re-evaluates the full metric struct per doc
+    kept_q = quality_metrics(docs).where("keep").select("doc_id").cache()
     s1 = docs.join(kept_q, "doc_id", "left_semi")
     eval_docs = docs.filter(F.col("doc_id") % 17 == 0)
     corpus = s1.filter(F.col("doc_id") % 17 != 0)
+    # same persist rationale as kept_q: the decontamination gate's
+    # id-list is read by every downstream branch of the corpus lineage
     clean = (
         _dec(corpus, eval_docs, n=8)
         .where(~F.col("contaminated"))
         .select("doc_id")
+        .cache()
     )
     s2 = corpus.join(clean, "doc_id", "left_semi")
     reps = (
@@ -1888,15 +1919,32 @@ def q_training_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bolson_spark.functions.quality import quality_metrics
     from bolson_spark.functions.sketch import temperature_mix as _tmix
 
-    docs = _t(spark, sf_dir, "documents")
-    kept_q = quality_metrics(docs).where("keep").select("doc_id")
+    from bolson_spark.functions.dedup import _spread_hash
+
+    # hash-spread the corpus ONCE at pipeline entry (no-op on
+    # well-split input): quality_metrics is now a pure narrow map, so
+    # without this the broadcast semi-join would pin the whole
+    # downstream pipeline (decontaminate gram stream, span windows,
+    # minhash) to the scan's file-split count — one core on a
+    # single-file bench input. Hash on doc_id, not round-robin: every
+    # downstream stage joins/groups on doc_id, so the one exchange
+    # pre-satisfies them all (measured vs round-robin in _spread_hash)
+    docs = _spread_hash(_t(spark, sf_dir, "documents"))
+    # cache the gate's tiny id-list: quality_metrics is all-narrow now,
+    # so it has no Exchange for ReusedExchange to dedup across the
+    # pipeline's 3-4 references to the filtered corpus — without this
+    # persist every branch re-evaluates the full metric struct per doc
+    kept_q = quality_metrics(docs).where("keep").select("doc_id").cache()
     s1 = docs.join(kept_q, "doc_id", "left_semi")
     eval_docs = docs.filter(F.col("doc_id") % 17 == 0)
     corpus = s1.filter(F.col("doc_id") % 17 != 0)
+    # same persist rationale as kept_q: the decontamination gate's
+    # id-list is read by every downstream branch of the corpus lineage
     clean = (
         _dec(corpus, eval_docs, n=8)
         .where(~F.col("contaminated"))
         .select("doc_id")
+        .cache()
     )
     # Persist the pre-dedup stage boundary: unlike the exact variant
     # (where s2 feeds one groupBy + one semi-join), the near-dup stage
@@ -2041,15 +2089,31 @@ def q_training_corpus_spandedup(
     from bolson_spark.functions.quality import quality_metrics
     from bolson_spark.functions.sketch import temperature_mix as _tmix
 
-    docs = _t(spark, sf_dir, "documents")
-    kept_q = quality_metrics(docs).where("keep").select("doc_id")
+    from bolson_spark.functions.dedup import _spread_hash
+
+    # hash-spread the corpus ONCE at pipeline entry (no-op on
+    # well-split input): quality_metrics is now a pure narrow map, so
+    # without this the broadcast semi-join would pin the whole
+    # downstream pipeline (decontaminate gram stream, span windows,
+    # minhash) to the scan's file-split count — one core on a
+    # single-file bench input. Hash on doc_id, not round-robin: every
+    # downstream stage joins/groups on doc_id, so the one exchange
+    # pre-satisfies them all (measured vs round-robin in _spread_hash)
+    docs = _spread_hash(_t(spark, sf_dir, "documents"))
+    # cache the gate's tiny id-list: quality_metrics is all-narrow now,
+    # so it has no Exchange for ReusedExchange to dedup across the
+    # pipeline's 3-4 references to the filtered corpus — without this
+    # persist every branch re-evaluates the full metric struct per doc
+    kept_q = quality_metrics(docs).where("keep").select("doc_id").cache()
     s1 = docs.join(kept_q, "doc_id", "left_semi")
     eval_docs = docs.filter(F.col("doc_id") % 17 == 0)
     corpus = s1.filter(F.col("doc_id") % 17 != 0)
+    # same persist rationale as kept_q
     clean = (
         _decf(corpus, eval_docs, n=8)
         .where(~F.col("contaminated"))
         .select("doc_id")
+        .cache()
     )
     # boundary 1: the span stage reads s2 three ways (two window
     # generations + the reassembly join) — uncached each re-runs the
