@@ -372,9 +372,10 @@ def minhash_lsh_pairs(
             df, text_col, num_hashes, bands, jaccard_threshold
         )
 
+    # cached for the same three-consumer reason as neardup_components
     sets = df.select(
         "doc_id", _set_fingerprint(F.col(text_col)).alias("set_fp")
-    )
+    ).cache()
     groups = sets.groupBy("set_fp").agg(F.min("doc_id").alias("rep_id"))
     members = (
         sets.join(groups, "set_fp").select("doc_id", "rep_id").cache()
@@ -1426,9 +1427,12 @@ def neardup_components(
     near-dup grouping is the LLM-pipeline extension over it."""
     from pyspark.sql import functions as F
 
+    # cache the (id, set_fp) frame: it feeds groups, the membership
+    # join AND (via groups) the rep-doc semi-join — uncached, the
+    # full tokenize+hash+sort fingerprint pass runs three times
     sets = docs.select(
         id_col, _set_fingerprint(F.col(text_col)).alias("set_fp")
-    )
+    ).cache()
     groups = sets.groupBy("set_fp").agg(
         F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("m")
     )
