@@ -25,6 +25,7 @@ a valid universal-hash family for Jaccard estimation and portable SQL.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pandas as pd
@@ -89,9 +90,8 @@ def _spread(df: DataFrame, already_spread: bool = False) -> DataFrame:
     """
     if already_spread:
         return df
-    if not _under_split(df):
-        return df
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    n = _spread_partitions(df)
+    return df if n == 0 else df.repartition(n)
 
 
 def _spread_hash(df: DataFrame, key: str = "doc_id") -> DataFrame:
@@ -106,10 +106,40 @@ def _spread_hash(df: DataFrame, key: str = "doc_id") -> DataFrame:
     2.4/3.1 s hash vs 4.3/7.3 s round-robin vs 3.8/3.2 s unspread-
     single-core. Same no-op conditions as _spread: an already-shuffled
     or well-split input (the 100 TB case) passes through untouched."""
-    if not _under_split(df):
-        return df
+    n = _spread_partitions(df)
+    return df if n == 0 else df.repartition(n, F.col(key))
+
+
+# Compressed bytes of under-split input per spread task. Tuned for
+# CPU-heavy text work (tokenize + multi-hash per doc), LOCAL-ONLY by
+# construction: on a well-split production input (splits >= cores —
+# the 100 TB case) the spread is skipped entirely, so this constant
+# never shapes a cluster plan. It exists so a TINY input (the twin-SF
+# bench runs, unit tests) is not exploded into defaultParallelism
+# near-empty partitions whose per-task scheduling dwarfs the work —
+# the measured fixed driver term of the sf0.01 twin family.
+_SPREAD_TASK_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_TASK_BYTES", 16 * 1024)
+)
+
+
+def _spread_partitions(df: DataFrame) -> int:
+    """Target partition count for an under-split input, or 0 for
+    'leave it alone' (already shuffled upstream, or already split at
+    least as wide as the cluster). Scale-adaptive in BOTH directions
+    (guide §2.4): full defaultParallelism once the input carries
+    enough bytes to feed every core, proportionally fewer partitions
+    for tiny inputs. Size comes from the optimized plan's stats
+    (driver-side, no job; parquet scans report file size, cached
+    relations their actual size); sources with unknown stats estimate
+    as huge and get full parallelism — the prior behavior."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism, F.col(key))
+    if not _under_split(df):
+        return 0
+    size = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return max(1, min(sc.defaultParallelism, size // _SPREAD_TASK_BYTES))
 
 
 def _under_split(df: DataFrame) -> bool:

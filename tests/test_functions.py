@@ -1099,8 +1099,15 @@ def test_spread_skips_exchange_when_already_parallel(spark):
         spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
     )
     assert _spread(shuffled) is shuffled
-    narrow = spark.range(1000).coalesce(1)
-    assert _spread(narrow).rdd.getNumPartitions() == par
+    # r10: the spread is size-adaptive in BOTH directions — a tiny
+    # under-split input gets proportionally few partitions (per-task
+    # scheduling must not dwarf the work), a big-enough one still gets
+    # the cluster's full parallelism
+    tiny = spark.range(1000).coalesce(1)  # ~8 KB of stats
+    n_tiny = _spread(tiny).rdd.getNumPartitions()
+    assert 1 <= n_tiny < par
+    big = spark.range(200_000).coalesce(1)  # ~1.6 MB of stats
+    assert _spread(big).rdd.getNumPartitions() == par
 
 
 def test_boilerplate_removal_strips_frequent_chunks(spark):
