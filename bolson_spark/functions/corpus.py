@@ -55,6 +55,12 @@ def doc_gram_hashes(docs: DataFrame, n: int, text_col: str = "text") -> DataFram
     cross-engine digest parity is not needed here (unlike the content
     fingerprints, which stay md5). Collisions at 64 bits are ~G²/2⁶⁵
     for G distinct grams — immaterial below trillions of grams."""
+    # NOT spread (measured, r10): the distinct-gram explode is cheap
+    # enough that a round-robin exchange of the text costs more than
+    # the single-split serialism it removes (decontaminate 1.05 ->
+    # 1.60 s with a spread here) — the md5-window streams
+    # (_dup_windows, strip_repeated_passages) are the ones that pay
+    # for parallelism, not this xxhash gram stream.
     grams = word_ngrams(F.col(text_col), n)
     return docs.select(
         "doc_id",
@@ -289,8 +295,13 @@ def _dup_windows(
     as three fixed-width columns and is generated twice (count pass +
     mark join — the regenerate-don't-cache trade); the count is one
     map-side-combined aggregation on the uniform 64-bit key."""
+    from bolson_spark.functions.dedup import _spread
+
     grams = word_ngrams(F.col(text_col), length)
-    win = docs.select(
+    # window generation is CPU per row (gram build + hash per token
+    # position) — spread an under-split input so it does not run on
+    # the scan's file-split count (no-op at scale / on shuffled input)
+    win = _spread(docs).select(
         "doc_id",
         F.posexplode(
             F.transform(grams, lambda g: F.xxhash64(g))

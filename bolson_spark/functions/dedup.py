@@ -774,7 +774,10 @@ def strip_repeated_passages(
         def hash_fn(c):
             return F.conv(F.substring(c, 1, 15), 16, 10).cast("bigint")
 
-    docs = df.select(
+    # the window stream below runs an md5 per token position — spread
+    # an under-split input so both generations run at cluster
+    # parallelism (no-op at scale / on shuffled input)
+    docs = _spread(df).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tok")
     )
     tok = F.col("_tok")
