@@ -983,7 +983,10 @@ def hashed_linear_score(
     margin = F.aggregate(
         toks, F.lit(0).cast("bigint"), lambda acc, t: acc + w_of(t)
     )
-    return docs.select(
+    from bolson_spark.functions.dedup import _spread
+
+    # two md5s per token of CPU per row — spread an under-split input
+    return _spread(docs).select(
         F.col(id_col),
         F.size(toks).cast("bigint").alias("n_tokens"),
         margin.alias("margin"),

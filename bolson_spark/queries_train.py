@@ -1255,7 +1255,11 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's sorted-distinct loop, so results are bit-identical; the
     rounded sum of log2 terms cannot tie at the 6th decimal for real
     text (irrational unless every count is a power of two)."""
-    docs = _t(spark, sf_dir, "documents").select(
+    from bolson_spark.functions.dedup import _spread
+
+    # the per-char sort+fold is CPU per row — spread an under-split
+    # input so it does not run on the scan's file-split count
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.split(F.col("text"), "").alias("_ch")
     )
     ch = F.col("_ch")
