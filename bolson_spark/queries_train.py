@@ -1166,7 +1166,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(
             "word",
-            F.size(bpe_encode_col(F.col("word"), merges)).alias("n_toks"),
+            F.size(bpe_encode_col("word", merges)).alias("n_toks"),
             F.length("word").alias("n_ch"),
         )
     )
