@@ -347,12 +347,16 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset-mixing diagnostic every multi-source pipeline wants before
     deciding what to dedup across; exact Jaccard rides along for the
     accuracy report."""
+    from bolson_spark.functions.dedup import _spread
     from bolson_spark.functions.sketch import kmv_set_overlap
     from bolson_spark.functions.text import tokens
 
     from bolson_spark.functions.text import bind_array
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the under-split scan before the 3-gram build: concat_ws
+    # + md5 per gram is the heavy narrow map here (measured 2.36 ->
+    # 1.65 s warm min-of-3; no-op on well-split production input)
+    docs = _spread(_t(spark, sf_dir, "documents"))
     tok = tokens(F.col("text"))
     # bind the split once per row (HOF-capture pitfall — the lambda's
     # slice(tok, ...) would otherwise re-split per shingle)
@@ -2623,11 +2627,27 @@ CORPUS_QUERIES.update(
 # count-min frequency estimation, hashed-feature linear scoring
 # ---------------------------------------------------------------------------
 
-def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_tokens(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """(doc_id, source, token) stream: whitespace tokens, empties
     dropped — the one tokenization both sketch queries and their
-    oracles share."""
-    return _t(spark, sf_dir, "documents").select(
+    oracles share.
+
+    ``spread=True`` round-robins the DOCUMENTS (pre-explode — the
+    text crosses once, not per token) when the scan is under-split,
+    for consumers whose per-token map is heavy enough to win from it
+    (measured per consumer, r10: cm_frequency 1.75 -> 1.47 s warm
+    [4 md5s/token before the cell groupBy]; hll_distinct a wash
+    [1 md5, partial agg collapses to 64 buckets]; heavy_hitters
+    WORSE 0.35 -> 0.49 s [plain count, the exchange is pure cost] —
+    so the default stays unspread)."""
+    docs = _t(spark, sf_dir, "documents")
+    if spread:
+        from bolson_spark.functions.dedup import _spread
+
+        docs = _spread(docs)
+    return docs.select(
         "doc_id",
         "source",
         F.explode(
@@ -2713,7 +2733,10 @@ def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     cm_sketch_freq for the merge/broadcast scale shape."""
     from bolson_spark.functions.sketch import cm_sketch_freq
 
-    toks = _doc_tokens(spark, sf_dir)
+    # spread=True: 4 md5s per token row before the cell groupBy — the
+    # heaviest per-token map of the sketch family (measured win; see
+    # _doc_tokens docstring)
+    toks = _doc_tokens(spark, sf_dir, spread=True)
     probe = (
         toks.where(F.col("doc_id") % 97 == 0).select("token").distinct()
     )
