@@ -1187,46 +1187,37 @@ def _minhash_prep(
     )
     # identical Carter-Wegman arithmetic to minhash_signature (kept as
     # its own projection so CollapseProject cannot inline the 16-way
-    # reuse of _halves back into per-permutation md5 recomputation)
-    # NB: the lambda must take exactly ONE parameter — a second one
-    # makes pyspark pass the ARRAY INDEX as `i` ((element, index)
-    # higher-order-function form), silently corrupting every signature
-    mh = [
-        F.array_min(
-            F.transform(
-                F.col("_halves"),
-                lambda h: (h["hi"] + F.lit(i) * h["lo"]) % F.lit(1 << 32),
-            )
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    sig = staged.select("doc_id", "toks", *mh)
+    # reuse of _halves back into per-permutation md5 recomputation).
+    # The permutation fold and the band keys are built as SQL TEXT and
+    # parsed in ONE selectExpr call each: the Column-API form spent
+    # ~0.9 s of py4j round trips PER PREP CALL on the 16 transform
+    # lambdas + band md5 chains (measured; an SF-independent driver
+    # constant paid by every minhash query and every streaming micro-
+    # batch — the bpe_encode/_merge_pair_sql pattern). 4294967296 is
+    # 1 << 32 as a BIGINT literal; explicit parens keep the SQL
+    # precedence identical to the Column form (+ binds before %).
+    sig = staged.selectExpr(
+        "doc_id",
+        "toks",
+        *[
+            f"array_min(transform(_halves,"
+            f" h -> (h.hi + {i} * h.lo) % 4294967296)) AS mh{i}"
+            for i in range(num_hashes)
+        ],
+    )
     # identical 60-bit truncated-md5 band keys to band_keys_from_signature
     r = num_hashes // bands
-    keys = F.array(
-        *[
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"mh{b * r + k}").cast("string")
-                                for k in range(r)
-                            ],
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            for b in range(bands)
-        ]
+    band_exprs = ", ".join(
+        "cast(conv(substring(md5(concat_ws('|', {cols})), 1, 15), 16, 10)"
+        " as bigint)".format(
+            cols=", ".join(
+                f"cast(mh{b * r + k} as string)" for k in range(r)
+            )
+        )
+        for b in range(bands)
     )
-    prepped = sig.select(
-        "doc_id", "toks", F.size("toks").alias("n_toks"), keys.alias("_keys")
+    prepped = sig.selectExpr(
+        "doc_id", "toks", "size(toks) AS n_toks", f"array({band_exprs}) AS _keys"
     )
     if cache:
         prepped = prepped.cache()
