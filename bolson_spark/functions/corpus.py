@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bolson_spark.functions.text import explode_once
+
 
 def word_ngrams(col: Column, n: int) -> Column:
     """Word n-grams of a single-space-tokenized text column as an
@@ -62,13 +64,13 @@ def doc_gram_hashes(docs: DataFrame, n: int, text_col: str = "text") -> DataFram
     # (_dup_windows, strip_repeated_passages) are the ones that pay
     # for parallelism, not this xxhash gram stream.
     grams = word_ngrams(F.col(text_col), n)
-    return docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(grams, lambda g: F.xxhash64(g))
-            )
-        ).alias("gram_hash"),
+    # explode_once: the plain explode's inferred size()>0 filter
+    # re-ran the whole gram+hash build at the scan (text.explode_once)
+    return explode_once(
+        docs,
+        ["doc_id"],
+        F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g))),
+        ["gram_hash"],
     )
 
 
@@ -301,11 +303,14 @@ def _dup_windows(
     # window generation is CPU per row (gram build + hash per token
     # position) — spread an under-split input so it does not run on
     # the scan's file-split count (no-op at scale / on shuffled input)
-    win = _spread(docs).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(grams, lambda g: F.xxhash64(g))
-        ).alias("start", "gh"),
+    # explode_once (see text.py): kills the inferred size()>0 filter
+    # that re-ran the window build at the scan, single-core
+    win = explode_once(
+        _spread(docs),
+        ["doc_id"],
+        F.transform(grams, lambda g: F.xxhash64(g)),
+        ["start", "gh"],
+        pos=True,
     )
     counts = win.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
     return win.join(counts.where(F.col("_c") >= 2), "gh").select(
@@ -577,11 +582,12 @@ def exploded_chunks(
 ) -> DataFrame:
     """(doc_id, idx, chunk) — one row per non-overlapping w-word chunk,
     idx 0-based in document order."""
-    return docs.select(
-        "doc_id",
-        F.posexplode(doc_chunk_array(F.col(text_col), w)).alias(
-            "idx", "chunk"
-        ),
+    return explode_once(
+        docs,
+        ["doc_id"],
+        doc_chunk_array(F.col(text_col), w),
+        ["idx", "chunk"],
+        pos=True,
     )
 
 

@@ -565,7 +565,11 @@ def ngram_jaccard_pairs(
     sh = (
         _spread(df).select("doc_id", tokens(F.col(text_col)).alias("_tok"))
         .select("doc_id", shingles.alias("sh"))
-        .where(F.size("sh") > 0)
+        # no size(sh)>0 guard: it pushed a second full shingle build
+        # into a scan-level Filter (single-core); empty-shingle docs
+        # are inert anyway — explode emits nothing for them and their
+        # `sizes` rows never match a pair, so the row set of every
+        # downstream frame is identical (text.explode_once rationale)
         .cache()
     )
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
@@ -651,7 +655,11 @@ def ngram_containment_pairs(
         _spread(df)
         .select("doc_id", tokens(F.col(text_col)).alias("_tok"))
         .select("doc_id", shingles.alias("sh"))
-        .where(F.size("sh") > 0)
+        # no size(sh)>0 guard: it pushed a second full shingle build
+        # into a scan-level Filter (single-core); empty-shingle docs
+        # are inert anyway — explode emits nothing for them and their
+        # `sizes` rows never match a pair, so the row set of every
+        # downstream frame is identical (text.explode_once rationale)
         .cache()
     )
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
@@ -787,25 +795,29 @@ def strip_repeated_passages(
     )
     tok = F.col("_tok")
     starts = F.sequence(F.lit(0), F.size(tok) - w)
-    wins = (
-        docs.where(F.size(tok) >= w)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    starts,
-                    lambda i: F.struct(
-                        i.alias("start"),
-                        hash_fn(
-                            F.md5(F.concat_ws(" ", F.slice(tok, i + 1, w)))
-                        ).alias("h"),
-                    ),
-                )
-            ).alias("w"),
-        )
-        .select(
-            "doc_id", F.col("w.start").alias("start"), F.col("w.h").alias("h")
-        )
+    from bolson_spark.functions.text import explode_once
+
+    # explode_once + when-guard (text.explode_once): the old
+    # where(size>=w) + inferred size()>0 filter re-ran the tokenize
+    # and the whole md5-window build at the scan, single-core
+    wins = explode_once(
+        docs,
+        ["doc_id"],
+        F.when(
+            F.size(tok) >= w,
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("start"),
+                    hash_fn(
+                        F.md5(F.concat_ws(" ", F.slice(tok, i + 1, w)))
+                    ).alias("h"),
+                ),
+            ),
+        ),
+        ["w"],
+    ).select(
+        "doc_id", F.col("w.start").alias("start"), F.col("w.h").alias("h")
     )
     rep = (
         wins.select("doc_id", "h")

@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bolson_spark.functions.text import explode_once
+
 # Filter thresholds (Gopher-flavored, corpus-adapted).
 MIN_WORDS = 20
 MAX_WORDS = 100_000
@@ -433,11 +435,11 @@ def repetition_metrics(
             )
         return F.flatten(F.array(*parts))
 
-    rows = df.select(
-        "doc_id",
-        F.explode(
-            bind_array(F.split(F.col(text_col), " "), all_grams)
-        ).alias("g"),
+    rows = explode_once(
+        df,
+        ["doc_id"],
+        bind_array(F.split(F.col(text_col), " "), all_grams),
+        ["g"],
     ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     from pyspark.sql.window import Window
 
@@ -662,11 +664,11 @@ def unigram_lm_score(
     vocabulary, keeping the join build side bounded), then one
     aggregation keyed by doc_id.
     """
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-        ).alias("tok"),
+    toks = explode_once(
+        docs,
+        ["doc_id"],
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != ""),
+        ["tok"],
     )
     freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     if min_freq > 1:
@@ -743,11 +745,11 @@ def dsir_logratio(
     all-pairs anything; the target side is the small curated set by
     construction."""
     def _toks(df: DataFrame, *cols: str) -> DataFrame:
-        return df.select(
-            *cols,
-            F.explode(
-                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-            ).alias("tok"),
+        return explode_once(
+            df,
+            list(cols),
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != ""),
+            ["tok"],
         )
 
     raw_toks = _toks(docs, "doc_id")

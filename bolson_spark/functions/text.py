@@ -18,6 +18,60 @@ from pyspark.sql import functions as F
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 
 
+def explode_once(
+    df: DataFrame,
+    keep: list[str],
+    arr: Column,
+    aliases: list[str],
+    pos: bool = False,
+) -> DataFrame:
+    """explode/posexplode an EXPENSIVE computed array without paying it
+    twice — the InferFiltersFromGenerate trap: for a non-outer
+    Generate, Catalyst infers ``size(<generator input>) > 0`` and
+    predicate pushdown then re-inlines the WHOLE array-building
+    expression as a scan-level Filter, so the gram/hash/encode tree
+    runs once in the filter (on the scan's split count — one core on a
+    single-file input) and again in the project above (measured on
+    pq_encode: 2.83 -> 0.29 s warm; the plan grows
+    ``Filter (size(transform(...)))`` on the FileScan).
+
+    The *_outer form is exempt from the inference; it emits one
+    all-null marker row per empty/null array, which the cheap
+    isNotNull on the GENERATOR OUTPUT (not pushable below the
+    Generate) removes — the row set is identical to the non-outer
+    explode PROVIDED the array has no null elements (true for every
+    split/concat/hash-built array in this codebase; do not use this
+    helper for arrays that can legitimately hold nulls)."""
+    gen = F.posexplode_outer(arr) if pos else F.explode_outer(arr)
+    out = df.select(*keep, gen.alias(*aliases))
+    return out.where(F.col(aliases[-1]).isNotNull())
+
+
+def where_once(df: DataFrame, cond: Column) -> DataFrame:
+    """``df.where(cond)`` with the predicate PINNED at this point in
+    the plan. PushDownPredicates clones a filter condition through
+    every deterministic Project and Exchange down to the scan — for an
+    expensive condition (a quality-metric struct over the tokenized
+    text) that re-sites the whole evaluation into a scan-level Filter,
+    BELOW the parallelizing spread exchange: on a single-split input
+    the gate then runs on one core. Routing the condition through a
+    Generate fences it — a filter on a GENERATOR OUTPUT cannot be
+    pushed below the Generate, and the condition itself is evaluated
+    exactly once, where this call stands.
+
+    Row-set equality with ``where(cond)``: the marker array has one
+    element when cond is TRUE, and is NULL when cond is FALSE or NULL
+    — explode_outer emits one row either way, and the isNotNull keeps
+    exactly the TRUE rows (SQL filter semantics drop NULL conds)."""
+    marked = df.select(
+        df["*"], F.when(cond, F.array(F.lit(True))).alias("_w_once")
+    )
+    gen = marked.select(
+        marked["*"], F.explode_outer("_w_once").alias("_w_keep")
+    )
+    return gen.where(F.col("_w_keep").isNotNull()).drop("_w_once", "_w_keep")
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization (literal single-space split: the corpus is
     single-space separated; a regex split would also work but ' ' keeps
@@ -172,15 +226,17 @@ def chunk_documents(
             F.least(n - s, F.lit(chunk_tokens)).alias("n_chunk_tokens"),
         ),
     )
-    return (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
-        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c"))
-        .select(
-            id_col,
-            "chunk_idx",
-            F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
-            F.col("_c.chunk_text").alias("chunk_text"),
-        )
+    return explode_once(
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok")),
+        [id_col],
+        chunks,
+        ["chunk_idx", "_c"],
+        pos=True,
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("_c.chunk_text").alias("chunk_text"),
     )
 
 
@@ -238,26 +294,33 @@ def pmi_collocations(
     fewer qualifying pairs)."""
     ws = tokens(F.col(text_col))
     base = docs.select(ws.alias("ws"))
+    # explode_once on both streams: the non-outer explode's inferred
+    # size()>0 filter (and the old where(size>=2) guard) re-ran the
+    # split at the scan per stream
     uni = (
-        base.select(F.explode("ws").alias("w"))
+        explode_once(base, [], F.col("ws"), ["w"])
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_uni"))
     )
     # adjacent pairs via a 1->(n-1) narrow transform; sequence(1, n-1)
     # would DESCEND for 1-token docs (Spark fills in step -1), so the
-    # short docs are filtered out first rather than special-cased
+    # short docs map to NULL (the outer explode's filtered marker row)
+    # rather than being pre-filtered
     pairs_all = (
-        base.where(F.size("ws") >= 2)
-        .select(
-            F.explode(
+        explode_once(
+            base,
+            [],
+            F.when(
+                F.size("ws") >= 2,
                 F.transform(
                     F.sequence(F.lit(1), F.size("ws") - 1),
                     lambda i: F.struct(
                         F.element_at("ws", i).alias("w1"),
                         F.element_at("ws", i + 1).alias("w2"),
                     ),
-                )
-            ).alias("p")
+                ),
+            ),
+            ["p"],
         )
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")

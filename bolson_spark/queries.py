@@ -533,8 +533,15 @@ def q_convert_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     size) and deserialize back — information equality with the input."""
     ev = _t(spark, sf_dir, "events")
     parsed = parse_json(ev, EVENT_PROPS_SPARK, "props", strict=False, keep=["event_id"])
+    # add_seq_scalable, not add_seq: the numbering is IDENTICAL
+    # (contiguous 0-based by event_id — exact bucket counts + prefix
+    # sums, see operators/seq.py) but without the exact path's
+    # single-reducer global sort; the deserialized rows are invariant
+    # to message boundaries, so the roundtrip output is unchanged.
+    # convert_ipc_messages keeps the exact path: its declared output
+    # IS the message set, which the driver checks by row count.
     seqd = (
-        add_seq(parsed, "event_id")
+        add_seq_scalable(parsed, "event_id")
         .repartitionByRange(8, F.col("bolson_seq"))
         .sortWithinPartitions("bolson_seq")
     )
@@ -618,7 +625,21 @@ def q_convert_ipc_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation: decimal-exact sums, pushed-down
     shipdate filter, map-side partial aggregation."""
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "2000-12-01")
+    from bolson_spark.functions.dedup import _spread
+
+    # spread after the pushed shipdate filter: the single-row-group
+    # bench file scans as ONE split, so the eight decimal partial
+    # aggregations ran on one core of 32 (measured 1.25 -> 1.08 s
+    # warm); only the six needed columns cross the exchange, and the
+    # spread is a no-op on well-split production input
+    li = _spread(
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") <= "2000-12-01")
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
+    )
     qty, price = _dec("l_quantity"), _dec("l_extendedprice")
     disc, tax = _dec("l_discount", 4), _dec("l_tax", 4)
     one = F.lit(1).cast("decimal(3,2)")
@@ -1614,6 +1635,11 @@ def _cosine_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
 
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread (measured, r10 #16): the codegen cosine fold +
+    # TakeOrdered is cheap enough that the exchange costs more than
+    # the single-split serialism it removes (0.26 unspread vs 0.51 s
+    # spread, min-of-6 interleaved) — unlike the interpreted-HOF
+    # quantization encodes (pq/sq), where the spread wins 2-10x
     emb = _t(spark, sf_dir, "embeddings")
     return knn_bruteforce(emb, _query_vec(spark, sf_dir), k=10)
 
@@ -1686,6 +1712,8 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
     )
+    # NOT spread (measured: 0.58 unspread vs 0.68 s spread — the
+    # codegen cosine class, see q_knn_bruteforce)
     return ivf_assign(emb, centroids)
 
 
@@ -1711,6 +1739,7 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
     )
+    # NOT spread (measured 0.69 vs 0.94 s — see q_knn_bruteforce)
     return ivf_knn(emb, centroids, _query_vec(spark, sf_dir), k=10)
 
 
@@ -1909,6 +1938,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
     )
+    # NOT spread (measured 0.95 vs 1.07 s — see q_knn_bruteforce)
     exact = knn_bruteforce(emb, qv, k=10).select("vec_id")
     approx = ivf_knn(emb, centroids, qv, k=10).select("vec_id")
     return _recall_frame(exact, approx)
@@ -1989,12 +2019,15 @@ def q_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         fit_whitening,
     )
 
+    from bolson_spark.functions.dedup import _spread
+    from bolson_spark.functions.text import explode_once
+
     emb = _t(spark, sf_dir, "embeddings")
     mean, w = fit_whitening(emb, sample_n=256, eps=1e-6, diagonal=True)
-    wd = apply_whitening(emb, mean, w)
+    wd = apply_whitening(_spread(emb), mean, w)
     yi = F.floor(F.col("y") * F.lit(10000.0)).cast("bigint").alias("yi")
     agg = (
-        wd.select(F.posexplode("whitened").alias("dim", "y"))
+        explode_once(wd, [], F.col("whitened"), ["dim", "y"], pos=True)
         .select(F.col("dim").cast("bigint").alias("dim"), yi)
         .groupBy("dim")
         .agg(
@@ -2220,8 +2253,12 @@ def q_knn_sq_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     # change row count), so filtering AFTER apply_whitening would
     # silently whiten the whole corpus a second time just to keep one
     # row — whitening is row-wise, the filter commutes
+    from bolson_spark.functions.dedup import _spread
+
+    # spread the corpus leg: apply_whitening is an Arrow map — the
+    # spread also parallelizes the Python workers (guide §4)
     codes = sq_encode(
-        apply_whitening(emb.where(F.col("vec_id") != 0), mean, w),
+        apply_whitening(_spread(emb.where(F.col("vec_id") != 0)), mean, w),
         vec_col="whitened",
     )
     q = sq_encode(
@@ -2290,6 +2327,8 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit regardless of partitioning); centroids (one row per
     label) broadcast back; the distance is a zip_with+aggregate fold
     in strict index order; top-20 is TakeOrdered."""
+    # NOT spread (measured 1.18 unspread vs 1.50 s spread: the
+    # decimal partial sums are codegen and the exchange is pure cost)
     emb = _t(spark, sf_dir, "embeddings")
     sums = emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2785,9 +2824,11 @@ SELECT s_name AS name, 'supplier' AS kind FROM supplier
 
 def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token histogram, top 20 (explode -> count -> top-k)."""
+    from bolson_spark.functions.text import explode_once
+
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        explode_once(docs, [], F.split("text", " "), ["word"])
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("word"))

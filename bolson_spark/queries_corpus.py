@@ -20,6 +20,7 @@ from bolson_spark.functions.corpus import (
     incremental_ingest,
     pack_sequences,
 )
+from bolson_spark.functions.text import where_once
 from bolson_spark.queries import QuerySpec, _t
 
 # DuckDB fragment: word 8-grams of a single-space-tokenized text column
@@ -369,8 +370,17 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    grams = docs.where(F.size(tok) >= 3).select(
-        "source", F.explode(gram_arr).alias("gram")
+    # explode_once + when-guard (see text.explode_once): the old
+    # where(size>=3) pushed a re-tokenize to the scan and the plain
+    # explode's inferred size()>0 filter re-ran the whole gram build
+    # there too — short docs now map to NULL (filtered marker row)
+    from bolson_spark.functions.text import explode_once
+
+    grams = explode_once(
+        docs,
+        ["source"],
+        F.when(F.size(tok) >= 3, gram_arr),
+        ["gram"],
     )
     return kmv_set_overlap(grams, "gram", "source", k=64)
 
@@ -1145,7 +1155,9 @@ def q_training_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so it has no Exchange for ReusedExchange to dedup across the
     # pipeline's 3-4 references to the filtered corpus — without this
     # persist every branch re-evaluates the full metric struct per doc
-    kept_q = quality_metrics(docs).where("keep").select("doc_id").cache()
+    kept_q = where_once(quality_metrics(docs), F.col("keep")).select(
+        "doc_id"
+    ).cache()
     s1 = docs.join(kept_q, "doc_id", "left_semi")
     target = docs.where(F.col("source") == "src0")
     kept = dsir_resample(s1, target, budget_frac=0.25)
@@ -1861,7 +1873,9 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so it has no Exchange for ReusedExchange to dedup across the
     # pipeline's 3-4 references to the filtered corpus — without this
     # persist every branch re-evaluates the full metric struct per doc
-    kept_q = quality_metrics(docs).where("keep").select("doc_id").cache()
+    kept_q = where_once(quality_metrics(docs), F.col("keep")).select(
+        "doc_id"
+    ).cache()
     s1 = docs.join(kept_q, "doc_id", "left_semi")
     eval_docs = docs.filter(F.col("doc_id") % 17 == 0)
     corpus = s1.filter(F.col("doc_id") % 17 != 0)
@@ -1938,7 +1952,9 @@ def q_training_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so it has no Exchange for ReusedExchange to dedup across the
     # pipeline's 3-4 references to the filtered corpus — without this
     # persist every branch re-evaluates the full metric struct per doc
-    kept_q = quality_metrics(docs).where("keep").select("doc_id").cache()
+    kept_q = where_once(quality_metrics(docs), F.col("keep")).select(
+        "doc_id"
+    ).cache()
     s1 = docs.join(kept_q, "doc_id", "left_semi")
     eval_docs = docs.filter(F.col("doc_id") % 17 == 0)
     corpus = s1.filter(F.col("doc_id") % 17 != 0)
@@ -2108,7 +2124,9 @@ def q_training_corpus_spandedup(
     # so it has no Exchange for ReusedExchange to dedup across the
     # pipeline's 3-4 references to the filtered corpus — without this
     # persist every branch re-evaluates the full metric struct per doc
-    kept_q = quality_metrics(docs).where("keep").select("doc_id").cache()
+    kept_q = where_once(quality_metrics(docs), F.col("keep")).select(
+        "doc_id"
+    ).cache()
     s1 = docs.join(kept_q, "doc_id", "left_semi")
     eval_docs = docs.filter(F.col("doc_id") % 17 == 0)
     corpus = s1.filter(F.col("doc_id") % 17 != 0)
@@ -2647,12 +2665,13 @@ def _doc_tokens(
         from bolson_spark.functions.dedup import _spread
 
         docs = _spread(docs)
-    return docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-        ).alias("token"),
+    from bolson_spark.functions.text import explode_once
+
+    return explode_once(
+        docs,
+        ["doc_id", "source"],
+        F.filter(F.split(F.col("text"), " "), lambda x: x != ""),
+        ["token"],
     )
 
 

@@ -467,11 +467,13 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates; the only large shuffle is the (doc, term) tf groupBy."""
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.count()
-    terms = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-        ).alias("term"),
+    from bolson_spark.functions.text import explode_once
+
+    terms = explode_once(
+        docs,
+        ["doc_id"],
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"),
+        ["term"],
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -142,16 +142,27 @@ def q_sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of round() so Spark and DuckDB agree on halfway cases."""
     from bolson_spark.functions.similarity import sq_encode
 
+    from bolson_spark.functions.dedup import _spread
+
     emb = _t(spark, sf_dir, "embeddings")
     # Registry outputs must be scalar columns (driver canonicalizer
     # cannot hash array cells) — explode the code vector to
     # (vec_id, dim_idx, code) rows. sq_encode() itself keeps the
     # array-valued API for programmatic use.
-    codes = sq_encode(emb)
+    #
+    # posexplode_OUTER, not posexplode: for a non-outer Generate the
+    # InferFiltersFromGenerate rule infers `size(sq_codes) > 0` and
+    # predicate pushdown re-inlines the WHOLE quantization transform
+    # into a scan-level Filter — the encode math ran twice, once of
+    # that on the scan's single core (measured on the pq sibling:
+    # 2.83 -> 0.29 s warm). The cheap pushable guard on the PHYSICAL
+    # column below makes outer==inner provable: non-empty embedding =>
+    # non-empty sq_codes, so the outer form emits no extra null rows.
+    codes = sq_encode(_spread(emb.where(F.size("embedding") > 0)))
     return codes.select(
         "vec_id",
         "sq_scale",
-        F.posexplode("sq_codes").alias("dim_idx", "code"),
+        F.posexplode_outer("sq_codes").alias("dim_idx", "code"),
     )
 
 
@@ -204,14 +215,23 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
 
 
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bolson_spark.functions.dedup import _spread
     from bolson_spark.functions.similarity import pq_encode
 
     emb = _t(spark, sf_dir, "embeddings")
     # Scalar-column output shape (see q_sq_encode): one row per
     # (vector, subspace) with its selected code.
-    codes = pq_encode(emb, _pq_codebooks(spark, sf_dir))
+    #
+    # posexplode_OUTER: pq_codes = transform(sequence(0, m-1), ...) is
+    # ALWAYS length m, so outer==inner by construction — and the outer
+    # form stops InferFiltersFromGenerate from inferring a
+    # `size(pq_codes) > 0` filter that predicate pushdown re-inlines
+    # as the whole m x k argmin tree in a scan-level Filter (the
+    # encode ran twice, once single-core: 2.83 -> 0.29 s warm with
+    # _spread; plan had `Filter (size(transform(...)))` on the scan).
+    codes = pq_encode(_spread(emb), _pq_codebooks(spark, sf_dir))
     return codes.select(
-        "vec_id", F.posexplode("pq_codes").alias("subspace", "code")
+        "vec_id", F.posexplode_outer("pq_codes").alias("subspace", "code")
     )
 
 
@@ -258,6 +278,7 @@ def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (driver-side, tiny), each encoded vector's distance is m table
     lookups — the FAISS IVFADC scan pattern, here as a pure codegen
     expression over the broadcast LUT."""
+    from bolson_spark.functions.dedup import _spread
     from bolson_spark.functions.similarity import pq_adc_knn, pq_encode
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -267,7 +288,9 @@ def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in emb.where(F.col("vec_id") == 0).select("embedding")
         .collect()[0].embedding
     ]
-    codes = pq_encode(emb, books)
+    # spread before the m x k argmin encode: the single-file scan is
+    # one split, so the interpreted HOF math ran on one core of 32
+    codes = pq_encode(_spread(emb), books)
     return pq_adc_knn(codes, books, qv, k=10)
 
 
@@ -327,10 +350,15 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     ws = words_col(F.col("text"))
+    from bolson_spark.functions.dedup import _spread
+
     # zero-word docs: Spark 0/0 -> NULL (sorted NULLS FIRST) but
     # DuckDB -> NaN (sorted last) — exclude them from the stratum on
-    # BOTH sides so the percentile lattice is engine-identical
-    scored = docs.where(F.size(ws) > 0).select(
+    # BOTH sides so the percentile lattice is engine-identical.
+    # The guard predicate pushes to the scan (single split locally) —
+    # unavoidable single eval there — but the spread in between lets
+    # the uniq_frac tokenize run at cluster parallelism.
+    scored = _spread(docs.where(F.size(ws) > 0)).select(
         "doc_id",
         "lang",
         F.round(F.size(F.array_distinct(ws)) / F.size(ws), 6).alias(
@@ -455,31 +483,43 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic) double division."""
     from bolson_spark.functions.quality import words_col
 
-    docs = _t(spark, sf_dir, "documents")
+    from bolson_spark.functions.dedup import _spread
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
     w = docs.select("doc_id", words_col(F.col("text")).alias("ws"))
     # sequence(1, 0) counts DOWN in Spark (junk (word, NULL) bigrams
     # that inflate the context counts vs the oracle) — guard 1-word
-    # docs to an empty array, same pattern as corpus.py::word_ngrams
+    # docs, same pattern as corpus.py::word_ngrams.
+    #
+    # explode_OUTER + post-generate null filter, not explode: a
+    # non-outer Generate makes InferFiltersFromGenerate add
+    # `size(<the whole when/transform tree>) > 0`, which pushdown
+    # inlines as a scan-level Filter — the bigram build ran TWICE per
+    # consumer (bg has three), once of that on the scan's single core.
+    # Outer emits one null row for short docs (when -> NULL) which the
+    # cheap isNotNull on the GENERATOR OUTPUT (not pushable below the
+    # Generate) removes — row set identical to the old explode.
     bg = w.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.when(
                 F.size("ws") >= 2,
                 F.expr(
                     "transform(sequence(1, size(ws) - 1),"
                     " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
                 ),
-            ).otherwise(
-                F.expr("array()").cast(
-                    "array<struct<w1:string,w2:string>>"
-                )
             )
         ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
+    ).where(F.col("b").isNotNull()).select("doc_id", "b.w1", "b.w2")
     ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     pair = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    vocab = w.select(F.explode("ws").alias("t")).agg(
-        F.count_distinct("t").alias("v")
+    # same outer+isNotNull rewrite for the vocab explode (split never
+    # yields null elements, so the null filter only removes the
+    # empty-array marker row)
+    vocab = (
+        w.select(F.explode_outer("ws").alias("t"))
+        .where(F.col("t").isNotNull())
+        .agg(F.count_distinct("t").alias("v"))
     )
     nll = F.round(
         F.log(
@@ -540,10 +580,14 @@ def q_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same scale object the n-gram dedup family already builds."""
     from bolson_spark.functions.quality import words_col
 
+    from bolson_spark.functions.text import explode_once
+
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(words_col(F.col("text")))).alias("t"),
+    toks = explode_once(
+        docs,
+        ["doc_id"],
+        F.array_distinct(words_col(F.col("text"))),
+        ["t"],
     )
     dfreq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
@@ -591,8 +635,10 @@ def q_knn_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort. Query vector = vec_id 0's encoding (broadcast)."""
     from bolson_spark.functions.similarity import sq_encode
 
+    from bolson_spark.functions.dedup import _spread
+
     emb = _t(spark, sf_dir, "embeddings")
-    codes = sq_encode(emb)
+    codes = sq_encode(_spread(emb))
     q = codes.where(F.col("vec_id") == 0).select(
         F.col("sq_scale").alias("q_scale"),
         F.col("sq_codes").alias("q_codes"),
@@ -693,12 +739,19 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: two explode -> (doc, gram) count -> doc_id aggregations,
     all map-side combined and keyed by doc_id — the standard token-
     pipeline shuffle, nothing grows beyond Theta(tokens)."""
+    from bolson_spark.functions.dedup import _spread
     from bolson_spark.functions.quality import words_col
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     w = docs.select("doc_id", words_col(F.col("text")).alias("ws"))
+    # explode_OUTER + post-generate isNotNull (see q_bigram_nll): the
+    # non-outer form's inferred `size(...) > 0` filter re-ran the
+    # word/trigram build at the scan; split/concat_ws never yield null
+    # elements, so the null filter removes exactly the empty-array
+    # marker rows — row set identical.
     word_top = (
-        w.select("doc_id", F.explode("ws").alias("t"))
+        w.select("doc_id", F.explode_outer("ws").alias("t"))
+        .where(F.col("t").isNotNull())
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
@@ -711,19 +764,19 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # greatest(size-2, 0) does NOT stop sequence(1, 0) from counting
     # DOWN for 1-2-word docs (junk grams the oracle never emits) —
-    # guard to an empty array like corpus.py::word_ngrams
+    # guard short docs to NULL (the outer explode's marker row)
     tri = w.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.when(
                 F.size("ws") >= 3,
                 F.expr(
                     "transform(sequence(1, size(ws) - 2),"
                     " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
                 ),
-            ).otherwise(F.expr("array()").cast("array<string>"))
+            )
         ).alias("g"),
-    )
+    ).where(F.col("g").isNotNull())
     tri_dup = (
         tri.groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -907,12 +960,15 @@ def q_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode,
     )
 
+    from bolson_spark.functions.dedup import _spread
+
     emb = _t(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") < IVF_PQ_CELLS).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid"),
     )
-    assigned = ivf_assign(emb, centroids)
+    emb_s = _spread(emb)  # corpus side (see q_knn_bruteforce)
+    assigned = ivf_assign(emb_s, centroids)
     qv = [
         float(v)
         for v in emb.where(F.col("vec_id") == 0)
@@ -933,7 +989,7 @@ def q_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at 100x in scripts/scale_probe.py). The coarse assignment scan
     # stays the one intentionally linear pass.
     cand = pq_encode(
-        emb.join(
+        emb_s.join(
             assigned.where(F.col("cluster") == best_cell).select("vec_id"),
             "vec_id",
         ),
@@ -1158,8 +1214,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=BPE_ENCODE_MERGES)
-    occ = docs.select(
-        "doc_id", F.explode(words_col(F.col("text"))).alias("word")
+    from bolson_spark.functions.text import explode_once
+
+    occ = explode_once(
+        docs, ["doc_id"], words_col(F.col("text")), ["word"]
     )
     dw = (
         occ.select("word")
@@ -1356,9 +1414,18 @@ def q_cross_doc_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    per_doc = (
-        docs.where(F.size(tok) >= PASSAGE_W)
-        .select("doc_id", F.explode(phash).alias("passage_hash"))
+    from bolson_spark.functions.dedup import _spread
+    from bolson_spark.functions.text import explode_once
+
+    # explode_once + when-guard: the old where(size>=W) pushed a
+    # re-tokenize to the scan and the inferred size()>0 filter re-ran
+    # the whole md5-window build there (single-core); the spread lets
+    # the per-window hashing run at cluster parallelism
+    per_doc = explode_once(
+        _spread(docs),
+        ["doc_id"],
+        F.when(F.size(tok) >= PASSAGE_W, phash),
+        ["passage_hash"],
     )
     return (
         per_doc.groupBy("passage_hash")
