@@ -413,7 +413,15 @@ def q_convert_seq_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_convert_rebatch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1: resize envelope — per-batch seq ranges at max_rows=1024."""
+    """R1: resize envelope — per-batch seq ranges at max_rows=1024.
+
+    Stays on the exact add_seq (measured, r10): batch_stats is
+    partition-invariant so add_seq_scalable would give identical
+    results, but its two extra driver jobs (bounds + counts) cost
+    0.78 s vs the 100k-row global sort's 0.22 s here — the swap pays
+    only when the sorted stream outgrows one reducer, and THAT shape
+    is already covered by convert_seq_scalable / convert_pipeline /
+    convert_ipc_roundtrip."""
     ev = _t(spark, sf_dir, "events")
     return batch_stats(add_seq(ev, "event_id"))
 
@@ -568,6 +576,7 @@ def q_convert_serialize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     parsed = parse_json(ev, EVENT_PROPS_SPARK, "props", strict=False, keep=["event_id"])
+    # exact add_seq kept (see q_convert_rebatch's measured revert)
     batched = add_batch_id(add_seq(parsed, "event_id"))
 
     def ser(pdf: pd.DataFrame) -> pd.DataFrame:
