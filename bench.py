@@ -5,7 +5,10 @@ here: per-query wall seconds over the registry + convert throughput).
 Runs every registry query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...}. The final line's "queries" map is
+the slowest-first subset that fits the driver's ~2 KB stdout tail
+(r10 VERDICT #1); the full 192-entry map is printed as an earlier
+"queries_full" line and written to BENCH_FULL.json.
 
 Each query executes with a `noop` sink write: full computation happens
 (scan -> all operators -> output rows materialized) without driver-side
@@ -270,14 +273,28 @@ def main() -> None:
         "queries_spread": spread,
         "queries_runs": {n: rs for n, rs in runs.items() if len(rs) > 1},
     }
-    # The driver records only the last ~2 KB of stdout (r2's per-query
-    # evidence was lost to head-truncation of one huge line). Emit:
+    # The driver records only the last ~2 KB of stdout, and parses the
+    # LAST complete JSON line in that tail (r2's per-query evidence was
+    # lost to head-truncation of one huge line; r9/r10 omitted the
+    # "queries" map from the final line and the driver's PERF
+    # per_query/scaling blocks came back empty two rounds running —
+    # r10 VERDICT #1). Emit, in order:
     #   1. the full JSON to BENCH_FULL.json on disk (committed evidence),
     #   2. per-family detail lines early (truncatable),
-    #   3. a compact (<2 KB) summary as the FINAL line so the recorded
-    #      BENCH_r{N}.json tail always parses as complete JSON.
-    with open(os.path.join(os.path.dirname(__file__), "BENCH_FULL.json"), "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
+    #   3. the FULL per-query map as one line (truncatable in the 2 KB
+    #      artifact tail, intact in live stdout for any reader of the
+    #      whole stream),
+    #   4. a secondary-headline line (convert/stream/micro metrics the
+    #      driver does not consume — the judge reads them from
+    #      BENCH_FULL.json either way),
+    #   5. the FINAL line: the bench contract summary INCLUDING a
+    #      "queries" map of the slowest queries that fit a ~1.95 KB
+    #      line budget (~60+ queries, >60 % of the bench's time mass;
+    #      2-decimal values). Subsetting is the physical limit: 192
+    #      full-name entries are ~4.6 KB and can never survive a 2 KB
+    #      tail, and a head-truncated line parses as nothing at all.
+    #      Entries are ADDED relative to r10 (whose final line had no
+    #      map); the full map stays in BENCH_FULL.json + line (3).
     fam_queries: dict[str, dict[str, float]] = {}
     for name, sec in timings.items():
         tags = QUERIES[name].tags or ("other",)
@@ -286,16 +303,78 @@ def main() -> None:
         # scale factors inside one family total
         fam = "twin" if _small_sf(tags) else tags[0]
         fam_queries.setdefault(fam, {})[name] = sec
-    for fam, qs in fam_queries.items():
-        print(json.dumps({"family": fam, "queries": qs}))
-    summary["families"] = {
+    full["families"] = {
         fam: round(sum(qs.values()), 3) for fam, qs in fam_queries.items()
     }
-    summary["slowest"] = dict(
+    full["slowest"] = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
-    summary["queries_detail_file"] = "BENCH_FULL.json"
-    print(json.dumps(summary))
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    for fam, qs in fam_queries.items():
+        print(json.dumps({"family": fam, "queries": qs}))
+    print(
+        json.dumps(
+            {
+                "metric": "full per-query map (see BENCH_FULL.json)",
+                "unit": "sec",
+                "sf": sf_from_dir(SF_DIR),
+                "queries_full": {
+                    n: round(t, 2) for n, t in timings.items()
+                },
+            },
+            separators=(",", ":"),
+        )
+    )
+    extras = {
+        k: summary[k]
+        for k in summary
+        if k
+        not in (
+            "metric",
+            "timing",
+            "value",
+            "unit",
+            "sf",
+            "twin_sf",
+            "twin_total_sec",
+            "num_twin_queries",
+            "num_queries",
+        )
+    }
+    extras["metric"] = "secondary headline metrics (driver-unparsed)"
+    extras["families"] = full["families"]
+    print(json.dumps(extras, separators=(",", ":")))
+    final = {
+        k: summary[k]
+        for k in (
+            "metric",
+            "timing",
+            "value",
+            "unit",
+            "sf",
+            "twin_sf",
+            "twin_total_sec",
+            "num_twin_queries",
+            "num_queries",
+        )
+    }
+    final["timing"] = (
+        "min of up to 2 runs (>1s reruns once); 10 slowest get a fixed "
+        "3-run min; twins at twin_sf (value EXCLUDES them); queries = "
+        "slowest subset fitting the driver tail, full map in "
+        "BENCH_FULL.json"
+    )
+    final["queries_detail_file"] = "BENCH_FULL.json"
+    final["queries"] = {}
+    budget = 1950 - len(json.dumps(final, separators=(",", ":")))
+    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+        entry = len(json.dumps(name)) + len(json.dumps(round(sec, 2))) + 2
+        if budget - entry < 0:
+            break
+        budget -= entry
+        final["queries"][name] = round(sec, 2)
+    print(json.dumps(final, separators=(",", ":")))
     spark.stop()
 
 

@@ -3196,6 +3196,43 @@ def test_repetition_metrics_gopher_family(spark):
     assert r3.keep is True
 
 
+def test_repetition_metrics_three_route_parity(spark):
+    """local ≡ string ≡ hash route parity (r10 VERDICT #3/#4): the
+    r10 default flip to the zero-shuffle 'local' route left the old
+    'string' default with no dedicated parity pin. exceptAll BOTH
+    ways across all three routes on a corpus that exercises the
+    tie-break (equal-count grams whose gram-ASC winner matters, with
+    >1-char multi-token grams so char attribution differs by gram)
+    plus the sf0.001 documents table (real text, NULLs, short docs)."""
+    from bolson_spark.functions.quality import repetition_metrics
+
+    crafted = spark.createDataFrame(
+        [
+            # bigram tie: "b c" x2 vs "c b" x2 — count-DESC/gram-ASC
+            # must pick "b c" in every route
+            (1, "b c b c b"),
+            # multi-char gram ties: "xx yy" x2 / "yy xx" x2, plus a
+            # dup-5 run that repeats twice
+            (2, "xx yy xx yy xx p q r s t p q r s t"),
+            # degenerate: one token repeated (every n-gram tied at
+            # max count; dup fractions > 1 by the published convention)
+            (3, "z z z z z z z z z z"),
+            (4, None),
+            (5, ""),
+            (6, "one two three four five six seven eight nine"),
+        ],
+        "doc_id bigint, text string",
+    )
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for docs in (crafted, real):
+        local = repetition_metrics(docs, gram_shuffle="local")
+        string = repetition_metrics(docs, gram_shuffle="string")
+        hashed = repetition_metrics(docs, gram_shuffle="hash")
+        for a, b in ((local, string), (string, hashed), (local, hashed)):
+            assert a.exceptAll(b).isEmpty()
+            assert b.exceptAll(a).isEmpty()
+
+
 def test_dsir_logratio_hand_computed(spark):
     """DSIR importance weights on a hand-computable fixture: target
     loves 'good', raw pool is split — 'good'-docs must score positive,

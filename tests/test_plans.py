@@ -195,6 +195,23 @@ def test_ngram_skew_guard_is_anti_join_on_frequent(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_explode_once_fences_generate_filter_inference(spark):
+    """The r10 explode_once/where_once rewrites depend on two Spark
+    optimizer behaviors (InferFiltersFromGenerate exempting *_outer
+    generates; generator-output filters being non-pushable). If a
+    Spark upgrade re-enabled the inference, the expensive array build
+    would silently reappear as a scan-level Filter — a 2-10x perf
+    regression with no functional signal (r10 ADVICE #3). Pin it: no
+    Filter/PushedFilters line of the representative rewritten queries
+    may contain an array-building transform tree."""
+    for q in ("pq_encode", "sq_encode", "dedup_ngram"):
+        plan = formatted_plan(QUERIES[q].fn(spark, SF))
+        for line in plan.splitlines():
+            if line.lstrip().startswith(("Condition", "PushedFilters")):
+                assert "transform(" not in line, (q, line)
+                assert "aggregate(" not in line, (q, line)
+
+
 def test_flagship_has_no_single_partition_exchange(spark):
     """convert_pipeline (= entry()) ships the scalable partition-offset
     seq path: no global single-reducer sort anywhere in the plan."""
