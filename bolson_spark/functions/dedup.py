@@ -475,35 +475,171 @@ def _banded_verified_pairs(
     return _verified_pairs_prepped(toksets, band_rows, jaccard_threshold)
 
 
+# Hot-bucket sub-split threshold for the banded LSH candidate
+# self-join (guide §2.5 skew): a (band, band_key) equi-join key is ONE
+# reduce task — AQE skew handling cannot split a single key — and a
+# bucket holding B docs emits ~B²/2 raw pairs inside it. The sf0.1
+# probe (scripts/probe_band_buckets.py, table in SCALING.md) measured
+# the top-10 buckets owning 96% of all raw pairs (max bucket 2337 docs
+# = 5.5M pairs in one task; 23k docs = 273M at 10x dup mass — the
+# boilerplate-crawl regime). Buckets above this size are split into
+# ceil(B/K) deterministic chunks and the join runs per chunk-PAIR
+# cell, bounding any task at ~K² pairs with every pair still seen
+# exactly once (result-identical at any K — see _verified_pairs
+# _prepped). Env-tunable for cluster sizing; 0 disables.
+_LSH_MAX_BUCKET = int(os.environ.get("SPARK_GRAFT_LSH_MAX_BUCKET", 4096))
+
+# The guard's fixed cost is SF-independent — one occupancy aggregate +
+# broadcast barrier and two extra generate/key columns, measured 0.4 s
+# per query at sf0.1 (interleaved A/B, OPTIMIZATION_r11.md) where the
+# worst bucket is only ~0.3 s of single-task work — so it engages only
+# when the ESTIMATED band-row bytes (driver-side optimizer stats, no
+# job) say the corpus is big enough for a B²/2 bucket to dominate:
+# above ~25k docs (1 MB of band rows at the measured ~40 B/row
+# estimate) a single hot bucket can exceed tens of seconds of
+# single-task work while the guard constant stays sub-second. sf0.1
+# estimates 194 KB (guard off, bench comparable — the parameterised-
+# conf pattern the round rules prescribe for scale-dependent
+# settings); the 10x dup-mass probe estimates 12.4 MB (guard on). At
+# 100 TB the guard is always on. 0 = always guard (tests force this
+# to pin result-identity and capture the guarded plan).
+_LSH_GUARD_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LSH_GUARD_MIN_BYTES", 1 << 20)
+)
+
+
+def _lsh_guard_engaged(band_rows: DataFrame) -> bool:
+    if _LSH_MAX_BUCKET <= 0:
+        return False
+    if _LSH_GUARD_MIN_BYTES <= 0:
+        return True
+    est = int(
+        band_rows._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return est >= _LSH_GUARD_MIN_BYTES
+
+
 def _verified_pairs_prepped(
     toksets: DataFrame,
     band_rows: DataFrame,
     jaccard_threshold: float,
+    guard: bool | None = None,
 ) -> DataFrame:
     """The pair-emitting core over already-prepped `_minhash_prep`
     frames — shared by `_banded_verified_pairs` and the streaming
     gate's in-batch pass (which reuses the micro-batch's own prepped
-    frames instead of re-hashing the text)."""
+    frames instead of re-hashing the text).
+
+    ``guard`` selects the hot-bucket sub-split: None (default) probes
+    the input size per `_lsh_guard_engaged`; the streaming in-batch
+    pass passes False — its input is bounded by the micro-batch
+    trigger, and the steady-state per-batch path must not pay a
+    driver-side planning probe (the _spread already_spread rationale).
+    """
     # Size-ratio prefilter — an EXACT necessary condition, not a
     # heuristic: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so any pair whose
     # size ratio is below the threshold cannot verify. Two integer
     # comparisons per raw candidate kill ~half the spurious bucket
     # collisions (sf0.1: 6.2M -> 2.9M) before the expensive per-pair
     # array intersects — and before distinct() ever shuffles them.
+    #
+    # Hot-bucket sub-split (_LSH_MAX_BUCKET, guide §2.5): members of a
+    # bucket larger than K get a deterministic chunk id
+    # c = pmod(xxhash64(doc_id), m), m = ceil(B/K); the left side
+    # replicates each row to cells (c, j) for j in c..m-1, the right
+    # side to (i, c) for i in 0..c, and the join adds (_i, _j) to the
+    # equi-key. An unordered pair {x, y} with chunks cx <= cy meets in
+    # EXACTLY the cell (cx, cy): as l=x,r=y it needs l._i = cx <= cy
+    # and r._j = cy >= cx (both true, one j/i value each); as l=y,r=x
+    # it needs cy <= cx — only when cx == cy, where both orderings
+    # land in the diagonal cell and the (_i == _j) => doc_id< filter
+    # keeps one, exactly the old self-join dedup. Off-diagonal cells
+    # carry each pair once in arbitrary order, so the emit normalizes
+    # with least/greatest before the (multi-band) distinct. Non-hot
+    # buckets have m=1: every row sits in cell (0,0) and the plan
+    # degenerates to the previous join with two constant key columns.
+    # The occupancy aggregate is one extra pass over the fixed-width
+    # band rows (map-side combined to distinct buckets); the hot set
+    # it broadcasts is bounded by corpus_bytes/K — tiny by
+    # construction (stop-phrase analog of the ngram df-cap).
+    if guard is None:
+        guard = _lsh_guard_engaged(band_rows)
+    if guard:
+        hot = F.broadcast(
+            band_rows.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_b"))
+            .where(F.col("_b") > _LSH_MAX_BUCKET)
+            .select(
+                "band",
+                "band_key",
+                F.ceil(F.col("_b") / _LSH_MAX_BUCKET)
+                .cast("int")
+                .alias("_m"),
+            )
+        )
+        chunked = (
+            band_rows.join(hot, ["band", "band_key"], "left")
+            .withColumn("_m", F.coalesce(F.col("_m"), F.lit(1)))
+            .withColumn(
+                "_c",
+                F.pmod(F.xxhash64(F.col("doc_id")), F.col("_m")).cast("int"),
+            )
+        )
+        lhs = chunked.select(
+            "doc_id",
+            "band",
+            "band_key",
+            "n_toks",
+            F.col("_c").alias("_i"),
+            F.explode(
+                F.sequence(F.col("_c"), F.col("_m") - 1)
+            ).alias("_j"),
+        )
+        rhs = chunked.select(
+            "doc_id",
+            "band",
+            "band_key",
+            "n_toks",
+            F.explode(F.sequence(F.lit(0), F.col("_c"))).alias("_i"),
+            F.col("_c").alias("_j"),
+        )
+        join_keys = ["band", "band_key", "_i", "_j"]
+        keep_order = (F.col("l.doc_id") != F.col("r.doc_id")) & (
+            (F.col("_i") != F.col("_j"))
+            | (F.col("l.doc_id") < F.col("r.doc_id"))
+        )
+    else:
+        lhs = rhs = band_rows
+        join_keys = ["band", "band_key"]
+        keep_order = F.col("l.doc_id") < F.col("r.doc_id")
+    # off-diagonal chunk cells carry each pair once in ARBITRARY id
+    # order, so the guarded emit normalizes with least/greatest; the
+    # unguarded self-join's l < r filter already orders the pair, so
+    # its emit stays the plain (l, r) projection (no per-candidate
+    # least/greatest work on the unguarded hot path)
+    emit = (
+        [
+            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_a"),
+            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_b"),
+        ]
+        if guard
+        else [
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        ]
+    )
     cands = (
-        band_rows.alias("l")
-        .join(band_rows.alias("r"), ["band", "band_key"])
+        lhs.alias("l")
+        .join(rhs.alias("r"), join_keys)
         .where(
-            (F.col("l.doc_id") < F.col("r.doc_id"))
+            keep_order
             & (
                 F.least(F.col("l.n_toks"), F.col("r.n_toks"))
                 >= jaccard_threshold
                 * F.greatest(F.col("l.n_toks"), F.col("r.n_toks"))
             )
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
+        .select(*emit)
         .distinct()
     )
 

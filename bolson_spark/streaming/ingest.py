@@ -376,10 +376,14 @@ def _near_dup_gate(
         )
 
         kept_now = delta_kept.select("doc_id")
+        # guard=False: the in-batch pair volume is bounded by the
+        # micro-batch trigger size, and the steady-state per-batch
+        # path must not pay the guard's driver-side planning probe
         pairs = _verified_pairs_prepped(
             d_toks.join(kept_now, "doc_id", "left_semi"),
             d_bands.join(kept_now, "doc_id", "left_semi"),
             threshold,
+            guard=False,
         )
         dupes = (
             connected_components(pairs)

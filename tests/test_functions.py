@@ -42,6 +42,34 @@ def test_minhash_identical_docs_pair(spark):
     assert all(a < b for a, b in pairs)
 
 
+def test_lsh_hot_bucket_guard_pair_set_identical(spark):
+    """The hot-bucket sub-split (guide §2.5; r10 VERDICT #2) must be
+    result-INERT at any K: forcing sub-splitting (tiny K so real
+    sf0.001 buckets split into several chunks) yields exactly the
+    unguarded pair set, both directions. Also pins the guarded plan
+    shape: the chunk ids ride the equi-join key (no cross join) and
+    the hot set arrives by broadcast."""
+    import bolson_spark.functions.dedup as D
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    toks, bands = D._minhash_prep(docs, "text", 16, 4)
+    old_k, old_min = D._LSH_MAX_BUCKET, D._LSH_GUARD_MIN_BYTES
+    try:
+        D._LSH_MAX_BUCKET, D._LSH_GUARD_MIN_BYTES = 16, 0
+        guarded = D._verified_pairs_prepped(toks, bands, 0.9)
+        plan = guarded._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan
+        assert "_i" in plan and "_j" in plan
+        assert "CartesianProduct" not in plan
+        unguarded = D._verified_pairs_prepped(toks, bands, 0.9, guard=False)
+        assert guarded.exceptAll(unguarded).isEmpty()
+        assert unguarded.exceptAll(guarded).isEmpty()
+    finally:
+        D._LSH_MAX_BUCKET, D._LSH_GUARD_MIN_BYTES = old_k, old_min
+
+
 def test_minhash_bands_auto_selection():
     """choose_bands: most selective banding (longest rows-per-band)
     whose candidate recall at the threshold clears MIN_RECALL."""
