@@ -411,6 +411,17 @@ def repetition_metrics(
     if gram_shuffle == "local":
         return _repetition_metrics_local(df, text_col, ns)
 
+    # Spread once for BOTH shuffle routes (guide §2.4, no-op on
+    # well-split input): the gram-stream explode AND the hash route's
+    # rederive projection are CPU-heavy narrow maps over `df`, and the
+    # rederive's candidate join is a broadcast — no exchange ever
+    # parallelizes it, so on a single-file input the whole interpreted
+    # HOF gram rebuild ran on ONE core (profiled r11: 2.4 s of the
+    # hashed twin's 4.2 s at sf0.01 was this single-core projection).
+    from bolson_spark.functions.dedup import _spread
+
+    df = _spread(df)
+
     def all_grams(ws: Column) -> Column:
         # NB: the per-n lambda must stay ONE-argument — pyspark infers
         # HOF arity from the Python signature, so a `lambda i, n=n`
@@ -487,15 +498,28 @@ def repetition_metrics(
         )
         # rank(), not row_number(): hash order is not the tie-break
         # rule, so EVERY count-tied candidate survives to the
-        # rederive, where the real gram-ASC rule decides
+        # rederive, where the real gram-ASC rule decides. The tied
+        # hashes collapse into ONE array per (doc, n) — r11: the
+        # previous one-row-per-tied-candidate shape exploded to ~110
+        # rows per (doc, n) on low-repetition docs (every count-1 gram
+        # ties; 55k rederive rows for 500 sf0.01 docs), and each row
+        # re-built the doc's full gram array in the interpreted-HOF
+        # rederive. One row per (doc, n) builds the gram stream once
+        # and membership-tests against the tied-hash set: same O(L*T)
+        # comparisons, 1/T-th the interpreted array builds (profiled
+        # 2.5 s -> 0.1 s of the sf0.01 twin).
         w_top = Window.partitionBy("doc_id", "n").orderBy(F.desc("c"))
         cands = (
             counts.where(F.col("n").isin(top_ns))
             .withColumn("_rk", F.rank().over(w_top))
             .where(F.col("_rk") == 1)
+            # all rank-1 rows of a (doc, n) share the top count, so
+            # max(c) is exactly that count
+            .groupBy("doc_id", "n")
+            .agg(F.collect_set("gh").alias("ghs"), F.max("c").alias("c"))
             .groupBy("doc_id")
             .agg(
-                F.collect_list(F.struct("n", "gh", "c")).alias("_cands")
+                F.collect_list(F.struct("n", "ghs", "c")).alias("_cands")
             )
         )
         # rederive pass: re-shuffle only (doc_id, text) — 1x corpus
@@ -524,7 +548,8 @@ def repetition_metrics(
                 else gram_arr.when(F.col("c.n") == n, grams_of(n))
             )
         matches = F.filter(
-            gram_arr, lambda g: F.xxhash64(g) == F.col("c.gh")
+            gram_arr,
+            lambda g: F.array_contains(F.col("c.ghs"), F.xxhash64(g)),
         )
         resolved = ex.select(
             "doc_id",

@@ -1979,7 +1979,11 @@ def q_training_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warm at sf0.1. A production near-dup job materializes exactly
     # this boundary (parquet stage write); localCheckpoint is the
     # in-session analog.
-    s2 = corpus.join(clean, "doc_id", "left_semi").localCheckpoint()
+    # eager=False (r11): same truncation, one fewer eager job chain —
+    # the boundary materializes inside the union-find's pair count
+    s2 = corpus.join(clean, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     non_reps = (
         neardup_components(s2)
         .where(F.col("doc_id") != F.col("representative"))
@@ -2155,7 +2159,13 @@ def q_training_corpus_spandedup(
     s2b = (
         s2.select("doc_id", "lang", "source")
         .join(stripped, "doc_id")
-        .localCheckpoint()
+        # eager=False (r11): the lineage truncation (the 44 -> 18 s
+        # analysis saving) comes from the LogicalRDD boundary either
+        # way; lazy materializes the boundary inside the FIRST
+        # consumer job instead of as its own eager job chain,
+        # dropping one driver job round-trip (measured 5.9 -> 5.5 s
+        # min-of-3 at sf0.01, interleaved A/B)
+        .localCheckpoint(eager=False)
     )
     non_reps = (
         neardup_components(s2b)
