@@ -235,21 +235,44 @@ def _with_tiles(
     ch = df.join(F.broadcast(sizes), block_col).withColumn(
         "_chunk", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nchunks")).cast("int")
     )
-    left = ch.select(
-        "*",
-        F.col("_chunk").alias("_ca"),
-        F.explode(
-            F.sequence(F.col("_chunk"), F.col("_nchunks") - 1)
-        ).alias("_cb"),
-        F.lit(1).alias("_side"),
+    # ONE generate builds every (ca, cb, side) tile membership per row
+    # (r11): the previous left/right union consumed `ch` twice, so an
+    # uncached input pipeline (the blocked join + assign upstream) was
+    # evaluated once for the size table and TWICE more for the union
+    # arms — 3 full passes where 2 suffice. Same multiset of tile
+    # rows; per_tile sorts by id, so arrival order is immaterial.
+    t_ty = "array<struct<_ca:int,_cb:int,_side:int>>"
+    tiles = F.concat(
+        F.transform(
+            F.sequence(F.col("_chunk"), F.col("_nchunks") - 1),
+            lambda j: F.struct(
+                F.col("_chunk").alias("_ca"),
+                j.alias("_cb"),
+                F.lit(1).alias("_side"),
+            ),
+        ),
+        F.when(
+            F.col("_chunk") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.col("_chunk") - 1),
+                lambda i: F.struct(
+                    i.alias("_ca"),
+                    F.col("_chunk").alias("_cb"),
+                    F.lit(0).alias("_side"),
+                ),
+            ),
+        ).otherwise(F.array().cast(t_ty)),
     )
-    right = ch.where(F.col("_chunk") > 0).select(
-        "*",
-        F.explode(F.sequence(F.lit(0), F.col("_chunk") - 1)).alias("_ca"),
-        F.col("_chunk").alias("_cb"),
-        F.lit(0).alias("_side"),
+    return (
+        ch.select("*", F.explode(tiles).alias("_t"))
+        .select(
+            "*",
+            F.col("_t._ca").alias("_ca"),
+            F.col("_t._cb").alias("_cb"),
+            F.col("_t._side").alias("_side"),
+        )
+        .drop("_t", "_chunk", "_nchunks")
     )
-    return left.unionByName(right).drop("_chunk", "_nchunks")
 
 
 def blocked_nearest_neighbor_gemm_tiled(

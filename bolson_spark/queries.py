@@ -3169,9 +3169,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("centroid"),
     )
     assigned = ivf_assign(rep_vecs, centroids).select("vec_id", "cluster")
+    # persist the blocked frame: the tiling stage reads it twice (size
+    # table + tile rows), and uncached each read re-runs the
+    # rep-canonicalization joins + assign cross-join upstream — the
+    # same documented stage-boundary persist dedup_embedding_ivf
+    # carries (r11; measured 1.73 -> 1.15 s on the pair stage)
     blocked = rep_vecs.join(assigned, "vec_id").select(
         "vec_id", "embedding", "cluster"
-    )
+    ).persist()
     rep_pairs = embedding_cosine_pairs_tiled(
         blocked, threshold=0.3, block_col="cluster"
     ).select("vec_a", "vec_b")
