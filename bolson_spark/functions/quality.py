@@ -74,92 +74,78 @@ def quality_metrics(df: DataFrame, text_col: str = "text",
     7.5x on the composed pipelines) — a lambda variable is a
     materialized value substitution cannot inline."""
     from bolson_spark.functions.dedup import _spread
-    from bolson_spark.functions.text import bind_array
 
-    text = F.col(text_col)
+    # The metric struct is built as SQL TEXT parsed in ONE selectExpr
+    # (r11, the one-parse sweep): the Column-API form — a bind_array'd
+    # struct of five ratio folds plus the bigram run-fold — spent
+    # ~0.5 s of py4j round trips per call, an SF-independent driver
+    # constant paid by every pipeline composition that gates on
+    # quality (training_corpus/neardup/spandedup/dsir + the two
+    # direct queries). The SQL mirrors the former Column tree field
+    # for field; the bind_array discipline is preserved (ws is the
+    # single-element transform's lambda variable, so the word array
+    # is evaluated once per row and substitution cannot inline it).
+    # Zero-word documents: every ratio is CASE WHEN size(ws) > 0 —
+    # NULL, not a divide-by-zero; keep still evaluates FALSE via
+    # n_words. 0/1-word docs guard the bigram array to NULL
+    # (sequence(1, 0) counts DOWN in Spark and would manufacture
+    # junk bigrams).
+    def ratio(expr: str) -> str:
+        return f"CASE WHEN size(ws) > 0 THEN round({expr}, 6) END"
 
-    def _metrics(ws: Column) -> Column:
-        n = F.size(ws)
-
-        # zero-word documents: every ratio is undefined — NULL, not a
-        # divide-by-zero (ANSI mode raises on 0/0; the oracle mirrors
-        # with CASE WHEN). keep still evaluates FALSE via n_words.
-        def _ratio(expr: Column) -> Column:
-            return F.when(n > 0, F.round(expr, 6))
-
-        flush = lambda acc: F.when(  # noqa: E731
-            acc.run > acc.best, acc.run
-        ).otherwise(acc.best)
-        # sequence(1, 0) counts DOWN in Spark, so 0/1-word docs would
-        # manufacture junk bigrams — guard to NULL (the fold then
-        # yields NULL, the same NULL the pre-r10 LEFT join produced
-        # for docs with no bigrams)
-        bigr = F.when(
-            n >= 2,
-            F.array_sort(
-                F.transform(
-                    F.sequence(F.lit(1), n - 1),
-                    lambda i: F.concat(
-                        F.element_at(ws, i),
-                        F.lit(" "),
-                        F.element_at(ws, i + 1),
-                    ),
-                )
-            ),
-        )
-        top_c = F.aggregate(
-            bigr,
-            F.struct(
-                F.lit(None).cast("string").alias("prev"),
-                F.lit(0).cast("bigint").alias("run"),
-                F.lit(0).cast("bigint").alias("best"),
-            ),
-            lambda acc, g: F.when(
-                acc.prev.isNotNull() & (g == acc.prev),
-                F.struct(
-                    acc.prev.alias("prev"),
-                    (acc.run + 1).alias("run"),
-                    acc.best.alias("best"),
-                ),
-            ).otherwise(
-                F.struct(
-                    g.alias("prev"),
-                    F.lit(1).cast("bigint").alias("run"),
-                    flush(acc).alias("best"),
-                )
-            ),
-            lambda acc: flush(acc),
-        )
-        return F.struct(
-            n.alias("n_words"),
-            _ratio(
-                F.aggregate(
-                    ws, F.lit(0.0), lambda acc, x: acc + F.length(x)
-                )
-                / n
-            ).alias("mean_word_len"),
-            _ratio(F.size(F.array_distinct(ws)) / n).alias(
-                "unique_word_frac"
-            ),
-            _ratio(
-                F.size(F.filter(ws, lambda x: x.rlike("[a-zA-Z]"))) / n
-            ).alias("alpha_word_frac"),
-            _ratio(
-                (
-                    _count_occurrences(text, "#")
-                    + _count_occurrences(text, "...")
-                )
-                / n
-            ).alias("symbol_word_ratio"),
-            F.when(n >= 2, F.round(top_c / (n - F.lit(1)), 6)).alias(
-                "top_bigram_frac"
-            ),
+    def occurrences(needle: str, length: int) -> str:
+        # literal-substring count via length arithmetic — identical
+        # in Spark and DuckDB (no regex dialect involved)
+        return (
+            f"(length({text_col}) -"
+            f" length(replace({text_col}, '{needle}', ''))) / {length}"
         )
 
+    flush = "CASE WHEN acc.run > acc.best THEN acc.run ELSE acc.best END"
+    bigr = (
+        "CASE WHEN size(ws) >= 2 THEN array_sort(transform("
+        "sequence(1, size(ws) - 1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))"
+        ")) END"
+    )
+    top_c = (
+        f"aggregate({bigr}, "
+        "named_struct('prev', cast(null as string),"
+        " 'run', cast(0 as bigint), 'best', cast(0 as bigint)), "
+        "(acc, g) -> CASE WHEN acc.prev IS NOT NULL AND g = acc.prev"
+        " THEN named_struct('prev', acc.prev, 'run', acc.run + 1,"
+        " 'best', acc.best)"
+        " ELSE named_struct('prev', g, 'run', cast(1 as bigint),"
+        f" 'best', {flush}) END, "
+        f"acc -> {flush})"
+    )
+    metrics = (
+        "named_struct("
+        "'n_words', size(ws), "
+        "'mean_word_len', "
+        + ratio(
+            "aggregate(ws, cast(0.0 as double),"
+            " (acc, x) -> acc + length(x)) / size(ws)"
+        )
+        + ", 'unique_word_frac', "
+        + ratio("size(array_distinct(ws)) / size(ws)")
+        + ", 'alpha_word_frac', "
+        + ratio("size(filter(ws, x -> x rlike '[a-zA-Z]')) / size(ws)")
+        + ", 'symbol_word_ratio', "
+        + ratio(
+            f"({occurrences('#', 1)} + {occurrences('...', 3)}) / size(ws)"
+        )
+        + ", 'top_bigram_frac', CASE WHEN size(ws) >= 2 THEN"
+        f" round({top_c} / (size(ws) - 1), 6) END"
+        ")"
+    )
     # metrics are CPU per row, not bytes — decouple map parallelism
     # from file layout when the input is under-split (no-op at scale)
-    base = _spread(df).select(
-        F.col(id_col), bind_array(words_col(text), _metrics).alias("_m")
+    base = _spread(df).selectExpr(
+        id_col,
+        "element_at(transform(array("
+        f"filter(split({text_col}, '\\\\s+'), w -> w != '')"
+        f"), ws -> {metrics}), 1) AS _m",
     )
     out = base.select(
         id_col,
@@ -206,107 +192,85 @@ def _repetition_metrics_local(
     same integer c * length(gram) the shuffle routes aggregate, so
     the rounded fractions are bit-identical."""
     from bolson_spark.functions.dedup import _spread
-    from bolson_spark.functions.text import bind_array
 
     # the fold is CPU per row, not bytes — decouple map parallelism
     # from file layout when the input is under-split (no-op at scale)
     df = _spread(df)
     top_ns = set(TOP_NGRAM_CHAR_FRAC_MAX)
 
-    def grams_of(ws: Column, n: int) -> Column:
-        # one-arg lambda via factory (HOF arity pitfall — see
-        # repetition_metrics.all_grams)
-        return F.when(
-            F.size(ws) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-                lambda i: F.array_join(F.slice(ws, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    # The whole per-document fold is built as SQL TEXT and parsed in
+    # ONE selectExpr (r11, the bpe/_minhash_prep one-parse pattern):
+    # the Column-API form — 7 nested aggregate() folds with struct
+    # accumulators and per-field lambdas — spent ~1.3 s of py4j round
+    # trips per call (profiled: build 1.3-1.5 s vs 0.7 s exec at
+    # sf0.1), an SF-independent driver constant. The SQL below mirrors
+    # the former Column tree field for field (explicit bigint casts
+    # keep accumulator types identical); results are pinned by the
+    # hand-computed fixture test, the three-route exceptAll parity
+    # test (string/hash routes untouched), and the DuckDB oracle.
 
-    def top_chars(ws: Column, n: int) -> Column:
-        # best run: strictly-greater count wins; ascending gram order
-        # makes the first max the lexicographically smallest gram —
-        # exactly the count-DESC, gram-ASC published tie-break
-        flush_c = lambda acc: F.when(  # noqa: E731
-            acc.run > acc.best, acc.run
-        ).otherwise(acc.best)
-        flush_ch = lambda acc: F.when(  # noqa: E731
-            acc.run > acc.best,
-            acc.run * F.length(acc.prev).cast("bigint"),
-        ).otherwise(acc.chars)
-        return F.aggregate(
-            F.array_sort(grams_of(ws, n)),
-            F.struct(
-                F.lit(None).cast("string").alias("prev"),
-                F.lit(0).cast("bigint").alias("run"),
-                F.lit(0).cast("bigint").alias("best"),
-                F.lit(0).cast("bigint").alias("chars"),
-            ),
-            lambda acc, g: F.when(
-                acc.prev.isNotNull() & (g == acc.prev),
-                F.struct(
-                    acc.prev.alias("prev"),
-                    (acc.run + 1).alias("run"),
-                    acc.best.alias("best"),
-                    acc.chars.alias("chars"),
-                ),
-            ).otherwise(
-                F.struct(
-                    g.alias("prev"),
-                    F.lit(1).cast("bigint").alias("run"),
-                    flush_c(acc).alias("best"),
-                    flush_ch(acc).alias("chars"),
-                )
-            ),
-            lambda acc: flush_ch(acc),
+    def grams_sql(n: int) -> str:
+        # one gram stream per n, sorted so adjacent equals form runs;
+        # ascending gram order makes "first strictly-greater count
+        # wins" exactly the count-DESC, gram-ASC published tie-break
+        return (
+            f"array_sort(CASE WHEN size(ws) >= {n} THEN "
+            f"transform(sequence(1, size(ws) - {n - 1}),"
+            f" i -> array_join(slice(ws, i, {n}), ' ')) "
+            "ELSE cast(array() as array<string>) END)"
         )
 
-    def dup_chars(ws: Column, n: int) -> Column:
-        flush = lambda acc: F.when(  # noqa: E731
-            acc.run >= 2,
-            acc.dup + acc.run * F.length(acc.prev).cast("bigint"),
-        ).otherwise(acc.dup)
-        return F.aggregate(
-            F.array_sort(grams_of(ws, n)),
-            F.struct(
-                F.lit(None).cast("string").alias("prev"),
-                F.lit(0).cast("bigint").alias("run"),
-                F.lit(0).cast("bigint").alias("dup"),
-            ),
-            lambda acc, g: F.when(
-                acc.prev.isNotNull() & (g == acc.prev),
-                F.struct(
-                    acc.prev.alias("prev"),
-                    (acc.run + 1).alias("run"),
-                    acc.dup.alias("dup"),
-                ),
-            ).otherwise(
-                F.struct(
-                    g.alias("prev"),
-                    F.lit(1).cast("bigint").alias("run"),
-                    flush(acc).alias("dup"),
-                )
-            ),
-            lambda acc: flush(acc),
+    def top_sql(n: int) -> str:
+        flush_c = "CASE WHEN acc.run > acc.best THEN acc.run ELSE acc.best END"
+        flush_ch = (
+            "CASE WHEN acc.run > acc.best THEN acc.run *"
+            " cast(length(acc.prev) as bigint) ELSE acc.chars END"
+        )
+        return (
+            f"aggregate({grams_sql(n)}, "
+            "named_struct('prev', cast(null as string),"
+            " 'run', cast(0 as bigint), 'best', cast(0 as bigint),"
+            " 'chars', cast(0 as bigint)), "
+            "(acc, g) -> CASE WHEN acc.prev IS NOT NULL AND g = acc.prev"
+            " THEN named_struct('prev', acc.prev, 'run', acc.run + 1,"
+            " 'best', acc.best, 'chars', acc.chars)"
+            " ELSE named_struct('prev', g, 'run', cast(1 as bigint),"
+            f" 'best', {flush_c}, 'chars', {flush_ch}) END, "
+            f"acc -> {flush_ch})"
         )
 
-    chars_struct = bind_array(
-        F.split(F.col(text_col), " "),
-        lambda ws: F.struct(
-            *[
-                (
-                    top_chars(ws, n) if n in top_ns else dup_chars(ws, n)
-                ).alias(f"ch{n}")
-                for n in ns
-            ]
-        ),
+    def dup_sql(n: int) -> str:
+        flush = (
+            "CASE WHEN acc.run >= 2 THEN acc.dup + acc.run *"
+            " cast(length(acc.prev) as bigint) ELSE acc.dup END"
+        )
+        return (
+            f"aggregate({grams_sql(n)}, "
+            "named_struct('prev', cast(null as string),"
+            " 'run', cast(0 as bigint), 'dup', cast(0 as bigint)), "
+            "(acc, g) -> CASE WHEN acc.prev IS NOT NULL AND g = acc.prev"
+            " THEN named_struct('prev', acc.prev, 'run', acc.run + 1,"
+            " 'dup', acc.dup)"
+            " ELSE named_struct('prev', g, 'run', cast(1 as bigint),"
+            f" 'dup', {flush}) END, "
+            f"acc -> {flush})"
+        )
+
+    fields = ", ".join(
+        f"'ch{n}', {top_sql(n) if n in top_ns else dup_sql(n)}" for n in ns
     )
-    n_chars = F.coalesce(
-        F.length(F.col(text_col)).cast("bigint"), F.lit(0).cast("bigint")
+    # bind_array in SQL: the split() array is evaluated ONCE per row
+    # as the single-element transform's lambda variable, then folded
+    # seven ways — same HOF-capture discipline as the Column helper
+    chars_sql = (
+        f"element_at(transform(array(split({text_col}, ' ')),"
+        f" ws -> named_struct({fields})), 1)"
     )
-    staged = df.select(
-        "doc_id", n_chars.alias("n_chars"), chars_struct.alias("_ch")
+    staged = df.selectExpr(
+        "doc_id",
+        f"coalesce(cast(length({text_col}) as bigint),"
+        " cast(0 as bigint)) AS n_chars",
+        f"{chars_sql} AS _ch",
     )
 
     def frac(n: int) -> Column:
