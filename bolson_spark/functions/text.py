@@ -38,13 +38,18 @@ def explode_once(
     The *_outer form is exempt from the inference; it emits one
     all-null marker row per empty/null array, which the cheap
     isNotNull on the GENERATOR OUTPUT (not pushable below the
-    Generate) removes — the row set is identical to the non-outer
-    explode PROVIDED the array has no null elements (true for every
-    split/concat/hash-built array in this codebase; do not use this
-    helper for arrays that can legitimately hold nulls)."""
+    Generate) removes. With ``pos=True`` the filter runs on the
+    POSITION alias (r10 ADVICE #1): the marker row is the only row
+    with a NULL position, so the helper is exact even for arrays
+    holding legitimately-NULL elements. With ``pos=False`` there is
+    no position column, so the value-column filter remains and the
+    row set matches the non-outer explode PROVIDED the array has no
+    null elements (true for every split/concat/hash-built array in
+    this codebase; use pos=True for arrays that can hold nulls)."""
     gen = F.posexplode_outer(arr) if pos else F.explode_outer(arr)
     out = df.select(*keep, gen.alias(*aliases))
-    return out.where(F.col(aliases[-1]).isNotNull())
+    marker = aliases[0] if pos else aliases[-1]
+    return out.where(F.col(marker).isNotNull())
 
 
 def where_once(df: DataFrame, cond: Column) -> DataFrame:
@@ -63,13 +68,20 @@ def where_once(df: DataFrame, cond: Column) -> DataFrame:
     element when cond is TRUE, and is NULL when cond is FALSE or NULL
     — explode_outer emits one row either way, and the isNotNull keeps
     exactly the TRUE rows (SQL filter semantics drop NULL conds)."""
+    # helper-column names must not collide with the caller's schema
+    # (r10 ADVICE #2): a df already carrying `_w_once`/`_w_keep` would
+    # hit an ambiguous-column failure or a wrong drop — suffix until
+    # both names are free
+    mark, keep_c = "_w_once", "_w_keep"
+    while mark in df.columns or keep_c in df.columns:
+        mark, keep_c = mark + "_", keep_c + "_"
     marked = df.select(
-        df["*"], F.when(cond, F.array(F.lit(True))).alias("_w_once")
+        df["*"], F.when(cond, F.array(F.lit(True))).alias(mark)
     )
     gen = marked.select(
-        marked["*"], F.explode_outer("_w_once").alias("_w_keep")
+        marked["*"], F.explode_outer(mark).alias(keep_c)
     )
-    return gen.where(F.col("_w_keep").isNotNull()).drop("_w_once", "_w_keep")
+    return gen.where(F.col(keep_c).isNotNull()).drop(mark, keep_c)
 
 
 def tokens(col: Column) -> Column:

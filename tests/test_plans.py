@@ -195,6 +195,35 @@ def test_ngram_skew_guard_is_anti_join_on_frequent(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_explode_once_null_elements_and_where_once_collisions(spark):
+    """r10 ADVICE #1/#2 hardening. explode_once(pos=True) must keep a
+    legitimately-NULL array element (filtering on the position alias,
+    whose only NULL row is the outer-explode marker), matching plain
+    posexplode; where_once must survive a caller whose schema already
+    uses the helper column names."""
+    from pyspark.sql import functions as F
+
+    from bolson_spark.functions.text import explode_once, where_once
+
+    df = spark.createDataFrame(
+        [(1, ["a", None, "b"]), (2, []), (3, None)],
+        "id bigint, arr array<string>",
+    )
+    got = explode_once(
+        df, ["id"], F.col("arr"), ["p", "v"], pos=True
+    ).collect()
+    want = df.select("id", F.posexplode("arr")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert (1, 1, None) in {tuple(r) for r in got}
+
+    clash = spark.createDataFrame(
+        [(1, 5, 6), (2, 7, 8)], "id bigint, _w_once int, _w_keep int"
+    )
+    out = where_once(clash, F.col("id") == 1)
+    assert out.columns == clash.columns
+    assert [tuple(r) for r in out.collect()] == [(1, 5, 6)]
+
+
 def test_explode_once_fences_generate_filter_inference(spark):
     """The r10 explode_once/where_once rewrites depend on two Spark
     optimizer behaviors (InferFiltersFromGenerate exempting *_outer
